@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One engine query: a Spark implementation plus (when the semantics are
+  * ANSI-SQL-expressible) an equivalent DuckDB oracle over the same parquet
+  * fixtures. Queries with `oracle = None` get a weaker rows-only check from
+  * the driver.
+  */
+final case class GraftQuery(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Fixture-table loaders. All test inputs are driver-generated parquet under
+  * `sfDir` (see TESTDATA.md / FIXTURES.md); every query function receives the
+  * scale-factor directory and loads through here so schema handling stays in
+  * one place.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
+    * rejects; read nanos as long and truncate to microsecond timestamps
+    * (matching DuckDB's TIMESTAMP_NS→TIMESTAMP cast, which also truncates).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,354 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+
+/** Relational operator surface (SURVEY.md §2.2): scans, projections, filters,
+  * joins (shuffle/broadcast/semi/anti), aggregations (hash, distinct,
+  * conditional, rollup), window functions, sorts/limits/top-k, set ops, and
+  * string/date/json functions — all declared through the DataFrame API so
+  * Catalyst gets full pushdown/pruning/codegen freedom.
+  *
+  * Determinism discipline for the DuckDB oracle: every query ends in a total
+  * ORDER BY (unique tie-breakers), float aggregates are rounded on both sides,
+  * timestamps are emitted as formatted strings, and window orderings are
+  * uniquely keyed so ranks can't flip between engines.
+  *
+  * Scale notes (100 TB): filters/projections sit directly on the parquet scan
+  * (PushedFilters/ReadSchema); the lineitem⋈orders join shuffles on the join
+  * key with AQE skew handling; dimension joins (customer, nation, region) are
+  * explicit `broadcast`; top-k is rank-then-filter (no global sort of the
+  * fact table); rollup/distinct aggregates use partial (map-side) aggregation
+  * automatically.
+  */
+object Relational {
+
+  private def diskr(c: org.apache.spark.sql.Column) = c * (lit(1.0) - col("l_discount"))
+
+  /** TPC-H Q1-style pricing summary: full-scan aggregate with partial aggs. */
+  val q1PricingSummary = GraftQuery(
+    "q1_pricing_summary",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(diskr(col("l_extendedprice"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  round(sum(l_quantity), 2) AS sum_qty,
+           |  round(sum(l_extendedprice), 2) AS sum_base_price,
+           |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           |  round(avg(l_quantity), 4) AS avg_qty,
+           |  round(avg(l_discount), 4) AS avg_disc,
+           |  count(*) AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** Top-k: aggregate then rank — never a global sort of the fact table. */
+  val q2TopRevenueOrders = GraftQuery(
+    "q2_top_revenue_orders",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(round(sum(diskr(col("l_extendedprice"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10),
+    Some("""SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           |FROM lineitem GROUP BY l_orderkey
+           |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin))
+
+  /** Fact-fact shuffle join + broadcast dimension join. */
+  val q3SegmentRevenue = GraftQuery(
+    "q3_segment_revenue",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          round(sum(diskr(col("l_extendedprice"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment,
+           |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           |  count(*) AS n_items
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  /** Left-semi join (EXISTS). */
+  val q4SemiJoin = GraftQuery(
+    "q4_semi_join",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val big = Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0)
+      cust.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_mktsegment FROM customer
+           |WHERE EXISTS (SELECT 1 FROM orders
+           |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** Left-anti join (NOT EXISTS). */
+  val q5AntiJoin = GraftQuery(
+    "q5_anti_join",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val pend = Tables.orders(s, dir).filter(col("o_orderstatus") === "P")
+      cust.join(pend, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders
+           |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** Windowed top-N per group: rank inside partition, filter — distributes by
+    * the partition key instead of sorting globally.
+    */
+  val q6WindowTopPerSupplier = GraftQuery(
+    "q6_window_top_per_supplier",
+    (s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("l_suppkey", "rn", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_suppkey", "rn")
+    },
+    Some("""SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_extendedprice FROM (
+           |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+           |    row_number() OVER (PARTITION BY l_suppkey
+           |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+           |  FROM lineitem) t
+           |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin))
+
+  /** Running totals + lag: frame-ordered accumulation is engine-order
+    * deterministic on both sides.
+    */
+  val q7RunningTotals = GraftQuery(
+    "q7_running_totals",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, dir)
+        .withColumn("running_spend",
+          round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+        .select("o_custkey", "o_orderkey", "running_spend", "prev_price")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           |    ORDER BY o_orderdate, o_orderkey
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+           |    ORDER BY o_orderdate, o_orderkey) AS prev_price
+           |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin))
+
+  /** Set operations: INTERSECT and EXCEPT (distinct semantics). */
+  val q8SetOps = GraftQuery(
+    "q8_set_ops",
+    (s, dir) => {
+      val ord = Tables.orders(s, dir)
+      val f = ord.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      val o = ord.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+      f.intersect(o).withColumn("tag", lit("both"))
+        .unionAll(f.except(o).withColumn("tag", lit("f_only")))
+        .select("tag", "custkey")
+        .orderBy("tag", "custkey")
+    },
+    Some("""SELECT tag, custkey FROM (
+           |  SELECT 'both' AS tag, custkey FROM (
+           |    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+           |    INTERSECT
+           |    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O') a
+           |  UNION ALL
+           |  SELECT 'f_only' AS tag, custkey FROM (
+           |    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+           |    EXCEPT
+           |    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O') b) t
+           |ORDER BY tag, custkey""".stripMargin))
+
+  /** ROLLUP hierarchy totals; NULL grouping markers normalized to 'ALL' so
+    * both engines order identically.
+    */
+  val q9Rollup = GraftQuery(
+    "q9_rollup",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls"),
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+           |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+           |ORDER BY rf, ls""".stripMargin))
+
+  /** String-function projection + aggregation. */
+  val q10StringFuncs = GraftQuery(
+    "q10_string_funcs",
+    (s, dir) =>
+      Tables.part(s, dir)
+        .groupBy(
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_type"), 1, 5).as("type_pfx"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg("p_retailprice"), 2).as("avg_price"),
+          min(length(col("p_name"))).as("min_name_len"),
+          max(length(replace(col("p_name"), lit(" "), lit("")))).as("max_squashed_len"))
+        .orderBy("brand_u", "type_pfx"),
+    Some("""SELECT upper(p_brand) AS brand_u, substring(p_type, 1, 5) AS type_pfx,
+           |  count(*) AS n, round(avg(p_retailprice), 2) AS avg_price,
+           |  min(length(p_name)) AS min_name_len,
+           |  max(length(replace(p_name, ' ', ''))) AS max_squashed_len
+           |FROM part GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** Date functions: month truncation emitted as a string for cross-engine
+    * hash parity.
+    */
+  val q11MonthlyOrders = GraftQuery(
+    "q11_monthly_orders",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"),
+          countDistinct(col("o_custkey")).as("n_custs"))
+        .orderBy("month"),
+    Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total,
+           |  count(DISTINCT o_custkey) AS n_custs
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Exact distinct aggregation (expand + two-phase agg under the hood). */
+  val q12DistinctCounts = GraftQuery(
+    "q12_distinct_counts",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+           |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Conditional aggregation (CASE WHEN pivots). */
+  val q13ConditionalAgg = GraftQuery(
+    "q13_conditional_agg",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+          sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"),
+          round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0)), 2).as("f_total"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+           |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+           |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+           |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+           |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS f_total
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** JSON extraction from a string column (events.props = {"k": <int>}). */
+  val q14JsonProps = GraftQuery(
+    "q14_json_props",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("k").as("sum_k"),
+          round(avg("k"), 4).as("avg_k"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+           |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Tumbling-window (hourly) event aggregation — the batch-equivalent of the
+    * streaming query in graft.streaming.
+    */
+  val q15HourlyEvents = GraftQuery(
+    "q15_hourly_events",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .orderBy("hour", "event_type"),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+           |  count(*) AS n, round(sum(value), 2) AS total_value
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** Batch sessionization: 30-minute inactivity gap → session ids via
+    * lag + cumulative sum (the batch-equivalent of a session_window stream).
+    */
+  val q16Sessions = GraftQuery(
+    "q16_sessions",
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_sess").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""WITH marked AS (
+           |  SELECT user_id, value,
+           |    CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+           |           OR epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+           |         THEN 1 ELSE 0 END AS new_sess,
+           |    ts, event_id
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |sess AS (
+           |  SELECT user_id, value,
+           |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           |  FROM marked)
+           |SELECT user_id, session_id, count(*) AS n_events,
+           |  round(sum(value), 2) AS session_value
+           |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(
+    q1PricingSummary, q2TopRevenueOrders, q3SegmentRevenue, q4SemiJoin,
+    q5AntiJoin, q6WindowTopPerSupplier, q7RunningTotals, q8SetOps, q9Rollup,
+    q10StringFuncs, q11MonthlyOrders, q12DistinctCounts, q13ConditionalAgg,
+    q14JsonProps, q15HourlyEvents, q16Sessions)
+}
