@@ -1,0 +1,28 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+
+import graft.rebalance.RebalancePlan.CatalogEntry
+
+/** Catalog introspection — the Spark form of the reference's two
+  * `system.tables` scans (`select name / create_table_query from
+  * system.tables where database='{db}'`, reference
+  * `sharding_recreation.py:289-298`). Driver-local, small data.
+  */
+object TableRegistry {
+
+  /** All table names in `db` (reference O1). */
+  def tableNames(spark: SparkSession, db: String): Seq[String] =
+    spark.catalog.listTables(db).collect().map(_.name).toSeq.sorted
+
+  /** Name + CREATE DDL snapshot (reference O1+O2), the planner's input. */
+  def snapshot(spark: SparkSession, db: String): Seq[CatalogEntry] =
+    tableNames(spark, db).map { t =>
+      val ddl = spark.sql(s"SHOW CREATE TABLE $db.$t").first().getString(0)
+      CatalogEntry(t, ddl)
+    }
+
+  /** EXISTS probe (reference O7, `sharding_recreation.py:216-217,236-237`). */
+  def exists(spark: SparkSession, db: String, table: String): Boolean =
+    spark.catalog.tableExists(s"$db.$table")
+}

@@ -1,0 +1,74 @@
+package graft.rebalance
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.TableRegistry
+
+/** Executes the rebalance workflow against Spark catalog tables.
+  *
+  * In Spark the reference's local/distributed table split collapses
+  * (SURVEY.md §1.2): per-shard `_local` tables become partitions of one
+  * catalog table, and the distributed façade is the table itself. The
+  * workflow therefore reduces to the reference's shadow-swap discipline
+  * (reference `sharding_recreation.py:306-342`) applied per table:
+  *
+  *   1. write a redistributed shadow `table__v{n}` (one shuffle — the O18
+  *      data move, reference `sharding_recreation.py:159-160`);
+  *   2. metadata-only renames: `table` → `table__old`, shadow → `table`
+  *      (reference O16/O17, `sharding_recreation.py:212-249`);
+  *   3. drop `table__old` (reference O19, `sharding_recreation.py:194-209`).
+  *
+  * The canonical name always fronts either complete-old or complete-new
+  * data — fixing the reference's non-atomic INSERT window. Every step is
+  * guarded/idempotent like the reference's `IF NOT EXISTS` / `EXISTS`
+  * probes. At 100 TB the only data movement is step 1's shuffle; AQE
+  * handles skewed shard keys.
+  */
+object RebalanceRunner {
+
+  /** Rebalance one catalog table in place; returns the row count moved. */
+  def rebalanceTable(
+      spark: SparkSession,
+      db: String,
+      table: String,
+      dist: Rebalancer.Distribution,
+      shards: Int,
+      version: String): Long = {
+
+    val fq = s"$db.$table"
+    val shadow = s"$db.${table}__v$version"
+    val old = s"$db.${table}__old"
+    require(TableRegistry.exists(spark, db, table), s"no such table: $fq")
+
+    val src = spark.table(fq)
+    val shaped = dist match {
+      case Rebalancer.ByHash(key)  => src.repartition(shards, col(key))
+      case Rebalancer.ByRange(key) => src.repartitionByRange(shards, col(key))
+      case Rebalancer.RoundRobin   => src.repartition(shards)
+    }
+    // shadow write: full new copy lands before any rename touches `table`
+    shaped.write.mode(SaveMode.Overwrite).saveAsTable(shadow)
+    val moved = spark.table(shadow).count()
+
+    spark.sql(s"DROP TABLE IF EXISTS $old")
+    spark.sql(s"ALTER TABLE $fq RENAME TO $old")
+    spark.sql(s"ALTER TABLE $shadow RENAME TO $fq")
+    spark.sql(s"DROP TABLE IF EXISTS $old")
+    moved
+  }
+
+  /** Rebalance every data table in a database (the reference's whole-db
+    * workflow), returning table → rows moved.
+    */
+  def rebalanceDatabase(
+      spark: SparkSession,
+      db: String,
+      dist: String => Rebalancer.Distribution,
+      shards: Int,
+      version: String): Map[String, Long] =
+    TableRegistry.tableNames(spark, db)
+      .filterNot(n => n.contains("__v") || n.endsWith("__old"))
+      .map(t => t -> rebalanceTable(spark, db, t, dist(t), shards, version))
+      .toMap
+}

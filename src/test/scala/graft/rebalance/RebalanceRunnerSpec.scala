@@ -1,0 +1,50 @@
+package graft.rebalance
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.catalog.TableRegistry
+
+class RebalanceRunnerSpec extends AnyFunSuite with SparkSpec {
+
+  test("catalog table rebalance: shadow-swap ends with canonical name only") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_rr")
+    spark.sql("DROP TABLE IF EXISTS graft_rr.sales")
+    (1L to 5000L).map(i => (i, (i % 7).toString)).toDF("k", "tag")
+      .write.mode("overwrite").saveAsTable("graft_rr.sales")
+
+    val before = spark.table("graft_rr.sales").count()
+    val moved = RebalanceRunner.rebalanceTable(
+      spark, "graft_rr", "sales", Rebalancer.ByHash("k"), 8, "1")
+
+    assert(moved == before)
+    assert(spark.table("graft_rr.sales").count() == before)
+    val names = TableRegistry.tableNames(spark, "graft_rr")
+    assert(names.contains("sales"))
+    assert(!names.exists(_.contains("__old")), s"leftover old table: $names")
+    assert(!names.exists(_.contains("__v")), s"leftover shadow table: $names")
+    // multiset preserved
+    val sums = spark.sql("SELECT sum(k), count(*) FROM graft_rr.sales").first()
+    assert(sums.getLong(0) == (1L to 5000L).sum && sums.getLong(1) == 5000)
+  }
+
+  test("whole-database rebalance covers every data table") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db2")
+    Seq("t1", "t2").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_db2.$t")
+      (1L to 100L).map(i => (i, i * 2)).toDF("k", "v")
+        .write.mode("overwrite").saveAsTable(s"graft_db2.$t")
+    }
+    val moved = RebalanceRunner.rebalanceDatabase(
+      spark, "graft_db2", _ => Rebalancer.ByHash("k"), 4, "9")
+    assert(moved == Map("t1" -> 100L, "t2" -> 100L))
+  }
+
+  test("missing table is rejected before any step runs") {
+    intercept[IllegalArgumentException] {
+      RebalanceRunner.rebalanceTable(spark, "graft_rr", "nope", Rebalancer.RoundRobin, 2, "1")
+    }
+  }
+}
