@@ -1,0 +1,228 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+
+/** Deduplication operators (SURVEY.md §2.3): exact (hash-group), MinHash+LSH
+  * (shingle → minhash → band → bucket-join → exact-Jaccard verify), n-gram
+  * Jaccard, SimHash, and embedding-cosine nearest-neighbor.
+  *
+  * Everything is deterministic, hash-family arithmetic included, so the
+  * DuckDB oracle replicates each pipeline exactly: token ints come from md5
+  * hex (identical in both engines), the minhash family is
+  * `h_i(t) = (t·(2i+1) + i·1000000007 + 12345) mod 2147483647`, and Jaccard
+  * is an exact integer ratio.
+  *
+  * Scale design (100 TB): no all-pairs joins in the LSH path — candidates
+  * come from equi-joins on (band, key) buckets, so the shuffle is keyed by
+  * band buckets and AQE handles skewed buckets; the exact-verify join only
+  * touches candidate pairs. SimHash reduces docs to one 60-bit signature
+  * (explode → partial-agg, two shuffles) before any pairing.
+  */
+object Dedup {
+
+  private val P = 2147483647L // 2^31-1, Mersenne prime for the hash family
+  private val NUM_HASHES = 24
+  private val BANDS = 8 // r = 3 rows per band
+
+  /** doc_id + distinct word-3-gram shingles. */
+  private[ops] def shingles(docs: DataFrame): DataFrame = {
+    val t = col("toks")
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("g",
+        when(size(t) < 3, array().cast("array<string>"))
+          .otherwise(array_distinct(transform(
+            sequence(lit(0), size(t) - 3),
+            i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))))
+      .select(col("doc_id"), col("g"))
+  }
+
+  /** Shingle strings → 32-bit ints via md5 prefix (engine-portable). */
+  private def shingleInts(g: Column): Column =
+    transform(g, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+
+  /** Exact dedup surface: per-source unique-content accounting via content
+    * hash grouping (survivor selection = min doc_id per fingerprint).
+    */
+  val q24DedupExact = GraftQuery(
+    "q24_dedup_exact",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"),
+          min("doc_id").as("first_doc"))
+        .orderBy("source"),
+    Some("""SELECT source, count(*) AS n_docs,
+           |  count(DISTINCT md5(text)) AS n_unique,
+           |  count(*) - count(DISTINCT md5(text)) AS n_exact_dups,
+           |  min(doc_id) AS first_doc
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** MinHash + LSH near-dup detection: 24 minhashes, 8 bands × 3 rows,
+    * candidates from band-bucket equi-join, verified with exact Jaccard ≥ 0.5.
+    */
+  val q25DedupMinhash = GraftQuery(
+    "q25_dedup_minhash",
+    (s, dir) => {
+      val sh = shingles(Tables.documents(s, dir))
+        .withColumn("tints", shingleInts(col("g")))
+      val sig = sh.withColumn("sig",
+        transform(sequence(lit(0), lit(NUM_HASHES - 1)),
+          h => array_min(transform(col("tints"),
+            t => (t * (h.cast("long") * 2 + 1) + h.cast("long") * 1000000007L + 12345L) % P))))
+      val bands = sig.select(
+        col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(BANDS - 1)),
+          b => concat_ws(",",
+            element_at(col("sig"), b * 3 + 1).cast("string"),
+            element_at(col("sig"), b * 3 + 2).cast("string"),
+            element_at(col("sig"), b * 3 + 3).cast("string")))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .distinct()
+      val g = sh.select(col("doc_id"), col("g"))
+      val inter = size(array_intersect(col("gi"), col("gj")))
+      cand
+        .join(g.select(col("doc_id").as("i"), col("g").as("gi")), "i")
+        .join(g.select(col("doc_id").as("j"), col("g").as("gj")), "j")
+        .withColumn("jac",
+          inter.cast("double") / (size(col("gi")) + size(col("gj")) - inter))
+        .filter(col("jac") >= 0.5)
+        .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
+        .orderBy("i", "j")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+           |    i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) g
+           |  FROM documents),
+           |ti AS (SELECT doc_id, g,
+           |  list_transform(g, t -> CAST(concat('0x', substr(md5(t),1,8)) AS BIGINT)) tints FROM toks),
+           |sig AS (SELECT doc_id, g, list_transform(range(0,24), h ->
+           |  list_min(list_transform(tints, t -> (t*(2*h+1) + h*1000000007 + 12345) % 2147483647))) s
+           |  FROM ti),
+           |bands AS (SELECT doc_id, b.b AS band,
+           |  s[3*b.b+1]::VARCHAR||','||s[3*b.b+2]::VARCHAR||','||s[3*b.b+3]::VARCHAR AS key
+           |  FROM sig, range(0,8) b(b)),
+           |cand AS (SELECT DISTINCT a.doc_id i, c.doc_id j
+           |  FROM bands a JOIN bands c ON a.band=c.band AND a.key=c.key AND a.doc_id < c.doc_id),
+           |ver AS (SELECT i, j,
+           |  len(list_filter(x.g, e -> list_contains(y.g, e)))::DOUBLE /
+           |  (len(x.g)+len(y.g)-len(list_filter(x.g, e -> list_contains(y.g, e)))) jac
+           |  FROM cand JOIN ti x ON x.doc_id=i JOIN ti y ON y.doc_id=j)
+           |SELECT i, j, round(jac, 6) AS jac FROM ver WHERE jac >= 0.5 ORDER BY i, j""".stripMargin))
+
+  /** Character-4-gram Jaccard near-dup over one language partition —
+    * ground-truth all-pairs form (usable where a partition column bounds the
+    * pair count; the LSH path above is the unbounded-scale variant).
+    */
+  val q26DedupNgram = GraftQuery(
+    "q26_dedup_ngram",
+    (s, dir) => {
+      val de = Tables.documents(s, dir)
+        .filter(col("lang") === "de")
+        .withColumn("cg", array_distinct(
+          expr("transform(sequence(1, length(text)-3), i -> substring(text, i, 4))")))
+        .select(col("doc_id"), col("cg"))
+      val inter = size(array_intersect(col("ci"), col("cj")))
+      de.select(col("doc_id").as("i"), col("cg").as("ci"))
+        .join(de.select(col("doc_id").as("j"), col("cg").as("cj")), col("i") < col("j"))
+        .withColumn("jac",
+          inter.cast("double") / (size(col("ci")) + size(col("cj")) - inter))
+        .filter(col("jac") >= 0.5)
+        .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
+        .orderBy("i", "j")
+    },
+    Some("""WITH de AS (
+           |  SELECT doc_id, list_distinct(list_transform(range(1, length(text)-2),
+           |    i -> substr(text, i, 4))) cg
+           |  FROM documents WHERE lang = 'de'),
+           |p AS (SELECT a.doc_id i, b.doc_id j,
+           |  len(list_filter(a.cg, e -> list_contains(b.cg, e)))::DOUBLE /
+           |  (len(a.cg)+len(b.cg)-len(list_filter(a.cg, e -> list_contains(b.cg, e)))) jac
+           |  FROM de a, de b WHERE a.doc_id < b.doc_id)
+           |SELECT i, j, round(jac, 6) AS jac FROM p WHERE jac >= 0.5 ORDER BY i, j""".stripMargin))
+
+  /** SimHash near-dup: 60-bit signatures from shingle hashes (explode →
+    * per-bit partial aggregation → one long per doc), then low-Hamming pairs.
+    */
+  val q27DedupSimhash = GraftQuery(
+    "q27_dedup_simhash",
+    (s, dir) => {
+      val sh = shingles(Tables.documents(s, dir))
+        .withColumn("tints",
+          transform(col("g"), t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
+        .select(col("doc_id"), explode(col("tints")).as("t"))
+      val bits = sh
+        .select(col("doc_id"), col("t"), explode(sequence(lit(0), lit(59))).as("bit"))
+        .groupBy("doc_id", "bit")
+        .agg(sum(expr("(shiftright(t, bit) & 1) * 2 - 1")).as("bsum"))
+      val sig = bits.groupBy("doc_id")
+        .agg(sum(expr("CASE WHEN bsum > 0 THEN shiftleft(1L, bit) ELSE 0L END")).as("h"))
+      sig.select(col("doc_id").as("i"), col("h").as("hi"))
+        .join(sig.select(col("doc_id").as("j"), col("h").as("hj")), col("i") < col("j"))
+        .withColumn("ham", bit_count(col("hi").bitwiseXOR(col("hj"))))
+        .filter(col("ham") <= 10)
+        .select(col("i"), col("j"), col("ham"))
+        .orderBy("i", "j")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+           |    i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) g
+           |  FROM documents),
+           |ti AS (SELECT doc_id, unnest(list_transform(g,
+           |  t -> CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT))) t FROM toks),
+           |b AS (SELECT doc_id, r.bit, sum(((t >> r.bit) & 1)*2 - 1) bsum
+           |  FROM ti, range(0,60) r(bit) GROUP BY 1, 2),
+           |sh AS (SELECT doc_id, sum(CASE WHEN bsum > 0 THEN (1::BIGINT << bit) ELSE 0 END) h
+           |  FROM b GROUP BY 1)
+           |SELECT a.doc_id i, c.doc_id j, bit_count(xor(a.h, c.h)) ham
+           |FROM sh a, sh c WHERE a.doc_id < c.doc_id AND bit_count(xor(a.h, c.h)) <= 10
+           |ORDER BY i, j""".stripMargin))
+
+  /** Embedding-cosine nearest neighbor per vector (near-dup when sim clears a
+    * threshold; emitted unfiltered so the surface is non-degenerate on
+    * fixtures without planted vector dups).
+    */
+  val q28EmbeddingNn = GraftQuery(
+    "q28_embedding_nn",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+        .select(col("vec_id"), col("v"), col("nrm"))
+      val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+      val sims = e.as("a")
+        .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(
+          col("a.vec_id").as("vid"), col("b.vec_id").as("cid"),
+          (dot / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("vid").orderBy(desc("sim"), col("cid"))
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vid").as("vec_id"), col("cid").as("nn_id"), round(col("sim"), 5).as("sim"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
+           |  sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) nrm FROM embeddings),
+           |p AS (SELECT a.vec_id vid, b.vec_id cid,
+           |  list_sum(list_transform(range(1, 65), i -> a.v[i]*b.v[i])) / (a.nrm*b.nrm) sim
+           |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
+           |r AS (SELECT vid, cid, sim,
+           |  row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cid) rn FROM p)
+           |SELECT vid AS vec_id, cid AS nn_id, round(sim, 5) AS sim
+           |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(
+    q24DedupExact, q25DedupMinhash, q26DedupNgram, q27DedupSimhash, q28EmbeddingNn)
+}

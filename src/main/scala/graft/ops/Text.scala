@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+
+/** Text-analysis operators for the LLM-data-pipeline surface (SURVEY.md
+  * §2.3): per-language stats, token counting (whitespace + BPE-ish regex),
+  * quality scoring, language-ID heuristic, and document fingerprinting.
+  *
+  * All computations are codegen-friendly built-in functions / higher-order
+  * expressions over the `documents` table — no UDFs, so at 100 TB every
+  * query is a single scan + partial aggregation with pushdown intact.
+  * Cross-engine determinism: md5 for fingerprints (identical everywhere),
+  * integer ratios before float math, rounded float outputs.
+  */
+object Text {
+
+  private[ops] def toks(c: Column): Column = split(c, " ")
+
+  /** Per-language corpus stats: doc counts, token totals, char stats, and a
+    * consistency count of the precomputed n_chars column vs length(text).
+    */
+  val q19TextStats = GraftQuery(
+    "q19_text_stats",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(toks(col("text")))).as("n_tokens"),
+          round(avg("n_chars"), 4).as("avg_chars"),
+          max("n_chars").as("max_chars"),
+          sum(when(col("n_chars") === length(col("text")), 1L).otherwise(0L)).as("n_consistent"))
+        .orderBy("lang"),
+    Some("""SELECT lang, count(*) AS n_docs,
+           |  sum(len(string_split(text, ' '))) AS n_tokens,
+           |  round(avg(n_chars), 4) AS avg_chars, max(n_chars) AS max_chars,
+           |  sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS n_consistent
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Token counting two ways: whitespace split and a BPE-ish regex
+    * (letter runs / digit runs / single non-space symbols).
+    */
+  val q20TokenCounts = GraftQuery(
+    "q20_token_counts",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 50)
+        .select(
+          col("doc_id"),
+          size(toks(col("text"))).as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|\\S"), lit(0))).as("n_bpe_tokens"),
+          length(col("text")).as("n_chars"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+           |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS n_bpe_tokens,
+           |  length(text) AS n_chars
+           |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin))
+
+  /** Quality scoring: length saturation, stopword ratio, lexical diversity —
+    * integer counts ratioed then combined with fixed weights, aggregated per
+    * (lang, source).
+    */
+  val q21QualityScore = GraftQuery(
+    "q21_quality_score",
+    (s, dir) => {
+      val t = toks(col("text"))
+      val nTok = size(t).cast("double")
+      val nStop = size(filter(t, x => x.isin("the", "a", "of", "in", "to"))).cast("double")
+      val nUniq = size(array_distinct(t)).cast("double")
+      val score =
+        lit(0.4) * least(lit(1.0), size(t).cast("double") / 100.0) +
+        lit(0.3) * (nStop / nTok) +
+        lit(0.3) * (nUniq / nTok)
+      Tables.documents(s, dir)
+        .withColumn("score", score)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), round(avg("score"), 4).as("avg_quality"))
+        .orderBy("lang", "source")
+    },
+    Some("""WITH scored AS (
+           |  SELECT lang, source,
+           |    0.4 * least(1.0, len(string_split(text,' '))::DOUBLE / 100.0) +
+           |    0.3 * (len(list_filter(string_split(text,' '),
+           |             x -> x IN ('the','a','of','in','to')))::DOUBLE
+           |           / len(string_split(text,' '))) +
+           |    0.3 * (len(list_distinct(string_split(text,' ')))::DOUBLE
+           |           / len(string_split(text,' '))) AS score
+           |  FROM documents)
+           |SELECT lang, source, count(*) AS n_docs, round(avg(score), 4) AS avg_quality
+           |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** Language-ID heuristic (stopword n-gram matching) scored against the
+    * labeled lang column as a confusion matrix.
+    */
+  val q22LangId = GraftQuery(
+    "q22_lang_id",
+    (s, dir) => {
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      val pred = when(padded.contains(" the ") || padded.contains(" a "), "en")
+        .when(padded.contains(" la ") || padded.contains(" el "), "es")
+        .when(padded.contains(" der ") || padded.contains(" und "), "de")
+        .otherwise("unk")
+      Tables.documents(s, dir)
+        .withColumn("pred", pred)
+        .groupBy("lang", "pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    },
+    Some("""SELECT lang,
+           |  CASE WHEN ' '||text||' ' LIKE '% the %' OR ' '||text||' ' LIKE '% a %' THEN 'en'
+           |       WHEN ' '||text||' ' LIKE '% la %' OR ' '||text||' ' LIKE '% el %' THEN 'es'
+           |       WHEN ' '||text||' ' LIKE '% der %' OR ' '||text||' ' LIKE '% und %' THEN 'de'
+           |       ELSE 'unk' END AS pred,
+           |  count(*) AS n
+           |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** Document fingerprinting: md5-based content fingerprints rolled up per
+    * source (unique-fingerprint counts = exact-dup detection input).
+    */
+  val q23Fingerprints = GraftQuery(
+    "q23_fingerprints",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("fp", substring(md5(col("text")), 1, 16))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"),
+          min("fp").as("min_fp"))
+        .orderBy("source"),
+    Some("""SELECT source, count(*) AS n_docs,
+           |  count(DISTINCT substr(md5(text), 1, 16)) AS n_unique,
+           |  min(substr(md5(text), 1, 16)) AS min_fp
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(
+    q19TextStats, q20TokenCounts, q21QualityScore, q22LangId, q23Fingerprints)
+}
