@@ -196,11 +196,12 @@ object Dedup {
   val q28EmbeddingNn = GraftQuery(
     "q28_embedding_nn",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val e = Tables.embeddings(s, dir)
         .withColumn("v", col("embedding").cast("array<double>"))
-        .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+        .withColumn("nrm", graft.functions.GraftFunctions.normL2(col("v")))
         .select(col("vec_id"), col("v"), col("nrm"))
-      val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+      val dot = graft.functions.GraftFunctions.dot(col("a.v"), col("b.v"))
       val sims = e.as("a")
         .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
         .select(

@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.functions.GraftFunctions
+
+/** Similarity-search and vector-aggregation operators (SURVEY.md §2.3) over
+  * the `embeddings` table (ArrayType(FloatType), dim 64).
+  *
+  * - q29: brute-force cosine top-k — the exact baseline. The query set is
+  *   broadcast, so the scan side never shuffles; at 100 TB this is the
+  *   "small query batch × huge corpus" shape.
+  * - q30: per-label centroids via posexplode + partial aggregation (no
+  *   collect, no UDAF buffer bigger than one (label, dim) cell).
+  * - q31: LSH-bucketed ANN — random-hyperplane signs pick a bucket, search
+  *   only within the bucket (equi-join on bucket id instead of cross join;
+  *   the 100 TB scale path). Hyperplanes are md5-derived arithmetic so the
+  *   DuckDB oracle reproduces bucketing bit-for-bit.
+  *
+  * Float discipline: embeddings are cast to double before any math; dot
+  * products fold left-to-right in both engines; outputs are rounded.
+  */
+object Vectors {
+
+  private val DIM = 64
+  private val NUM_PLANES = 4
+
+  /** Deterministic pseudo-random hyperplanes: component d of plane h is
+    * ((int(md5("p{h}_{d}")[0:8]) % 2001) - 1000) / 1000.0 ∈ [-1, 1] —
+    * reproducible in any engine with md5.
+    */
+  private[ops] def planes: Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until NUM_PLANES).map { h =>
+      (0 until DIM).map { d =>
+        val hex = md.digest(s"p${h}_$d".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+      }
+    }
+  }
+
+  // fused codegen'd loops (graft.functions.DotProduct); accumulation order
+  // identical to the HOF fold so oracle parity is preserved
+  private def dot(a: Column, b: Column): Column = GraftFunctions.dot(a, b)
+  private def dotLit(a: Column, plane: Seq[Double]): Column =
+    GraftFunctions.dot(a, typedLit(plane))
+  private def norm(v: Column): Column = GraftFunctions.normL2(v)
+
+  /** Brute-force cosine top-k for a broadcast query batch. */
+  val q29AnnTopk = GraftQuery(
+    "q29_ann_topk",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("nrm", norm(col("v")))
+        .select(col("vec_id"), col("v"), col("nrm"))
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      val sims = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+      val w = Window.partitionBy("qid").orderBy(desc("sim"), col("cid"))
+      sims.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("cid"), round(col("sim"), 5).as("sim"))
+        .orderBy("qid", "rnk")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
+           |  sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) nrm FROM embeddings),
+           |q AS (SELECT vec_id qid, v qv, nrm qn FROM e WHERE vec_id < 3),
+           |p AS (SELECT qid, e.vec_id cid,
+           |  list_sum(list_transform(range(1, 65), i -> qv[i]*e.v[i])) / (qn*e.nrm) sim
+           |  FROM q, e WHERE e.vec_id <> qid),
+           |r AS (SELECT qid, cid, sim,
+           |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rnk FROM p)
+           |SELECT qid, rnk, cid, round(sim, 5) AS sim FROM r WHERE rnk <= 5
+           |ORDER BY qid, rnk""".stripMargin))
+
+  /** Per-label centroids: mean vector per class, one row per (label, dim). */
+  val q30Centroids = GraftQuery(
+    "q30_centroids",
+    (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+        .groupBy(col("label"), col("pos").as("dim"))
+        .agg(round(avg("col"), 5).as("c"), count(lit(1)).as("n"))
+        .select(col("label"), col("dim"), col("c"), col("n"))
+        .orderBy("label", "dim"),
+    Some("""SELECT label, d.d AS dim, round(avg((embedding::DOUBLE[])[d.d + 1]), 5) AS c,
+           |  count(*) AS n
+           |FROM embeddings, range(0, 64) d(d)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** LSH-bucketed ANN: sign-of-dot-product bucket id, search within bucket
+    * only (equi-join replaces the cross join of q29).
+    */
+  val q31AnnLsh = GraftQuery(
+    "q31_ann_lsh",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val ps = planes
+      val bucket = (0 until NUM_PLANES).map { h =>
+        when(dotLit(col("v"), ps(h)) > 0, 1 << h).otherwise(0)
+      }.reduce(_ + _)
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("nrm", norm(col("v")))
+        .withColumn("bucket", bucket)
+        .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket").as("qb"))
+      val sims = e.join(broadcast(q),
+          col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+      val w = Window.partitionBy("qid").orderBy(desc("sim"), col("cid"))
+      sims.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("rnk"), col("cid"), round(col("sim"), 5).as("sim"))
+        .orderBy("qid", "rnk")
+    },
+    Some("""WITH pl AS (
+           |  SELECT h.h, d.d,
+           |    ((CAST(concat('0x', substr(md5('p'||h.h||'_'||d.d), 1, 8)) AS BIGINT) % 2001) - 1000)
+           |      / 1000.0 AS w
+           |  FROM range(0,4) h(h), range(0,64) d(d)),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] v,
+           |  sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) nrm FROM embeddings),
+           |dots AS (SELECT e.vec_id, pl.h, sum(e.v[pl.d + 1] * pl.w) dp
+           |  FROM e, pl GROUP BY 1, 2),
+           |bk AS (SELECT vec_id, sum(CASE WHEN dp > 0 THEN (1 << h) ELSE 0 END) bucket
+           |  FROM dots GROUP BY 1),
+           |eb AS (SELECT e.vec_id, e.v, e.nrm, bk.bucket FROM e JOIN bk USING (vec_id)),
+           |q AS (SELECT vec_id qid, v qv, nrm qn, bucket qb FROM eb WHERE vec_id < 10),
+           |p AS (SELECT qid, eb.vec_id cid,
+           |  list_sum(list_transform(range(1, 65), i -> qv[i]*eb.v[i])) / (qn*eb.nrm) sim
+           |  FROM q JOIN eb ON eb.bucket = qb AND eb.vec_id <> qid),
+           |r AS (SELECT qid, cid, sim,
+           |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rnk FROM p)
+           |SELECT qid, rnk, cid, round(sim, 5) AS sim FROM r WHERE rnk <= 3
+           |ORDER BY qid, rnk""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q29AnnTopk, q30Centroids, q31AnnLsh)
+}
