@@ -14,7 +14,8 @@ object SparkEntry {
   /** All registered engine queries, grouped by module. */
   def allQueries: Seq[GraftQuery] =
     ops.Relational.all ++ ops.RebalanceQueries.all ++ ops.Text.all ++
-      ops.Dedup.all ++ ops.Vectors.all
+      ops.Dedup.all ++ ops.Vectors.all ++ ops.Multimodal.all ++
+      ops.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.streaming.EventStreams
+
+/** Batch-mode entries for the streaming transforms in
+  * [[graft.streaming.EventStreams]] — same plan definition runs as a
+  * `readStream` (see StreamingSpec); the DuckDB oracle checks the batch
+  * semantics: sliding-window membership arithmetic and gap-based session
+  * assignment. Window starts are emitted as epoch microseconds (exact
+  * integers, no timestamp-formatting parity risk).
+  */
+object StreamingQueries {
+
+  /** Sliding 1h windows every 30min: each event lands in exactly two
+    * epoch-aligned windows.
+    */
+  val q33SlidingWindows = GraftQuery(
+    "q33_sliding_windows",
+    (s, dir) =>
+      EventStreams.slidingCounts(Tables.events(s, dir))
+        .select(
+          unix_micros(col("window.start")).as("ws"),
+          col("event_type"), col("n"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy("ws", "event_type"),
+    Some("""WITH ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) us, event_type, value FROM events),
+           |w AS (
+           |  SELECT (us // 1800000000) * 1800000000 AS ws, event_type, value FROM ev
+           |  UNION ALL
+           |  SELECT ((us // 1800000000) - 1) * 1800000000 AS ws, event_type, value FROM ev)
+           |SELECT ws, event_type, count(*) AS n, round(sum(value), 2) AS total_value
+           |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** Gap-based session windows (30-minute inactivity), keyed by user. */
+  val q34SessionWindows = GraftQuery(
+    "q34_session_windows",
+    (s, dir) =>
+      EventStreams.sessionAgg(Tables.events(s, dir))
+        .select(
+          col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          col("n_events"),
+          round(col("session_value"), 2).as("session_value"))
+        .orderBy("user_id", "start_us"),
+    Some("""WITH ev AS (
+           |  SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) us, event_id FROM events),
+           |marked AS (
+           |  SELECT user_id, value, us,
+           |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+           |         THEN 1 ELSE 0 END AS new_sess, event_id
+           |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+           |sess AS (
+           |  SELECT user_id, value, us,
+           |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           |  FROM marked)
+           |SELECT user_id, min(us) AS start_us, count(*) AS n_events,
+           |  round(sum(value), 2) AS session_value
+           |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q33SlidingWindows, q34SessionWindows)
+}
