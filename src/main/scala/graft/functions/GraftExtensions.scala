@@ -15,5 +15,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.DOT),
       new ExpressionInfo(classOf[DotProduct].getName, GraftFunctions.DOT),
       exprs => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.INTERSECT_COUNT),
+      new ExpressionInfo(classOf[IntersectCountSorted].getName, GraftFunctions.INTERSECT_COUNT),
+      exprs => IntersectCountSorted(exprs(0), exprs(1))))
   }
 }

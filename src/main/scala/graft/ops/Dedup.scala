@@ -44,6 +44,11 @@ object Dedup {
   private def shingleInts(g: Column): Column =
     transform(g, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
 
+  /** Sorted distinct shingle-hash sets — the layout
+    * [[graft.functions.IntersectCountSorted]] requires for its merge loop.
+    */
+  private def sortedInts(ints: Column): Column = array_sort(array_distinct(ints))
+
   /** Exact dedup surface: per-source unique-content accounting via content
     * hash grouping (survivor selection = min doc_id per fingerprint).
     */
@@ -70,12 +75,15 @@ object Dedup {
   val q25DedupMinhash = GraftQuery(
     "q25_dedup_minhash",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      // shingle+hash pipeline feeds signatures AND both sides of the verify
+      // join — persist so it's computed once, not three times
       val sh = shingles(Tables.documents(s, dir))
         .withColumn("tints", shingleInts(col("g")))
+        .withColumn("ti", sortedInts(col("tints")))
+        .persist()
       val sig = sh.withColumn("sig",
-        transform(sequence(lit(0), lit(NUM_HASHES - 1)),
-          h => array_min(transform(col("tints"),
-            t => (t * (h.cast("long") * 2 + 1) + h.cast("long") * 1000000007L + 12345L) % P))))
+        graft.functions.GraftFunctions.minhash(col("tints"), NUM_HASHES))
       val bands = sig.select(
         col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(BANDS - 1)),
@@ -90,13 +98,14 @@ object Dedup {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
         .distinct()
-      val g = sh.select(col("doc_id"), col("g"))
-      val inter = size(array_intersect(col("gi"), col("gj")))
+      val g = sh.select(col("doc_id"), col("ti"))
+      val inter = graft.functions.GraftFunctions
+        .intersectCount(col("ti_i"), col("ti_j")).cast("int")
       cand
-        .join(g.select(col("doc_id").as("i"), col("g").as("gi")), "i")
-        .join(g.select(col("doc_id").as("j"), col("g").as("gj")), "j")
+        .join(g.select(col("doc_id").as("i"), col("ti").as("ti_i")), "i")
+        .join(g.select(col("doc_id").as("j"), col("ti").as("ti_j")), "j")
         .withColumn("jac",
-          inter.cast("double") / (size(col("gi")) + size(col("gj")) - inter))
+          inter.cast("double") / (size(col("ti_i")) + size(col("ti_j")) - inter))
         .filter(col("jac") >= 0.5)
         .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
         .orderBy("i", "j")
@@ -115,10 +124,11 @@ object Dedup {
            |  FROM sig, range(0,8) b(b)),
            |cand AS (SELECT DISTINCT a.doc_id i, c.doc_id j
            |  FROM bands a JOIN bands c ON a.band=c.band AND a.key=c.key AND a.doc_id < c.doc_id),
+           |tset AS (SELECT doc_id, list_distinct(tints) ti FROM ti),
            |ver AS (SELECT i, j,
-           |  len(list_filter(x.g, e -> list_contains(y.g, e)))::DOUBLE /
-           |  (len(x.g)+len(y.g)-len(list_filter(x.g, e -> list_contains(y.g, e)))) jac
-           |  FROM cand JOIN ti x ON x.doc_id=i JOIN ti y ON y.doc_id=j)
+           |  len(list_filter(x.ti, e -> list_contains(y.ti, e)))::DOUBLE /
+           |  (len(x.ti)+len(y.ti)-len(list_filter(x.ti, e -> list_contains(y.ti, e)))) jac
+           |  FROM cand JOIN tset x ON x.doc_id=i JOIN tset y ON y.doc_id=j)
            |SELECT i, j, round(jac, 6) AS jac FROM ver WHERE jac >= 0.5 ORDER BY i, j""".stripMargin))
 
   /** Character-4-gram Jaccard near-dup over one language partition —
@@ -128,12 +138,14 @@ object Dedup {
   val q26DedupNgram = GraftQuery(
     "q26_dedup_ngram",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val de = Tables.documents(s, dir)
         .filter(col("lang") === "de")
-        .withColumn("cg", array_distinct(
-          expr("transform(sequence(1, length(text)-3), i -> substring(text, i, 4))")))
+        .withColumn("cg", sortedInts(shingleInts(
+          expr("transform(sequence(1, length(text)-3), i -> substring(text, i, 4))"))))
         .select(col("doc_id"), col("cg"))
-      val inter = size(array_intersect(col("ci"), col("cj")))
+      val inter = graft.functions.GraftFunctions
+        .intersectCount(col("ci"), col("cj")).cast("int")
       de.select(col("doc_id").as("i"), col("cg").as("ci"))
         .join(de.select(col("doc_id").as("j"), col("cg").as("cj")), col("i") < col("j"))
         .withColumn("jac",
@@ -143,8 +155,9 @@ object Dedup {
         .orderBy("i", "j")
     },
     Some("""WITH de AS (
-           |  SELECT doc_id, list_distinct(list_transform(range(1, length(text)-2),
-           |    i -> substr(text, i, 4))) cg
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    list_transform(range(1, length(text)-2), i -> substr(text, i, 4)),
+           |    t -> CAST(concat('0x', substr(md5(t),1,8)) AS BIGINT))) cg
            |  FROM documents WHERE lang = 'de'),
            |p AS (SELECT a.doc_id i, b.doc_id j,
            |  len(list_filter(a.cg, e -> list_contains(b.cg, e)))::DOUBLE /
@@ -158,16 +171,15 @@ object Dedup {
   val q27DedupSimhash = GraftQuery(
     "q27_dedup_simhash",
     (s, dir) => {
-      val sh = shingles(Tables.documents(s, dir))
+      graft.functions.GraftFunctions.register(s)
+      // per-doc signature stays inside one projection (no explode shuffle):
+      // the fused SimHash60 kernel folds all token hashes into one long
+      val sig = shingles(Tables.documents(s, dir))
         .withColumn("tints",
           transform(col("g"), t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
-        .select(col("doc_id"), explode(col("tints")).as("t"))
-      val bits = sh
-        .select(col("doc_id"), col("t"), explode(sequence(lit(0), lit(59))).as("bit"))
-        .groupBy("doc_id", "bit")
-        .agg(sum(expr("(shiftright(t, bit) & 1) * 2 - 1")).as("bsum"))
-      val sig = bits.groupBy("doc_id")
-        .agg(sum(expr("CASE WHEN bsum > 0 THEN shiftleft(1L, bit) ELSE 0L END")).as("h"))
+        .withColumn("h", graft.functions.GraftFunctions.simhash60(col("tints")))
+        .select(col("doc_id"), col("h"))
+        .persist() // both sides of the pair join read the tiny signature table
       sig.select(col("doc_id").as("i"), col("h").as("hi"))
         .join(sig.select(col("doc_id").as("j"), col("h").as("hj")), col("i") < col("j"))
         .withColumn("ham", bit_count(col("hi").bitwiseXOR(col("hj"))))
