@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+
+/** Remaining aggregation surface from SURVEY.md §2.2: CUBE, GROUPING SETS
+  * semantics, approximate distinct (HLL), and the full broadcast-dimension
+  * snowflake join (supplier → nation → region).
+  */
+object Aggregates {
+
+  /** CUBE over two order dimensions (all 4 grouping combinations). */
+  val q35Cube = GraftQuery(
+    "q35_cube",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("n"), col("total"))
+        .orderBy("st", "pri"),
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS st,
+           |  coalesce(o_orderpriority, 'ALL') AS pri,
+           |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+           |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+           |ORDER BY st, pri""".stripMargin))
+
+  /** Explicit GROUPING SETS: per-status and per-priority marginals only. */
+  val q36GroupingSets = GraftQuery(
+    "q36_grouping_sets",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.createOrReplaceTempView("graft_orders_gs")
+      s.sql("""SELECT coalesce(o_orderstatus, 'ALL') AS st,
+              |  coalesce(o_orderpriority, 'ALL') AS pri,
+              |  count(*) AS n
+              |FROM graft_orders_gs
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+              |ORDER BY st, pri""".stripMargin)
+    },
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS st,
+           |  coalesce(o_orderpriority, 'ALL') AS pri,
+           |  count(*) AS n
+           |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+           |ORDER BY st, pri""".stripMargin))
+
+  /** HLL approximate distinct next to the exact count. HLL sketches differ
+    * across engines, so this entry has no SQL oracle — the driver records a
+    * rows-only check; the relative-error bound is asserted in AggregatesSpec.
+    */
+  val q37ApproxDistinct = GraftQuery(
+    "q37_approx_distinct",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .orderBy("l_returnflag"),
+    None)
+
+  /** Snowflake dimension chain: supplier ⋈ nation ⋈ region, both dims
+    * broadcast, aggregated revenue per region.
+    */
+  val q38RegionRevenue = GraftQuery(
+    "q38_region_revenue",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val nat = Tables.nation(s, dir)
+      val reg = Tables.region(s, dir)
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""SELECT r_name, n_name, count(*) AS n_items,
+           |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           |FROM lineitem
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q35Cube, q36GroupingSets, q37ApproxDistinct, q38RegionRevenue)
+}
