@@ -9,8 +9,7 @@ class RebalanceRunnerSpec extends AnyFunSuite with SparkSpec {
 
   test("catalog table rebalance: shadow-swap ends with canonical name only") {
     import spark.implicits._
-    spark.sql("CREATE DATABASE IF NOT EXISTS graft_rr")
-    spark.sql("DROP TABLE IF EXISTS graft_rr.sales")
+    freshDatabase("graft_rr")
     (1L to 5000L).map(i => (i, (i % 7).toString)).toDF("k", "tag")
       .write.mode("overwrite").saveAsTable("graft_rr.sales")
 
@@ -31,9 +30,8 @@ class RebalanceRunnerSpec extends AnyFunSuite with SparkSpec {
 
   test("whole-database rebalance covers every data table") {
     import spark.implicits._
-    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db2")
+    freshDatabase("graft_db2")
     Seq("t1", "t2").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS graft_db2.$t")
       (1L to 100L).map(i => (i, i * 2)).toDF("k", "v")
         .write.mode("overwrite").saveAsTable(s"graft_db2.$t")
     }
