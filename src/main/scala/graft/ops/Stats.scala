@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+
+/** Statistical / analytical surface: pivot, exact percentiles, moment
+  * aggregates, and the long tail of window functions.
+  */
+object Stats {
+
+  /** Pivot on order status (explicit value list keeps the schema static —
+    * the scale-safe form; dynamic pivots need a collect of distinct values).
+    */
+  val q42Pivot = GraftQuery(
+    "q42_pivot",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(
+          col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+           |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Exact percentiles (linear interpolation — identical definition to
+    * DuckDB's quantile_cont).
+    */
+  val q43Percentiles = GraftQuery(
+    "q43_percentiles",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+           |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Moment aggregates: stddev / correlation / covariance. */
+  val q44Moments = GraftQuery(
+    "q44_moments",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_discount"), col("l_tax")), 6).as("cov_disc_tax"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+           |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+           |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           |  round(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Window-function long tail: ntile, percent_rank, cume_dist,
+    * first_value, nth_value — all under a uniquely-keyed ordering.
+    */
+  val q45WindowExtras = GraftQuery(
+    "q45_window_extras",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, dir)
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .withColumn("first_price", first_value(col("o_totalprice")).over(w))
+        .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(w))
+        .select("o_custkey", "o_orderkey", "quartile", "pr", "cd",
+          "first_price", "second_price")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           |  ntile(4) OVER w AS quartile,
+           |  round(percent_rank() OVER w, 6) AS pr,
+           |  round(cume_dist() OVER w, 6) AS cd,
+           |  first_value(o_totalprice) OVER w AS first_price,
+           |  nth_value(o_totalprice, 2) OVER w AS second_price
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           |ORDER BY o_custkey, o_orderkey""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q42Pivot, q43Percentiles, q44Moments, q45WindowExtras)
+}
