@@ -10,9 +10,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: initializes parquet reader, codegen, shuffle machinery
-    // so the first timed query doesn't absorb session startup
+    // untimed warmup: initializes parquet reader, codegen, broadcast,
+    // shuffle and window machinery so the first timed query doesn't absorb
+    // session startup
     SparkEntry.entry(spark).count()
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val r = spark.range(10000).withColumn("k", col("id") % 10)
+      r.join(broadcast(r.limit(100).withColumnRenamed("id", "id2")), "k")
+        .withColumn("rn", row_number().over(Window.partitionBy("k").orderBy("id")))
+        .groupBy("k").agg(sum("rn")).count()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -83,5 +83,30 @@ object Extras {
            |  count(*) AS n, round(sum(value), 2) AS total_value
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q39CsvRoundtrip, q40AsofJoin, q41MapLookup)
+  /** Multiset set operations (ALL variants keep duplicates). */
+  val q46MultisetOps = GraftQuery(
+    "q46_multiset_ops",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val highQty = li.filter(col("l_quantity") >= 25).select(col("l_suppkey").as("k"))
+      val lowDisc = li.filter(col("l_discount") <= 0.05).select(col("l_suppkey").as("k"))
+      highQty.exceptAll(lowDisc).withColumn("tag", lit("hq_minus_ld"))
+        .unionAll(highQty.intersectAll(lowDisc).withColumn("tag", lit("both")))
+        .groupBy("tag", "k").agg(count(lit(1)).as("n"))
+        .orderBy("tag", "k")
+    },
+    Some("""SELECT tag, k, count(*) AS n FROM (
+           |  SELECT 'hq_minus_ld' AS tag, k FROM (
+           |    SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 25
+           |    EXCEPT ALL
+           |    SELECT l_suppkey AS k FROM lineitem WHERE l_discount <= 0.05) a
+           |  UNION ALL
+           |  SELECT 'both' AS tag, k FROM (
+           |    SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 25
+           |    INTERSECT ALL
+           |    SELECT l_suppkey AS k FROM lineitem WHERE l_discount <= 0.05) b) t
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[GraftQuery] =
+    Seq(q39CsvRoundtrip, q40AsofJoin, q41MapLookup, q46MultisetOps)
 }
