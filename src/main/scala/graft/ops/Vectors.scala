@@ -146,5 +146,69 @@ object Vectors {
            |SELECT qid, rnk, cid, round(sim, 5) AS sim FROM r WHERE rnk <= 3
            |ORDER BY qid, rnk""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q29AnnTopk, q30Centroids, q31AnnLsh)
+  /** IVF-style ANN: per-label centroids act as the coarse quantizer
+    * (computed with the typed VectorAvg Aggregator); every vector is
+    * assigned to its nearest centroid cell, queries probe their 2 nearest
+    * cells and brute-force only inside them. At 100 TB the corpus-side work
+    * is one broadcast-assign pass + an equi-join on cell id — the classic
+    * IVF-flat search shape.
+    */
+  val q47AnnIvf = GraftQuery(
+    "q47_ann_ivf",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val vecAvg = udaf(new graft.functions.VectorAvg(DIM))
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("nrm", norm(col("v")))
+        .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+        .persist()
+      val cents = e.groupBy("label").agg(vecAvg(col("v")).as("cvec"))
+        .withColumn("cnrm", norm(col("cvec")))
+        .select(col("label").as("cell"), col("cvec"), col("cnrm"))
+      val csim = dot(col("v"), col("cvec")) / (col("nrm") * col("cnrm"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), col("cell"))
+      val ranked = e.join(broadcast(cents))
+        .withColumn("csim", csim)
+        .withColumn("crn", row_number().over(wAssign))
+      val assigned = ranked.filter(col("crn") === 1)
+        .select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("nrm").as("cn"), col("cell"))
+      val probes = ranked.filter(col("vec_id") < 10 && col("crn") <= 2)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cell"))
+      val sims = assigned.join(broadcast(probes),
+          assigned("cell") === probes("cell") && col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+      val w = Window.partitionBy("qid").orderBy(desc("sim"), col("cid"))
+      sims.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("rnk"), col("cid"), round(col("sim"), 5).as("sim"))
+        .orderBy("qid", "rnk")
+    },
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v,
+           |  sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) nrm FROM embeddings),
+           |cd AS (SELECT label AS cell, d.d AS dim, avg(v[d.d + 1]) AS c
+           |  FROM e, range(0, 64) d(d) GROUP BY 1, 2),
+           |cents AS (SELECT cell, list(c ORDER BY dim) cvec,
+           |  sqrt(list_sum(list_transform(list(c ORDER BY dim), x -> x*x))) cnrm
+           |  FROM cd GROUP BY cell),
+           |ranked AS (SELECT e.vec_id, e.v, e.nrm, cents.cell,
+           |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |    list_sum(list_transform(range(1, 65), i -> e.v[i]*cents.cvec[i]))
+           |      / (e.nrm*cents.cnrm) DESC, cents.cell) crn
+           |  FROM e, cents),
+           |assigned AS (SELECT vec_id cid, v cv, nrm cn, cell FROM ranked WHERE crn = 1),
+           |probes AS (SELECT vec_id qid, v qv, nrm qn, cell FROM ranked
+           |  WHERE vec_id < 10 AND crn <= 2),
+           |p AS (SELECT qid, cid,
+           |  list_sum(list_transform(range(1, 65), i -> qv[i]*cv[i])) / (qn*cn) sim
+           |  FROM probes JOIN assigned USING (cell) WHERE cid <> qid),
+           |r AS (SELECT qid, cid, sim,
+           |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rnk FROM p)
+           |SELECT qid, rnk, cid, round(sim, 5) AS sim FROM r WHERE rnk <= 3
+           |ORDER BY qid, rnk""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q29AnnTopk, q30Centroids, q31AnnLsh, q47AnnIvf)
 }
