@@ -107,6 +107,33 @@ object Extras {
            |    SELECT l_suppkey AS k FROM lineitem WHERE l_discount <= 0.05) b) t
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** JSON-lines sink → source round-trip with a from_json(StructType) parse
+    * of the nested props payload.
+    */
+  val q48JsonRoundtrip = GraftQuery(
+    "q48_json_roundtrip",
+    (s, dir) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_json/${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").json(out)
+      s.read
+        .schema("event_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .json(out)
+        .withColumn("parsed", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG")))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("parsed.k")).as("sum_k"),
+          round(sum("value"), 2).as("total_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+           |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           |  round(sum(value), 2) AS total_value
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(q39CsvRoundtrip, q40AsofJoin, q41MapLookup, q46MultisetOps)
+    Seq(q39CsvRoundtrip, q40AsofJoin, q41MapLookup, q46MultisetOps, q48JsonRoundtrip)
 }
