@@ -45,16 +45,24 @@ object DdlRewriter {
       .replaceFirst("^CREATE MATERIALIZED VIEW ", "CREATE MATERIALIZED VIEW IF NOT EXISTS ")
 
   /** Suffix every occurrence of `db.name` with the version, producing the
-    * shadow-table DDL (reference `sharding_recreation.py:71-103`).
+    * shadow-table DDL (reference `sharding_recreation.py:71-103`). Unlike
+    * the reference's raw substring replace, matches stop at identifier
+    * boundaries so sibling names sharing the prefix (`db.sales` vs
+    * `db.sales_history`) are untouched.
     */
   def versionSuffix(ddl: String, db: String, name: String, version: String): String =
-    ddl.replace(s"$db.$name", s"$db.$name$version")
+    ddl.replaceAll(
+      java.util.regex.Pattern.quote(s"$db.$name") + "(?![A-Za-z0-9_])",
+      java.util.regex.Matcher.quoteReplacement(s"$db.$name$version"))
 
   /** Retarget a distributed table's engine at the renamed old locals:
-    * `tbl_local` → `tbl_local_old` (reference `sharding_recreation.py:93-103`).
+    * `tbl_local` → `tbl_local_old` (reference `sharding_recreation.py:93-103`),
+    * identifier-boundary safe.
     */
   def retargetAtOldLocal(ddl: String, tbl: String): String =
-    ddl.replace(s"${tbl}_local", s"${tbl}_local_old")
+    ddl.replaceAll(
+      java.util.regex.Pattern.quote(s"${tbl}_local") + "(?![A-Za-z0-9_])",
+      java.util.regex.Matcher.quoteReplacement(s"${tbl}_local_old"))
 
   /** Rewrite one table's DDL into its shadow (versioned) form, dispatching on
     * kind exactly as the reference's `_recreate_old_create_table` loop does

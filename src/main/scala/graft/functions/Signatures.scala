@@ -38,6 +38,8 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // empty input yields null even when the child is non-nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_minhash"
 
   override def nullSafeEval(input: Any): Any = {

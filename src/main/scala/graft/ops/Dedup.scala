@@ -78,7 +78,10 @@ object Dedup {
       graft.functions.GraftFunctions.register(s)
       // shingle+hash pipeline feeds signatures AND both sides of the verify
       // join — persist so it's computed once, not three times
+      // drop shingle-less docs (<3 tokens): keeps parity with the oracle,
+      // where their NULL band keys never join, and avoids 0/0 Jaccard
       val sh = shingles(Tables.documents(s, dir))
+        .filter(size(col("g")) > 0)
         .withColumn("tints", shingleInts(col("g")))
         .withColumn("ti", sortedInts(col("tints")))
         .persist()
@@ -139,10 +142,14 @@ object Dedup {
     "q26_dedup_ngram",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
+      // guard: sequence(1, n) descends for n < 1, so texts shorter than 4
+      // chars must yield an empty gram set (as DuckDB's range() does)
       val de = Tables.documents(s, dir)
         .filter(col("lang") === "de")
-        .withColumn("cg", sortedInts(shingleInts(
-          expr("transform(sequence(1, length(text)-3), i -> substring(text, i, 4))"))))
+        .withColumn("cg", sortedInts(shingleInts(expr(
+          """CASE WHEN length(text) < 4 THEN array()
+            |ELSE transform(sequence(1, length(text)-3), i -> substring(text, i, 4)) END"""
+            .stripMargin))))
         .select(col("doc_id"), col("cg"))
       val inter = graft.functions.GraftFunctions
         .intersectCount(col("ci"), col("cj")).cast("int")
@@ -175,6 +182,7 @@ object Dedup {
       // per-doc signature stays inside one projection (no explode shuffle):
       // the fused SimHash60 kernel folds all token hashes into one long
       val sig = shingles(Tables.documents(s, dir))
+        .filter(size(col("g")) > 0) // oracle's unnest drops shingle-less docs
         .withColumn("tints",
           transform(col("g"), t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
         .withColumn("h", graft.functions.GraftFunctions.simhash60(col("tints")))

@@ -39,6 +39,15 @@ object RebalanceRunner {
     val fq = s"$db.$table"
     val shadow = s"$db.${table}__v$version"
     val old = s"$db.${table}__old"
+    // crash recovery: a death between the two renames below leaves the
+    // canonical name vacant with the completed shadow still present —
+    // finish the promotion instead of failing the existence check
+    if (!TableRegistry.exists(spark, db, table) &&
+        TableRegistry.exists(spark, db, s"${table}__v$version")) {
+      spark.sql(s"ALTER TABLE $shadow RENAME TO $fq")
+      spark.sql(s"DROP TABLE IF EXISTS $old")
+      return spark.table(fq).count()
+    }
     require(TableRegistry.exists(spark, db, table), s"no such table: $fq")
 
     val src = spark.table(fq)

@@ -57,6 +57,22 @@ class DdlRewriterSpec extends AnyFunSuite {
     assert(shadowDdl("db", ".inner.events_mv", "CREATE TABLE ...", "2").isEmpty)
   }
 
+  test("versionSuffix stops at identifier boundaries (sibling names untouched)") {
+    val ddl = "CREATE TABLE db.sales (k BIGINT) AS SELECT * FROM db.sales_history JOIN db.sales ON 1=1"
+    val out = versionSuffix(ddl, "db", "sales", "2")
+    assert(out.contains("db.sales2 "))
+    assert(out.contains("db.sales_history"))
+    assert(!out.contains("db.sales2_history"))
+  }
+
+  test("retargetAtOldLocal stops at identifier boundaries") {
+    val ddl = "ENGINE = Distributed('c','db','sales_local', k) -- sales_localization"
+    val out = retargetAtOldLocal(ddl, "sales")
+    assert(out.contains("'sales_local_old'"))
+    assert(out.contains("sales_localization"))
+    assert(!out.contains("sales_local_oldization"))
+  }
+
   test("renamePlan skips inner tables") {
     val plan = renamePlan(Seq("a_local", "a", ".inner.a_mv", "a_mv"), "3")
     assert(plan == Map("a_local" -> "a_local3", "a" -> "a3", "a_mv" -> "a_mv3"))

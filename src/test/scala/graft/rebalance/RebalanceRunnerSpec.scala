@@ -40,6 +40,23 @@ class RebalanceRunnerSpec extends AnyFunSuite with SparkSpec {
     assert(moved == Map("t1" -> 100L, "t2" -> 100L))
   }
 
+  test("recovers a crash between the two renames (shadow present, canonical vacant)") {
+    import spark.implicits._
+    freshDatabase("graft_rec")
+    (1L to 300L).map(i => (i, i * 3)).toDF("k", "v")
+      .write.saveAsTable("graft_rec.t")
+    // simulate the crash window: shadow written, canonical renamed away
+    spark.table("graft_rec.t").repartition(4, $"k")
+      .write.saveAsTable("graft_rec.t__v5")
+    spark.sql("ALTER TABLE graft_rec.t RENAME TO graft_rec.t__old")
+    // re-running the rebalance completes the promotion instead of failing
+    val moved = RebalanceRunner.rebalanceTable(
+      spark, "graft_rec", "t", Rebalancer.ByHash("k"), 4, "5")
+    assert(moved == 300)
+    val names = TableRegistry.tableNames(spark, "graft_rec")
+    assert(names == Seq("t"), s"expected only canonical name, got $names")
+  }
+
   test("missing table is rejected before any step runs") {
     intercept[IllegalArgumentException] {
       RebalanceRunner.rebalanceTable(spark, "graft_rr", "nope", Rebalancer.RoundRobin, 2, "1")

@@ -6,10 +6,11 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 Loads every query result parquet written by graft.Verify, runs the matching
 oracle SQL from oracle_sql.json in DuckDB (tables = views over the sfDir
 parquet fixtures), sorts columns by name and rows by all columns, and
-compares cell-by-cell (exact for non-floats, tiny epsilon report for floats).
+compares cell-by-cell EXACTLY (floats included — queries are responsible for
+rounding both sides identically; a strict gate here is what guarantees the
+driver's hash compare passes).
 """
 import json
-import math
 import sys
 
 import duckdb
@@ -56,9 +57,6 @@ def main():
         for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
             for c, (sv, dv) in enumerate(zip(sr, dr)):
                 if sv == dv:
-                    continue
-                if (isinstance(sv, float) and isinstance(dv, float)
-                        and math.isclose(sv, dv, rel_tol=0, abs_tol=0)):
                     continue
                 if bad < 3:
                     print(f"  {name} row {i} col {s_cols[c]}: "
