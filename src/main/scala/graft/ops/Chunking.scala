@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+
+/** Training-data preparation operators: document chunking (overlapping
+  * token windows) and corpus term statistics (TF-IDF) — both single-scan
+  * shapes whose only shuffles are the final aggregations.
+  */
+object Chunking {
+
+  /** Chunk every document into 40-token windows with a 30-token stride
+    * (10-token overlap). Chunks are materialized per row via a computed
+    * index sequence + slice — no UDF, no driver loop; at 100 TB this is a
+    * map-only operator. Chunk text is fingerprinted so the oracle verifies
+    * content, not just counts.
+    */
+  val q49Chunking = GraftQuery(
+    "q49_chunking",
+    (s, dir) => {
+      val window = 40
+      val stride = 30
+      Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")))
+        // chunk starts: 0, stride, 2*stride, ... while start < n
+        .withColumn("starts",
+          sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(stride)))
+        .select(col("doc_id"), col("toks"), col("n"),
+          posexplode(col("starts")).as(Seq("chunk_id", "start")))
+        .withColumn("chunk_toks",
+          slice(col("toks"), col("start") + 1, lit(window)))
+        .withColumn("chunk_len", size(col("chunk_toks")))
+        .withColumn("fp", substring(md5(concat_ws(" ", col("chunk_toks"))), 1, 12))
+        .select("doc_id", "chunk_id", "chunk_len", "fp")
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') toks,
+           |    len(string_split(text, ' ')) n
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, u.i AS chunk_id, u.i * 30 AS start, toks
+           |  FROM t, LATERAL (SELECT unnest(range(0, (n + 29) // 30)) AS i) u)
+           |SELECT doc_id, chunk_id,
+           |  len(toks[start + 1 : start + 40]) AS chunk_len,
+           |  substr(md5(array_to_string(toks[start + 1 : start + 40], ' ')), 1, 12) AS fp
+           |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
+
+  /** TF-IDF top terms: document frequency across the corpus, term frequency
+    * per language, tf·idf = tf · ln(N/df), top-3 terms per language.
+    * Explode → two partial-agg passes; the idf join is a broadcast.
+    */
+  val q50TopTerms = GraftQuery(
+    "q50_top_terms",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val n = docs.count() // corpus size: tiny scalar, computed once
+      val terms = docs
+        .select(col("doc_id"), col("lang"), explode(array_distinct(split(col("text"), " "))).as("term"))
+      val df = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val tf = terms.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+      val scored = tf.join(broadcast(df), "term")
+        .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      val w = Window.partitionBy("lang").orderBy(desc("tfidf"), col("term"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("lang", "rnk", "term", "tf", "df", "tfidf")
+        .orderBy("lang", "rnk")
+    },
+    Some("""WITH terms AS (
+           |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) term
+           |  FROM documents),
+           |dfreq AS (SELECT term, count(DISTINCT doc_id) df FROM terms GROUP BY 1),
+           |tfreq AS (SELECT lang, term, count(*) tf FROM terms GROUP BY 1, 2),
+           |scored AS (
+           |  SELECT lang, tfreq.term, tf, df,
+           |    round(tf * ln((SELECT count(*) FROM documents)::DOUBLE / df), 6) tfidf
+           |  FROM tfreq JOIN dfreq ON tfreq.term = dfreq.term),
+           |r AS (SELECT lang, term, tf, df, tfidf,
+           |  row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, term) rnk
+           |  FROM scored)
+           |SELECT lang, rnk, term, tf, df, tfidf FROM r WHERE rnk <= 3
+           |ORDER BY lang, rnk""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q49Chunking, q50TopTerms)
+}
