@@ -53,5 +53,25 @@ object RebalanceQueries {
            |  count(*) AS n, round(sum(o_totalprice), 2) AS total
            |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q17RebalanceHash, q18RebalanceRange)
+  /** Round-robin scatter (ClickHouse rand() sharding analogue): placement is
+    * intentionally key-free, so the oracle checks multiset preservation via
+    * content-independent aggregates.
+    */
+  val q51RebalanceRoundRobin = GraftQuery(
+    "q51_rebalance_roundrobin",
+    (s, dir) => {
+      val dest = workDir(dir, "rr")
+      Rebalancer.redistribute(Tables.customer(s, dir), Rebalancer.RoundRobin, 6, dest)
+      s.read.parquet(dest)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("c_custkey").as("key_sum"),
+          round(sum("c_acctbal"), 2).as("bal_sum"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n, sum(c_custkey) AS key_sum,
+           |  round(sum(c_acctbal), 2) AS bal_sum
+           |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[GraftQuery] =
+    Seq(q17RebalanceHash, q18RebalanceRange, q51RebalanceRoundRobin)
 }
