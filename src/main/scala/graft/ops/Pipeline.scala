@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+
+/** Data-pipeline hygiene operators: reproducible sampling, incremental
+  * dedup of a new batch against an existing corpus, and quantile-based
+  * outlier filtering — the cleaning steps that precede training-data
+  * publication.
+  */
+object Pipeline {
+
+  /** Deterministic 10% sample: membership is md5-derived from the key, so
+    * the same rows are sampled on every engine, every run, at every
+    * parallelism — unlike rand()-seeded sampling, this is reproducible and
+    * join-stable (two tables sampled by the same key stay aligned).
+    */
+  val q52HashSample = GraftQuery(
+    "q52_hash_sample",
+    (s, dir) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+      Tables.documents(s, dir)
+        .withColumn("sampled", (bucket < 10).cast("int"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("sampled").as("n_sampled"),
+          min(when(col("sampled") === 1, col("doc_id"))).as("first_sampled"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+           |  sum(CASE WHEN CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 4)) AS BIGINT)
+           |             % 100 < 10 THEN 1 ELSE 0 END) AS n_sampled,
+           |  min(CASE WHEN CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 4)) AS BIGINT)
+           |             % 100 < 10 THEN doc_id END) AS first_sampled
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Incremental near-dup dedup: a "new batch" (doc_id ≡ 0 mod 5) is checked
+    * against the existing corpus only — the LSH band join is new×old, never
+    * old×old, which is what keeps re-ingestion cost proportional to the
+    * batch, not the corpus.
+    */
+  val q53IncrementalDedup = GraftQuery(
+    "q53_incremental_dedup",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val sh = Dedup.shingles(Tables.documents(s, dir))
+        .filter(size(col("g")) > 0)
+        .withColumn("tints",
+          transform(col("g"), t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")))
+        .withColumn("ti", array_sort(array_distinct(col("tints"))))
+        .withColumn("sig", graft.functions.GraftFunctions.minhash(col("tints"), 24))
+        .persist()
+      val bands = sh.select(
+        col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(7)),
+          b => concat_ws(",",
+            element_at(col("sig"), b * 3 + 1).cast("string"),
+            element_at(col("sig"), b * 3 + 2).cast("string"),
+            element_at(col("sig"), b * 3 + 3).cast("string")))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+      val newB = bands.filter(col("doc_id") % 5 === 0)
+      val oldB = bands.filter(col("doc_id") % 5 =!= 0)
+      val cand = newB.as("n")
+        .join(oldB.as("o"), col("n.band") === col("o.band") && col("n.key") === col("o.key"))
+        .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+        .distinct()
+      val t = sh.select(col("doc_id"), col("ti"))
+      val inter = graft.functions.GraftFunctions
+        .intersectCount(col("ti_n"), col("ti_o")).cast("int")
+      cand
+        .join(t.select(col("doc_id").as("new_id"), col("ti").as("ti_n")), "new_id")
+        .join(t.select(col("doc_id").as("old_id"), col("ti").as("ti_o")), "old_id")
+        .withColumn("jac",
+          inter.cast("double") / (size(col("ti_n")) + size(col("ti_o")) - inter))
+        .filter(col("jac") >= 0.5)
+        .select(col("new_id"), col("old_id"), round(col("jac"), 6).as("jac"))
+        .orderBy("new_id", "old_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+           |    i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) g
+           |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+           |ti AS (SELECT doc_id, g,
+           |  list_transform(g, t -> CAST(concat('0x', substr(md5(t),1,8)) AS BIGINT)) tints FROM toks),
+           |sig AS (SELECT doc_id, g, tints, list_transform(range(0,24), h ->
+           |  list_min(list_transform(tints, t -> (t*(2*h+1) + h*1000000007 + 12345) % 2147483647))) s
+           |  FROM ti),
+           |bands AS (SELECT doc_id, b.b AS band,
+           |  s[3*b.b+1]::VARCHAR||','||s[3*b.b+2]::VARCHAR||','||s[3*b.b+3]::VARCHAR AS key
+           |  FROM sig, range(0,8) b(b)),
+           |cand AS (SELECT DISTINCT n.doc_id new_id, o.doc_id old_id
+           |  FROM bands n JOIN bands o ON n.band=o.band AND n.key=o.key
+           |  WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0),
+           |tset AS (SELECT doc_id, list_distinct(tints) ti FROM ti),
+           |ver AS (SELECT new_id, old_id,
+           |  len(list_filter(x.ti, e -> list_contains(y.ti, e)))::DOUBLE /
+           |  (len(x.ti)+len(y.ti)-len(list_filter(x.ti, e -> list_contains(y.ti, e)))) jac
+           |  FROM cand JOIN tset x ON x.doc_id=new_id JOIN tset y ON y.doc_id=old_id)
+           |SELECT new_id, old_id, round(jac, 6) AS jac FROM ver WHERE jac >= 0.5
+           |ORDER BY new_id, old_id""".stripMargin))
+
+  /** Quantile outlier filter: flag event values outside the per-type
+    * [p05, p95] band. The quantiles are a tiny broadcast; the scan stays
+    * one pass.
+    */
+  val q54OutlierFilter = GraftQuery(
+    "q54_outlier_filter",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val bounds = ev.groupBy(col("event_type").as("bt"))
+        .agg(
+          expr("percentile(value, 0.05)").as("lo"),
+          expr("percentile(value, 0.95)").as("hi"))
+      ev.join(broadcast(bounds), col("event_type") === col("bt"))
+        .withColumn("kept", (col("value") >= col("lo") && col("value") <= col("hi")).cast("int"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("kept").as("n_kept"),
+          round(sum(when(col("kept") === 1, col("value")).otherwise(0.0)), 2).as("kept_value"))
+        .orderBy("event_type")
+    },
+    Some("""WITH bounds AS (
+           |  SELECT event_type bt, quantile_cont(value, 0.05) lo,
+           |    quantile_cont(value, 0.95) hi
+           |  FROM events GROUP BY 1)
+           |SELECT event_type, count(*) AS n,
+           |  sum(CASE WHEN value >= lo AND value <= hi THEN 1 ELSE 0 END) AS n_kept,
+           |  round(sum(CASE WHEN value >= lo AND value <= hi THEN value ELSE 0 END), 2) AS kept_value
+           |FROM events JOIN bounds ON event_type = bt
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q52HashSample, q53IncrementalDedup, q54OutlierFilter)
+}
