@@ -79,15 +79,18 @@ object Dedup {
       // shingle+hash pipeline feeds signatures AND both sides of the verify
       // join — persist so it's computed once, not three times
       // drop shingle-less docs (<3 tokens): keeps parity with the oracle,
-      // where their NULL band keys never join, and avoids 0/0 Jaccard
+      // where their NULL band keys never join, and avoids 0/0 Jaccard.
+      // Signatures are computed BEFORE persist so the cached table carries
+      // only (doc_id, ti, sig) — the raw shingle strings never hit storage.
       val sh = shingles(Tables.documents(s, dir))
         .filter(size(col("g")) > 0)
         .withColumn("tints", shingleInts(col("g")))
         .withColumn("ti", sortedInts(col("tints")))
+        .withColumn("sig",
+          graft.functions.GraftFunctions.minhash(col("tints"), NUM_HASHES))
+        .select(col("doc_id"), col("ti"), col("sig"))
         .persist()
-      val sig = sh.withColumn("sig",
-        graft.functions.GraftFunctions.minhash(col("tints"), NUM_HASHES))
-      val bands = sig.select(
+      val bands = sh.select(
         col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(BANDS - 1)),
           b => concat_ws(",",
@@ -104,6 +107,7 @@ object Dedup {
       val g = sh.select(col("doc_id"), col("ti"))
       val inter = graft.functions.GraftFunctions
         .intersectCount(col("ti_i"), col("ti_j")).cast("int")
+      // (bands and both verify sides read the slim persisted table)
       cand
         .join(g.select(col("doc_id").as("i"), col("ti").as("ti_i")), "i")
         .join(g.select(col("doc_id").as("j"), col("ti").as("ti_j")), "j")

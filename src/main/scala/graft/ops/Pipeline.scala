@@ -52,6 +52,7 @@ object Pipeline {
           transform(col("g"), t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")))
         .withColumn("ti", array_sort(array_distinct(col("tints"))))
         .withColumn("sig", graft.functions.GraftFunctions.minhash(col("tints"), 24))
+        .select(col("doc_id"), col("ti"), col("sig"))
         .persist()
       val bands = sh.select(
         col("doc_id"),
