@@ -12,8 +12,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: initializes parquet reader, codegen, broadcast,
     // shuffle and window machinery so the first timed query doesn't absorb
-    // session startup
-    SparkEntry.entry(spark).count()
+    // session startup. Warm against sfDir itself (not a hardcoded fixture)
+    // and never let a warmup failure kill the bench before the JSON line.
+    try {
+      SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
+      SparkEntry.queries("q10_string_funcs")(spark, sfDir).count()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
+    }
     locally {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._

@@ -28,7 +28,7 @@ object Extras {
           min("doc_id").as("min_doc"))
         .orderBy("lang")
     },
-    Some("""SELECT lang, count(*) AS n, sum(n_chars) AS total_chars,
+    Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars,
            |  min(doc_id) AS min_doc
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
@@ -130,7 +130,7 @@ object Extras {
         .orderBy("event_type")
     },
     Some("""SELECT event_type, count(*) AS n,
-           |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            |  round(sum(value), 2) AS total_value
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 

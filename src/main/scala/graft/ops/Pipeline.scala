@@ -31,8 +31,8 @@ object Pipeline {
         .orderBy("lang")
     },
     Some("""SELECT lang, count(*) AS n_docs,
-           |  sum(CASE WHEN CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 4)) AS BIGINT)
-           |             % 100 < 10 THEN 1 ELSE 0 END) AS n_sampled,
+           |  CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 4)) AS BIGINT)
+           |             % 100 < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
            |  min(CASE WHEN CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 4)) AS BIGINT)
            |             % 100 < 10 THEN doc_id END) AS first_sampled
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
@@ -129,7 +129,7 @@ object Pipeline {
            |    quantile_cont(value, 0.95) hi
            |  FROM events GROUP BY 1)
            |SELECT event_type, count(*) AS n,
-           |  sum(CASE WHEN value >= lo AND value <= hi THEN 1 ELSE 0 END) AS n_kept,
+           |  CAST(sum(CASE WHEN value >= lo AND value <= hi THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            |  round(sum(CASE WHEN value >= lo AND value <= hi THEN value ELSE 0 END), 2) AS kept_value
            |FROM events JOIN bounds ON event_type = bt
            |GROUP BY 1 ORDER BY 1""".stripMargin))

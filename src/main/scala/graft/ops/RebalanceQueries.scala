@@ -68,7 +68,7 @@ object RebalanceQueries {
           round(sum("c_acctbal"), 2).as("bal_sum"))
         .orderBy("c_mktsegment")
     },
-    Some("""SELECT c_mktsegment, count(*) AS n, sum(c_custkey) AS key_sum,
+    Some("""SELECT c_mktsegment, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum,
            |  round(sum(c_acctbal), 2) AS bal_sum
            |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin))
 

@@ -271,10 +271,12 @@ object Relational {
           sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"),
           round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0)), 2).as("f_total"))
         .orderBy("o_orderpriority"),
+    // DuckDB integer sum() yields HUGEINT; CAST to BIGINT so the driver's
+    // type-sensitive hash matches Spark's LongType output.
     Some("""SELECT o_orderpriority,
-           |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-           |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-           |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+           |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
            |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS f_total
            |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
 
@@ -291,7 +293,7 @@ object Relational {
           round(avg("k"), 4).as("avg_k"))
         .orderBy("event_type"),
     Some("""SELECT event_type, count(*) AS n,
-           |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
@@ -339,8 +341,8 @@ object Relational {
            |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
            |sess AS (
            |  SELECT user_id, value,
-           |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
            |  FROM marked)
            |SELECT user_id, session_id, count(*) AS n_events,
            |  round(sum(value), 2) AS session_value

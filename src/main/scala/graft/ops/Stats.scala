@@ -51,21 +51,24 @@ object Stats {
            |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  /** Moment aggregates: stddev / correlation / covariance. */
+  /** Moment aggregates: stddev / correlation / covariance. Rounded to 3
+    * digits — the engines accumulate moments in different orders/algorithms,
+    * so the 6th decimal is not cross-engine stable (see ADVICE r01).
+    */
   val q44Moments = GraftQuery(
     "q44_moments",
     (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(
-          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
-          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
-          round(covar_samp(col("l_discount"), col("l_tax")), 6).as("cov_disc_tax"))
+          round(stddev_samp(col("l_quantity")), 3).as("sd_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 3).as("corr_qty_price"),
+          round(covar_samp(col("l_discount"), col("l_tax")), 3).as("cov_disc_tax"))
         .orderBy("l_returnflag"),
     Some("""SELECT l_returnflag,
-           |  round(stddev_samp(l_quantity), 6) AS sd_qty,
-           |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-           |  round(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax
+           |  round(stddev_samp(l_quantity), 3) AS sd_qty,
+           |  round(corr(l_quantity, l_extendedprice), 3) AS corr_qty_price,
+           |  round(covar_samp(l_discount, l_tax), 3) AS cov_disc_tax
            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Window-function long tail: ntile, percent_rank, cume_dist,

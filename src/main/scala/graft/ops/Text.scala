@@ -34,10 +34,11 @@ object Text {
           max("n_chars").as("max_chars"),
           sum(when(col("n_chars") === length(col("text")), 1L).otherwise(0L)).as("n_consistent"))
         .orderBy("lang"),
+    // CAST the integer sums: DuckDB sum(BIGINT) is HUGEINT, Spark emits LONG.
     Some("""SELECT lang, count(*) AS n_docs,
-           |  sum(len(string_split(text, ' '))) AS n_tokens,
+           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
            |  round(avg(n_chars), 4) AS avg_chars, max(n_chars) AS max_chars,
-           |  sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS n_consistent
+           |  CAST(sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Token counting two ways: whitespace split and a BPE-ish regex

@@ -75,9 +75,18 @@ object RebalanceRunner {
       db: String,
       dist: String => Rebalancer.Distribution,
       shards: Int,
-      version: String): Map[String, Long] =
-    TableRegistry.tableNames(spark, db)
-      .filterNot(n => n.contains("__v") || n.endsWith("__old"))
+      version: String): Map[String, Long] = {
+    val names = TableRegistry.tableNames(spark, db)
+    val canonical = names.filterNot(n => n.contains("__v") || n.endsWith("__old"))
+    // a crash between rebalanceTable's two renames strands a table with the
+    // canonical name vacant and only `t__v{n}` / `t__old` present; surface
+    // those bases too so the recovery branch in rebalanceTable finishes the
+    // promotion instead of the table silently vanishing from whole-db runs
+    val orphaned = names.collect {
+      case n if n.contains(s"__v$version") => n.substring(0, n.indexOf("__v"))
+    }.filterNot(canonical.contains).distinct
+    (canonical ++ orphaned)
       .map(t => t -> rebalanceTable(spark, db, t, dist(t), shards, version))
       .toMap
+  }
 }

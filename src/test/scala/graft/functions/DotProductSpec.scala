@@ -26,16 +26,21 @@ class DotProductSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("null array yields null; mismatched lengths use the shorter") {
+  test("null array yields null; mismatched lengths throw") {
     import spark.implicits._
     GraftFunctions.register(spark)
-    val df = Seq(
-      (Some(Seq(1.0, 2.0)), None: Option[Seq[Double]]),
-      (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(10.0, 10.0)))
-    ).toDF("a", "b")
-    val got = df.select(GraftFunctions.dot(col("a"), col("b"))).collect()
-    assert(got(0).isNullAt(0))
-    assert(got(1).getDouble(0) == 30.0)
+    val nulls = Seq((Some(Seq(1.0, 2.0)), None: Option[Seq[Double]])).toDF("a", "b")
+    assert(nulls.select(GraftFunctions.dot(col("a"), col("b"))).collect()(0).isNullAt(0))
+    // a short/malformed embedding must fail loudly, not return a plausible
+    // truncated similarity (dense fixed-dimension contract)
+    val bad = Seq((Seq(1.0, 2.0, 3.0), Seq(10.0, 10.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(GraftFunctions.dot(col("a"), col("b"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null && c.getMessage.contains("length mismatch")))
   }
 
   test("SQL registration via extensions builder function") {

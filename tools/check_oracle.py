@@ -19,11 +19,24 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
+# Int widths (TINYINT..BIGINT) all surface as exact Python ints and hash
+# identically in the driver; HUGEINT does NOT (pandas widens it to float64),
+# which is the round-1 failure mode — so widths collapse but HUGEINT stays
+# distinct and fails the compare.
+INT_WIDTHS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+              "UTINYINT", "USMALLINT", "UINTEGER"}
+
+
+def typ(t):
+    s = str(t)
+    return "INTLIKE" if s in INT_WIDTHS else s
+
+
+def canon(rows, cols, types):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(r[i] for i in order) for r in rows]
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return [cols[i] for i in order], out
+    return [cols[i] for i in order], out, [typ(types[i]) for i in order]
 
 
 def main():
@@ -38,15 +51,23 @@ def main():
         try:
             spark_rel = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            s_cols, s_rows = canon(spark_rel.fetchall(), spark_rel.columns)
+            s_cols, s_rows, s_types = canon(
+                spark_rel.fetchall(), spark_rel.columns, spark_rel.types)
             duck_rel = con.sql(sql)
-            d_cols, d_rows = canon(duck_rel.fetchall(), duck_rel.columns)
+            d_cols, d_rows, d_types = canon(
+                duck_rel.fetchall(), duck_rel.columns, duck_rel.types)
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
         if s_cols != d_cols:
             print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}")
+            n_fail += 1
+            continue
+        # Type-sensitive: the driver hashes typed values, so a DuckDB HUGEINT
+        # sum vs a Spark BIGINT mismatches even when the values are equal.
+        if s_types != d_types:
+            print(f"FAIL {name}: types spark={s_types} duck={d_types}")
             n_fail += 1
             continue
         if len(s_rows) != len(d_rows):
