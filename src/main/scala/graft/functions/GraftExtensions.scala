@@ -19,5 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.INTERSECT_COUNT),
       new ExpressionInfo(classOf[IntersectCountSorted].getName, GraftFunctions.INTERSECT_COUNT),
       exprs => IntersectCountSorted(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.SHINGLE3),
+      new ExpressionInfo(classOf[ShingleHashes].getName, GraftFunctions.SHINGLE3),
+      exprs => ShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -13,6 +13,11 @@ object GraftFunctions {
   val INTERSECT_COUNT = "graft_intersect_count"
   val MINHASH = "graft_minhash"
   val SIMHASH = "graft_simhash60"
+  val SHINGLE3 = "graft_shingle3"
+  val CHARGRAMS = "graft_chargrams"
+
+  private def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -21,10 +26,13 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       INTERSECT_COUNT, exprs => IntersectCountSorted(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
-      MINHASH, exprs => MinHashSignature(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+      MINHASH, exprs => MinHashSignature(exprs(0), intArg(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       SIMHASH, exprs => SimHash60(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      SHINGLE3, exprs => ShingleHashes(exprs(0), intArg(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      CHARGRAMS, exprs => CharGramHashes(exprs(0), intArg(exprs(1)), intArg(exprs(2))), "built-in")
   }
 
   /** Fused dot product (requires [[register]] on the session). */
@@ -43,4 +51,13 @@ object GraftFunctions {
 
   /** 60-bit SimHash signature over token hashes. */
   def simhash60(tokenHashes: Column): Column = call_function(SIMHASH, tokenHashes)
+
+  /** Fused word-3-gram md5-prefix hashes (distinct grams, occurrence order). */
+  def shingle3(text: Column, nibbles: Int): Column =
+    call_function(SHINGLE3, text, org.apache.spark.sql.functions.lit(nibbles))
+
+  /** Fused char-n-gram md5-prefix hashes (distinct grams, occurrence order). */
+  def charGrams(text: Column, n: Int, nibbles: Int): Column =
+    call_function(CHARGRAMS, text,
+      org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(nibbles))
 }

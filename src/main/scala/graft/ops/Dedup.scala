@@ -27,22 +27,15 @@ object Dedup {
   private val NUM_HASHES = 24
   private val BANDS = 8 // r = 3 rows per band
 
-  /** doc_id + distinct word-3-gram shingles. */
-  private[ops] def shingles(docs: DataFrame): DataFrame = {
-    val t = col("toks")
+  /** doc_id + word-3-gram md5-prefix hashes (distinct grams), via the fused
+    * [[graft.functions.ShingleHashes]] kernel — one codegen'd pass instead of
+    * the interpreted split/transform/distinct HOF chain (round-1 hot spot).
+    */
+  private[ops] def shingleHashed(docs: DataFrame, nibbles: Int): DataFrame =
     docs
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("g",
-        when(size(t) < 3, array().cast("array<string>"))
-          .otherwise(array_distinct(transform(
-            sequence(lit(0), size(t) - 3),
-            i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))))
-      .select(col("doc_id"), col("g"))
-  }
-
-  /** Shingle strings → 32-bit ints via md5 prefix (engine-portable). */
-  private def shingleInts(g: Column): Column =
-    transform(g, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+      .withColumn("tints", graft.functions.GraftFunctions.shingle3(col("text"), nibbles))
+      .filter(size(col("tints")) > 0) // <3-token docs: parity with oracle NULL bands
+      .select(col("doc_id"), col("tints"))
 
   /** Sorted distinct shingle-hash sets — the layout
     * [[graft.functions.IntersectCountSorted]] requires for its merge loop.
@@ -77,14 +70,10 @@ object Dedup {
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       // shingle+hash pipeline feeds signatures AND both sides of the verify
-      // join — persist so it's computed once, not three times
-      // drop shingle-less docs (<3 tokens): keeps parity with the oracle,
-      // where their NULL band keys never join, and avoids 0/0 Jaccard.
+      // join — persist so it's computed once, not three times.
       // Signatures are computed BEFORE persist so the cached table carries
       // only (doc_id, ti, sig) — the raw shingle strings never hit storage.
-      val sh = shingles(Tables.documents(s, dir))
-        .filter(size(col("g")) > 0)
-        .withColumn("tints", shingleInts(col("g")))
+      val sh = shingleHashed(Tables.documents(s, dir), 8)
         .withColumn("ti", sortedInts(col("tints")))
         .withColumn("sig",
           graft.functions.GraftFunctions.minhash(col("tints"), NUM_HASHES))
@@ -146,19 +135,21 @@ object Dedup {
     "q26_dedup_ngram",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      // guard: sequence(1, n) descends for n < 1, so texts shorter than 4
-      // chars must yield an empty gram set (as DuckDB's range() does)
       val de = Tables.documents(s, dir)
         .filter(col("lang") === "de")
-        .withColumn("cg", sortedInts(shingleInts(expr(
-          """CASE WHEN length(text) < 4 THEN array()
-            |ELSE transform(sequence(1, length(text)-3), i -> substring(text, i, 4)) END"""
-            .stripMargin))))
+        .withColumn("cg",
+          sortedInts(graft.functions.GraftFunctions.charGrams(col("text"), 4, 8)))
         .select(col("doc_id"), col("cg"))
       val inter = graft.functions.GraftFunctions
         .intersectCount(col("ci"), col("cj")).cast("int")
+      // exact pruning: J = I/(a+b-I) ≥ 0.5 and I ≤ min(a,b) force
+      // max(a,b) ≤ 2·min(a,b), so size-incompatible pairs skip the
+      // merge-count entirely (no false negatives)
       de.select(col("doc_id").as("i"), col("cg").as("ci"))
-        .join(de.select(col("doc_id").as("j"), col("cg").as("cj")), col("i") < col("j"))
+        .join(de.select(col("doc_id").as("j"), col("cg").as("cj")),
+          col("i") < col("j") &&
+            size(col("ci")) * 2 >= size(col("cj")) &&
+            size(col("cj")) * 2 >= size(col("ci")))
         .withColumn("jac",
           inter.cast("double") / (size(col("ci")) + size(col("cj")) - inter))
         .filter(col("jac") >= 0.5)
@@ -185,10 +176,7 @@ object Dedup {
       graft.functions.GraftFunctions.register(s)
       // per-doc signature stays inside one projection (no explode shuffle):
       // the fused SimHash60 kernel folds all token hashes into one long
-      val sig = shingles(Tables.documents(s, dir))
-        .filter(size(col("g")) > 0) // oracle's unnest drops shingle-less docs
-        .withColumn("tints",
-          transform(col("g"), t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
+      val sig = shingleHashed(Tables.documents(s, dir), 15)
         .withColumn("h", graft.functions.GraftFunctions.simhash60(col("tints")))
         .select(col("doc_id"), col("h"))
         .persist() // both sides of the pair join read the tiny signature table
@@ -231,11 +219,16 @@ object Dedup {
         .select(
           col("a.vec_id").as("vid"), col("b.vec_id").as("cid"),
           (dot / (col("a.nrm") * col("b.nrm"))).as("sim"))
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("vid").orderBy(desc("sim"), col("cid"))
-      sims.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vid").as("vec_id"), col("cid").as("nn_id"), round(col("sim"), 5).as("sim"))
+      // argmax via max(struct): partial (map-side) aggregation collapses the
+      // N² candidate rows before the shuffle — a window row_number would
+      // shuffle+sort all N² rows. Ties break toward the SMALLER cid
+      // (negated in the struct), matching ORDER BY sim DESC, cid ASC.
+      sims.groupBy(col("vid"))
+        .agg(max(struct(col("sim"), (-col("cid")).as("negcid"))).as("best"))
+        .select(
+          col("vid").as("vec_id"),
+          (-col("best.negcid")).as("nn_id"),
+          round(col("best.sim"), 5).as("sim"))
         .orderBy("vec_id")
     },
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,

@@ -46,10 +46,7 @@ object Pipeline {
     "q53_incremental_dedup",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val sh = Dedup.shingles(Tables.documents(s, dir))
-        .filter(size(col("g")) > 0)
-        .withColumn("tints",
-          transform(col("g"), t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")))
+      val sh = Dedup.shingleHashed(Tables.documents(s, dir), 8)
         .withColumn("ti", array_sort(array_distinct(col("tints"))))
         .withColumn("sig", graft.functions.GraftFunctions.minhash(col("tints"), 24))
         .select(col("doc_id"), col("ti"), col("sig"))
