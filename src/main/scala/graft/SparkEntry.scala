@@ -16,7 +16,8 @@ object SparkEntry {
     ops.Relational.all ++ ops.RebalanceQueries.all ++ ops.Text.all ++
       ops.Dedup.all ++ ops.Vectors.all ++ ops.Multimodal.all ++
       ops.StreamingQueries.all ++ ops.Aggregates.all ++ ops.Extras.all ++
-      ops.Stats.all ++ ops.Chunking.all ++ ops.Pipeline.all ++ ops.Extras2.all
+      ops.Stats.all ++ ops.Chunking.all ++ ops.Pipeline.all ++ ops.Extras2.all ++
+      ops.CustomPlans.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

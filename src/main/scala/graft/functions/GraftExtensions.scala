@@ -23,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.SHINGLE3),
       new ExpressionInfo(classOf[ShingleHashes].getName, GraftFunctions.SHINGLE3),
       exprs => ShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
   }
 }

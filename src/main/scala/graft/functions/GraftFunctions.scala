@@ -20,6 +20,14 @@ object GraftFunctions {
     e.eval().asInstanceOf[Number].intValue()
 
   def register(spark: SparkSession): Unit = {
+    // custom-plan strategy (as-of join); idempotent like the functions below
+    spark match {
+      case c: org.apache.spark.sql.classic.SparkSession
+          if !c.experimental.extraStrategies.contains(graft.plans.GraftStrategy) =>
+        c.experimental.extraStrategies =
+          c.experimental.extraStrategies :+ graft.plans.GraftStrategy
+      case _ => ()
+    }
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       DOT, exprs => DotProduct(exprs(0), exprs(1)), "built-in")

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+
+/** Queries exercising graft's custom Catalyst operators (logical plan +
+  * strategy + physical exec, injected via GraftExtensions / register).
+  */
+object CustomPlans {
+
+  /** Native as-of join ([[graft.plans.AsOfJoin]]): every error event picks
+    * up the most recent click of the same user strictly before it. Unlike
+    * the window formulation (q40), this works across two independent
+    * relations — here the click side is pre-aggregated to one row per
+    * (user, ts) so the as-of match is tie-free and deterministic on both
+    * engines. Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  val q58AsofNative = GraftQuery(
+    "q58_asof_native",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val ev = Tables.events(s, dir)
+      val err = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+        .agg(max(struct(col("event_id"), col("value"))).as("best"))
+        .select(col("c_user_id"), col("c_ts"),
+          col("best.event_id").as("click_id"), col("best.value").as("click_value"))
+      graft.plans.AsOfJoin.join(err, clicks,
+          Seq("user_id" -> "c_user_id"), "ts", "c_ts", strict = true)
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          round(col("click_value"), 2).as("click_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH clicks AS (
+           |  SELECT user_id, ts,
+           |    max(struct_pack(event_id := event_id, value := value)) AS best
+           |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+           |c AS (SELECT user_id c_user_id, ts c_ts,
+           |  best.event_id click_id, best.value click_value FROM clicks),
+           |err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+           |SELECT err.event_id, err.user_id, c.click_id,
+           |  round(c.click_value, 2) AS click_value
+           |FROM err ASOF LEFT JOIN c ON err.user_id = c.c_user_id AND err.ts > c.c_ts
+           |ORDER BY err.event_id""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q58AsofNative)
+}
