@@ -62,50 +62,96 @@ object Dedup {
            |  min(doc_id) AS first_doc
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  /** MinHash + LSH near-dup detection: 24 minhashes, 8 bands × 3 rows,
-    * candidates from band-bucket equi-join, verified with exact Jaccard ≥ 0.5.
+  /** The MinHash+LSH near-dup pair pipeline shared by q25 (pair listing) and
+    * q59 (cluster collapsing): 24 minhashes, 8 bands × 3 rows, candidates
+    * from band-bucket equi-joins, verified with exact Jaccard ≥ 0.5.
+    * Returns (i, j, jac) with i < j.
+    */
+  private[ops] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // shingle+hash pipeline feeds signatures AND both sides of the verify
+    // join — persist so it's computed once, not three times.
+    // Signatures are computed BEFORE persist so the cached table carries
+    // only (doc_id, ti, sig) — the raw shingle strings never hit storage.
+    val sh = shingleHashed(Tables.documents(s, dir), 8)
+      .withColumn("ti", sortedInts(col("tints")))
+      .withColumn("sig",
+        graft.functions.GraftFunctions.minhash(col("tints"), NUM_HASHES))
+      .select(col("doc_id"), col("ti"), col("sig"))
+      .persist()
+    val bands = sh.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(BANDS - 1)),
+        b => concat_ws(",",
+          element_at(col("sig"), b * 3 + 1).cast("string"),
+          element_at(col("sig"), b * 3 + 2).cast("string"),
+          element_at(col("sig"), b * 3 + 3).cast("string")))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    val g = sh.select(col("doc_id"), col("ti"))
+    val inter = graft.functions.GraftFunctions
+      .intersectCount(col("ti_i"), col("ti_j")).cast("int")
+    // (bands and both verify sides read the slim persisted table)
+    cand
+      .join(g.select(col("doc_id").as("i"), col("ti").as("ti_i")), "i")
+      .join(g.select(col("doc_id").as("j"), col("ti").as("ti_j")), "j")
+      .withColumn("jac",
+        inter.cast("double") / (size(col("ti_i")) + size(col("ti_j")) - inter))
+      .filter(col("jac") >= 0.5)
+      .select(col("i"), col("j"), col("jac"))
+  }
+
+  /** Connected components over an undirected (i, j) edge list by iterative
+    * min-label propagation: label(v) ← min(label(v), min over neighbors),
+    * repeated to fixpoint (≤ graph diameter rounds). Each round is one
+    * shuffle join + aggregate; `localCheckpoint` cuts the growing lineage.
+    * Returns (v, lbl) where lbl is the component's minimum vertex id.
+    *
+    * Scale note (100 TB): near-dup graphs are overwhelmingly tiny
+    * components (pairs/triples), so diameter — and the round count — stays
+    * small; for adversarial long-chain graphs swap in the
+    * large-star/small-star variant (O(log n) rounds) or GraphX. On a real
+    * cluster use `checkpoint` to reliable storage instead of
+    * `localCheckpoint` (executor loss loses local blocks).
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val sym = edges.select(col("i").as("a"), col("j").as("b"))
+      .unionAll(edges.select(col("j").as("a"), col("i").as("b")))
+      .persist()
+    var labels = sym.select(col("a").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val neighborMin = sym.join(labels, sym("b") === labels("v"))
+        .groupBy(sym("a").as("nv")).agg(min("lbl").as("nl"))
+      val next = labels.join(neighborMin, labels("v") === col("nv"), "left")
+        .select(labels("v").as("v"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("o"), col("n.v") === col("o.v"))
+        .filter(col("n.lbl") < col("o.lbl")).isEmpty
+      labels = next
+      round += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** MinHash + LSH near-dup pair listing (the q59 cluster view collapses
+    * these transitively).
     */
   val q25DedupMinhash = GraftQuery(
     "q25_dedup_minhash",
-    (s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      // shingle+hash pipeline feeds signatures AND both sides of the verify
-      // join — persist so it's computed once, not three times.
-      // Signatures are computed BEFORE persist so the cached table carries
-      // only (doc_id, ti, sig) — the raw shingle strings never hit storage.
-      val sh = shingleHashed(Tables.documents(s, dir), 8)
-        .withColumn("ti", sortedInts(col("tints")))
-        .withColumn("sig",
-          graft.functions.GraftFunctions.minhash(col("tints"), NUM_HASHES))
-        .select(col("doc_id"), col("ti"), col("sig"))
-        .persist()
-      val bands = sh.select(
-        col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(BANDS - 1)),
-          b => concat_ws(",",
-            element_at(col("sig"), b * 3 + 1).cast("string"),
-            element_at(col("sig"), b * 3 + 2).cast("string"),
-            element_at(col("sig"), b * 3 + 3).cast("string")))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-        .distinct()
-      val g = sh.select(col("doc_id"), col("ti"))
-      val inter = graft.functions.GraftFunctions
-        .intersectCount(col("ti_i"), col("ti_j")).cast("int")
-      // (bands and both verify sides read the slim persisted table)
-      cand
-        .join(g.select(col("doc_id").as("i"), col("ti").as("ti_i")), "i")
-        .join(g.select(col("doc_id").as("j"), col("ti").as("ti_j")), "j")
-        .withColumn("jac",
-          inter.cast("double") / (size(col("ti_i")) + size(col("ti_j")) - inter))
-        .filter(col("jac") >= 0.5)
+    (s, dir) =>
+      minhashPairs(s, dir)
         .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
-        .orderBy("i", "j")
-    },
+        .orderBy("i", "j"),
     Some("""WITH toks AS (
            |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
            |    i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) g
@@ -241,6 +287,38 @@ object Dedup {
            |SELECT vid AS vec_id, cid AS nn_id, round(sim, 5) AS sim
            |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin))
 
+  /** Near-dup cluster collapsing: transitive closure over the verified
+    * MinHash pairs (connected components), survivor = min doc_id per
+    * cluster. This is the step that turns pairwise findings into a
+    * keep/drop decision — without it a dup chain A~B~C keeps B twice.
+    * Oracle: recursive-CTE reachability over the identical pair set.
+    */
+  val q59DedupClusters = GraftQuery(
+    "q59_dedup_clusters",
+    (s, dir) => {
+      val pairs = minhashPairs(s, dir).select(col("i"), col("j"))
+      val lbl = connectedComponents(pairs)
+      val sz = lbl.groupBy(col("lbl").as("c2")).agg(count(lit(1)).as("n_members"))
+      lbl.join(sz, col("lbl") === col("c2"))
+        .select(
+          col("v").as("doc_id"), col("lbl").as("cluster_id"), col("n_members"),
+          (col("v") === col("lbl")).cast("int").as("survivor"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE pairs AS (SELECT i, j FROM (
+            |${q25DedupMinhash.oracle.get}) q25),
+            |edges AS (SELECT i a, j b FROM pairs UNION SELECT j, i FROM pairs),
+            |reach(a, b) AS (
+            |  SELECT a, b FROM edges
+            |  UNION
+            |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND e.b <> r.a),
+            |lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+            |sz AS (SELECT cluster_id, count(*) AS n_members FROM lbl GROUP BY 1)
+            |SELECT l.doc_id, l.cluster_id, sz.n_members,
+            |  CAST(l.doc_id = l.cluster_id AS INT) AS survivor
+            |FROM lbl l JOIN sz USING (cluster_id) ORDER BY l.doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
-    q24DedupExact, q25DedupMinhash, q26DedupNgram, q27DedupSimhash, q28EmbeddingNn)
+    q24DedupExact, q25DedupMinhash, q26DedupNgram, q27DedupSimhash, q28EmbeddingNn,
+    q59DedupClusters)
 }

@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class DedupClusterSpec extends AnyFunSuite with SparkSpec {
+
+  test("connected components collapse chains, triangles, and isolated pairs") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (pair)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("i", "j")
+    val got = Dedup.connectedComponents(edges)
+      .orderBy("v").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("long chain converges (diameter > 2 rounds)") {
+    import spark.implicits._
+    val n = 30L
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("i", "j")
+    val got = Dedup.connectedComponents(edges).as[(Long, Long)].collect()
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L))
+  }
+}
