@@ -137,6 +137,71 @@ object Text {
            |  min(substr(md5(text), 1, 16)) AS min_fp
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Sentence splitting: boundaries at sentence-final punctuation followed
+    * by whitespace, empties dropped. Shipped as a library transform with its
+    * own spec (the synthetic fixture corpus carries no punctuation, so an
+    * oracle query over it would be degenerate — every doc one sentence).
+    */
+  def sentences(text: Column): Column =
+    filter(split(text, "[.!?] "), s => length(trim(s)) > 0)
+
+  /** Perplexity-proxy quality scoring: per-document mean negative log
+    * likelihood under the corpus's own unigram LM (count/total). Two passes:
+    * token counts (one explode + partial agg), then a token⋈vocab join.
+    * At 100 TB the vocab join is the shuffle to watch — vocab is Zipfian and
+    * usually broadcastable after a min-count cut; here it's left to AQE.
+    */
+  val q60Perplexity = GraftQuery(
+    "q60_perplexity",
+    (s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(toks(col("text"))).as("t"))
+      val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      val total = vocab.agg(sum("c")).first().getLong(0).toDouble
+      tok.join(vocab, "t")
+        .withColumn("nl", -log(col("c").cast("double") / lit(total)))
+        .groupBy("doc_id", "lang", "source")
+        .agg(avg("nl").as("nll"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), round(avg("nll"), 3).as("avg_nll"))
+        .orderBy("lang", "source")
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) t
+           |  FROM documents),
+           |vocab AS (SELECT t, count(*) c FROM tok GROUP BY 1),
+           |tot AS (SELECT CAST(sum(c) AS DOUBLE) s FROM vocab),
+           |perdoc AS (
+           |  SELECT doc_id, lang, source, avg(-ln(c::DOUBLE / s)) nll
+           |  FROM tok JOIN vocab USING (t), tot GROUP BY 1, 2, 3)
+           |SELECT lang, source, count(*) AS n_docs, round(avg(nll), 3) AS avg_nll
+           |FROM perdoc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** Corpus bigram frequencies: top-10 word pairs (unique tie-break on the
+    * bigram string so both engines rank identically).
+    */
+  val q61Bigrams = GraftQuery(
+    "q61_bigrams",
+    (s, dir) => {
+      val t = toks(col("text"))
+      val bg = when(size(t) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+      Tables.documents(s, dir)
+        .select(explode(bg).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("bigram"))
+        .limit(10)
+    },
+    Some("""SELECT bigram, count(*) AS n FROM (
+           |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+           |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) bigram
+           |  FROM documents) b
+           |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 10""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
-    q19TextStats, q20TokenCounts, q21QualityScore, q22LangId, q23Fingerprints)
+    q19TextStats, q20TokenCounts, q21QualityScore, q22LangId, q23Fingerprints,
+    q60Perplexity, q61Bigrams)
 }
