@@ -26,6 +26,8 @@ object Multimodal {
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int)
 
+  final case class Frame(doc_id: Long, frame_id: Int, off: Int, frame_w: Int)
+
   /** STUB decoder — stands in for an image codec behind the same signature.
     * Deterministic: dimensions derive from the first two payload bytes.
     */
@@ -35,6 +37,18 @@ object Multimodal {
       val b1 = if (payload.length > 1) payload(1) & 0xff else 0
       (64 + b0 % 64, 64 + b1 % 64)
     }
+
+    /** STUB batch decode — the signature a vectorized/native codec needs:
+      * one call per batch of payloads, results positionally aligned.
+      */
+    def decodeBatch(payloads: Array[Array[Byte]]): Array[(Int, Int)] =
+      payloads.map(decode)
+
+    /** STUB frame sampler (video stand-in): one frame every `step` bytes,
+      * width derived from the byte at the frame offset.
+      */
+    def sampleFrames(payload: Array[Byte], step: Int): Seq[(Int, Int)] =
+      (0 until payload.length by step).map(o => (o, 64 + (payload(o) & 0xff) % 64))
   }
 
   /** Attach the media payload as an opaque binary column (fixtures carry
@@ -57,6 +71,39 @@ object Multimodal {
     }
   }
 
+  /** Columnar-batched variant of [[decodeMeta]] — the Scala analogue of a
+    * `mapInPandas`/`mapInArrow` batch UDF: rows are staged into fixed-size
+    * batches and the codec is invoked ONCE per batch (`decodeBatch`), which
+    * is the call shape GPU/native decoders need to amortize transfer and
+    * launch overhead. Same results as the row-at-a-time path (parity spec).
+    */
+  def decodeMetaBatched(media: Dataset[MediaRow], batchSize: Int = 256): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val dims = FakeCodec.decodeBatch(batch.map(_.payload).toArray)
+        batch.iterator.zip(dims.iterator).map { case (r, (w, h)) =>
+          MediaMeta(r.doc_id, r.payload.length, w, h)
+        }
+      }
+    }
+  }
+
+  /** One-to-many decode (frame sampling): each payload expands to its
+    * sampled frames, partition-parallel, no shuffle until the caller
+    * aggregates.
+    */
+  def sampleFrames(media: Dataset[MediaRow], step: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        FakeCodec.sampleFrames(r.payload, step).iterator.zipWithIndex.map {
+          case ((o, w), i) => Frame(r.doc_id, i, o, w)
+        }
+      }
+    }
+  }
+
   /** End-to-end: binary attach → typed decode → metadata rows. The oracle
     * reproduces the stub's byte arithmetic in SQL (fixture text is ASCII, so
     * bytes = chars).
@@ -75,5 +122,26 @@ object Multimodal {
            |  64 + ascii(substr(text, 2, 1)) % 64 AS height
            |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q32MultimodalMeta)
+  /** Frame sampling end-to-end through the batched decode boundary: every
+    * 512th byte starts a frame (video stand-in), one output row per frame.
+    */
+  val q62MultimodalFrames = GraftQuery(
+    "q62_multimodal_frames",
+    (s, dir) => {
+      import s.implicits._
+      val media = attachBinary(Tables.documents(s, dir).filter(col("doc_id") < 100))
+        .as[MediaRow]
+      sampleFrames(media, 512).toDF()
+        .orderBy("doc_id", "frame_id")
+    },
+    // scalar range()+unnest: DuckDB 1.0's range TABLE function rejects
+    // lateral column parameters
+    Some("""SELECT doc_id, CAST(i AS INT) AS frame_id, CAST(i * 512 AS INT) AS off,
+           |  64 + ascii(substr(text, CAST(i * 512 + 1 AS INT), 1)) % 64 AS frame_w
+           |FROM (SELECT doc_id, text,
+           |        unnest(range(0, CAST(ceil(length(text) / 512.0) AS BIGINT))) AS i
+           |      FROM documents WHERE doc_id < 100) t
+           |ORDER BY doc_id, frame_id""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q32MultimodalMeta, q62MultimodalFrames)
 }
