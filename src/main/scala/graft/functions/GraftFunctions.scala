@@ -15,6 +15,7 @@ object GraftFunctions {
   val SIMHASH = "graft_simhash60"
   val SHINGLE3 = "graft_shingle3"
   val CHARGRAMS = "graft_chargrams"
+  val WORDGRAMS = "graft_word_grams"
 
   private def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -41,6 +42,8 @@ object GraftFunctions {
       SHINGLE3, exprs => ShingleHashes(exprs(0), intArg(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       CHARGRAMS, exprs => CharGramHashes(exprs(0), intArg(exprs(1)), intArg(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction(
+      WORDGRAMS, exprs => WordGrams(exprs(0), intArg(exprs(1))), "built-in")
   }
 
   /** Fused dot product (requires [[register]] on the session). */
@@ -68,4 +71,8 @@ object GraftFunctions {
   def charGrams(text: Column, n: Int, nibbles: Int): Column =
     call_function(CHARGRAMS, text,
       org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(nibbles))
+
+  /** Fused word-n-gram strings (all occurrences, duplicates kept). */
+  def wordGrams(text: Column, n: Int): Column =
+    call_function(WORDGRAMS, text, org.apache.spark.sql.functions.lit(n))
 }

@@ -62,6 +62,29 @@ object GraftHashUtil {
     new GenericArrayData(java.util.Arrays.copyOf(out, nOut))
   }
 
+  /** All word-n-grams as strings (duplicates kept, occurrence order) —
+    * Spark `split(text, " ")` token semantics, single-space joined.
+    */
+  def wordGrams(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Character-n-gram hashes (grams of `n` consecutive chars, distinct at
     * string level, first-occurrence order). Texts shorter than `n` chars
     * yield an empty array. Gram boundaries are Java-char (UTF-16) positions,
@@ -86,6 +109,32 @@ object GraftHashUtil {
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, nOut))
   }
+}
+
+/** string → array<string>: ALL word-n-grams (space-joined, occurrence order,
+  * duplicates kept — frequency analyses need multiplicity). One pass
+  * replacing `transform(sequence(...), concat_ws)` interpreted lambdas.
+  */
+case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input and a positive gram size")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_grams"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashUtil.wordGrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.GraftHashUtil.wordGrams($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
 }
 
 /** string → array<bigint>: md5-prefix hashes of distinct word-3-grams. */

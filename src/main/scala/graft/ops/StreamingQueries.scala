@@ -61,5 +61,42 @@ object StreamingQueries {
            |  round(sum(value), 2) AS session_value
            |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q33SlidingWindows, q34SessionWindows)
+  /** Continuous redistribution e2e ([[graft.streaming.StreamingRebalance]]):
+    * the fixture is replayed through a file stream, scattered into 8
+    * md5-hash shard directories by the exactly-once file sink, then the
+    * sharded layout is read back and audited per shard. The oracle computes
+    * the same portable shard function directly.
+    */
+  val q63StreamingRebalance = GraftQuery(
+    "q63_streaming_rebalance",
+    (s, dir) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_srebal/" +
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")
+      val (src, dest, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+      val conf = s.sessionState.newHadoopConf()
+      for (d <- Seq(src, dest, ckpt)) {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(conf).delete(p, true)
+      }
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
+      ev.write.parquet(src)
+      val schema = s.read.parquet(src).schema
+      graft.streaming.StreamingRebalance.start(
+        s.readStream.schema(schema).parquet(src), "user_id", 8, dest, ckpt)
+        .awaitTermination()
+      s.read.parquet(dest)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum("value"), 2).as("total_value"))
+        .orderBy("shard")
+    },
+    Some("""SELECT CAST(concat('0x', substr(md5(user_id::VARCHAR), 1, 8)) AS BIGINT) % 8 AS shard,
+           |  count(*) AS n, count(DISTINCT user_id) AS n_users,
+           |  round(sum(value), 2) AS total_value
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q33SlidingWindows, q34SessionWindows,
+    q63StreamingRebalance)
 }

@@ -184,12 +184,10 @@ object Text {
   val q61Bigrams = GraftQuery(
     "q61_bigrams",
     (s, dir) => {
-      val t = toks(col("text"))
-      val bg = when(size(t) < 2, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(t) - 2),
-          i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+      graft.functions.GraftFunctions.register(s)
       Tables.documents(s, dir)
-        .select(explode(bg).as("bigram"))
+        .select(explode(
+          graft.functions.GraftFunctions.wordGrams(col("text"), 2)).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("bigram"))

@@ -55,6 +55,27 @@ class ShingleHashesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("fused word-grams equal the HOF chain (duplicates kept)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val t = split(col("text"), " ")
+    val hof = when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+    val df = Seq(
+      "a b c a b c", // duplicate bigrams must survive
+      "solo",
+      "x y",
+      "trailing "
+    ).toDF("text")
+    val rows = df.select(
+      GraftFunctions.wordGrams(col("text"), 2).as("fused"), hof.as("ref")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"fused=${r.getSeq[String](0)} ref=${r.getSeq[String](1)}")
+    }
+  }
+
   test("null text yields null; SQL registration works") {
     GraftFunctions.register(spark)
     val r = spark.sql(
