@@ -16,6 +16,7 @@ object GraftFunctions {
   val SHINGLE3 = "graft_shingle3"
   val CHARGRAMS = "graft_chargrams"
   val WORDGRAMS = "graft_word_grams"
+  val GRAM_GEN = "graft_gram_gen"
 
   private def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -44,6 +45,8 @@ object GraftFunctions {
       CHARGRAMS, exprs => CharGramHashes(exprs(0), intArg(exprs(1)), intArg(exprs(2))), "built-in")
     reg.createOrReplaceTempFunction(
       WORDGRAMS, exprs => WordGrams(exprs(0), intArg(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      GRAM_GEN, exprs => GramGenerator(exprs(0), intArg(exprs(1))), "built-in")
   }
 
   /** Fused dot product (requires [[register]] on the session). */

@@ -199,7 +199,34 @@ object Text {
            |  FROM documents) b
            |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 10""".stripMargin))
 
+  /** Per-language top trigram through the custom UDTF
+    * ([[graft.functions.GramGenerator]]) in SQL `LATERAL VIEW` — the table-
+    * function path: generate → aggregate → rank, all planned by Catalyst.
+    */
+  val q64TopTrigramUdtf = GraftQuery(
+    "q64_top_trigram_udtf",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("docs_q64")
+      s.sql("""SELECT lang, gram AS top_gram, n FROM (
+              |  SELECT lang, gram, count(*) AS n,
+              |    row_number() OVER (PARTITION BY lang
+              |      ORDER BY count(*) DESC, gram) AS rn
+              |  FROM docs_q64 LATERAL VIEW graft_gram_gen(text, 3) g AS pos, gram
+              |  GROUP BY lang, gram) t
+              |WHERE rn = 1 ORDER BY lang""".stripMargin)
+    },
+    Some("""WITH g AS (
+           |  SELECT lang, unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+           |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
+           |         string_split(text, ' ')[i+2])) gram
+           |  FROM documents),
+           |c AS (SELECT lang, gram, count(*) n FROM g GROUP BY 1, 2),
+           |r AS (SELECT lang, gram, n,
+           |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) rn FROM c)
+           |SELECT lang, gram AS top_gram, n FROM r WHERE rn = 1 ORDER BY lang""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q19TextStats, q20TokenCounts, q21QualityScore, q22LangId, q23Fingerprints,
-    q60Perplexity, q61Bigrams)
+    q60Perplexity, q61Bigrams, q64TopTrigramUdtf)
 }
