@@ -131,5 +131,37 @@ object Pipeline {
            |FROM events JOIN bounds ON event_type = bt
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q52HashSample, q53IncrementalDedup, q54OutlierFilter)
+  /** Stratified deterministic sampling: exactly k docs per language, chosen
+    * by md5-hash order (reproducible across engines/runs/parallelism, unlike
+    * rand()); complements q52's uniform hash sample. At scale this is one
+    * window per stratum — partition-by the stratum key, no global sort.
+    */
+  val q65StratifiedSample = GraftQuery(
+    "q65_stratified_sample",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc"),
+          sum("doc_id").cast("long").as("id_sum"))
+        .orderBy("lang")
+    },
+    Some("""WITH ranked AS (
+           |  SELECT lang, doc_id,
+           |    row_number() OVER (PARTITION BY lang
+           |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+           |  FROM documents)
+           |SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc,
+           |  max(doc_id) AS max_doc, CAST(sum(doc_id) AS BIGINT) AS id_sum
+           |FROM ranked WHERE rn <= 20 GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q52HashSample, q53IncrementalDedup, q54OutlierFilter,
+    q65StratifiedSample)
 }

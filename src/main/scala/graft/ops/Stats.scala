@@ -98,5 +98,22 @@ object Stats {
            |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
            |ORDER BY o_custkey, o_orderkey""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q42Pivot, q43Percentiles, q44Moments, q45WindowExtras)
+  /** Fixed-width histogram: 50-unit value bins (top bin open-ended), one
+    * scan + partial agg — the constant-memory distribution profile used
+    * before choosing outlier bounds.
+    */
+  val q66Histogram = GraftQuery(
+    "q66_histogram",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("bin", least(lit(9L), floor(col("value") / 50).cast("long")))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("bin_value"))
+        .orderBy("event_type", "bin"),
+    Some("""SELECT event_type, least(9, CAST(floor(value / 50) AS BIGINT)) AS bin,
+           |  count(*) AS n, round(sum(value), 2) AS bin_value
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q42Pivot, q43Percentiles, q44Moments, q45WindowExtras,
+    q66Histogram)
 }
