@@ -71,5 +71,56 @@ object Extras2 {
            |  count(*) AS n
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q55OrcRoundtrip, q56RangeFrame, q57CollectTypes)
+  /** Unpivot (wide → long): per-priority price metrics melted into
+    * (metric, val) rows via `Dataset.unpivot` — the inverse of q42's pivot.
+    */
+  val q67Unpivot = GraftQuery(
+    "q67_unpivot",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          round(avg("o_totalprice"), 2).as("avg_price"),
+          round(max("o_totalprice"), 2).as("max_price"),
+          round(min("o_totalprice"), 2).as("min_price"))
+        .unpivot(
+          Array(col("o_orderpriority")),
+          Array(col("avg_price"), col("max_price"), col("min_price")),
+          "metric", "val")
+        .orderBy("o_orderpriority", "metric"),
+    Some("""WITH agg AS (
+           |  SELECT o_orderpriority,
+           |    round(avg(o_totalprice), 2) AS avg_price,
+           |    round(max(o_totalprice), 2) AS max_price,
+           |    round(min(o_totalprice), 2) AS min_price
+           |  FROM orders GROUP BY 1)
+           |SELECT o_orderpriority, metric, val
+           |FROM agg UNPIVOT (val FOR metric IN (avg_price, max_price, min_price))
+           |ORDER BY o_orderpriority, metric""".stripMargin))
+
+  /** Correlated scalar subqueries — exercises Catalyst's decorrelation
+    * (RewriteCorrelatedScalarSubquery turns each into a left outer
+    * aggregate join, so at scale this is two shuffled joins, not N probes).
+    */
+  val q68CorrelatedScalar = GraftQuery(
+    "q68_correlated_scalar",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_q68")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_q68")
+      s.sql("""SELECT c_custkey, c_mktsegment,
+              |  (SELECT count(*) FROM orders_q68
+              |   WHERE o_custkey = c_custkey) AS n_orders,
+              |  (SELECT round(coalesce(sum(o_totalprice), 0), 2) FROM orders_q68
+              |   WHERE o_custkey = c_custkey) AS spend
+              |FROM customer_q68 WHERE c_custkey < 200
+              |ORDER BY c_custkey""".stripMargin)
+    },
+    Some("""SELECT c_custkey, c_mktsegment,
+           |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+           |  (SELECT round(coalesce(sum(o_totalprice), 0), 2) FROM orders
+           |   WHERE o_custkey = c_custkey) AS spend
+           |FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q55OrcRoundtrip, q56RangeFrame, q57CollectTypes,
+    q67Unpivot, q68CorrelatedScalar)
 }
