@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guard for the plan shapes the 100 TB design depends on: if a
+  * refactor breaks filter pushdown, column pruning, a broadcast, or a
+  * rank-limit rewrite, these assertions fail before any benchmark notices.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1: filter is pushed to the parquet scan and columns are pruned") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+    // 6 of 11 lineitem columns read
+    val schema = "ReadSchema:.*".r.findFirstIn(p).getOrElse("")
+    assert(schema.contains("l_returnflag") && !schema.contains("l_comment"), schema)
+  }
+
+  test("q3: dimension join broadcasts; aggregation is partial then shuffled") {
+    // (at fixture scale AQE may broadcast the fact-fact join too, so only
+    // the broadcast and the two-phase aggregate are stable plan facts)
+    val p = plan("q3_segment_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("partial_sum"), p.take(2000))
+    assert(p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
+  test("q2: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q2_top_revenue_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q6: rank<=k filter becomes a WindowGroupLimit (partial before shuffle)") {
+    val p = plan("q6_window_top_per_supplier")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("q68: correlated scalar subqueries decorrelate into aggregate joins") {
+    val p = plan("q68_correlated_scalar")
+    assert(!p.contains("ScalarSubquery"), p.take(2000))
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p.take(2000))
+  }
+
+  test("q1 stays inside whole-stage codegen (final adaptive plan)") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    df.collect() // AQE only materializes the final plan on execution
+    val p = df.queryExecution.executedPlan.toString
+    // codegen spans print as "*(n) Operator" in the simple plan string
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), p.take(2000))
+  }
+}

@@ -62,4 +62,20 @@ class RebalanceRunnerSpec extends AnyFunSuite with SparkSpec {
       RebalanceRunner.rebalanceTable(spark, "graft_rr", "nope", Rebalancer.RoundRobin, 2, "1")
     }
   }
+
+  test("whole-db run recovers tables stranded in the crash window (orphaned shadow)") {
+    import spark.implicits._
+    freshDatabase("graft_orph")
+    (1L to 50L).map(i => (i, i + 1)).toDF("k", "v")
+      .write.saveAsTable("graft_orph.ok")
+    // stranded table: only its __v7 shadow exists, canonical name vacant —
+    // invisible to a listing that filters out shadow names
+    (1L to 80L).map(i => (i, i * 5)).toDF("k", "v")
+      .write.saveAsTable("graft_orph.stranded__v7")
+    val moved = RebalanceRunner.rebalanceDatabase(
+      spark, "graft_orph", _ => Rebalancer.ByHash("k"), 4, "7")
+    assert(moved == Map("ok" -> 50L, "stranded" -> 80L), moved)
+    val names = TableRegistry.tableNames(spark, "graft_orph").sorted
+    assert(names == Seq("ok", "stranded"), s"expected recovered canonicals, got $names")
+  }
 }
