@@ -143,6 +143,23 @@ object Dedup {
     labels
   }
 
+  /** GraphX variant of [[connectedComponents]] — same contract (component
+    * label = minimum vertex id), Pregel-based: O(diameter) supersteps with
+    * vertex-cut partitioning, the right tool when the near-dup graph has
+    * adversarially long chains or the edge list no longer fits comfortably
+    * in the join-per-round loop. Parity spec keeps the two interchangeable.
+    */
+  def connectedComponentsGraphX(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val tuples = edges.select(col("i").cast("long"), col("j").cast("long"))
+      .as[(Long, Long)].rdd
+    org.apache.spark.graphx.Graph.fromEdgeTuples(tuples, defaultValue = 0)
+      .connectedComponents()
+      .vertices
+      .toDF("v", "lbl")
+  }
+
   /** MinHash + LSH near-dup pair listing (the q59 cluster view collapses
     * these transitively).
     */

@@ -31,4 +31,18 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec {
     assert(got.length == n)
     assert(got.forall(_._2 == 0L))
   }
+
+  test("GraphX variant agrees with the DataFrame loop on a mixed graph") {
+    import spark.implicits._
+    // chains, triangles, pairs, and hash-scrambled ids in one edge list
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)) ++
+      (0L until 40L).map(k => (1000L + (k * 37) % 40, 1000L + (k * 37 + 1) % 40)))
+      .toDF("i", "j")
+    val loop = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val graphx = Dedup.connectedComponentsGraphX(edges)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(loop == graphx)
+  }
 }
