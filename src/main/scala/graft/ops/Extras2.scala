@@ -121,6 +121,50 @@ object Extras2 {
            |   WHERE o_custkey = c_custkey) AS spend
            |FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin))
 
+  /** Time-series densification + forward fill: generate the complete hourly
+    * grid per user between their first and last event, left-join observed
+    * values, carry the last observation forward into gaps. At scale the
+    * grid explode is partition-local per user and the fill is one window —
+    * no shuffle beyond the (user, hour) aggregation's own.
+    */
+  val q69GapFill = GraftQuery(
+    "q69_gap_fill",
+    (s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .filter(col("user_id") < 20)
+        .groupBy(col("user_id"),
+          unix_micros(date_trunc("hour", col("ts"))).as("hus"))
+        .agg(round(sum("value"), 2).as("v"), count(lit(1)).as("cnt"))
+      val grid = hourly.groupBy("user_id")
+        .agg(min("hus").as("lo"), max("hus").as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), lit(3600000000L))).as("hus"))
+      val w = Window.partitionBy("user_id").orderBy("hus")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hus"), "left")
+        .select(col("user_id"), col("hus"),
+          coalesce(col("cnt"), lit(0L)).as("n"),
+          coalesce(col("v"), lit(0.0)).as("v_raw"),
+          round(coalesce(last(col("v"), ignoreNulls = true).over(w), lit(0.0)), 2)
+            .as("v_filled"))
+        .orderBy("user_id", "hus")
+    },
+    Some("""WITH hourly AS (
+           |  SELECT user_id, epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) hus,
+           |    round(sum(value), 2) v, count(*) n
+           |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+           |bounds AS (SELECT user_id, min(hus) lo, max(hus) hi FROM hourly GROUP BY 1),
+           |grid AS (SELECT user_id, unnest(range(lo, hi + 1, 3600000000)) hus FROM bounds),
+           |joined AS (
+           |  SELECT g.user_id, g.hus, h.v, coalesce(h.n, 0) n
+           |  FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hus = h.hus)
+           |SELECT user_id, hus, n,
+           |  coalesce(v, 0) AS v_raw,
+           |  round(coalesce(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+           |    ORDER BY hus ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0), 2)
+           |    AS v_filled
+           |FROM joined ORDER BY user_id, hus""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q55OrcRoundtrip, q56RangeFrame, q57CollectTypes,
-    q67Unpivot, q68CorrelatedScalar)
+    q67Unpivot, q68CorrelatedScalar, q69GapFill)
 }
