@@ -210,5 +210,40 @@ object Vectors {
            |SELECT qid, rnk, cid, round(sim, 5) AS sim FROM r WHERE rnk <= 3
            |ORDER BY qid, rnk""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q29AnnTopk, q30Centroids, q31AnnLsh, q47AnnIvf)
+  /** Int8 vector quantization audit — the compression step before shipping
+    * embeddings at scale: per-vector symmetric scale (127/max|x|), nearest
+    * quantization via floor(x·scale + 0.5) (identical rounding on both
+    * engines; `round()` tie rules differ), and reconstruction-error stats.
+    * Every output is per-row arithmetic — no cross-row float accumulation,
+    * so the oracle matches bit-for-bit.
+    */
+  val q70Int8Quantize = GraftQuery(
+    "q70_int8_quantize",
+    (s, dir) =>
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 50)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+        .filter(col("mx") > 0)
+        .withColumn("scale", lit(127.0) / col("mx"))
+        .withColumn("q", transform(col("v"), x => floor(x * col("scale") + 0.5)))
+        .select(
+          col("vec_id"),
+          round(col("mx"), 6).as("max_abs"),
+          round(array_max(zip_with(col("v"), col("q"),
+            (x, qq) => abs(x - qq / col("scale")))), 6).as("max_err"),
+          size(filter(col("q"), x => abs(x) >= 127)).cast("long").as("n_sat"))
+        .orderBy("vec_id"),
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 50),
+           |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) mx FROM e),
+           |sc AS (SELECT vec_id, v, mx, 127.0 / mx scale FROM s WHERE mx > 0),
+           |qz AS (SELECT vec_id, v, mx, scale,
+           |  list_transform(v, x -> floor(x * scale + 0.5)) q FROM sc)
+           |SELECT vec_id, round(mx, 6) AS max_abs,
+           |  round(list_max(list_transform(range(1, 65), i -> abs(v[i] - q[i] / scale))), 6) AS max_err,
+           |  CAST(len(list_filter(q, x -> abs(x) >= 127)) AS BIGINT) AS n_sat
+           |FROM qz ORDER BY vec_id""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q29AnnTopk, q30Centroids, q31AnnLsh, q47AnnIvf,
+    q70Int8Quantize)
 }
