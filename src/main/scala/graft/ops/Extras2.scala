@@ -165,6 +165,50 @@ object Extras2 {
            |    AS v_filled
            |FROM joined ORDER BY user_id, hus""".stripMargin))
 
+  /** LIMIT/OFFSET pagination (Spark 3.4+ `Dataset.offset`): page 2 of the
+    * price-ranked orders. At scale offset pushes into the same
+    * TakeOrdered-style top-(offset+limit) physical op — no global sort.
+    */
+  val q71OffsetPage = GraftQuery(
+    "q71_offset_page",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy(desc("price"), col("o_orderkey"))
+        .offset(20)
+        .limit(15),
+    Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+           |FROM orders ORDER BY price DESC, o_orderkey LIMIT 15 OFFSET 20""".stripMargin))
+
+  /** Null-semantics surface: nullif, count(col) vs count(*), null-safe
+    * equality (<=> / IS NOT DISTINCT FROM), and coalesce fallback.
+    */
+  val q72NullSemantics = GraftQuery(
+    "q72_null_semantics",
+    (s, dir) => {
+      val nonp = nullif(col("o_orderstatus"), lit("P"))
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(nonp).as("n_nonp"),
+          sum(when(nonp <=> nonp, 1L).otherwise(0L)).as("n_nullsafe_eq"),
+          sum(when(nonp === "F", 1L).otherwise(0L)).as("n_f"),
+          coalesce(min(nonp), lit("none")).as("min_nonp"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+           |  count(*) AS n_rows,
+           |  count(nullif(o_orderstatus, 'P')) AS n_nonp,
+           |  CAST(sum(CASE WHEN nullif(o_orderstatus, 'P')
+           |       IS NOT DISTINCT FROM nullif(o_orderstatus, 'P')
+           |       THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+           |  CAST(sum(CASE WHEN nullif(o_orderstatus, 'P') = 'F' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_f,
+           |  coalesce(min(nullif(o_orderstatus, 'P')), 'none') AS min_nonp
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q55OrcRoundtrip, q56RangeFrame, q57CollectTypes,
-    q67Unpivot, q68CorrelatedScalar, q69GapFill)
+    q67Unpivot, q68CorrelatedScalar, q69GapFill, q71OffsetPage, q72NullSemantics)
 }
