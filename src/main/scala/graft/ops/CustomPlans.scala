@@ -46,5 +46,42 @@ object CustomPlans {
            |FROM err ASOF LEFT JOIN c ON err.user_id = c.c_user_id AND err.ts > c.c_ts
            |ORDER BY err.event_id""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q58AsofNative)
+  /** Bucketed interval join ([[IntervalJoin.lookback]]): every (error,
+    * click-of-same-user-in-preceding-5-minutes) pair, aggregated per user.
+    * The rewrite turns Spark's nested-loop plan for the non-equi window
+    * predicate into a (key, time-cell) equi-join; the oracle runs the naive
+    * non-equi join, proving the rewrite is lossless.
+    */
+  val q73IntervalJoin = GraftQuery(
+    "q73_interval_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), unix_micros(col("ts")).as("e_us"),
+          col("event_id").as("err_id"))
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("c_us"),
+          col("value").as("c_value"))
+      IntervalJoin.lookback(err, clk, "user_id", "e_us", "c_us", 300000000L)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          countDistinct(col("err_id")).as("n_errs"),
+          round(sum("c_value"), 2).as("pair_value"))
+        .orderBy("user_id")
+    },
+    Some("""WITH err AS (
+           |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) e_us, event_id err_id
+           |  FROM events WHERE event_type = 'error'),
+           |clk AS (
+           |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) c_us, value c_value
+           |  FROM events WHERE event_type = 'click')
+           |SELECT e.user_id, count(*) AS n_pairs,
+           |  count(DISTINCT err_id) AS n_errs,
+           |  round(sum(c_value), 2) AS pair_value
+           |FROM err e JOIN clk c ON e.user_id = c.user_id
+           |  AND c.c_us >= e.e_us - 300000000 AND c.c_us <= e.e_us
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q58AsofNative, q73IntervalJoin)
 }
