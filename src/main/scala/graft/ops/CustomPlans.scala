@@ -83,5 +83,31 @@ object CustomPlans {
            |  AND c.c_us >= e.e_us - 300000000 AND c.c_us <= e.e_us
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q58AsofNative, q73IntervalJoin)
+  /** Salted equi-join ([[Skew.saltedEquiJoin]]): orders⋈customer with the
+    * customer key deliberately collapsed onto 3 hot values — the planned-
+    * ahead skew mitigation (every hot key spread over `salts` reducers).
+    * The salt only changes physical placement; the oracle runs the plain
+    * join, proving row-identity.
+    */
+  val q74SaltedJoin = GraftQuery(
+    "q74_salted_join",
+    (s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), (col("o_custkey") % 3).as("hot_key"),
+          col("o_totalprice"))
+      val dim = Tables.customer(s, dir)
+        .filter(col("c_custkey") < 3)
+        .select(col("c_custkey").as("hot_key"), col("c_mktsegment"))
+      Skew.saltedEquiJoin(ord, dim, "hot_key", col("o_orderkey"), 8)
+        .groupBy("hot_key", "c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("hot_key", "c_mktsegment")
+    },
+    Some("""SELECT o_custkey % 3 AS hot_key, c_mktsegment,
+           |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+           |FROM orders JOIN customer ON o_custkey % 3 = c_custkey
+           |WHERE c_custkey < 3
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q58AsofNative, q73IntervalJoin, q74SaltedJoin)
 }
