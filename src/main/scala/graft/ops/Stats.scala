@@ -114,6 +114,36 @@ object Stats {
            |  count(*) AS n, round(sum(value), 2) AS bin_value
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Math-function surface: sqrt/pow/exp/ln/abs/mod/greatest/least through
+    * aggregation. Transcendentals are IEEE-identical per element on both
+    * engines; the rounded aggregates absorb accumulation-order noise.
+    */
+  val q75MathFuncs = GraftQuery(
+    "q75_math_funcs",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(sum(sqrt(col("l_quantity"))), 4).as("sum_sqrt"),
+          round(avg(pow(col("l_discount"), 2)), 6).as("avg_disc_sq"),
+          round(avg(exp(col("l_tax"))), 6).as("avg_exp_tax"),
+          round(avg(log(lit(1.0) + col("l_quantity"))), 6).as("avg_log_qty"),
+          round(sum(abs(col("l_quantity") - 25)), 2).as("sum_absdev"),
+          sum(col("l_quantity").cast("long") % 7).as("sum_mod"),
+          round(max(greatest(col("l_discount"), col("l_tax"))), 2).as("max_rate"),
+          round(min(least(col("l_discount"), col("l_tax"))), 2).as("min_rate"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+           |  round(sum(sqrt(l_quantity)), 4) AS sum_sqrt,
+           |  round(avg(pow(l_discount, 2)), 6) AS avg_disc_sq,
+           |  round(avg(exp(l_tax)), 6) AS avg_exp_tax,
+           |  round(avg(ln(1 + l_quantity)), 6) AS avg_log_qty,
+           |  round(sum(abs(l_quantity - 25)), 2) AS sum_absdev,
+           |  CAST(sum(CAST(l_quantity AS BIGINT) % 7) AS BIGINT) AS sum_mod,
+           |  round(max(greatest(l_discount, l_tax)), 2) AS max_rate,
+           |  round(min(least(l_discount, l_tax)), 2) AS min_rate
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q42Pivot, q43Percentiles, q44Moments, q45WindowExtras,
-    q66Histogram)
+    q66Histogram, q75MathFuncs)
 }
