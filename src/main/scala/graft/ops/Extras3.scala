@@ -179,6 +179,62 @@ object Extras3 {
            |FROM orders WHERE o_custkey < 50
            |ORDER BY custkey, valid_from, orderkey""".stripMargin))
 
+  /** Semi-structured props through Spark 4's VariantType: parse once into
+    * the binary variant encoding, extract typed paths with variant_get —
+    * the shredded-JSON path that replaces per-row string re-parsing (each
+    * get_json_object call re-tokenizes the string; a variant parses once).
+    */
+  val q81VariantJson = GraftQuery(
+    "q81_variant_json",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("k", try_variant_get(col("v"), "$.k", "int"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("k")).as("n_k"),
+          sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+           |  count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k,
+           |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+           |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** In-flight audit metrics via `observe`: the quality counters ride the
+    * SAME pass that does the real work (here a parquet sink write) — at
+    * 100 TB a separate audit scan doubles the read; an Observation makes it
+    * free. The returned row is the observed metrics; the oracle recomputes
+    * them declaratively.
+    */
+  val q82ObserveAudit = GraftQuery(
+    "q82_observe_audit",
+    (s, dir) => {
+      val obs = new org.apache.spark.sql.Observation()
+      val out = s"${sys.props("java.io.tmpdir")}/graft_observe/${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 10)
+        .observe(obs,
+          count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("qty"),
+          round(sum("l_extendedprice"), 2).as("price"),
+          max("l_orderkey").as("max_order"))
+        .write.mode("overwrite").parquet(out)
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n").asInstanceOf[Long], m("qty").asInstanceOf[Double],
+        m("price").asInstanceOf[Double], m("max_order").asInstanceOf[Long]))
+        .toDF("n", "qty", "price", "max_order")
+    },
+    Some("""SELECT count(*) AS n, round(sum(l_quantity), 2) AS qty,
+           |  round(sum(l_extendedprice), 2) AS price,
+           |  max(l_orderkey) AS max_order
+           |FROM lineitem WHERE l_quantity > 10""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q76SimhashBanded, q77FullOuter, q78HofVector,
-    q79TextNormalize, q80Scd2)
+    q79TextNormalize, q80Scd2, q81VariantJson, q82ObserveAudit)
 }
