@@ -67,6 +67,19 @@ object Dedup {
     * from band-bucket equi-joins, verified with exact Jaccard ≥ 0.5.
     * Returns (i, j, jac) with i < j.
     */
+  /** (band, key) rows for LSH bucketing: key is xxhash64 over the band's
+    * 3-row signature slice — a fixed-width long equi-join key instead of a
+    * concatenated string. A hash collision can only ADD a candidate pair
+    * (killed by the exact-Jaccard verify); equal slices always collide, so
+    * no true pair is ever lost.
+    */
+  private[ops] def bandKeys(sh: DataFrame): DataFrame =
+    sh.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(BANDS - 1)),
+        b => xxhash64(b, slice(col("sig"), b * 3 + 1, lit(3))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+
   private[ops] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // shingle+hash pipeline feeds signatures AND both sides of the verify
@@ -79,14 +92,7 @@ object Dedup {
         graft.functions.GraftFunctions.minhash(col("tints"), NUM_HASHES))
       .select(col("doc_id"), col("ti"), col("sig"))
       .persist()
-    val bands = sh.select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(BANDS - 1)),
-        b => concat_ws(",",
-          element_at(col("sig"), b * 3 + 1).cast("string"),
-          element_at(col("sig"), b * 3 + 2).cast("string"),
-          element_at(col("sig"), b * 3 + 3).cast("string")))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val bands = bandKeys(sh)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -125,6 +131,10 @@ object Dedup {
       .persist()
     var labels = sym.select(col("a").as("v")).distinct()
       .withColumn("lbl", col("v")).localCheckpoint()
+    // labels only ever decrease (least of self and neighbor minima), so the
+    // label sum strictly decreases until fixpoint — one cheap aggregate per
+    // round detects convergence instead of a change-detection join.
+    var lblSum = labels.agg(sum("lbl")).first().getLong(0)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -134,8 +144,9 @@ object Dedup {
         .select(labels("v").as("v"),
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      converged = next.as("n").join(labels.as("o"), col("n.v") === col("o.v"))
-        .filter(col("n.lbl") < col("o.lbl")).isEmpty
+      val nextSum = next.agg(sum("lbl")).first().getLong(0)
+      converged = nextSum == lblSum
+      lblSum = nextSum
       labels = next
       round += 1
     }

@@ -51,14 +51,7 @@ object Pipeline {
         .withColumn("sig", graft.functions.GraftFunctions.minhash(col("tints"), 24))
         .select(col("doc_id"), col("ti"), col("sig"))
         .persist()
-      val bands = sh.select(
-        col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(7)),
-          b => concat_ws(",",
-            element_at(col("sig"), b * 3 + 1).cast("string"),
-            element_at(col("sig"), b * 3 + 2).cast("string"),
-            element_at(col("sig"), b * 3 + 3).cast("string")))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+      val bands = Dedup.bandKeys(sh)
       val newB = bands.filter(col("doc_id") % 5 === 0)
       val oldB = bands.filter(col("doc_id") % 5 =!= 0)
       val cand = newB.as("n")
