@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+
+/** Physical-layout operators — the storage-side design levers that matter at
+  * 100 TB: raw text ingestion, partitioned (hive-layout) sinks with partition
+  * pruning, bucketed co-located joins, and schema evolution across parquet
+  * batches.
+  */
+object Layout {
+
+  private def workDir(sfDir: String, tag: String): String = {
+    val key = sfDir.replaceAll("[^0-9a-zA-Z.]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_layout/${tag}_$key"
+  }
+
+  /** Raw text-file ingestion: the corpus arrives as newline-delimited text
+    * (one doc per line, tab-separated id), the common landing format before
+    * any columnar conversion. spark.read.text → split → typed columns.
+    */
+  val q83TextSource = GraftQuery(
+    "q83_text_source",
+    (s, dir) => {
+      val out = workDir(dir, "text")
+      Tables.documents(s, dir)
+        .select(concat_ws("\t", col("doc_id"),
+          regexp_replace(col("text"), "[\\t\\n]", " ")).as("value"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .withColumn("doc_id", split(col("value"), "\t").getItem(0).cast("long"))
+        .withColumn("body", split(col("value"), "\t").getItem(1))
+        .groupBy((col("doc_id") % 10).as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(length(col("body"))).as("chars"),
+          min("doc_id").as("min_id"))
+        .orderBy("bucket")
+    },
+    // the oracle applies the same tab/newline scrub the text sink roundtrip
+    // forces (those bytes are the line format's delimiters)
+    Some("""SELECT doc_id % 10 AS bucket, count(*) AS n,
+           |  CAST(sum(length(regexp_replace(text, '[\t\n]', ' ', 'g'))) AS BIGINT) AS chars,
+           |  min(doc_id) AS min_id
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Hive-layout partitioned sink + partition-pruned scan: events land
+    * partitioned by event_type, and a type-filtered read touches ONLY that
+    * partition's files — at 100 TB the difference between scanning one
+    * directory and scanning them all. PlanShapeSpec asserts the pruning.
+    */
+  val q84PartitionedWrite = GraftQuery(
+    "q84_partitioned_write",
+    (s, dir) => {
+      val out = workDir(dir, "part")
+      Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      s.read.parquet(out)
+        .filter(col("event_type") === "click")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct("user_id").as("n_users"),
+          round(sum("value"), 2).as("total"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+           |  count(DISTINCT user_id) AS n_users, round(sum(value), 2) AS total
+           |FROM events WHERE event_type = 'click'
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Bucketed co-located join: orders and lineitem both bucketed 8 ways on
+    * the join key at write time, so the join needs NO shuffle — each task
+    * reads matching buckets from both sides (verified by LayoutSpec: no
+    * Exchange under the join). This is Spark's answer to the reference's
+    * sharding-expression co-location.
+    */
+  val q85BucketedJoin = GraftQuery(
+    "q85_bucketed_join",
+    (s, dir) => {
+      val suffix = dir.replaceAll("[^0-9a-zA-Z]", "_")
+      val (ot, lt) = (s"graft_bkt_orders_$suffix", s"graft_bkt_lineitem_$suffix")
+      // the in-memory catalog dies with the JVM but warehouse dirs persist;
+      // clear any orphaned location so CREATE doesn't trip over it
+      Seq(ot, lt).filterNot(s.catalog.tableExists).foreach { t =>
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + s"/$t")
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      }
+      if (!s.catalog.tableExists(ot)) {
+        Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable(ot)
+      }
+      if (!s.catalog.tableExists(lt)) {
+        Tables.lineitem(s, dir).select("l_orderkey", "l_quantity", "l_extendedprice")
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .mode("overwrite").saveAsTable(lt)
+      }
+      s.table(ot).join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_orderkey") % 4).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          round(sum("l_extendedprice"), 2).as("revenue"))
+        .orderBy("bucket")
+    },
+    Some("""SELECT o_orderkey % 4 AS bucket, count(*) AS n_lines,
+           |  round(sum(l_extendedprice), 2) AS revenue
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Schema evolution: two parquet batches with different column sets (the
+    * later batch adds a quality score) merge into one logical table via
+    * mergeSchema; old rows surface NULL for the new column. The everyday
+    * data-lake reality of append-only corpora whose schema grows.
+    */
+  val q86SchemaEvolution = GraftQuery(
+    "q86_schema_evolution",
+    (s, dir) => {
+      val out = workDir(dir, "evo")
+      val docs = Tables.documents(s, dir)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$out/batch=0")
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("n_chars") > 500).cast("int").as("long_doc"))
+        .write.mode("overwrite").parquet(s"$out/batch=1")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("long_doc")).as("n_scored"),
+          sum(coalesce(col("long_doc"), lit(0))).cast("long").as("n_long"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, count(*) AS n,
+           |  count(CASE WHEN doc_id % 2 <> 0 THEN 1 END) AS n_scored,
+           |  CAST(sum(CASE WHEN doc_id % 2 <> 0 AND n_chars > 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q83TextSource, q84PartitionedWrite,
+    q85BucketedJoin, q86SchemaEvolution)
+}
