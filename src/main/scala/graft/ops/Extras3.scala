@@ -217,6 +217,7 @@ object Extras3 {
       val obs = new org.apache.spark.sql.Observation()
       val out = s"${sys.props("java.io.tmpdir")}/graft_observe/${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
       Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
         .filter(col("l_quantity") > 10)
         .observe(obs,
           count(lit(1)).as("n"),

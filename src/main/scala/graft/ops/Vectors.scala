@@ -150,8 +150,9 @@ object Vectors {
     * (computed with the typed VectorAvg Aggregator); every vector is
     * assigned to its nearest centroid cell, queries probe their 2 nearest
     * cells and brute-force only inside them. At 100 TB the corpus-side work
-    * is one broadcast-assign pass + an equi-join on cell id — the classic
-    * IVF-flat search shape.
+    * is one train scan (partial-agg to L centroid rows), one shuffle-free
+    * assign scan against driver-inlined centroids, and an equi-join on cell
+    * id — the classic IVF-flat search shape.
     */
   val q47AnnIvf = GraftQuery(
     "q47_ann_ivf",
@@ -162,21 +163,31 @@ object Vectors {
         .withColumn("v", col("embedding").cast("array<double>"))
         .withColumn("nrm", norm(col("v")))
         .select(col("vec_id"), col("label"), col("v"), col("nrm"))
-        .persist()
-      val cents = e.groupBy("label").agg(vecAvg(col("v")).as("cvec"))
-        .withColumn("cnrm", norm(col("cvec")))
-        .select(col("label").as("cell"), col("cvec"), col("cnrm"))
-      val csim = dot(col("v"), col("cvec")) / (col("nrm") * col("cnrm"))
-      val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), col("cell"))
-      val ranked = e.join(broadcast(cents))
-        .withColumn("csim", csim)
-        .withColumn("crn", row_number().over(wAssign))
-      val assigned = ranked.filter(col("crn") === 1)
-        .select(col("vec_id").as("cid"), col("v").as("cv"),
-          col("nrm").as("cn"), col("cell"))
-      val probes = ranked.filter(col("vec_id") < 10 && col("crn") <= 2)
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("nrm").as("qn"), col("cell"))
+      // IVF "train": per-label centroids reduce to L ≈ #labels rows — tiny at
+      // any SF — so collect them and inline as a literal. Cell assignment then
+      // becomes a per-row argmax over the literal (sort_array on
+      // (-sim, cell) structs): NO per-vector shuffle, no N×L window — the
+      // corpus side is two scans (train, assign+search) and one equi-join.
+      val centsLit = array(
+        e.groupBy("label").agg(vecAvg(col("v")).as("cvec")).collect().map { r =>
+          val cvec = r.getSeq[Double](1)
+          val cnrm = math.sqrt(cvec.foldLeft(0.0)((a, x) => a + x * x))
+          struct(lit(r.getInt(0)).as("cell"),
+            typedLit(cvec).as("cvec"), lit(cnrm).as("cnrm"))
+        }.toIndexedSeq: _*)
+      // lexicographic struct sort: neg asc == sim desc, then cell asc —
+      // identical tie-breaking to a (desc sim, asc cell) window rank
+      val rankedCells = sort_array(transform(centsLit, c =>
+        struct((-(dot(col("v"), c("cvec")) / (col("nrm") * c("cnrm")))).as("neg"),
+          c("cell").as("cell"))))
+      val withCells = e.withColumn("cells", rankedCells)
+      val assigned = withCells.select(
+        col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"),
+        element_at(col("cells"), 1).getField("cell").as("cell"))
+      val probes = withCells.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+          explode(slice(col("cells"), 1, 2)).as("pc"))
+        .select(col("qid"), col("qv"), col("qn"), col("pc.cell").as("cell"))
       val sims = assigned.join(broadcast(probes),
           assigned("cell") === probes("cell") && col("cid") =!= col("qid"))
         .select(col("qid"), col("cid"),
