@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+
+/** Fourth extras batch: fuzzy string matching (edit-distance blocking join),
+  * the calendar-function long tail, and correlated LATERAL top-k joins.
+  */
+object Extras4 {
+
+  /** Fuzzy near-match within a blocking key: candidate pairs are generated
+    * only inside each p_brand partition (the classic blocking step that
+    * keeps the pair count linear-ish at 100 TB — never an unblocked cross
+    * join), then scored with levenshtein edit distance. Identical distance
+    * definition in both engines; all outputs are exact integers.
+    */
+  val q90FuzzyMatch = GraftQuery(
+    "q90_fuzzy_match",
+    (s, dir) => {
+      val p = Tables.part(s, dir)
+        .filter(col("p_partkey") < 500)
+        .select(col("p_brand"), col("p_partkey").as("k1"), col("p_name").as("n1"))
+      val q = p.select(col("p_brand"), col("k1").as("k2"), col("n1").as("n2"))
+      p.join(q, Seq("p_brand"))
+        .filter(col("k1") < col("k2"))
+        .withColumn("lev", levenshtein(col("n1"), col("n2")))
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("lev") <= 12, 1L).otherwise(0L)).as("n_close"),
+          min("lev").as("min_lev"))
+        .orderBy("p_brand")
+    },
+    Some("""WITH p AS (SELECT p_brand, p_partkey k, p_name n FROM part WHERE p_partkey < 500)
+           |SELECT a.p_brand, count(*) AS n_pairs,
+           |  CAST(sum(CASE WHEN levenshtein(a.n, b.n) <= 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+           |  min(levenshtein(a.n, b.n)) AS min_lev
+           |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.k < b.k
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Calendar-function long tail over order dates: quarter boundaries,
+    * month-end, ISO day-of-week / week-of-year, day offsets and month
+    * arithmetic. Dates are emitted as ISO strings so the cross-engine
+    * compare is on exact text, not engine-specific date objects.
+    */
+  val q91DatetimeFuncs = GraftQuery(
+    "q91_datetime_funcs",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") < 200)
+        .withColumn("d", to_date(col("o_orderdate")))
+        .select(
+          col("o_orderkey"),
+          date_format(col("d"), "yyyy-MM-dd").as("d_iso"),
+          quarter(col("d")).as("qtr"),
+          date_format(last_day(col("d")), "yyyy-MM-dd").as("month_end"),
+          date_format(date_trunc("quarter", col("d")), "yyyy-MM-dd").as("qtr_start"),
+          (((dayofweek(col("d")) + lit(5)) % 7) + 1).as("isodow"),
+          weekofyear(col("d")).as("iso_week"),
+          date_format(date_add(col("d"), 45), "yyyy-MM-dd").as("plus_45d"),
+          date_format(add_months(col("d"), 3), "yyyy-MM-dd").as("plus_3m"),
+          datediff(col("d"), lit("1995-01-01").cast("date")).as("days_since_95"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+           |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d_iso,
+           |  CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr,
+           |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           |  strftime(CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE), '%Y-%m-%d') AS qtr_start,
+           |  CAST(isodow(CAST(o_orderdate AS DATE)) AS INT) AS isodow,
+           |  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS iso_week,
+           |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 45 DAY, '%Y-%m-%d') AS plus_45d,
+           |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+           |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95
+           |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin))
+
+  /** Correlated LATERAL top-k join: for each high-balance customer, the two
+    * most expensive orders via a LATERAL subquery with its own ORDER BY +
+    * LIMIT — the per-row dependent-join form Catalyst decorrelates (vs. the
+    * window-rank formulation in q6). Output is each customer's top order
+    * pair aggregated to one row.
+    */
+  val q92LateralTopk = GraftQuery(
+    "q92_lateral_topk",
+    (s, dir) => {
+      Tables.customer(s, dir).filter(col("c_acctbal") > 9900)
+        .createOrReplaceTempView("graft_lat_cust")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_lat_orders")
+      s.sql("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+              |FROM graft_lat_cust c,
+              |LATERAL (
+              |  SELECT o_orderkey, o_totalprice FROM graft_lat_orders
+              |  WHERE o_custkey = c.c_custkey
+              |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+              |) t
+              |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+    },
+    Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+           |FROM (SELECT * FROM customer WHERE c_acctbal > 9900) c,
+           |LATERAL (
+           |  SELECT o_orderkey, o_totalprice FROM orders
+           |  WHERE o_custkey = c.c_custkey
+           |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+           |) t
+           |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q90FuzzyMatch, q91DatetimeFuncs, q92LateralTopk)
+}

@@ -144,6 +144,80 @@ object Stats {
            |  round(min(least(l_discount, l_tax)), 2) AS min_rate
            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Linear-regression aggregates (regr_*): slope/intercept/R²/count of
+    * price-on-quantity per return flag — single-pass covariance-style
+    * accumulation, so at 100 TB it's one scan + a 3-row partial agg. Rounded
+    * to 4: the regr_* outputs are ratios of large co-moment sums, stable
+    * across engine accumulation orders well past that.
+    */
+  val q87Regression = GraftQuery(
+    "q87_regression",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+           |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           |  regr_count(l_extendedprice, l_quantity) AS n
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Distribution-shape aggregates: skewness / kurtosis / median / boolean
+    * aggs per event type. Spark reports POPULATION skewness g1 and excess
+    * kurtosis g2; DuckDB reports the bias-corrected SAMPLE statistics G1/G2,
+    * so the oracle converts with the standard bias factors
+    * g1 = G1·(n-2)/√(n(n-1)) and g2 = (G2·(n-2)(n-3)/(n-1) − 6)/(n+1)
+    * (verified numerically to 1e-15 before adoption).
+    */
+  val q88DistShape = GraftQuery(
+    "q88_dist_shape",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          round(skewness(col("value")), 3).as("skew"),
+          round(kurtosis(col("value")), 3).as("kurt"),
+          round(median(col("value")), 4).as("med"),
+          bool_and(col("value") >= 0).as("all_nonneg"),
+          bool_or(col("value") > 99).as("any_high"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+           |  round(skewness(value) * (count(value) - 2)
+           |    / sqrt(count(value) * (count(value) - 1.0)), 3) AS skew,
+           |  round((kurtosis(value) * (count(value) - 2) * (count(value) - 3)
+           |    / (count(value) - 1.0) - 6) / (count(value) + 1.0), 3) AS kurt,
+           |  round(median(value), 4) AS med,
+           |  bool_and(value >= 0) AS all_nonneg,
+           |  bool_or(value > 99) AS any_high,
+           |  count(*) AS n
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Bitwise aggregates over integer keys — exact in both engines (BIGINT
+    * in, BIGINT out), order-independent, so no rounding discipline needed.
+    */
+  val q89Bitwise = GraftQuery(
+    "q89_bitwise",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_linenumber")
+        .agg(
+          expr("bit_and(l_orderkey)").as("band"),
+          expr("bit_or(l_orderkey)").as("bor"),
+          expr("bit_xor(l_orderkey)").as("bxor"),
+          count(lit(1)).as("n"))
+        .orderBy("l_linenumber"),
+    Some("""SELECT l_linenumber, bit_and(l_orderkey) AS band,
+           |  bit_or(l_orderkey) AS bor, bit_xor(l_orderkey) AS bxor,
+           |  count(*) AS n
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q42Pivot, q43Percentiles, q44Moments, q45WindowExtras,
-    q66Histogram, q75MathFuncs)
+    q66Histogram, q75MathFuncs, q87Regression, q88DistShape, q89Bitwise)
 }
