@@ -141,6 +141,62 @@ object Layout {
            |  CAST(sum(CASE WHEN doc_id % 2 <> 0 AND n_chars > 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Morton (z-order) bit-spread of a 10-bit value: classic mask-shift
+    * doubling, expressible identically in any engine with `<<`, `|`, `&`.
+    */
+  private[ops] def spreadBits(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val a = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val d = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+    d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order clustering: interleave the bits of two filter dimensions
+    * (order key, part key) into one Morton code, then range-partition and
+    * sort the sink on it — every output file covers a narrow z-range, so a
+    * 2-D predicate prunes row groups on BOTH dimensions at 100 TB (the
+    * multi-dimension answer to 1-D sort keys; LayoutSpec asserts the
+    * per-file span). The oracled result is pure z arithmetic, invariant to
+    * the physical layout.
+    */
+  val q93ZOrder = GraftQuery(
+    "q93_zorder",
+    (s, dir) => {
+      val out = workDir(dir, "zorder")
+      val withZ = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+        .withColumn("z", spreadBits(col("l_orderkey") % 1024)
+          .bitwiseOR(shiftleft(spreadBits(col("l_partkey") % 1024), 1)))
+      withZ.repartitionByRange(8, col("z"))
+        .sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy(shiftright(col("z"), 14).as("zbucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          min("z").as("min_z"),
+          max("z").as("max_z"),
+          round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("zbucket")
+    },
+    Some("""WITH sp AS (
+           |  SELECT l_quantity,
+           |    ((((l_orderkey % 1024) | ((l_orderkey % 1024) << 8)) & 16711935)) AS xa,
+           |    ((((l_partkey  % 1024) | ((l_partkey  % 1024) << 8)) & 16711935)) AS ya
+           |  FROM lineitem),
+           |sp2 AS (SELECT l_quantity,
+           |    (((xa | (xa << 4)) & 252645135)) AS xb,
+           |    (((ya | (ya << 4)) & 252645135)) AS yb FROM sp),
+           |sp3 AS (SELECT l_quantity,
+           |    (((xb | (xb << 2)) & 858993459)) AS xc,
+           |    (((yb | (yb << 2)) & 858993459)) AS yc FROM sp2),
+           |z AS (SELECT l_quantity,
+           |    (((xc | (xc << 1)) & 1431655765))
+           |      | ((((yc | (yc << 1)) & 1431655765)) << 1) AS z FROM sp3)
+           |SELECT z >> 14 AS zbucket, count(*) AS n, min(z) AS min_z, max(z) AS max_z,
+           |  round(sum(l_quantity), 2) AS qty
+           |FROM z GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q83TextSource, q84PartitionedWrite,
-    q85BucketedJoin, q86SchemaEvolution)
+    q85BucketedJoin, q86SchemaEvolution, q93ZOrder)
 }

@@ -44,6 +44,22 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(df.collect().nonEmpty)
   }
 
+  test("q93: z-order sink clusters each file into a narrow z-range") {
+    Layout.q93ZOrder.fn(spark, sf).collect() // runs the clustered write
+    val key = sf.replaceAll("[^0-9a-zA-Z.]", "_")
+    val out = s"${sys.props("java.io.tmpdir")}/graft_layout/zorder_$key"
+    val spans = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("z").as("lo"), max("z").as("hi"))
+      .collect()
+    assert(spans.length > 1, "expected multiple z-clustered files")
+    val global = spans.map(_.getAs[Long]("hi")).max - spans.map(_.getAs[Long]("lo")).min
+    val avgSpan = spans.map(r => r.getAs[Long]("hi") - r.getAs[Long]("lo")).sum.toDouble / spans.length
+    // range-partitioned + sorted on z: each file covers ~1/8 of the space;
+    // anything below half the global span proves the clustering engaged
+    assert(avgSpan < global / 2.0, s"avg per-file z-span $avgSpan vs global $global")
+  }
+
   test("q86: merged schema surfaces nulls for pre-evolution rows") {
     val rows = Layout.q86SchemaEvolution.fn(spark, sf).collect()
     assert(rows.nonEmpty)
