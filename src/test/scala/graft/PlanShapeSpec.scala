@@ -53,4 +53,32 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     // codegen spans print as "*(n) Operator" in the simple plan string
     assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), p.take(2000))
   }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // At 100 TB a selective dim filter should also prune the fact scan at
+    // runtime (semi-join reduction). Spark's InjectRuntimeFilter does this
+    // with a bloom filter; thresholds are sized for clusters, so shrink them
+    // to fixture scale to pin the rule's behavior.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val orders = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      val li = Tables.lineitem(spark, sf)
+      val joined = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity").as("qty"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg") || p.contains("BloomFilterMightContain") ||
+        p.contains("might_contain"), p.take(3000))
+      assert(joined.collect().nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
