@@ -17,7 +17,8 @@ object SparkEntry {
       ops.Dedup.all ++ ops.Vectors.all ++ ops.Multimodal.all ++
       ops.StreamingQueries.all ++ ops.Aggregates.all ++ ops.Extras.all ++
       ops.Stats.all ++ ops.Chunking.all ++ ops.Pipeline.all ++ ops.Extras2.all ++
-      ops.CustomPlans.all ++ ops.Extras3.all ++ ops.Layout.all ++ ops.Extras4.all
+      ops.CustomPlans.all ++ ops.Extras3.all ++ ops.Layout.all ++ ops.Extras4.all ++
+      ops.Sketches.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
