@@ -125,10 +125,38 @@ object Dedup {
     * cluster use `checkpoint` to reliable storage instead of
     * `localCheckpoint` (executor loss loses local blocks).
     */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 50,
+      localThreshold: Long = 200000L): DataFrame = {
     val sym = edges.select(col("i").as("a"), col("j").as("b"))
       .unionAll(edges.select(col("j").as("a"), col("i").as("b")))
       .persist()
+    // Adaptive fast path: candidate-pair graphs usually collapse to a tiny
+    // edge set after LSH banding; below the threshold a driver-side
+    // union-find beats several distributed join rounds. Above it, fall
+    // through to the iterative min-label propagation (the 100 TB path).
+    val edgeCount = sym.count()
+    if (edgeCount <= localThreshold) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = sym.select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val out = parent.keys.toSeq.map(v => (v, find(v))).toDF("v", "lbl")
+      sym.unpersist()
+      return out
+    }
     var labels = sym.select(col("a").as("v")).distinct()
       .withColumn("lbl", col("v")).localCheckpoint()
     // labels only ever decrease (least of self and neighbor minima), so the

@@ -33,13 +33,17 @@ object Sketches {
     "q94_cms_freq",
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
-      val sketch = li
-        .select(explode(sequence(lit(0), lit(3))).as("r"), col("l_partkey"))
+      // pre-aggregate to distinct keys first: the 4-way hash explosion then
+      // touches |keys| rows instead of |input| rows, and the counters are
+      // identical (sum of per-key counts per bucket == raw row count)
+      val freq = li.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      val sketch = freq
+        .select(explode(sequence(lit(0), lit(3))).as("r"), col("l_partkey"), col("cnt"))
         .withColumn("bucket",
           md5Int(concat(col("r").cast("string"), lit("_"), col("l_partkey").cast("string"))) % 256)
-        .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
-      val probes = li.filter(col("l_partkey") <= 20)
-        .groupBy("l_partkey").agg(count(lit(1)).as("exact"))
+        .groupBy("r", "bucket").agg(sum("cnt").as("c"))
+      val probes = freq.filter(col("l_partkey") <= 20)
+        .select(col("l_partkey"), col("cnt").as("exact"))
       val probeHashes = probes
         .select(col("l_partkey"), col("exact"),
           explode(sequence(lit(0), lit(3))).as("r"))

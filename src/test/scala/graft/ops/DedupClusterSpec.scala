@@ -32,6 +32,20 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec {
     assert(got.forall(_._2 == 0L))
   }
 
+  test("distributed loop path (threshold 0) agrees with the local union-find") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("i", "j")
+    val dist = Dedup.connectedComponents(edges, localThreshold = 0L)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val local = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(dist == local)
+  }
+
   test("GraphX variant agrees with the DataFrame loop on a mixed graph") {
     import spark.implicits._
     // chains, triangles, pairs, and hash-scrambled ids in one edge list
