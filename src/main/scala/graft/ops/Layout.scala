@@ -89,13 +89,19 @@ object Layout {
           s.conf.get("spark.sql.warehouse.dir") + s"/$t")
         p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
       }
+      // repartition on the bucket key into numBuckets partitions: Spark's
+      // repartition hash == bucket hash (murmur3 pmod n), so every task holds
+      // exactly one bucket and writes ONE file — without this, each of the 32
+      // input partitions spills a file per bucket it sees (256 small files)
       if (!s.catalog.tableExists(ot)) {
         Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartition(8, col("o_orderkey"))
           .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .mode("overwrite").saveAsTable(ot)
       }
       if (!s.catalog.tableExists(lt)) {
         Tables.lineitem(s, dir).select("l_orderkey", "l_quantity", "l_extendedprice")
+          .repartition(8, col("l_orderkey"))
           .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .mode("overwrite").saveAsTable(lt)
       }

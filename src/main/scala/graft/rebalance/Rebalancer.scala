@@ -42,9 +42,13 @@ object Rebalancer {
       case RoundRobin   => df.repartition(shards)
     }
     val staging = dest + ".__staging__"
-    shaped.write.mode(SaveMode.Overwrite).parquet(staging)
+    // the moved-row count rides the write pass via observe — a separate
+    // post-swap count() would re-read the whole destination at 100 TB
+    val obs = new org.apache.spark.sql.Observation()
+    shaped.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(staging)
     swap(spark, staging, dest)
-    spark.read.parquet(dest).count()
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Atomic-as-the-filesystem-allows directory swap: dest is replaced by
