@@ -155,6 +155,30 @@ object Pipeline {
            |  max(doc_id) AS max_doc, CAST(sum(doc_id) AS BIGINT) AS id_sum
            |FROM ranked WHERE rn <= 20 GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Deterministic WEIGHTED sampling (A-ES / Efraimidis-Spirakis): each doc
+    * draws u = md5(doc_id)/2^32 ∈ (0,1) and keys on u^(1/w) with w = n_chars,
+    * so longer documents are proportionally likelier to be kept, yet the
+    * sample is fully reproducible (no RNG state, any engine agrees). One
+    * scan + a top-k — the distributed form of weighted reservoir sampling.
+    */
+  val q97WeightedSample = GraftQuery(
+    "q97_weighted_sample",
+    (s, dir) => {
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double") / lit(4294967296.0)
+      Tables.documents(s, dir)
+        .filter(col("n_chars") > 0)
+        .withColumn("skey", round(pow(u, lit(1.0) / col("n_chars")), 8))
+        .orderBy(desc("skey"), col("doc_id"))
+        .limit(30)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("skey"))
+    },
+    Some("""SELECT doc_id, lang, n_chars,
+           |  round(pow(CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT)
+           |    / 4294967296.0, 1.0 / n_chars), 8) AS skey
+           |FROM documents WHERE n_chars > 0
+           |ORDER BY skey DESC, doc_id LIMIT 30""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q52HashSample, q53IncrementalDedup, q54OutlierFilter,
-    q65StratifiedSample)
+    q65StratifiedSample, q97WeightedSample)
 }
