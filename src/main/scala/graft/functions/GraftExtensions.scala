@@ -24,5 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleHashes].getName, GraftFunctions.SHINGLE3),
       exprs => ShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
     e.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+    e.injectOptimizerRule(_ => graft.plans.JaccardSizePrefilter)
   }
 }

@@ -24,10 +24,13 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     // custom-plan strategy (as-of join); idempotent like the functions below
     spark match {
-      case c: org.apache.spark.sql.classic.SparkSession
-          if !c.experimental.extraStrategies.contains(graft.plans.GraftStrategy) =>
-        c.experimental.extraStrategies =
-          c.experimental.extraStrategies :+ graft.plans.GraftStrategy
+      case c: org.apache.spark.sql.classic.SparkSession =>
+        if (!c.experimental.extraStrategies.contains(graft.plans.GraftStrategy))
+          c.experimental.extraStrategies =
+            c.experimental.extraStrategies :+ graft.plans.GraftStrategy
+        if (!c.experimental.extraOptimizations.contains(graft.plans.JaccardSizePrefilter))
+          c.experimental.extraOptimizations =
+            c.experimental.extraOptimizations :+ graft.plans.JaccardSizePrefilter
       case _ => ()
     }
     val reg = spark.sessionState.functionRegistry
