@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+
+/** Corpus-hygiene operators for the training-data pipeline: PII
+  * pseudonymization, benchmark-contamination detection, and the
+  * repeated-token quality filter. All pure column expressions — at 100 TB
+  * each is one scan (plus an equi-join for contamination), codegen-friendly,
+  * with md5/sha256-derived determinism so the oracle matches exactly.
+  */
+object Hygiene {
+
+  /** PII redaction / pseudonymization over the customer table: the
+    * identifying name is replaced by a sha256 digest (stable join key, no
+    * plaintext) plus a masked display form keeping only the last 4
+    * characters, while the analytic columns pass through untouched.
+    */
+  val q99PiiRedact = GraftQuery(
+    "q99_pii_redact",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .filter(col("c_custkey") <= 100)
+        .select(
+          col("c_custkey"),
+          sha2(col("c_name"), 256).as("name_key"),
+          concat(lit("****"),
+            substring(col("c_name"), length(col("c_name")) - 3, lit(4))).as("name_masked"),
+          col("c_mktsegment"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, sha256(c_name) AS name_key,
+           |  '****' || substr(c_name, length(c_name) - 3, 4) AS name_masked,
+           |  c_mktsegment, round(c_acctbal, 2) AS acctbal
+           |FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin))
+
+  /** md5-derived hash of one space-joined word 8-gram, Spark side. */
+  private def gram8(words: Column, i: Column): Column =
+    conv(substring(md5(concat_ws(" ", slice(words, i, lit(8)))), 1, 8), 16, 10).cast("long")
+
+  /** Benchmark-contamination detection: docs whose id ≡ 0 (mod 97) stand in
+    * for an eval benchmark; any OTHER doc sharing a verbatim word 8-gram
+    * with them is contaminated and must be dropped before training. Shape:
+    * explode both sides to 8-gram hashes, distinct the probe set, one
+    * equi-semi-join — the 13-gram decontamination pipeline shape at scale
+    * (probe side is small → broadcast).
+    */
+  val q100Contamination = GraftQuery(
+    "q100_contamination",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 8)
+        .withColumn("g", transform(sequence(lit(1), size(col("w")) - 7),
+          i => gram8(col("w"), i)))
+      val probeGrams = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("g")).as("gram")).distinct()
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      val contaminated = train
+        .select(col("doc_id"), col("lang"), explode(col("g")).as("gram"))
+        .join(broadcast(probeGrams), Seq("gram"), "left_semi")
+        .select("doc_id", "lang").distinct()
+      train.select("lang").groupBy("lang").agg(count(lit(1)).as("n_train"))
+        .join(contaminated.groupBy("lang").agg(count(lit(1)).as("n_contaminated")),
+          Seq("lang"), "left")
+        .select(col("lang"), col("n_train"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+        .orderBy("lang")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+           |  WHERE len(string_split(text, ' ')) >= 8),
+           |g AS (
+           |  SELECT doc_id, lang,
+           |    list_transform(range(1, len(w) - 6),
+           |      i -> CAST(concat('0x', substr(md5(array_to_string(w[i:i+7], ' ')), 1, 8)) AS BIGINT)) AS grams
+           |  FROM d),
+           |probe AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+           |train AS (SELECT * FROM g WHERE doc_id % 97 <> 0),
+           |tg AS (SELECT doc_id, lang, unnest(grams) AS gram FROM train),
+           |cont AS (SELECT DISTINCT doc_id, lang FROM tg
+           |  WHERE gram IN (SELECT gram FROM probe))
+           |SELECT t.lang, count(*) AS n_train,
+           |  coalesce(any_value(c.n), 0) AS n_contaminated
+           |FROM train t LEFT JOIN
+           |  (SELECT lang, count(*) AS n FROM cont GROUP BY 1) c ON c.lang = t.lang
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Gopher-style repetition filter: per-document top-word frequency ratio;
+    * documents whose single most frequent word exceeds 8% of all tokens are
+    * flagged low-quality. explode → two partial-agg groupBys + one window
+    * rank — no per-doc state bigger than a counter.
+    */
+  val q101Repetition = GraftQuery(
+    "q101_repetition",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val counts = words.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      val totals = words.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
+      val top = counts
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(desc("cnt"), col("w"))))
+        .filter(col("rn") === 1)
+      top.join(totals, "doc_id")
+        .withColumn("ratio", round(col("cnt") / col("n_words"), 6))
+        .filter(col("ratio") > 0.08)
+        .select(col("doc_id"), col("w").as("top_word"), col("cnt").as("top_cnt"),
+          col("n_words"), col("ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH words AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+           |counts AS (SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY 1, 2),
+           |totals AS (SELECT doc_id, count(*) AS n_words FROM words GROUP BY 1),
+           |top AS (SELECT doc_id, w, cnt,
+           |  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, w) AS rn
+           |  FROM counts)
+           |SELECT t.doc_id, t.w AS top_word, t.cnt AS top_cnt, tt.n_words,
+           |  round(t.cnt / tt.n_words, 6) AS ratio
+           |FROM top t JOIN totals tt USING (doc_id)
+           |WHERE rn = 1 AND round(t.cnt / tt.n_words, 6) > 0.08
+           |ORDER BY t.doc_id""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q99PiiRedact, q100Contamination, q101Repetition)
+}
