@@ -203,6 +203,27 @@ object Layout {
            |  round(sum(l_quantity), 2) AS qty
            |FROM z GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** DataSource V2 generator table (ClickHouse `system.numbers` analogue):
+    * fully parallel synthetic rows with deterministic md5-derived hashes —
+    * see [[graft.sources.NumbersSource]]. The aggregate is reproduced by the
+    * oracle from `range()`, proving the source's values (not just counts).
+    */
+  val q102NumbersSource = GraftQuery(
+    "q102_numbers_source",
+    (s, _) =>
+      s.read.format("graft.sources.NumbersSource")
+        .option("end", "50000").option("splits", "8").load()
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("id").as("id_sum"),
+          sum("hash").as("hash_sum"))
+        .orderBy("bucket"),
+    Some("""SELECT CAST(id % 10 AS INT) AS bucket, count(*) AS n,
+           |  CAST(sum(id) AS BIGINT) AS id_sum,
+           |  CAST(sum(CAST(concat('0x', substr(md5(id::VARCHAR), 1, 8)) AS BIGINT)) AS BIGINT) AS hash_sum
+           |FROM range(0, 50000) t(id) GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q83TextSource, q84PartitionedWrite,
-    q85BucketedJoin, q86SchemaEvolution, q93ZOrder)
+    q85BucketedJoin, q86SchemaEvolution, q93ZOrder, q102NumbersSource)
 }
