@@ -104,5 +104,76 @@ object Extras4 {
            |) t
            |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q90FuzzyMatch, q91DatetimeFuncs, q92LateralTopk)
+  /** TPC-H Q3 analogue (shipping-priority): top-10 highest-revenue orders of
+    * one market segment, ordered before a cutoff but shipped after it — the
+    * canonical 3-table join + aggregate + top-k workload. Revenue is rounded
+    * before the ORDER BY so the top-k boundary is float-drift-proof, with
+    * l_orderkey as the total tie-break.
+    */
+  val q103TpchQ3 = GraftQuery(
+    "q103_tpch_q3",
+    (s, dir) => {
+      val cut = lit("1997-06-01").cast("date")
+      Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .filter(to_date(col("o_orderdate")) < cut)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .filter(to_date(col("l_shipdate")) > cut)
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderpriority"))
+        .agg(round(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))) / 10000.0, 2).as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_date", "o_orderpriority")
+    },
+    Some("""SELECT l_orderkey,
+           |  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue,
+           |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date,
+           |  o_orderpriority
+           |FROM customer
+           |JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON o_orderkey = l_orderkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND CAST(o_orderdate AS DATE) < DATE '1997-06-01'
+           |  AND CAST(l_shipdate AS DATE) > DATE '1997-06-01'
+           |GROUP BY l_orderkey, 3, o_orderpriority
+           |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin))
+
+  /** TPC-H Q10 analogue (returned-item reporting): per-customer lost revenue
+    * from returned lineitems in one quarter, joined to the nation dimension —
+    * 4-table join, conditional date slice, top-20.
+    */
+  val q104TpchQ10 = GraftQuery(
+    "q104_tpch_q10",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .filter(to_date(col("o_orderdate")) >= lit("1996-01-01").cast("date") &&
+          to_date(col("o_orderdate")) < lit("1996-07-01").cast("date"))
+        .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))) / 10000.0, 2).as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name"),
+    Some("""SELECT c_custkey, c_name,
+           |  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue, n_name
+           |FROM customer
+           |JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON o_orderkey = l_orderkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+           |  AND CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+           |  AND l_returnflag = 'R'
+           |GROUP BY c_custkey, c_name, n_name
+           |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q90FuzzyMatch, q91DatetimeFuncs, q92LateralTopk,
+    q103TpchQ3, q104TpchQ10)
 }
