@@ -224,6 +224,41 @@ object Layout {
            |  CAST(sum(CAST(concat('0x', substr(md5(id::VARCHAR), 1, 8)) AS BIGINT)) AS BIGINT) AS hash_sum
            |FROM range(0, 50000) t(id) GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** V2 sink round-trip: orders stream through the custom two-phase-commit
+    * sharded sink ([[graft.sources.ShardedCsvSink]]), are read back from the
+    * committed shards, and must aggregate identically to the source table —
+    * proving the commit protocol loses and duplicates nothing. Doubles
+    * round-trip exactly (Java toString ↔ parse).
+    */
+  val q105V2SinkRoundtrip = GraftQuery(
+    "q105_v2_sink_roundtrip",
+    (s, dir) => {
+      val out = workDir(dir, "v2sink")
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.format("graft.sources.ShardedCsvSink")
+        .option("path", out).mode("overwrite").save()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_totalprice",
+          org.apache.spark.sql.types.DoubleType)))
+      s.read.schema(schema).csv(s"$out/part-*.csv")
+        .groupBy((col("o_custkey") % 7).as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum("o_orderkey").as("key_sum"),
+          round(sum("o_totalprice"), 2).as("price_sum"))
+        .orderBy("bucket")
+    },
+    Some("""SELECT o_custkey % 7 AS bucket, count(*) AS n,
+           |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           |  round(sum(o_totalprice), 2) AS price_sum
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q83TextSource, q84PartitionedWrite,
-    q85BucketedJoin, q86SchemaEvolution, q93ZOrder, q102NumbersSource)
+    q85BucketedJoin, q86SchemaEvolution, q93ZOrder, q102NumbersSource,
+    q105V2SinkRoundtrip)
 }
