@@ -174,6 +174,44 @@ object Extras4 {
            |GROUP BY c_custkey, c_name, n_name
            |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
 
+  /** Recursive CTE (Spark 4 WITH RECURSIVE): walk the synthetic customer
+    * hierarchy parent(k) = k div 10 from the single-digit roots down,
+    * labeling every customer with its root and depth — the transitive-
+    * closure/org-chart recursion shape. Each recursion step is one
+    * distributed join against the previous frontier; depth is bounded by
+    * the key width, so the iteration count is O(log10(maxkey)) regardless
+    * of row count.
+    */
+  val q106RecursiveCte = GraftQuery(
+    "q106_recursive_cte",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("graft_rec_cust")
+      s.sql("""WITH RECURSIVE chain AS (
+              |  SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
+              |  FROM graft_rec_cust WHERE c_custkey < 10
+              |  UNION ALL
+              |  SELECT c.c_custkey, ch.root, ch.depth + 1
+              |  FROM graft_rec_cust c
+              |  JOIN chain ch ON c.c_custkey div 10 = ch.node
+              |  WHERE c.c_custkey >= 10
+              |)
+              |SELECT depth, count(*) AS n, min(node) AS min_node,
+              |  max(node) AS max_node, CAST(sum(root) AS BIGINT) AS root_sum
+              |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
+    },
+    Some("""WITH RECURSIVE chain AS (
+           |  SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
+           |  FROM customer WHERE c_custkey < 10
+           |  UNION ALL
+           |  SELECT c.c_custkey, ch.root, ch.depth + 1
+           |  FROM customer c
+           |  JOIN chain ch ON c.c_custkey // 10 = ch.node
+           |  WHERE c.c_custkey >= 10
+           |)
+           |SELECT CAST(depth AS INT) AS depth, count(*) AS n, min(node) AS min_node,
+           |  max(node) AS max_node, CAST(sum(root) AS BIGINT) AS root_sum
+           |FROM chain GROUP BY depth ORDER BY depth""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q90FuzzyMatch, q91DatetimeFuncs, q92LateralTopk,
-    q103TpchQ3, q104TpchQ10)
+    q103TpchQ3, q104TpchQ10, q106RecursiveCte)
 }

@@ -54,6 +54,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), p.take(2000))
   }
 
+  test("BROADCAST hint forces a broadcast join below the auto threshold") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, sf).createOrReplaceTempView("graft_hint_orders")
+      Tables.lineitem(spark, sf).createOrReplaceTempView("graft_hint_lineitem")
+      val hinted = spark.sql(
+        """SELECT /*+ BROADCAST(o) */ o.o_orderpriority, count(*) AS n
+          |FROM graft_hint_lineitem l JOIN graft_hint_orders o
+          |  ON l.l_orderkey = o.o_orderkey
+          |GROUP BY 1""".stripMargin)
+      assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      val unhinted = spark.sql(
+        """SELECT o.o_orderpriority, count(*) AS n
+          |FROM graft_hint_lineitem l JOIN graft_hint_orders o
+          |  ON l.l_orderkey = o.o_orderkey
+          |GROUP BY 1""".stripMargin)
+      assert(!unhinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // At 100 TB a selective dim filter should also prune the fact scan at
     // runtime (semi-join reduction). Spark's InjectRuntimeFilter does this
