@@ -212,6 +212,34 @@ object Extras4 {
            |  max(node) AS max_node, CAST(sum(root) AS BIGINT) AS root_sum
            |FROM chain GROUP BY depth ORDER BY depth""".stripMargin))
 
+  /** ANSI-safe error handling: Spark 4 runs ANSI mode by default, where bad
+    * casts and division by zero THROW — try_cast / try_divide are the
+    * null-on-error escape hatches a robust 100 TB pipeline uses instead of
+    * failing a 6-hour job on one malformed row. The oracle mirrors them with
+    * DuckDB TRY_CAST and nullif-guarded division.
+    */
+  val q107TryFunctions = GraftQuery(
+    "q107_try_functions",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("seg_num", expr("try_cast(o_orderpriority AS DOUBLE)"))
+        .withColumn("prio_rank", expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)"))
+        .withColumn("ratio", expr("try_divide(o_totalprice, o_custkey % 3)"))
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("seg_num")).as("n_seg_cast_ok"),
+          count(col("prio_rank")).as("n_prio_cast_ok"),
+          count(col("ratio")).as("n_ratio_ok"),
+          round(sum("ratio"), 2).as("ratio_sum"))
+        .orderBy("o_orderstatus"),
+    Some("""SELECT o_orderstatus, count(*) AS n,
+           |  count(TRY_CAST(o_orderpriority AS DOUBLE)) AS n_seg_cast_ok,
+           |  count(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT)) AS n_prio_cast_ok,
+           |  count(o_totalprice / nullif(o_custkey % 3, 0)) AS n_ratio_ok,
+           |  round(sum(o_totalprice / nullif(o_custkey % 3, 0)), 2) AS ratio_sum
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q90FuzzyMatch, q91DatetimeFuncs, q92LateralTopk,
-    q103TpchQ3, q104TpchQ10, q106RecursiveCte)
+    q103TpchQ3, q104TpchQ10, q106RecursiveCte, q107TryFunctions)
 }
