@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+
+/** Keyed batch upsert (MERGE semantics over immutable parquet): updates win
+  * over existing rows on the key, inserts pass through — the CDC-apply /
+  * compaction primitive behind every mutable-table illusion on an
+  * append-only lake. Implemented as a UNION + per-key rank (updates ranked
+  * first) rather than a full-outer join: one shuffle on the key, no wide
+  * null-handling, and N-batch generalization is the same plan with a batch
+  * ordinal. Pairs with [[graft.rebalance.Rebalancer]]'s staging+swap to
+  * publish the merged table atomically.
+  */
+object Upsert {
+
+  /** Rows of `updates` replace same-key rows of `existing`; others insert. */
+  def merge(existing: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = existing.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(col(key)).orderBy(desc("__src"))
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__src", "__rn")
+  }
+
+  /** Upsert a revised order batch into orders, then audit the merge: row
+    * counts by origin plus value sums proving updated keys carry the new
+    * prices and untouched keys the old ones.
+    */
+  val q108Upsert = GraftQuery(
+    "q108_upsert",
+    (s, dir) => {
+      val orders = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      // revision batch: every 7th order re-priced +10%, plus brand-new
+      // synthetic keys above the current max — both derived deterministically
+      val updates = orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice",
+          // +10% in exact integer cents ((c*11+5) div 10): round(x*1.1, 2)
+          // is NOT cross-engine stable on half-cent doubles
+          expr("((cast(round(o_totalprice * 100) as bigint) * 11 + 5) div 10) / 100.0"))
+        .withColumn("o_orderstatus", lit("U"))
+        .unionByName(
+          orders.filter(col("o_orderkey") % 1000 === 1)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+            .withColumn("o_orderstatus", lit("N")))
+      Upsert.merge(orders, updates, "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(round(col("o_totalprice") * 100).cast("long")) / 100.0, 2).as("price_sum"),
+          min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""WITH orders0 AS (
+           |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
+           |updates AS (
+           |  SELECT o_orderkey, o_custkey, ((CAST(round(o_totalprice * 100) AS BIGINT) * 11 + 5) // 10) / 100.0 AS o_totalprice,
+           |    'U' AS o_orderstatus
+           |  FROM orders0 WHERE o_orderkey % 7 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice, 'N'
+           |  FROM orders0 WHERE o_orderkey % 1000 = 1),
+           |merged AS (
+           |  SELECT * FROM updates
+           |  UNION ALL
+           |  SELECT * FROM orders0
+           |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates))
+           |SELECT o_orderstatus, count(*) AS n,
+           |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS price_sum,
+           |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q108Upsert)
+}
