@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+
+/** Fifth extras batch: outer-join null audit and the window null-handling
+  * surface (defaults + IGNORE NULLS).
+  */
+object Extras5 {
+
+  /** LEFT and RIGHT outer joins in one audit: customers with no orders
+    * surface as null-extended rows on the probe side, and the mirrored
+    * right join must agree exactly — the dangling-row semantics every
+    * report join depends on.
+    */
+  val q109OuterJoins = GraftQuery(
+    "q109_outer_joins",
+    (s, dir) => {
+      val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+      val o = Tables.orders(s, dir).select("o_custkey", "o_totalprice")
+      val left = c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("o_custkey").isNull.cast("long")).as("n_dangling"),
+          countDistinct(col("c_custkey")).as("n_customers"))
+      val right = o.join(c, c("c_custkey") === o("o_custkey"), "right")
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("r_rows"),
+          sum(col("o_custkey").isNull.cast("long")).as("r_dangling"))
+      left.join(right, Seq("c_mktsegment"))
+        .select("c_mktsegment", "n_rows", "n_dangling", "n_customers",
+          "r_rows", "r_dangling")
+        .orderBy("c_mktsegment")
+    },
+    Some("""WITH l AS (
+           |  SELECT c_mktsegment, count(*) AS n_rows,
+           |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dangling,
+           |    count(DISTINCT c_custkey) AS n_customers
+           |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           |  GROUP BY 1),
+           |r AS (
+           |  SELECT c_mktsegment, count(*) AS r_rows,
+           |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r_dangling
+           |  FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
+           |  GROUP BY 1)
+           |SELECT c_mktsegment, n_rows, n_dangling, n_customers, r_rows, r_dangling
+           |FROM l JOIN r USING (c_mktsegment) ORDER BY c_mktsegment""".stripMargin))
+
+  /** Window null handling: lag with an explicit default and first/last_value
+    * IGNORE NULLS over a running frame — the gap-bridging primitives behind
+    * forward-fill (q69 uses the same machinery). The nullable measure is
+    * derived deterministically (value only on every 3rd event).
+    */
+  val q110WindowNulls = GraftQuery(
+    "q110_window_nulls",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("event_id") < 2000)
+        .withColumn("y", when(col("event_id") % 3 === 0, round(col("value"), 2)))
+        .select(
+          col("user_id"), col("event_id"), col("y"),
+          lag(col("y"), 1, -1.0).over(w).as("prev_or_default"),
+          first(col("y"), ignoreNulls = true).over(run).as("first_seen"),
+          last(col("y"), ignoreNulls = true).over(run).as("carry_forward"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id,
+           |  CASE WHEN event_id % 3 = 0 THEN round(value, 2) END AS y,
+           |  lag(CASE WHEN event_id % 3 = 0 THEN round(value, 2) END, 1, -1.0) OVER w AS prev_or_default,
+           |  first_value((CASE WHEN event_id % 3 = 0 THEN round(value, 2) END) IGNORE NULLS)
+           |    OVER (PARTITION BY user_id ORDER BY event_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_seen,
+           |  last_value((CASE WHEN event_id % 3 = 0 THEN round(value, 2) END) IGNORE NULLS)
+           |    OVER (PARTITION BY user_id ORDER BY event_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_forward
+           |FROM events WHERE event_id < 2000
+           |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+           |ORDER BY user_id, event_id""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q109OuterJoins, q110WindowNulls)
+}
