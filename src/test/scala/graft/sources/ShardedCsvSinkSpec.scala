@@ -51,6 +51,29 @@ class ShardedCsvSinkSpec extends AnyFunSuite with SparkSpec {
     assert(!new java.io.File(s"$out.__tmp__").exists())
   }
 
+  test("failed job leaves the previous committed state untouched (abort path)") {
+    val base = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    base.write.format("graft.sources.ShardedCsvSink")
+      .option("path", out).mode("overwrite").save()
+    val before = readManifest()
+    val beforeCount = readBack().count()
+
+    // poison one row so a task fails mid-write; overwrite truncation happens
+    // only inside job commit, which is never reached
+    val poisoned = base.withColumn("o_orderkey",
+      udf((k: Long) => {
+        if (k == 5L) throw new RuntimeException("injected failure"); k
+      }).apply(col("o_orderkey")))
+    intercept[Exception] {
+      poisoned.write.format("graft.sources.ShardedCsvSink")
+        .option("path", out).mode("overwrite").save()
+    }
+    assert(readManifest() == before)
+    assert(readBack().count() == beforeCount)
+    assert(!new java.io.File(s"$out.__tmp__").exists(), "staging not cleaned up")
+  }
+
   test("overwrite truncates atomically: second write fully replaces the first") {
     val small = Tables.orders(spark, sf)
       .select("o_orderkey", "o_custkey", "o_totalprice")
