@@ -50,5 +50,54 @@ object Quality {
            |  SELECT 'lineitem_negative_qty', CAST(sum(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
            |) ORDER BY check_name""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q96DqChecks)
+  /** Population-stability-index (PSI) drift monitor: the reference slice
+    * (even event ids) defines equi-depth bin cutpoints via exact deciles;
+    * both slices are histogrammed into those bins with a higher-order
+    * `filter` count (no join, no explode), and per-bin PSI terms
+    * (p−q)·ln(p/q) quantify the shift. The production data-drift alarm for
+    * a feature column, as one scan per slice plus a 10-row aggregate.
+    */
+  val q113PsiDrift = GraftQuery(
+    "q113_psi_drift",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "value")
+      val ref = ev.filter(col("event_id") % 2 === 0)
+      val cur = ev.filter(col("event_id") % 2 =!= 0)
+      val cuts = ref.agg(expr(
+        "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")).head()
+        .getSeq[Double](0)
+      val cutsLit = typedLit(cuts)
+      def binned(df: org.apache.spark.sql.DataFrame, n: String) = df
+        .withColumn("bin", size(filter(cutsLit, c => col("value") > c)))
+        .groupBy("bin").agg(count(lit(1)).as(n))
+      binned(ref, "n_ref").join(binned(cur, "n_cur"), Seq("bin"), "full")
+        .withColumn("p", coalesce(col("n_ref"), lit(0L)) /
+          sum(coalesce(col("n_ref"), lit(0L))).over())
+        .withColumn("q", coalesce(col("n_cur"), lit(0L)) /
+          sum(coalesce(col("n_cur"), lit(0L))).over())
+        .select(col("bin"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+          round((col("p") - col("q")) * log(col("p") / col("q")), 6).as("psi_term"))
+        .orderBy("bin")
+    },
+    Some("""WITH ref AS (SELECT value FROM events WHERE event_id % 2 = 0),
+           |cur AS (SELECT value FROM events WHERE event_id % 2 <> 0),
+           |cuts AS (SELECT quantile_cont(value,
+           |  [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS c FROM ref),
+           |rb AS (SELECT len(list_filter(cuts.c, x -> value > x)) AS bin,
+           |  count(*) AS n_ref FROM ref, cuts GROUP BY 1),
+           |cb AS (SELECT len(list_filter(cuts.c, x -> value > x)) AS bin,
+           |  count(*) AS n_cur FROM cur, cuts GROUP BY 1),
+           |j AS (SELECT coalesce(rb.bin, cb.bin) AS bin,
+           |  coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+           |  FROM rb FULL JOIN cb ON rb.bin = cb.bin)
+           |SELECT CAST(bin AS INT) AS bin, n_ref, n_cur,
+           |  round((n_ref / CAST(sum(n_ref) OVER () AS DOUBLE)
+           |      - n_cur / CAST(sum(n_cur) OVER () AS DOUBLE))
+           |    * ln((n_ref / CAST(sum(n_ref) OVER () AS DOUBLE))
+           |      / (n_cur / CAST(sum(n_cur) OVER () AS DOUBLE))), 6) AS psi_term
+           |FROM j ORDER BY bin""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q96DqChecks, q113PsiDrift)
 }
