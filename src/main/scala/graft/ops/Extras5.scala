@@ -83,5 +83,33 @@ object Extras5 {
            |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
            |ORDER BY user_id, event_id""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q109OuterJoins, q110WindowNulls)
+  /** Explicit NULLS FIRST/LAST ordering: Spark defaults nulls-first on ASC
+    * while DuckDB defaults nulls-last, so portable sorts must state the
+    * placement. Ranks a deterministically-nulled measure both ways.
+    */
+  val q114NullOrdering = GraftQuery(
+    "q114_null_ordering",
+    (s, dir) => {
+      val y = when(col("event_id") % 5 === 0, round(col("value"), 2))
+      val base = Tables.events(s, dir).filter(col("event_id") < 500)
+        .select(col("event_id"), y.as("y"))
+      base.select(
+        col("event_id"), col("y"),
+        row_number().over(Window.orderBy(
+          col("y").asc_nulls_last, col("event_id"))).as("rank_nl"),
+        row_number().over(Window.orderBy(
+          col("y").desc_nulls_first, col("event_id"))).as("rank_nf"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+           |  CASE WHEN event_id % 5 = 0 THEN round(value, 2) END AS y,
+           |  row_number() OVER (ORDER BY
+           |    (CASE WHEN event_id % 5 = 0 THEN round(value, 2) END) ASC NULLS LAST,
+           |    event_id) AS rank_nl,
+           |  row_number() OVER (ORDER BY
+           |    (CASE WHEN event_id % 5 = 0 THEN round(value, 2) END) DESC NULLS FIRST,
+           |    event_id) AS rank_nf
+           |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q109OuterJoins, q110WindowNulls, q114NullOrdering)
 }
