@@ -19,7 +19,8 @@ object SparkEntry {
       ops.Stats.all ++ ops.Chunking.all ++ ops.Pipeline.all ++ ops.Extras2.all ++
       ops.CustomPlans.all ++ ops.Extras3.all ++ ops.Layout.all ++ ops.Extras4.all ++
       ops.Sketches.all ++ ops.Quality.all ++ ops.Graph.all ++ ops.Hygiene.all ++
-      ops.Upsert.all ++ ops.Extras5.all ++ ops.TypedOps.all ++ ops.Retrieval.all
+      ops.Upsert.all ++ ops.Extras5.all ++ ops.TypedOps.all ++ ops.Retrieval.all ++
+      ops.Extras6.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
