@@ -72,5 +72,67 @@ object Extras6 {
            |  generate_series(1, least(len(string_split(text, ' ')), 3)) AS idx_seq
            |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q115ArgExtremes, q116ArrayFuncs)
+  /** Ordered-sequence funnel: of the users who signed up, how many later
+    * clicked, and of those how many later purchased — strict event-time
+    * ordering via min-timestamp per stage, the standard conversion-funnel
+    * reduction. One shuffle (groupBy user) then a tiny global aggregate.
+    */
+  val q117Funnel = GraftQuery(
+    "q117_funnel",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          count(col("t_signup")).as("n_signup"),
+          sum((col("t_signup") < col("t_click")).cast("long")).as("n_signup_click"),
+          sum((col("t_signup") < col("t_click") &&
+            col("t_click") < col("t_purchase")).cast("long")).as("n_full_funnel")),
+    Some("""WITH stages AS (
+           |  SELECT user_id,
+           |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+           |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+           |  FROM events GROUP BY 1)
+           |SELECT count(*) AS n_users, count(t_signup) AS n_signup,
+           |  CAST(sum(CASE WHEN t_signup < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
+           |  CAST(sum(CASE WHEN t_signup < t_click AND t_click < t_purchase
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+           |FROM stages""".stripMargin))
+
+  /** Cohort retention matrix: users bucketed by first-seen day, counted per
+    * day-offset of later activity. The classic engagement report — two
+    * aggregations and one join, all on user_id, so the whole pipeline rides
+    * a single hash partitioning at scale. Day granularity because the
+    * fixture's event span is 30 days at every scale factor.
+    */
+  val q118Retention = GraftQuery(
+    "q118_retention",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val firsts = e.groupBy("user_id")
+        .agg(to_date(min(col("ts"))).as("cohort"))
+      val activity = e.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      firsts.join(activity, "user_id")
+        .groupBy(
+          date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("d"), col("cohort")).cast("long").as("offset_d"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "offset_d")
+    },
+    Some("""WITH firsts AS (
+           |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort FROM events GROUP BY 1),
+           |activity AS (
+           |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+           |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+           |  datediff('day', cohort, d) AS offset_d, count(*) AS n_users
+           |FROM firsts JOIN activity USING (user_id)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[GraftQuery] =
+    Seq(q115ArgExtremes, q116ArrayFuncs, q117Funnel, q118Retention)
 }
