@@ -105,19 +105,22 @@ object Extras6 {
            |FROM stages""".stripMargin))
 
   /** Cohort retention matrix: users bucketed by first-seen day, counted per
-    * day-offset of later activity. The classic engagement report — two
-    * aggregations and one join, all on user_id, so the whole pipeline rides
-    * a single hash partitioning at scale. Day granularity because the
+    * day-offset of later activity. One shuffle on user_id computes the
+    * cohort AND the distinct active-day set (collect_set is bounded by the
+    * calendar span, not the event count), then explode feeds a tiny final
+    * aggregate — no join, no second full-data exchange, which is the shape
+    * that survives a 100 TB event log. Day granularity because the
     * fixture's event span is 30 days at every scale factor.
     */
   val q118Retention = GraftQuery(
     "q118_retention",
     (s, dir) => {
-      val e = Tables.events(s, dir)
-      val firsts = e.groupBy("user_id")
-        .agg(to_date(min(col("ts"))).as("cohort"))
-      val activity = e.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
-      firsts.join(activity, "user_id")
+      val perUser = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          to_date(min(col("ts"))).as("cohort"),
+          collect_set(to_date(col("ts"))).as("days"))
+      perUser.select(col("cohort"), explode(col("days")).as("d"))
         .groupBy(
           date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
           datediff(col("d"), col("cohort")).cast("long").as("offset_d"))
@@ -133,6 +136,69 @@ object Extras6 {
            |FROM firsts JOIN activity USING (user_id)
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Event-transition matrix (first-order Markov counts): for each user's
+    * time-ordered event stream, count event_type → next event_type pairs.
+    * lead() over (user_id, ts) with event_id as the tie-break so the
+    * sequence is total-ordered; the window partitions by user, so state per
+    * partition is one row.
+    */
+  val q119Transitions = GraftQuery(
+    "q119_transitions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "next_type")
+    },
+    Some("""WITH seq AS (
+           |  SELECT user_id, event_type,
+           |    lead(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS next_type
+           |  FROM events)
+           |SELECT event_type, next_type, count(*) AS n
+           |FROM seq WHERE next_type IS NOT NULL
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** RFM (recency / frequency / monetary) customer segmentation: per-customer
+    * order stats quartiled with ntile over a total order (metric + custkey
+    * tie-break). The global ntile is a single-partition window — fine for a
+    * customer dimension (cardinality ≪ fact table); at extreme scale the
+    * quartile boundaries would come from approx quantiles instead.
+    */
+  val q120Rfm = GraftQuery(
+    "q120_rfm",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(
+          datediff(to_date(lit("1999-01-01")), to_date(max(col("o_orderdate"))))
+            .cast("long").as("recency_d"),
+          count(lit(1)).as("frequency"),
+          round(sum("o_totalprice"), 2).as("monetary"))
+      per.select(
+        col("o_custkey"), col("recency_d"), col("frequency"), col("monetary"),
+        ntile(4).over(Window.orderBy(col("recency_d"), col("o_custkey"))).as("r_q"),
+        ntile(4).over(Window.orderBy(col("frequency").desc, col("o_custkey"))).as("f_q"),
+        ntile(4).over(Window.orderBy(col("monetary").desc, col("o_custkey"))).as("m_q"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH per AS (
+           |  SELECT o_custkey,
+           |    datediff('day', CAST(max(o_orderdate) AS DATE), DATE '1999-01-01') AS recency_d,
+           |    count(*) AS frequency, round(sum(o_totalprice), 2) AS monetary
+           |  FROM orders GROUP BY 1)
+           |SELECT o_custkey, recency_d, frequency, monetary,
+           |  ntile(4) OVER (ORDER BY recency_d, o_custkey) AS r_q,
+           |  ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+           |  ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+           |FROM per ORDER BY o_custkey""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(q115ArgExtremes, q116ArrayFuncs, q117Funnel, q118Retention)
+    Seq(q115ArgExtremes, q116ArrayFuncs, q117Funnel, q118Retention,
+      q119Transitions, q120Rfm)
 }
