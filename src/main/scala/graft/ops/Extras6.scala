@@ -198,7 +198,37 @@ object Extras6 {
            |  ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
            |FROM per ORDER BY o_custkey""".stripMargin))
 
+  /** Top user journeys: each user's first five events in time order,
+    * joined into a path string and ranked by popularity. Ordered
+    * aggregation without a window: sort_array over collected
+    * (ts, event_id, event_type) structs gives a deterministic sequence in
+    * the same user_id shuffle that collects it (collect_list alone has no
+    * order guarantee). DuckDB's ORDER BY-qualified list() is the oracle
+    * twin.
+    */
+  val q121SessionPaths = GraftQuery(
+    "q121_session_paths",
+    (s, dir) => {
+      val per = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      per.select(concat_ws(">",
+          slice(transform(col("evs"), e => e.getField("event_type")), 1, 5))
+          .as("path5"))
+        .groupBy("path5")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(desc("n_users"), col("path5"))
+        .limit(20)
+    },
+    Some("""WITH per AS (
+           |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS evs
+           |  FROM events GROUP BY 1)
+           |SELECT array_to_string(list_slice(evs, 1, 5), '>') AS path5,
+           |  count(*) AS n_users
+           |FROM per GROUP BY 1 ORDER BY n_users DESC, path5 LIMIT 20""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q115ArgExtremes, q116ArrayFuncs, q117Funnel, q118Retention,
-      q119Transitions, q120Rfm)
+      q119Transitions, q120Rfm, q121SessionPaths)
 }

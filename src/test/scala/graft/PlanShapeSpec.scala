@@ -102,4 +102,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q118: retention is join-free — one aggregation pipeline, no second " +
+    "full-data exchange") {
+    val p = plan("q118_retention")
+    assert(!p.contains("Join"), p.take(2000))
+    // exactly one exchange keyed on the full event stream (user_id); the
+    // later exchanges key the already-reduced cohort matrix / final sort
+    val full = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(full == 1, s"expected 1 user_id exchange, got $full\n${p.take(2000)}")
+  }
 }
