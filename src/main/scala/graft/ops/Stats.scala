@@ -147,8 +147,9 @@ object Stats {
   /** Linear-regression aggregates (regr_*): slope/intercept/R²/count of
     * price-on-quantity per return flag — single-pass covariance-style
     * accumulation, so at 100 TB it's one scan + a 3-row partial agg. Rounded
-    * to 4: the regr_* outputs are ratios of large co-moment sums, stable
-    * across engine accumulation orders well past that.
+    * to 3-4 digits: the regr_* outputs are ratios of co-moment sums whose
+    * accumulation order varies with partitioning, so deep rounding (r2 at 6
+    * was the round-1 drift class, see ADVICE r01) is not cross-engine safe.
     */
   val q87Regression = GraftQuery(
     "q87_regression",
@@ -158,13 +159,13 @@ object Stats {
         .agg(
           round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
           round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
-          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 3).as("r2"),
           regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
         .orderBy("l_returnflag"),
     Some("""SELECT l_returnflag,
            |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
            |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
-           |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           |  round(regr_r2(l_extendedprice, l_quantity), 3) AS r2,
            |  regr_count(l_extendedprice, l_quantity) AS n
            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
