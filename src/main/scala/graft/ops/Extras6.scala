@@ -228,7 +228,48 @@ object Extras6 {
            |  count(*) AS n_users
            |FROM per GROUP BY 1 ORDER BY n_users DESC, path5 LIMIT 20""".stripMargin))
 
+  /** Ordered string aggregation (listagg WITHIN GROUP): the SQL-standard
+    * spelling of "join the group's values in a defined order". Equal keys
+    * make tie order irrelevant, so the output string is deterministic.
+    * DuckDB's twin is string_agg(... ORDER BY ...).
+    */
+  val q122Listagg = GraftQuery(
+    "q122_listagg",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 40)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("listagg(cast(l_orderkey as string), ',') " +
+            "within group (order by l_orderkey)").as("keys"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+           |  string_agg(CAST(l_orderkey AS VARCHAR), ',' ORDER BY l_orderkey) AS keys,
+           |  count(*) AS n
+           |FROM lineitem WHERE l_orderkey < 40 GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Approximate percentiles (Greenwald-Khanna sketch) next to their exact
+    * twins: the fixed-size-state path for quantiles over data too big to
+    * sort. Like the HLL entry (q37) this is rows-only for the driver — the
+    * sketch's merge order isn't cross-engine stable — with the error bound
+    * asserted in AggregatesSpec instead.
+    */
+  val q123ApproxPercentile = GraftQuery(
+    "q123_approx_percentile",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_percentile(col("l_extendedprice"),
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("approx_pcts"),
+          expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("exact_pcts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+    None)
+
   val all: Seq[GraftQuery] =
     Seq(q115ArgExtremes, q116ArrayFuncs, q117Funnel, q118Retention,
-      q119Transitions, q120Rfm, q121SessionPaths)
+      q119Transitions, q120Rfm, q121SessionPaths, q122Listagg,
+      q123ApproxPercentile)
 }

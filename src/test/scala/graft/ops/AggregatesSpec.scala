@@ -18,6 +18,18 @@ class AggregatesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("approx_percentile stays within 1% relative error of exact quantiles") {
+    val rows = Extras6.q123ApproxPercentile.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getSeq[Double](1)
+      val exact = r.getSeq[Double](2)
+      approx.zip(exact).foreach { case (a, e) =>
+        assert(math.abs(a - e) / e < 0.01, s"flag=${r.getString(0)} approx=$a exact=$e")
+      }
+    }
+  }
+
   test("cube emits all four grouping combinations") {
     val rows = Aggregates.q35Cube.fn(spark, sf).collect()
     val combos = rows.map(r => (r.getString(0) == "ALL", r.getString(1) == "ALL")).toSet
