@@ -268,8 +268,50 @@ object Extras6 {
         .orderBy("l_returnflag"),
     None)
 
+  /** Map-function long tail: per order, a linenumber→quantity map built
+    * with map_from_entries over sorted entries (two collect_lists would not
+    * align; sorted structs make entry order — and therefore map_values fold
+    * order — deterministic), then map_keys / map_filter / element_at /
+    * aggregate-over-values. The oracle computes the same results from the
+    * raw rows, so it never has to reproduce Spark's MAP representation.
+    * Quantities are integer-valued, so the fold total is exact in any
+    * order.
+    */
+  val q124MapFuncs = GraftQuery(
+    "q124_map_funcs",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 200)
+        // linenumber is not unique per order in this fixture, and Spark maps
+        // reject duplicate keys: reduce to one quantity per (order, line)
+        // first (integer-valued sums, exact in any order)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(round(sum("l_quantity"), 2).as("v"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(
+          struct(col("l_linenumber").as("k"), col("v")))).as("kv"))
+        .withColumn("m", map_from_entries(col("kv")))
+        .select(
+          col("l_orderkey"),
+          size(col("m")).cast("long").as("n_lines"),
+          array_sort(map_keys(col("m"))).as("line_nos"),
+          round(element_at(col("m"), 1), 2).as("qty_line1"),
+          size(map_filter(col("m"), (_, v) => v > 25)).cast("long").as("n_big"),
+          round(aggregate(map_values(col("m")), lit(0.0), (a, x) => a + x), 2)
+            .as("qty_total"))
+        .orderBy("l_orderkey"),
+    Some("""WITH per AS (
+           |  SELECT l_orderkey, l_linenumber, round(sum(l_quantity), 2) AS v
+           |  FROM lineitem WHERE l_orderkey < 200 GROUP BY 1, 2)
+           |SELECT l_orderkey, count(*) AS n_lines,
+           |  list_sort(list(l_linenumber)) AS line_nos,
+           |  max(CASE WHEN l_linenumber = 1 THEN v END) AS qty_line1,
+           |  CAST(sum(CASE WHEN v > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           |  round(sum(v), 2) AS qty_total
+           |FROM per GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q115ArgExtremes, q116ArrayFuncs, q117Funnel, q118Retention,
       q119Transitions, q120Rfm, q121SessionPaths, q122Listagg,
-      q123ApproxPercentile)
+      q123ApproxPercentile, q124MapFuncs)
 }
