@@ -310,8 +310,33 @@ object Extras6 {
            |  round(sum(v), 2) AS qty_total
            |FROM per GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Schema-drift union: unionByName(allowMissingColumns = true) aligns two
+    * inputs with different column sets by NAME, null-filling the gaps — the
+    * append path when a landing table gains columns over time (the batch
+    * counterpart of q86's mergeSchema read). DuckDB's UNION ALL BY NAME is
+    * the oracle twin.
+    */
+  val q125UnionByName = GraftQuery(
+    "q125_union_by_name",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val olds = c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("c_bal"))
+      val news = c.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      olds.unionByName(news, allowMissingColumns = true)
+        .orderBy("c_custkey")
+    },
+    Some("""WITH a AS (
+           |  SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_bal
+           |  FROM customer WHERE c_custkey % 2 = 0),
+           |b AS (
+           |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 1)
+           |SELECT * FROM a UNION ALL BY NAME SELECT * FROM b
+           |ORDER BY c_custkey""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q115ArgExtremes, q116ArrayFuncs, q117Funnel, q118Retention,
       q119Transitions, q120Rfm, q121SessionPaths, q122Listagg,
-      q123ApproxPercentile, q124MapFuncs)
+      q123ApproxPercentile, q124MapFuncs, q125UnionByName)
 }
