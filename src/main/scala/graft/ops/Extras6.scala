@@ -335,8 +335,39 @@ object Extras6 {
            |SELECT * FROM a UNION ALL BY NAME SELECT * FROM b
            |ORDER BY c_custkey""".stripMargin))
 
+  /** grouping() / grouping_id() over a rollup: the only reliable way to
+    * tell a subtotal row from a genuine NULL group key. gid bit order
+    * (first rollup column = MSB) follows the SQL standard in both engines;
+    * both sides cast the indicator columns to BIGINT so the type-sensitive
+    * hash agrees.
+    */
+  val q126GroupingId = GraftQuery(
+    "q126_grouping_id",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"),
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("g_rf"), col("g_ls"), col("gid"), col("n"), col("sum_qty"))
+        .orderBy("gid", "rf", "ls"),
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           |  coalesce(l_linestatus, 'ALL') AS ls,
+           |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+           |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+           |ORDER BY gid, rf, ls""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q115ArgExtremes, q116ArrayFuncs, q117Funnel, q118Retention,
       q119Transitions, q120Rfm, q121SessionPaths, q122Listagg,
-      q123ApproxPercentile, q124MapFuncs, q125UnionByName)
+      q123ApproxPercentile, q124MapFuncs, q125UnionByName, q126GroupingId)
 }
