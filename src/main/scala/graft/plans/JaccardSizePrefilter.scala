@@ -28,24 +28,62 @@ import graft.functions.IntersectCountSorted
   */
 object JaccardSizePrefilter extends Rule[LogicalPlan] with PredicateHelper {
 
-  private def intersectArgs(e: Expression): Option[(Expression, Expression)] =
-    e.collectFirst { case ic: IntersectCountSorted => (ic.left, ic.right) }
+  private def stripCast(e: Expression): Expression = e match {
+    case c: Cast => stripCast(c.child)
+    case other => other
+  }
 
-  /** The denominator must combine size(a) and size(b) of the SAME arrays the
-    * intersect count runs over — otherwise the bound is unsound.
+  /** Accept ONLY the exact Jaccard shape `I / (size(a) + size(b) - I)` (modulo
+    * numeric-widening casts, size operand order, and Catalyst's alternate
+    * association `(size(a) - I) + size(b)`): the numerator must be the BARE
+    * intersect count and the subtracted term the semantically-identical count
+    * over the same two arrays whose sizes appear in the denominator. Anything
+    * looser is unsound: for Dice similarity `2·I/(|a|+|b|)` the containment
+    * checks this method replaces would still fire, and the injected size
+    * bound would silently drop matching rows (|a|=4, |b|=6, I=4 has Dice 0.8
+    * but fails `|a| ≥ 0.8·|b|`).
     */
-  private def denominatorMatches(den: Expression, a: Expression, b: Expression): Boolean = {
-    val sized = den.collect { case s: Size => s.child }
-    sized.exists(_.semanticEquals(a)) && sized.exists(_.semanticEquals(b))
+  private def jaccardArgs(div: Divide): Option[(Expression, Expression)] = {
+    stripCast(div.left) match {
+      case num: IntersectCountSorted =>
+        def sizesMatch(x: Expression, y: Expression): Boolean =
+          (stripCast(x), stripCast(y)) match {
+            case (sa: Size, sb: Size) =>
+              (sa.child.semanticEquals(num.left) && sb.child.semanticEquals(num.right)) ||
+                (sa.child.semanticEquals(num.right) && sb.child.semanticEquals(num.left))
+            case _ => false
+          }
+        def sameCount(e: Expression): Boolean = stripCast(e) match {
+          case ic: IntersectCountSorted => ic.semanticEquals(num)
+          case _ => false
+        }
+        val matches = stripCast(div.right) match {
+          // (size(a) + size(b)) - I
+          case Subtract(add, icd, _) if sameCount(icd) =>
+            stripCast(add) match {
+              case Add(x, y, _) => sizesMatch(x, y)
+              case _ => false
+            }
+          // (size(a) - I) + size(b)  /  size(b) + (size(a) - I)
+          case Add(l, r, _) =>
+            def half(sub: Expression, sz: Expression): Boolean =
+              stripCast(sub) match {
+                case Subtract(x, icd, _) if sameCount(icd) => sizesMatch(x, sz)
+                case _ => false
+              }
+            half(l, r) || half(r, l)
+          case _ => false
+        }
+        if (matches) Some((num.left, num.right)) else None
+      case _ => None
+    }
   }
 
   private def bounds(cond: Expression): Seq[Expression] =
     cond.collect {
       case GreaterThanOrEqual(div: Divide, Literal(t: Double, DoubleType))
           if t > 0.0 && t <= 1.0 =>
-        intersectArgs(div.left).filter { case (a, b) =>
-          denominatorMatches(div.right, a, b)
-        }.toSeq.flatMap { case (a, b) =>
+        jaccardArgs(div).toSeq.flatMap { case (a, b) =>
           val sa = Cast(Size(a), DoubleType)
           val sb = Cast(Size(b), DoubleType)
           // two separate conjuncts so the idempotency check below can match

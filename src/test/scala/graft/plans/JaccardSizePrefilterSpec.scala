@@ -47,4 +47,51 @@ class JaccardSizePrefilterSpec extends AnyFunSuite with SparkSpec {
     val got = pairs().as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L))) // doc 3 pairs are below threshold anyway
   }
+
+  private def docsFrame() = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq(
+      (1L, Seq(10L, 20L, 30L, 40L)),
+      (2L, Seq(10L, 20L, 30L, 40L, 60L, 70L))
+    ).toDF("id", "g")
+  }
+
+  private def injectedBoundCount(df: org.apache.spark.sql.DataFrame): Int = {
+    val allExprs = df.queryExecution.optimizedPlan.collect { case n => n.expressions }.flatten
+    allExprs.flatMap(_.collect {
+      case GreaterThanOrEqual(_, Multiply(_, _, _)) => true
+    }).size
+  }
+
+  test("Dice-shaped predicate is NOT rewritten (bound would be unsound)") {
+    val docs = docsFrame()
+    val l = docs.select(col("id").as("i"), col("g").as("gi"))
+    val r = docs.select(col("id").as("j"), col("g").as("gj"))
+    val inter = GraftFunctions.intersectCount(col("gi"), col("gj")).cast("double")
+    // Dice = 2I/(|a|+|b|): contains size(a), size(b) and the intersect count,
+    // but is not Jaccard — the rule must leave it alone. |a|=4, |b|=6, I=4
+    // gives Dice 0.8, which a Jaccard size bound at t=0.8 would wrongly drop.
+    val dice = l.join(r, col("i") < col("j"))
+      .filter((inter * 2) / (size(col("gi")) + size(col("gj"))) >= 0.8)
+      .select("i", "j")
+    assert(injectedBoundCount(dice) == 0,
+      dice.queryExecution.optimizedPlan.toString.take(3000))
+    val spark0 = spark
+    import spark0.implicits._
+    assert(dice.as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+  }
+
+  test("denominator subtracting a DIFFERENT intersect count is NOT rewritten") {
+    val docs = docsFrame()
+    val l = docs.select(col("id").as("i"), col("g").as("gi"))
+    val r = docs.select(col("id").as("j"), col("g").as("gj"))
+    val inter = GraftFunctions.intersectCount(col("gi"), col("gj")).cast("double")
+    val other = GraftFunctions.intersectCount(col("gj"), col("gi")).cast("double")
+    val odd = l.join(r, col("i") < col("j"))
+      .filter(inter / (size(col("gi")) + size(col("gj")) - other) >= 0.5)
+      .select("i", "j")
+    assert(injectedBoundCount(odd) == 0,
+      odd.queryExecution.optimizedPlan.toString.take(3000))
+  }
 }
