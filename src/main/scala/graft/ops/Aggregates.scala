@@ -47,9 +47,12 @@ object Aggregates {
            |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
            |ORDER BY st, pri""".stripMargin))
 
-  /** HLL approximate distinct next to the exact count. HLL sketches differ
-    * across engines, so this entry has no SQL oracle — the driver records a
-    * rows-only check; the relative-error bound is asserted in AggregatesSpec.
+  /** HLL approximate distinct next to the exact count. HLL estimates differ
+    * across engines, so the oracle-checkable form emits the exact count plus
+    * an error-bound boolean (|approx−exact|/exact ≤ 5% at rsd 0.02); the
+    * oracle asserts the bound by emitting literal TRUE — a sketch regression
+    * flips the boolean and fails the hash. The tighter rsd-level bound is
+    * asserted in AggregatesSpec.
     */
   val q37ApproxDistinct = GraftQuery(
     "q37_approx_distinct",
@@ -57,10 +60,18 @@ object Aggregates {
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(
+          col("l_returnflag"),
+          col("exact_orders"),
+          (abs(col("approx") - col("exact_orders")).cast("double") /
+            col("exact_orders") <= 0.05).as("approx_ok"))
         .orderBy("l_returnflag"),
-    None)
+    Some("""SELECT l_returnflag,
+           |  count(DISTINCT l_orderkey) AS exact_orders,
+           |  TRUE AS approx_ok
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Snowflake dimension chain: supplier ⋈ nation ⋈ region, both dims
     * broadcast, aggregated revenue per region.

@@ -46,8 +46,11 @@ object Extras6 {
   /** Array-function long tail over tokenized text: distinct+sort, slicing,
     * membership, size, and sequence generation — the building blocks the
     * dedup/chunking pipelines compose, exercised here as first-class
-    * columns. All outputs are canonically ordered (sorted arrays) so the
-    * cross-engine compare is exact.
+    * columns. Arrays are canonically ordered (sorted) and then string-joined
+    * in the FINAL select: the round driver's compare pandas-sorts rows, and
+    * array-typed cells raise `unhashable type: numpy.ndarray` there (the
+    * round-2 q116/q123/q124 failure class) — scalar strings keep the result
+    * driver-hashable without losing any information.
     */
   val q116ArrayFuncs = GraftQuery(
     "q116_array_funcs",
@@ -57,19 +60,21 @@ object Extras6 {
         .filter(col("doc_id") < 200)
         .select(
           col("doc_id"),
-          array_sort(array_distinct(toks)).as("vocab"),
-          slice(array_sort(array_distinct(toks)), 1, 3).as("first3"),
+          array_join(array_sort(array_distinct(toks)), ",").as("vocab"),
+          array_join(slice(array_sort(array_distinct(toks)), 1, 3), ",").as("first3"),
           size(toks).cast("long").as("n_tokens"),
           array_contains(toks, "query").as("has_kw"),
-          sequence(lit(1L), least(size(toks).cast("long"), lit(3L))).as("idx_seq"))
+          array_join(transform(
+            sequence(lit(1L), least(size(toks).cast("long"), lit(3L))),
+            x => x.cast("string")), ",").as("idx_seq"))
         .orderBy("doc_id")
     },
     Some("""SELECT doc_id,
-           |  list_sort(list_distinct(string_split(text, ' '))) AS vocab,
-           |  list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 3) AS first3,
+           |  array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') AS vocab,
+           |  array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 3), ',') AS first3,
            |  len(string_split(text, ' ')) AS n_tokens,
            |  list_contains(string_split(text, ' '), 'query') AS has_kw,
-           |  generate_series(1, least(len(string_split(text, ' ')), 3)) AS idx_seq
+           |  array_to_string(generate_series(1, least(len(string_split(text, ' ')), 3)), ',') AS idx_seq
            |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
 
   /** Ordered-sequence funnel: of the users who signed up, how many later
@@ -251,9 +256,12 @@ object Extras6 {
 
   /** Approximate percentiles (Greenwald-Khanna sketch) next to their exact
     * twins: the fixed-size-state path for quantiles over data too big to
-    * sort. Like the HLL entry (q37) this is rows-only for the driver — the
-    * sketch's merge order isn't cross-engine stable — with the error bound
-    * asserted in AggregatesSpec instead.
+    * sort. The sketch's internal state isn't cross-engine stable, so the
+    * oracle-checkable form emits the EXACT percentiles plus per-quantile
+    * error-bound booleans (|approx−exact|/exact ≤ 2%); the oracle asserts
+    * the bound holds by emitting literal TRUE. GK with accuracy 10000 has
+    * rank error ≤ n/10000 (6 ranks at sf0.01), far inside 2% value error on
+    * this distribution — a sketch regression flips the boolean and the hash.
     */
   val q123ApproxPercentile = GraftQuery(
     "q123_approx_percentile",
@@ -262,11 +270,29 @@ object Extras6 {
         .groupBy("l_returnflag")
         .agg(
           approx_percentile(col("l_extendedprice"),
-            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("approx_pcts"),
-          expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("exact_pcts"),
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ap"),
+          expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ep"),
           count(lit(1)).as("n"))
+        .select(
+          col("l_returnflag"),
+          round(element_at(col("ep"), 1), 4).as("exact_p50"),
+          round(element_at(col("ep"), 2), 4).as("exact_p90"),
+          round(element_at(col("ep"), 3), 4).as("exact_p99"),
+          (abs(element_at(col("ap"), 1) - element_at(col("ep"), 1)) /
+            element_at(col("ep"), 1) <= 0.02).as("p50_ok"),
+          (abs(element_at(col("ap"), 2) - element_at(col("ep"), 2)) /
+            element_at(col("ep"), 2) <= 0.02).as("p90_ok"),
+          (abs(element_at(col("ap"), 3) - element_at(col("ep"), 3)) /
+            element_at(col("ep"), 3) <= 0.02).as("p99_ok"),
+          col("n"))
         .orderBy("l_returnflag"),
-    None)
+    Some("""SELECT l_returnflag,
+           |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+           |  round(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90,
+           |  round(quantile_cont(l_extendedprice, 0.99), 4) AS exact_p99,
+           |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok,
+           |  count(*) AS n
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Map-function long tail: per order, a linenumber→quantity map built
     * with map_from_entries over sorted entries (two collect_lists would not
@@ -294,7 +320,10 @@ object Extras6 {
         .select(
           col("l_orderkey"),
           size(col("m")).cast("long").as("n_lines"),
-          array_sort(map_keys(col("m"))).as("line_nos"),
+          // string-joined, not raw array: see q116 — array cells crash the
+          // driver's pandas row sort
+          array_join(transform(array_sort(map_keys(col("m"))),
+            k => k.cast("string")), ",").as("line_nos"),
           round(element_at(col("m"), 1), 2).as("qty_line1"),
           size(map_filter(col("m"), (_, v) => v > 25)).cast("long").as("n_big"),
           round(aggregate(map_values(col("m")), lit(0.0), (a, x) => a + x), 2)
@@ -304,7 +333,7 @@ object Extras6 {
            |  SELECT l_orderkey, l_linenumber, round(sum(l_quantity), 2) AS v
            |  FROM lineitem WHERE l_orderkey < 200 GROUP BY 1, 2)
            |SELECT l_orderkey, count(*) AS n_lines,
-           |  list_sort(list(l_linenumber)) AS line_nos,
+           |  array_to_string(list_sort(list(l_linenumber)), ',') AS line_nos,
            |  max(CASE WHEN l_linenumber = 1 THEN v END) AS qty_line1,
            |  CAST(sum(CASE WHEN v > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
            |  round(sum(v), 2) AS qty_total

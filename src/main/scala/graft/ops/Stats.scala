@@ -51,25 +51,77 @@ object Stats {
            |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  /** Moment aggregates: stddev / correlation / covariance. Rounded to 3
-    * digits — the engines accumulate moments in different orders/algorithms,
-    * so the 6th decimal is not cross-engine stable (see ADVICE r01).
+  /** Moment aggregates: stddev / correlation / covariance, rebuilt from
+    * EXACT integer sums. The builtin aggregates accumulate doubles in
+    * partition order, so the last rounded digit can flip between engines and
+    * between partitionings (the round-1/2 drift class — q44 hash-failed at 3
+    * digits). Every input column is exact at 2 decimals in the fixtures, so
+    * quantities/cents cast to DECIMAL(38,0) accumulate EXACTLY
+    * (order-independent); both engines then evaluate the identical
+    * closed-form text over identically-rounded doubles, making the result
+    * bit-identical by construction. The oracle mirrors with BIGINT element
+    * products (HUGEINT accumulation) cast to DOUBLE.
     */
   val q44Moments = GraftQuery(
     "q44_moments",
-    (s, dir) =>
-      Tables.lineitem(s, dir)
-        .groupBy("l_returnflag")
-        .agg(
-          round(stddev_samp(col("l_quantity")), 3).as("sd_qty"),
-          round(corr(col("l_quantity"), col("l_extendedprice")), 3).as("corr_qty_price"),
-          round(covar_samp(col("l_discount"), col("l_tax")), 3).as("cov_disc_tax"))
-        .orderBy("l_returnflag"),
-    Some("""SELECT l_returnflag,
-           |  round(stddev_samp(l_quantity), 3) AS sd_qty,
-           |  round(corr(l_quantity, l_extendedprice), 3) AS corr_qty_price,
-           |  round(covar_samp(l_discount, l_tax), 3) AS cov_disc_tax
-           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      def cents(c: Column) = round(c * 100, 0).cast("decimal(38,0)")
+      val li = Tables.lineitem(s, dir).select(
+        col("l_returnflag"),
+        col("l_quantity").cast("decimal(38,0)").as("q"),
+        cents(col("l_extendedprice")).as("p"),
+        cents(col("l_discount")).as("d"),
+        cents(col("l_tax")).as("t"))
+      val sums = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum("q").as("sq"), sum(col("q") * col("q")).as("sqq"),
+        sum("p").as("sp"), sum(col("p") * col("p")).as("spp"),
+        sum(col("q") * col("p")).as("sqp"),
+        sum("d").as("sd"), sum("t").as("st"),
+        sum(col("d") * col("t")).as("sdt"))
+      def D(c: String) = col(c).cast("double")
+      val n = col("n").cast("double")
+      sums.select(
+        col("l_returnflag"),
+        round(sqrt((n * D("sqq") - D("sq") * D("sq")) / (n * (n - 1))), 6)
+          .as("sd_qty"),
+        round((n * D("sqp") - D("sq") * D("sp")) /
+          sqrt((n * D("sqq") - D("sq") * D("sq")) *
+            (n * D("spp") - D("sp") * D("sp"))), 6).as("corr_qty_price"),
+        // covariance of the cent-scaled columns, descaled by 100·100
+        round((n * D("sdt") - D("sd") * D("st")) / (n * (n - 1)) / 10000, 6)
+          .as("cov_disc_tax"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH b AS (
+           |  SELECT l_returnflag, count(*) AS n,
+           |    sum(CAST(l_quantity AS BIGINT)) AS sq,
+           |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sqq,
+           |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sp,
+           |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           |      * CAST(round(l_extendedprice * 100) AS BIGINT)) AS spp,
+           |    sum(CAST(l_quantity AS BIGINT)
+           |      * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sqp,
+           |    sum(CAST(round(l_discount * 100) AS BIGINT)) AS sd,
+           |    sum(CAST(round(l_tax * 100) AS BIGINT)) AS st,
+           |    sum(CAST(round(l_discount * 100) AS BIGINT)
+           |      * CAST(round(l_tax * 100) AS BIGINT)) AS sdt
+           |  FROM lineitem GROUP BY 1),
+           |c AS (
+           |  SELECT l_returnflag, CAST(n AS DOUBLE) AS n,
+           |    CAST(sq AS DOUBLE) AS sq, CAST(sqq AS DOUBLE) AS sqq,
+           |    CAST(sp AS DOUBLE) AS sp, CAST(spp AS DOUBLE) AS spp,
+           |    CAST(sqp AS DOUBLE) AS sqp,
+           |    CAST(sd AS DOUBLE) AS sd, CAST(st AS DOUBLE) AS st,
+           |    CAST(sdt AS DOUBLE) AS sdt
+           |  FROM b)
+           |SELECT l_returnflag,
+           |  round(sqrt((n * sqq - sq * sq) / (n * (n - 1))), 6) AS sd_qty,
+           |  round((n * sqp - sq * sp)
+           |    / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6) AS corr_qty_price,
+           |  round((n * sdt - sd * st) / (n * (n - 1)) / 10000, 6) AS cov_disc_tax
+           |FROM c ORDER BY l_returnflag""".stripMargin))
 
   /** Window-function long tail: ntile, percent_rank, cume_dist,
     * first_value, nth_value — all under a uniquely-keyed ordering.
@@ -144,61 +196,160 @@ object Stats {
            |  round(min(least(l_discount, l_tax)), 2) AS min_rate
            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  /** Linear-regression aggregates (regr_*): slope/intercept/R²/count of
-    * price-on-quantity per return flag — single-pass covariance-style
-    * accumulation, so at 100 TB it's one scan + a 3-row partial agg. Rounded
-    * to 3-4 digits: the regr_* outputs are ratios of co-moment sums whose
-    * accumulation order varies with partitioning, so deep rounding (r2 at 6
-    * was the round-1 drift class, see ADVICE r01) is not cross-engine safe.
+  /** Linear-regression aggregates: slope/intercept/R²/count of
+    * price-on-quantity per return flag. Same exact-integer-sums
+    * reconstruction as q44 (the builtin regr_* accumulate doubles in
+    * partition order — the drift class): one scan collects exact
+    * DECIMAL(38,0) sums (n, Σx, Σx², Σy, Σy², Σxy over quantity and price
+    * cents), then both engines evaluate the identical closed-form text.
+    * Still one scan + a 3-row partial agg at 100 TB.
     */
   val q87Regression = GraftQuery(
     "q87_regression",
-    (s, dir) =>
-      Tables.lineitem(s, dir)
-        .groupBy("l_returnflag")
-        .agg(
-          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
-          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
-          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 3).as("r2"),
-          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
-        .orderBy("l_returnflag"),
-    Some("""SELECT l_returnflag,
-           |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-           |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
-           |  round(regr_r2(l_extendedprice, l_quantity), 3) AS r2,
-           |  regr_count(l_extendedprice, l_quantity) AS n
-           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      def cents(c: Column) = round(c * 100, 0).cast("decimal(38,0)")
+      val li = Tables.lineitem(s, dir).select(
+        col("l_returnflag"),
+        col("l_quantity").cast("decimal(38,0)").as("x"),
+        cents(col("l_extendedprice")).as("y"))
+      val sums = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sxb"), sum(col("x") * col("x")).as("sxxb"),
+        sum("y").as("syb"), sum(col("y") * col("y")).as("syyb"),
+        sum(col("x") * col("y")).as("sxyb"))
+      val base = sums.select(
+        col("l_returnflag"), col("n"),
+        col("n").cast("double").as("nd"),
+        col("sxb").cast("double").as("sx"), col("sxxb").cast("double").as("sxx"),
+        col("syb").cast("double").as("sy"), col("syyb").cast("double").as("syy"),
+        col("sxyb").cast("double").as("sxy"))
+      base
+        .withColumn("num", col("nd") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("dx", col("nd") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("dy", col("nd") * col("syy") - col("sy") * col("sy"))
+        // y is in cents: descale slope/intercept by 100 back to price units
+        .withColumn("slope", col("num") / col("dx") / 100)
+        .select(
+          col("l_returnflag"),
+          round(col("slope"), 4).as("slope"),
+          round(col("sy") / col("nd") / 100 - col("slope") * (col("sx") / col("nd")), 4)
+            .as("intercept"),
+          round(col("num") * col("num") / (col("dx") * col("dy")), 4).as("r2"),
+          col("n"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH b AS (
+           |  SELECT l_returnflag, count(*) AS n,
+           |    sum(CAST(l_quantity AS BIGINT)) AS sx,
+           |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+           |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+           |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           |      * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy,
+           |    sum(CAST(l_quantity AS BIGINT)
+           |      * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+           |  FROM lineitem GROUP BY 1),
+           |c AS (
+           |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+           |    CAST(sx AS DOUBLE) AS sx, CAST(sxx AS DOUBLE) AS sxx,
+           |    CAST(sy AS DOUBLE) AS sy, CAST(syy AS DOUBLE) AS syy,
+           |    CAST(sxy AS DOUBLE) AS sxy
+           |  FROM b),
+           |d AS (
+           |  SELECT *, nd * sxy - sx * sy AS num,
+           |    nd * sxx - sx * sx AS dx,
+           |    nd * syy - sy * sy AS dy
+           |  FROM c),
+           |e AS (SELECT *, num / dx / 100 AS slope FROM d)
+           |SELECT l_returnflag,
+           |  round(slope, 4) AS slope,
+           |  round(sy / nd / 100 - slope * (sx / nd), 4) AS intercept,
+           |  round(num * num / (dx * dy), 4) AS r2,
+           |  n
+           |FROM e ORDER BY l_returnflag""".stripMargin))
 
-  /** Distribution-shape aggregates: skewness / kurtosis / median / boolean
-    * aggs per event type. Spark reports POPULATION skewness g1 and excess
-    * kurtosis g2; DuckDB reports the bias-corrected SAMPLE statistics G1/G2,
-    * so the oracle converts with the standard bias factors
-    * g1 = G1·(n-2)/√(n(n-1)) and g2 = (G2·(n-2)(n-3)/(n-1) − 6)/(n+1)
-    * (verified numerically to 1e-15 before adoption).
+  /** Distribution-shape aggregates: population skewness g1 / excess kurtosis
+    * g2 / median / boolean aggs per event type. g1 and g2 are rebuilt from
+    * exact integer power sums (the q44 treatment — `value` is exact cents in
+    * the fixtures, and g1/g2 are scale-invariant so no descaling is needed):
+    * Σv..Σv⁴ accumulate exactly in DECIMAL(38,0) / HUGEINT, then both
+    * engines evaluate the identical central-moment closed form. The oracle's
+    * v⁴ element product is widened to HUGEINT BEFORE multiplying — at cents
+    * scale v⁴ alone can exceed BIGINT.
     */
   val q88DistShape = GraftQuery(
     "q88_dist_shape",
-    (s, dir) =>
-      Tables.events(s, dir)
+    (s, dir) => {
+      val v = round(col("value") * 100, 0).cast("decimal(38,0)")
+      val sums = Tables.events(s, dir)
+        .select(col("event_type"), col("value"), v.as("v"))
         .groupBy("event_type")
         .agg(
-          round(skewness(col("value")), 3).as("skew"),
-          round(kurtosis(col("value")), 3).as("kurt"),
+          count(lit(1)).as("n"),
+          sum(col("v")).as("svb"),
+          sum(col("v") * col("v")).as("svvb"),
+          sum(col("v") * col("v") * col("v")).as("svvvb"),
+          sum(col("v") * col("v") * col("v") * col("v")).as("svvvvb"),
           round(median(col("value")), 4).as("med"),
           bool_and(col("value") >= 0).as("all_nonneg"),
-          bool_or(col("value") > 99).as("any_high"),
-          count(lit(1)).as("n"))
-        .orderBy("event_type"),
-    Some("""SELECT event_type,
-           |  round(skewness(value) * (count(value) - 2)
-           |    / sqrt(count(value) * (count(value) - 1.0)), 3) AS skew,
-           |  round((kurtosis(value) * (count(value) - 2) * (count(value) - 3)
-           |    / (count(value) - 1.0) - 6) / (count(value) + 1.0), 3) AS kurt,
-           |  round(median(value), 4) AS med,
-           |  bool_and(value >= 0) AS all_nonneg,
-           |  bool_or(value > 99) AS any_high,
-           |  count(*) AS n
-           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+          bool_or(col("value") > 99).as("any_high"))
+      sums.select(
+          col("event_type"), col("n"), col("med"), col("all_nonneg"), col("any_high"),
+          col("n").cast("double").as("nd"),
+          col("svb").cast("double").as("sv"),
+          col("svvb").cast("double").as("svv"),
+          col("svvvb").cast("double").as("svvv"),
+          col("svvvvb").cast("double").as("svvvv"))
+        .withColumn("m1", col("sv") / col("nd"))
+        .withColumn("m2", col("svv") / col("nd") - col("m1") * col("m1"))
+        .withColumn("m3", col("svvv") / col("nd")
+          - lit(3) * col("m1") * (col("svv") / col("nd"))
+          + lit(2) * col("m1") * col("m1") * col("m1"))
+        .withColumn("m4", col("svvvv") / col("nd")
+          - lit(4) * col("m1") * (col("svvv") / col("nd"))
+          + lit(6) * col("m1") * col("m1") * (col("svv") / col("nd"))
+          - lit(3) * col("m1") * col("m1") * col("m1") * col("m1"))
+        .select(
+          col("event_type"),
+          round(col("m3") / (col("m2") * sqrt(col("m2"))), 6).as("skew"),
+          round(col("m4") / (col("m2") * col("m2")) - 3, 6).as("kurt"),
+          col("med"), col("all_nonneg"), col("any_high"), col("n"))
+        .orderBy("event_type")
+    },
+    Some("""WITH b AS (
+           |  SELECT event_type, count(*) AS n,
+           |    sum(CAST(round(value * 100) AS BIGINT)) AS sv,
+           |    sum(CAST(round(value * 100) AS BIGINT)
+           |      * CAST(round(value * 100) AS BIGINT)) AS svv,
+           |    sum(CAST(round(value * 100) AS BIGINT)
+           |      * CAST(round(value * 100) AS BIGINT)
+           |      * CAST(round(value * 100) AS BIGINT)) AS svvv,
+           |    sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+           |      * CAST(round(value * 100) AS BIGINT)
+           |      * CAST(round(value * 100) AS BIGINT)
+           |      * CAST(round(value * 100) AS BIGINT)) AS svvvv,
+           |    round(median(value), 4) AS med,
+           |    bool_and(value >= 0) AS all_nonneg,
+           |    bool_or(value > 99) AS any_high
+           |  FROM events GROUP BY 1),
+           |c AS (
+           |  SELECT event_type, n, med, all_nonneg, any_high,
+           |    CAST(n AS DOUBLE) AS nd, CAST(sv AS DOUBLE) AS sv,
+           |    CAST(svv AS DOUBLE) AS svv, CAST(svvv AS DOUBLE) AS svvv,
+           |    CAST(svvvv AS DOUBLE) AS svvvv
+           |  FROM b),
+           |d AS (SELECT *, sv / nd AS m1 FROM c),
+           |e AS (SELECT *,
+           |    svv / nd - m1 * m1 AS m2,
+           |    svvv / nd - 3 * m1 * (svv / nd) + 2 * m1 * m1 * m1 AS m3,
+           |    svvvv / nd - 4 * m1 * (svvv / nd) + 6 * m1 * m1 * (svv / nd)
+           |      - 3 * m1 * m1 * m1 * m1 AS m4
+           |  FROM d)
+           |SELECT event_type,
+           |  round(m3 / (m2 * sqrt(m2)), 6) AS skew,
+           |  round(m4 / (m2 * m2) - 3, 6) AS kurt,
+           |  med, all_nonneg, any_high, n
+           |FROM e ORDER BY event_type""".stripMargin))
 
   /** Bitwise aggregates over integer keys — exact in both engines (BIGINT
     * in, BIGINT out), order-independent, so no rounding discipline needed.

@@ -60,6 +60,16 @@ def main():
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
+        # The driver's compare pandas-sort_values the rows; list/array cells
+        # raise "unhashable type: numpy.ndarray" there and zero the query
+        # (round-2 q116/q123/q124). Flag them here so pre-flight mirrors it.
+        arr_cols = [s_cols[c] for c in range(len(s_cols))
+                    if any(isinstance(r[c], (list, tuple)) for r in s_rows[:5])]
+        if arr_cols:
+            print(f"FAIL {name}: array-typed output columns {arr_cols} "
+                  f"would crash the driver compare — array_join them")
+            n_fail += 1
+            continue
         if s_cols != d_cols:
             print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}")
             n_fail += 1
