@@ -42,10 +42,16 @@ object Bench {
       System.err.println(f"[bench] $name%-30s $sec%8.2f s")
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // per-query times at millisecond precision: halves the JSON line length
+    // (r02's line was truncated in the captured tail and the total was lost)
+    def f(v: Double) = if (v < 0) "-1" else (math.round(v * 1000) / 1000.0).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the total also goes to stderr as its own short line so it survives any
+    // stdout tail truncation
+    System.err.println(f"[bench] TOTAL ${total}%.2f s over ${results.size} queries")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,6 +15,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // register once up front: register() is synchronized, but doing it before
+    // the lanes spawn means no lane ever mutates session state concurrently
+    // with another lane's query construction
+    graft.functions.GraftFunctions.register(spark)
     // run queries concurrently: each is small at verify scale, so wall-clock
     // is dominated by per-job scheduling — 6 parallel lanes keep local[N]
     // busy. Queries share nothing mutable (distinct temp-view names, distinct
@@ -24,6 +28,12 @@ object Verify {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // a handful of queries persist() intermediates; without periodic cleanup
+    // all 126 queries' blocks accumulate in the driver JVM for the whole run.
+    // Every ~20 completions, clear the cache: a concurrently-running query
+    // that loses its cached blocks just recomputes them (correctness
+    // unaffected, and at verify scale the recompute is milliseconds).
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
     val runs = SparkEntry.queries.toSeq.map { case (name, fn) =>
       Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -31,6 +41,7 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        if (done.incrementAndGet() % 20 == 0) spark.catalog.clearCache()
       }
     }
     Await.result(Future.sequence(runs), Duration.Inf)

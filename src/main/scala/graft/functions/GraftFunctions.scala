@@ -21,7 +21,10 @@ object GraftFunctions {
   private def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
 
-  def register(spark: SparkSession): Unit = {
+  // synchronized: concurrent callers (Verify's parallel lanes) would race
+  // the check-then-append on experimental.extraStrategies /
+  // extraOptimizations and stack duplicate entries
+  def register(spark: SparkSession): Unit = synchronized {
     // custom-plan strategy (as-of join); idempotent like the functions below
     spark match {
       case c: org.apache.spark.sql.classic.SparkSession =>

@@ -58,8 +58,11 @@ object Chunking {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
       val n = docs.count() // corpus size: tiny scalar, computed once
+      // persisted: df and tf both consume the exploded terms — uncached, the
+      // tokenize+explode lineage runs twice (cache cleared by Bench/Verify)
       val terms = docs
         .select(col("doc_id"), col("lang"), explode(array_distinct(split(col("text"), " "))).as("term"))
+        .persist()
       val df = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
       val tf = terms.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
       val scored = tf.join(broadcast(df), "term")

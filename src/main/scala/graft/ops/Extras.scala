@@ -16,7 +16,7 @@ object Extras {
   val q39CsvRoundtrip = GraftQuery(
     "q39_csv_roundtrip",
     (s, dir) => {
-      val out = s"${sys.props("java.io.tmpdir")}/graft_csv/${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      val out = graft.WorkDir.resolve(s, "csv", dir)
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .write.mode("overwrite").option("header", "true").csv(out)
@@ -113,7 +113,8 @@ object Extras {
   val q48JsonRoundtrip = GraftQuery(
     "q48_json_roundtrip",
     (s, dir) => {
-      val out = s"${sys.props("java.io.tmpdir")}/graft_json/${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      // cluster-valid scratch (NOT driver-local tmp): see graft.WorkDir
+      val out = graft.WorkDir.resolve(s, "json", dir)
       Tables.events(s, dir)
         .select(col("event_id"), col("event_type"), col("value"), col("props"))
         .write.mode("overwrite").json(out)

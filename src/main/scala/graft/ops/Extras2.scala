@@ -16,7 +16,7 @@ object Extras2 {
   val q55OrcRoundtrip = GraftQuery(
     "q55_orc_roundtrip",
     (s, dir) => {
-      val out = s"${sys.props("java.io.tmpdir")}/graft_orc/${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      val out = graft.WorkDir.resolve(s, "orc", dir)
       Tables.supplier(s, dir)
         .write.mode("overwrite").orc(out)
       s.read.orc(out)

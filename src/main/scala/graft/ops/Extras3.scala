@@ -215,7 +215,7 @@ object Extras3 {
     "q82_observe_audit",
     (s, dir) => {
       val obs = new org.apache.spark.sql.Observation()
-      val out = s"${sys.props("java.io.tmpdir")}/graft_observe/${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      val out = graft.WorkDir.resolve(s, "observe", dir)
       Tables.lineitem(s, dir)
         .select("l_orderkey", "l_quantity", "l_extendedprice")
         .filter(col("l_quantity") > 10)

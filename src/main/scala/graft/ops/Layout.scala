@@ -11,10 +11,9 @@ import graft.{GraftQuery, Tables}
   */
 object Layout {
 
-  private def workDir(sfDir: String, tag: String): String = {
-    val key = sfDir.replaceAll("[^0-9a-zA-Z.]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_layout/${tag}_$key"
-  }
+  private def workDir(s: org.apache.spark.sql.SparkSession, sfDir: String,
+      tag: String): String =
+    graft.WorkDir.resolve(s, s"layout_$tag", sfDir)
 
   /** Raw text-file ingestion: the corpus arrives as newline-delimited text
     * (one doc per line, tab-separated id), the common landing format before
@@ -23,7 +22,7 @@ object Layout {
   val q83TextSource = GraftQuery(
     "q83_text_source",
     (s, dir) => {
-      val out = workDir(dir, "text")
+      val out = workDir(s, dir, "text")
       Tables.documents(s, dir)
         .select(concat_ws("\t", col("doc_id"),
           regexp_replace(col("text"), "[\\t\\n]", " ")).as("value"))
@@ -53,7 +52,7 @@ object Layout {
   val q84PartitionedWrite = GraftQuery(
     "q84_partitioned_write",
     (s, dir) => {
-      val out = workDir(dir, "part")
+      val out = workDir(s, dir, "part")
       Tables.events(s, dir)
         .select("event_id", "user_id", "event_type", "value")
         .write.mode("overwrite").partitionBy("event_type").parquet(out)
@@ -125,7 +124,7 @@ object Layout {
   val q86SchemaEvolution = GraftQuery(
     "q86_schema_evolution",
     (s, dir) => {
-      val out = workDir(dir, "evo")
+      val out = workDir(s, dir, "evo")
       val docs = Tables.documents(s, dir)
       docs.filter(col("doc_id") % 2 === 0)
         .select("doc_id", "lang", "n_chars")
@@ -168,7 +167,7 @@ object Layout {
   val q93ZOrder = GraftQuery(
     "q93_zorder",
     (s, dir) => {
-      val out = workDir(dir, "zorder")
+      val out = workDir(s, dir, "zorder")
       val withZ = Tables.lineitem(s, dir)
         .select("l_orderkey", "l_partkey", "l_quantity")
         .withColumn("z", spreadBits(col("l_orderkey") % 1024)
@@ -233,7 +232,7 @@ object Layout {
   val q105V2SinkRoundtrip = GraftQuery(
     "q105_v2_sink_roundtrip",
     (s, dir) => {
-      val out = workDir(dir, "v2sink")
+      val out = workDir(s, dir, "v2sink")
       Tables.orders(s, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .write.format("graft.sources.ShardedCsvSink")

@@ -14,10 +14,9 @@ import graft.rebalance.Rebalancer
   */
 object RebalanceQueries {
 
-  private def workDir(sfDir: String, tag: String): String = {
-    val key = sfDir.replaceAll("[^0-9a-zA-Z.]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_rebalance/${tag}_$key"
-  }
+  private def workDir(s: org.apache.spark.sql.SparkSession, sfDir: String,
+      tag: String): String =
+    graft.WorkDir.resolve(s, s"rebalance_$tag", sfDir)
 
   /** Hash-scatter lineitem into 8 shards on l_orderkey, then verify bucket
     * counts and quantity sums survive the move.
@@ -25,7 +24,7 @@ object RebalanceQueries {
   val q17RebalanceHash = GraftQuery(
     "q17_rebalance_hash",
     (s, dir) => {
-      val dest = workDir(dir, "hash")
+      val dest = workDir(s, dir, "hash")
       Rebalancer.redistribute(Tables.lineitem(s, dir), Rebalancer.ByHash("l_orderkey"), 8, dest)
       s.read.parquet(dest)
         .groupBy(pmod(col("l_orderkey"), lit(8L)).as("bucket"))
@@ -42,7 +41,7 @@ object RebalanceQueries {
   val q18RebalanceRange = GraftQuery(
     "q18_rebalance_range",
     (s, dir) => {
-      val dest = workDir(dir, "range")
+      val dest = workDir(s, dir, "range")
       Rebalancer.redistribute(Tables.orders(s, dir), Rebalancer.ByRange("o_orderdate"), 4, dest)
       s.read.parquet(dest)
         .groupBy(date_format(date_trunc("year", col("o_orderdate")), "yyyy").as("year"))
@@ -60,7 +59,7 @@ object RebalanceQueries {
   val q51RebalanceRoundRobin = GraftQuery(
     "q51_rebalance_roundrobin",
     (s, dir) => {
-      val dest = workDir(dir, "rr")
+      val dest = workDir(s, dir, "rr")
       Rebalancer.redistribute(Tables.customer(s, dir), Rebalancer.RoundRobin, 6, dest)
       s.read.parquet(dest)
         .groupBy("c_mktsegment")

@@ -70,8 +70,7 @@ object StreamingQueries {
   val q63StreamingRebalance = GraftQuery(
     "q63_streaming_rebalance",
     (s, dir) => {
-      val base = s"${sys.props("java.io.tmpdir")}/graft_srebal/" +
-        dir.replaceAll("[^0-9a-zA-Z.]", "_")
+      val base = graft.WorkDir.resolve(s, "srebal", dir)
       val (src, dest, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
       val conf = s.sessionState.newHadoopConf()
       for (d <- Seq(src, dest, ckpt)) {

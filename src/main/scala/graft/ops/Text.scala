@@ -154,9 +154,12 @@ object Text {
   val q60Perplexity = GraftQuery(
     "q60_perplexity",
     (s, dir) => {
+      // persisted: the vocab count, the total, and the tok⋈vocab join all
+      // re-read the exploded tokens (cache cleared by Bench/Verify)
       val tok = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("source"),
           explode(toks(col("text"))).as("t"))
+        .persist()
       val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
       val total = vocab.agg(sum("c")).first().getLong(0).toDouble
       tok.join(vocab, "t")

@@ -159,10 +159,15 @@ object Vectors {
     (s, dir) => {
       GraftFunctions.register(s)
       val vecAvg = udaf(new graft.functions.VectorAvg(DIM))
+      // persisted: train (collect), assign and probe all read this frame —
+      // without the cache the parquet scan + array cast + norm runs 3× (the
+      // round-2 4.7× regression); callers (Bench/Verify) clear the cache
+      // after each query
       val e = Tables.embeddings(s, dir)
         .withColumn("v", col("embedding").cast("array<double>"))
         .withColumn("nrm", norm(col("v")))
         .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+        .persist()
       // IVF "train": per-label centroids reduce to L ≈ #labels rows — tiny at
       // any SF — so collect them and inline as a literal. Cell assignment then
       // becomes a per-row argmax over the literal (sort_array on
