@@ -182,6 +182,68 @@ object Dedup {
     labels
   }
 
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * O(log n)-round alternative to min-label propagation for adversarially
+    * long chains, where O(diameter) rounds would dominate. Each iteration
+    * is two keyed groupBy+join passes:
+    *
+    *   - large-star: symmetrize; per node u compute m = min(Γ(u) ∪ {u});
+    *     rewire every strictly-larger neighbor v > u to m;
+    *   - small-star: orient each edge (max, min); per node u compute
+    *     m = min(Γ(u) ∪ {u}); rewire u and its smaller neighbors to m.
+    *
+    * Converges when the small-star edge set is stable — checked with a
+    * count + order-independent xxhash64-XOR checksum (one cheap aggregate;
+    * the edge set is distinct so XOR is a sound set signature), at
+    * which point the edges form a star forest (member → component-min).
+    * Returns (v, lbl), the same contract as [[connectedComponents]].
+    */
+  def connectedComponentsStar(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.filter(col("u") =!= col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v"))
+          .filter(col("u") =!= col("v")))
+      val m = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      sym.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+      val m = oriented.groupBy("u").agg(min(col("v")).as("m"))
+      oriented.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .unionAll(m.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    var e = edges
+      .select(col("i").cast("long").as("u"), col("j").cast("long").as("v"))
+      .localCheckpoint()
+    var sig = (-1L, -1L)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val row = e.select(xxhash64(col("u"), col("v")).as("h"))
+        .agg(count(lit(1)), expr("bit_xor(h)")).first()
+      val next = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+      converged = next == sig
+      sig = next
+      round += 1
+    }
+    // star forest: every remaining edge is (member, center); centers label
+    // themselves
+    e.select(col("u").as("v"), col("v").as("lbl"))
+      .unionAll(e.select(col("v").as("v"), col("v").as("lbl")))
+      .distinct()
+  }
+
   /** GraphX variant of [[connectedComponents]] — same contract (component
     * label = minimum vertex id), Pregel-based: O(diameter) supersteps with
     * vertex-cut partitioning, the right tool when the near-dup graph has

@@ -58,9 +58,13 @@ object Stats {
     * digits). Every input column is exact at 2 decimals in the fixtures, so
     * quantities/cents cast to DECIMAL(38,0) accumulate EXACTLY
     * (order-independent); both engines then evaluate the identical
-    * closed-form text over identically-rounded doubles, making the result
-    * bit-identical by construction. The oracle mirrors with BIGINT element
-    * products (HUGEINT accumulation) cast to DOUBLE.
+    * closed-form text over identically-rounded doubles. The oracle mirrors
+    * with BIGINT element products (HUGEINT accumulation) cast to DOUBLE.
+    * One residual divergence remains after that: IEEE signed zero. A raw
+    * value like -2.45e-07 rounds to -0.0 in DuckDB (sign-preserving
+    * double round) but +0.0 in Spark (BigDecimal round has no signed
+    * zero) — equal by ==, different by hash. `round(...) + 0` collapses
+    * both to +0.0 (IEEE: -0.0 + 0.0 = +0.0) on both engines.
     */
   val q44Moments = GraftQuery(
     "q44_moments",
@@ -84,13 +88,13 @@ object Stats {
       val n = col("n").cast("double")
       sums.select(
         col("l_returnflag"),
-        round(sqrt((n * D("sqq") - D("sq") * D("sq")) / (n * (n - 1))), 6)
+        (round(sqrt((n * D("sqq") - D("sq") * D("sq")) / (n * (n - 1))), 6) + 0)
           .as("sd_qty"),
-        round((n * D("sqp") - D("sq") * D("sp")) /
+        (round((n * D("sqp") - D("sq") * D("sp")) /
           sqrt((n * D("sqq") - D("sq") * D("sq")) *
-            (n * D("spp") - D("sp") * D("sp"))), 6).as("corr_qty_price"),
+            (n * D("spp") - D("sp") * D("sp"))), 6) + 0).as("corr_qty_price"),
         // covariance of the cent-scaled columns, descaled by 100·100
-        round((n * D("sdt") - D("sd") * D("st")) / (n * (n - 1)) / 10000, 6)
+        (round((n * D("sdt") - D("sd") * D("st")) / (n * (n - 1)) / 10000, 6) + 0)
           .as("cov_disc_tax"))
         .orderBy("l_returnflag")
     },
@@ -117,10 +121,10 @@ object Stats {
            |    CAST(sdt AS DOUBLE) AS sdt
            |  FROM b)
            |SELECT l_returnflag,
-           |  round(sqrt((n * sqq - sq * sq) / (n * (n - 1))), 6) AS sd_qty,
+           |  round(sqrt((n * sqq - sq * sq) / (n * (n - 1))), 6) + 0 AS sd_qty,
            |  round((n * sqp - sq * sp)
-           |    / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6) AS corr_qty_price,
-           |  round((n * sdt - sd * st) / (n * (n - 1)) / 10000, 6) AS cov_disc_tax
+           |    / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6) + 0 AS corr_qty_price,
+           |  round((n * sdt - sd * st) / (n * (n - 1)) / 10000, 6) + 0 AS cov_disc_tax
            |FROM c ORDER BY l_returnflag""".stripMargin))
 
   /** Window-function long tail: ntile, percent_rank, cume_dist,
@@ -232,10 +236,11 @@ object Stats {
         .withColumn("slope", col("num") / col("dx") / 100)
         .select(
           col("l_returnflag"),
-          round(col("slope"), 4).as("slope"),
-          round(col("sy") / col("nd") / 100 - col("slope") * (col("sx") / col("nd")), 4)
+          // `+ 0` collapses IEEE -0.0 to +0.0 on both engines (see q44)
+          (round(col("slope"), 4) + 0).as("slope"),
+          (round(col("sy") / col("nd") / 100 - col("slope") * (col("sx") / col("nd")), 4) + 0)
             .as("intercept"),
-          round(col("num") * col("num") / (col("dx") * col("dy")), 4).as("r2"),
+          (round(col("num") * col("num") / (col("dx") * col("dy")), 4) + 0).as("r2"),
           col("n"))
         .orderBy("l_returnflag")
     },
@@ -262,9 +267,9 @@ object Stats {
            |  FROM c),
            |e AS (SELECT *, num / dx / 100 AS slope FROM d)
            |SELECT l_returnflag,
-           |  round(slope, 4) AS slope,
-           |  round(sy / nd / 100 - slope * (sx / nd), 4) AS intercept,
-           |  round(num * num / (dx * dy), 4) AS r2,
+           |  round(slope, 4) + 0 AS slope,
+           |  round(sy / nd / 100 - slope * (sx / nd), 4) + 0 AS intercept,
+           |  round(num * num / (dx * dy), 4) + 0 AS r2,
            |  n
            |FROM e ORDER BY l_returnflag""".stripMargin))
 
@@ -274,8 +279,9 @@ object Stats {
     * the fixtures, and g1/g2 are scale-invariant so no descaling is needed):
     * Σv..Σv⁴ accumulate exactly in DECIMAL(38,0) / HUGEINT, then both
     * engines evaluate the identical central-moment closed form. The oracle's
-    * v⁴ element product is widened to HUGEINT BEFORE multiplying — at cents
-    * scale v⁴ alone can exceed BIGINT.
+    * v³ and v⁴ element products are widened to HUGEINT BEFORE multiplying —
+    * at cents scale the pure-BIGINT product overflows once values reach
+    * ~21000 (v³) / ~1300 (v⁴).
     */
   val q88DistShape = GraftQuery(
     "q88_dist_shape",
@@ -311,8 +317,9 @@ object Stats {
           - lit(3) * col("m1") * col("m1") * col("m1") * col("m1"))
         .select(
           col("event_type"),
-          round(col("m3") / (col("m2") * sqrt(col("m2"))), 6).as("skew"),
-          round(col("m4") / (col("m2") * col("m2")) - 3, 6).as("kurt"),
+          // `+ 0` collapses IEEE -0.0 to +0.0 on both engines (see q44)
+          (round(col("m3") / (col("m2") * sqrt(col("m2"))), 6) + 0).as("skew"),
+          (round(col("m4") / (col("m2") * col("m2")) - 3, 6) + 0).as("kurt"),
           col("med"), col("all_nonneg"), col("any_high"), col("n"))
         .orderBy("event_type")
     },
@@ -321,7 +328,7 @@ object Stats {
            |    sum(CAST(round(value * 100) AS BIGINT)) AS sv,
            |    sum(CAST(round(value * 100) AS BIGINT)
            |      * CAST(round(value * 100) AS BIGINT)) AS svv,
-           |    sum(CAST(round(value * 100) AS BIGINT)
+           |    sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
            |      * CAST(round(value * 100) AS BIGINT)
            |      * CAST(round(value * 100) AS BIGINT)) AS svvv,
            |    sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
@@ -346,8 +353,8 @@ object Stats {
            |      - 3 * m1 * m1 * m1 * m1 AS m4
            |  FROM d)
            |SELECT event_type,
-           |  round(m3 / (m2 * sqrt(m2)), 6) AS skew,
-           |  round(m4 / (m2 * m2) - 3, 6) AS kurt,
+           |  round(m3 / (m2 * sqrt(m2)), 6) + 0 AS skew,
+           |  round(m4 / (m2 * m2) - 3, 6) + 0 AS kurt,
            |  med, all_nonneg, any_high, n
            |FROM e ORDER BY event_type""".stripMargin))
 

@@ -67,6 +67,39 @@ object RebalanceRunner {
     moved
   }
 
+  /** O20 destructive rollback (reference `sharding_recreation.py:27-41`,
+    * reachable there only via the commented-out call at line 342): drop
+    * every versioned shadow `t__v{version}` in `db`, abandoning an
+    * in-flight rebalance. Two guards the reference lacks:
+    *
+    *   - refuses to run at all unless `force = true` (matching the
+    *     reference's decision to leave the call commented out — the drop
+    *     is irreversible);
+    *   - never drops a shadow whose canonical base table is vacant: after
+    *     a crash between the two promotion renames the shadow is the ONLY
+    *     complete copy, and [[rebalanceTable]]'s recovery branch promotes
+    *     it instead.
+    *
+    * Returns the table names actually dropped.
+    */
+  def dropVersioned(
+      spark: SparkSession,
+      db: String,
+      version: String,
+      force: Boolean = false): Seq[String] = {
+    require(force,
+      s"dropVersioned discards every $db.*__v$version shadow irreversibly; " +
+        "pass force=true to confirm")
+    val victims = TableRegistry.tableNames(spark, db)
+      .filter(_.endsWith(s"__v$version"))
+    val droppable = victims.filter { n =>
+      val base = n.substring(0, n.lastIndexOf("__v"))
+      TableRegistry.exists(spark, db, base)
+    }
+    droppable.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $db.$n"))
+    droppable
+  }
+
   /** Rebalance every data table in a database (the reference's whole-db
     * workflow), returning table → rows moved.
     */

@@ -46,6 +46,38 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec {
     assert(dist == local)
   }
 
+  test("large-star/small-star agrees with union-find, min-label, and GraphX " +
+      "on an adversarial long chain") {
+    import spark.implicits._
+    // a 200-node chain (diameter 199) plus a triangle and a pair: the shape
+    // where O(diameter) min-label propagation is at its worst and the
+    // O(log n) star algorithm shines
+    val edges = ((0L until 199L).map(i => (i, i + 1)) ++
+      Seq((500L, 501L), (501L, 502L), (500L, 502L), (700L, 701L)))
+      .toDF("i", "j")
+    val star = Dedup.connectedComponentsStar(edges)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val local = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val graphx = Dedup.connectedComponentsGraphX(edges)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(star == local)
+    assert(star == graphx)
+    // chain collapses to min label 0 in well under diameter rounds
+    assert(star.count(_._2 == 0L) == 200)
+  }
+
+  test("large-star/small-star handles scrambled ids and reversed edges") {
+    import spark.implicits._
+    val edges = ((0L until 60L).map(k => ((k * 37) % 61 + 1000L, (k * 37 + 1) % 61 + 1000L)) ++
+      Seq((5L, 3L), (3L, 9L), (9L, 5L))).toDF("i", "j")
+    val star = Dedup.connectedComponentsStar(edges)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val local = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(star == local)
+  }
+
   test("GraphX variant agrees with the DataFrame loop on a mixed graph") {
     import spark.implicits._
     // chains, triangles, pairs, and hash-scrambled ids in one edge list

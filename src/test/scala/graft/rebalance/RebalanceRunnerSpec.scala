@@ -63,6 +63,33 @@ class RebalanceRunnerSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("O20 dropVersioned: refuses without force, drops only safe shadows with it") {
+    import spark.implicits._
+    freshDatabase("graft_o20")
+    // normal in-flight rebalance: canonical + shadow both present
+    (1L to 40L).map(i => (i, i)).toDF("k", "v")
+      .write.saveAsTable("graft_o20.t1")
+    (1L to 40L).map(i => (i, i)).toDF("k", "v")
+      .write.saveAsTable("graft_o20.t1__v3")
+    // crash window: shadow is the ONLY copy (canonical vacant) — must survive
+    (1L to 60L).map(i => (i, i)).toDF("k", "v")
+      .write.saveAsTable("graft_o20.stranded__v3")
+    // different version: out of scope for this rollback
+    (1L to 10L).map(i => (i, i)).toDF("k", "v")
+      .write.saveAsTable("graft_o20.t1__v9")
+
+    // destructive path is flag-gated (reference leaves the call commented out)
+    intercept[IllegalArgumentException] {
+      RebalanceRunner.dropVersioned(spark, "graft_o20", "3")
+    }
+    assert(TableRegistry.tableNames(spark, "graft_o20").size == 4)
+
+    val dropped = RebalanceRunner.dropVersioned(spark, "graft_o20", "3", force = true)
+    assert(dropped == Seq("t1__v3"), dropped)
+    val names = TableRegistry.tableNames(spark, "graft_o20").sorted
+    assert(names == Seq("stranded__v3", "t1", "t1__v9"), names)
+  }
+
   test("whole-db run recovers tables stranded in the crash window (orphaned shadow)") {
     import spark.implicits._
     freshDatabase("graft_orph")

@@ -11,6 +11,7 @@ rounding both sides identically; a strict gate here is what guarantees the
 driver's hash compare passes).
 """
 import json
+import math
 import sys
 
 import duckdb
@@ -64,7 +65,8 @@ def main():
         # raise "unhashable type: numpy.ndarray" there and zero the query
         # (round-2 q116/q123/q124). Flag them here so pre-flight mirrors it.
         arr_cols = [s_cols[c] for c in range(len(s_cols))
-                    if any(isinstance(r[c], (list, tuple)) for r in s_rows[:5])]
+                    if any(isinstance(r[c], (list, tuple)) for r in s_rows)
+                    or any(isinstance(r[c], (list, tuple)) for r in d_rows)]
         if arr_cols:
             print(f"FAIL {name}: array-typed output columns {arr_cols} "
                   f"would crash the driver compare — array_join them")
@@ -88,6 +90,16 @@ def main():
         for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
             for c, (sv, dv) in enumerate(zip(sr, dr)):
                 if sv == dv:
+                    # -0.0 == 0.0 in Python but hashes differently in the
+                    # driver's typed compare (round-3 q44). Flag sign-of-zero
+                    # divergence even though == passes.
+                    if (isinstance(sv, float) and isinstance(dv, float)
+                            and sv == 0.0
+                            and math.copysign(1, sv) != math.copysign(1, dv)):
+                        if bad < 3:
+                            print(f"  {name} row {i} col {s_cols[c]}: "
+                                  f"signed-zero spark={sv!r} duck={dv!r}")
+                        bad += 1
                     continue
                 if bad < 3:
                     print(f"  {name} row {i} col {s_cols[c]}: "
