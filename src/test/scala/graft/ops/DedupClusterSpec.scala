@@ -32,7 +32,7 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec {
     assert(got.forall(_._2 == 0L))
   }
 
-  test("distributed loop path (threshold 0) agrees with the local union-find") {
+  test("distributed star path (threshold 0) agrees with the local union-find") {
     import spark.implicits._
     val edges = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L),
@@ -46,7 +46,7 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec {
     assert(dist == local)
   }
 
-  test("large-star/small-star agrees with union-find, min-label, and GraphX " +
+  test("large-star/small-star agrees with union-find and GraphX " +
       "on an adversarial long chain") {
     import spark.implicits._
     // a 200-node chain (diameter 199) plus a triangle and a pair: the shape
@@ -65,6 +65,25 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec {
     assert(star == graphx)
     // chain collapses to min label 0 in well under diameter rounds
     assert(star.count(_._2 == 0L) == 200)
+  }
+
+  test("min-label variant agrees with union-find and star on a small mixed graph") {
+    import spark.implicits._
+    // small diameter on purpose: min-label pays one distributed round per
+    // hop, so its parity case stays on a graph where that's cheap
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("i", "j")
+    val minLabel = Dedup.connectedComponentsMinLabel(edges)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val local = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val star = Dedup.connectedComponentsStar(edges)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(minLabel == local)
+    assert(minLabel == star)
   }
 
   test("large-star/small-star handles scrambled ids and reversed edges") {
