@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class ChunkingSpec extends AnyFunSuite with SparkSpec {
+
+  test("sequence packing tiles every document exactly, within block bounds") {
+    val sf = "/root/testdata/sf0.001"
+    val segs = Chunking.q128SequencePacking.fn(spark, sf).cache()
+
+    // every document's segments sum to its full token count (no token lost
+    // or duplicated by the block cuts)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+    val bad = segs.groupBy("lang", "doc_id")
+      .agg(sum("seg_len").as("packed"))
+      .join(docs, Seq("lang", "doc_id"))
+      .filter(col("packed") =!= col("tok"))
+    assert(bad.count() == 0, "segment lengths must sum to the doc token count")
+
+    // no block overfills: per (lang, block) the segment lengths sum to at
+    // most the 2048-token capacity, and all interior blocks are exactly full
+    val blocks = segs.groupBy("lang", "block_id")
+      .agg(sum("seg_len").as("fill")).cache()
+    assert(blocks.filter(col("fill") > 2048).count() == 0)
+    val lastBlock = blocks.groupBy("lang").agg(max("block_id").as("lb"))
+    val interiorUnderfull = blocks.join(lastBlock, "lang")
+      .filter(col("block_id") < col("lb") && col("fill") =!= 2048)
+    assert(interiorUnderfull.count() == 0,
+      "every non-final block must be packed to exactly 2048 tokens")
+
+    // segment starts are consistent: each doc's segments are contiguous
+    // from offset 0 (seg_start ordering by block_id)
+    val firstSeg = segs.groupBy("lang", "doc_id")
+      .agg(min("seg_start").as("s0"))
+      .filter(col("s0") =!= 0)
+    assert(firstSeg.count() == 0)
+    segs.unpersist(); blocks.unpersist()
+  }
+}
