@@ -179,6 +179,75 @@ object Pipeline {
            |FROM documents WHERE n_chars > 0
            |ORDER BY skey DESC, doc_id LIMIT 30""".stripMargin))
 
+  /** Source-mixture sampling — the data-mixing step that shapes a
+    * pretraining corpus: each source gets a token budget from its mixture
+    * weight, over-budget sources are down-sampled to fit, under-budget
+    * sources pass through whole. Everything is integer arithmetic so both
+    * engines agree bit-for-bit:
+    *
+    *   - weight (per-mille) derives from the source id;
+    *   - budget_s = (15000 · w_s) div 1000 target tokens;
+    *   - threshold_s = min(1000, budget_s·1000 div tokens_s);
+    *   - a doc survives iff its md5 bucket (mod 1000) < threshold_s — the
+    *     same reproducible hash-gate as q52, so samples are join-stable
+    *     across runs and engines.
+    *
+    * Scale: one scan; the per-source token total comes from a window over
+    * `source`, and the final groupBy reuses that hash partitioning — one
+    * shuffle total, no driver-side state, no rand().
+    */
+  val q129MixtureSample = GraftQuery(
+    "q129_mixture_sampling",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 1000
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        .withColumn("weight_pm",
+          lit(25L) + lit(25L) * (expr("CAST(substr(source, 4) AS LONG)") % 4))
+        .withColumn("tokens_total", sum("tok").over(w))
+        .withColumn("thr",
+          least(lit(1000L),
+            expr("((15000 * weight_pm) div 1000) * 1000 div tokens_total")))
+        .withColumn("sampled", (bucket < col("thr")).cast("long"))
+        .groupBy("source")
+        .agg(
+          first(col("weight_pm")).as("weight_pm"),
+          first(col("tokens_total")).as("tokens_total"),
+          first(col("thr")).as("thr"),
+          count(lit(1)).as("n_docs"),
+          sum("sampled").as("n_sampled"),
+          sum(col("sampled") * col("tok")).as("tokens_sampled"))
+        .orderBy("source")
+    },
+    Some("""WITH t AS (
+           |  SELECT source, doc_id, len(string_split(text, ' ')) AS tok,
+           |    25 + 25 * (CAST(substr(source, 4) AS BIGINT) % 4) AS weight_pm
+           |  FROM documents),
+           |c AS (
+           |  SELECT *, CAST(sum(tok) OVER (PARTITION BY source) AS BIGINT)
+           |    AS tokens_total FROM t),
+           |g AS (
+           |  SELECT *,
+           |    least(1000, ((15000 * weight_pm) // 1000) * 1000 // tokens_total)
+           |      AS thr,
+           |    CASE WHEN CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 4))
+           |        AS BIGINT) % 1000
+           |      < least(1000, ((15000 * weight_pm) // 1000) * 1000 // tokens_total)
+           |      THEN 1 ELSE 0 END AS sampled
+           |  FROM c)
+           |SELECT source,
+           |  CAST(min(weight_pm) AS BIGINT) AS weight_pm,
+           |  min(tokens_total) AS tokens_total,
+           |  CAST(min(thr) AS BIGINT) AS thr,
+           |  count(*) AS n_docs,
+           |  CAST(sum(sampled) AS BIGINT) AS n_sampled,
+           |  CAST(sum(sampled * tok) AS BIGINT) AS tokens_sampled
+           |FROM g GROUP BY source ORDER BY source""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q52HashSample, q53IncrementalDedup, q54OutlierFilter,
-    q65StratifiedSample, q97WeightedSample)
+    q65StratifiedSample, q97WeightedSample, q129MixtureSample)
 }
