@@ -229,7 +229,42 @@ object Text {
            |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) rn FROM c)
            |SELECT lang, gram AS top_gram, n FROM r WHERE rn = 1 ORDER BY lang""".stripMargin))
 
+  /** First BPE merge step (tokenizer training): count adjacent character
+    * pairs across the corpus and rank the merge candidates. Done the way a
+    * corpus-scale tokenizer trainer does it — pair counting runs over the
+    * DEDUPLICATED vocabulary weighted by word frequency, not over raw text:
+    * the word-count aggregation (classic partial-agg word count) collapses
+    * 100 TB of text to a vocabulary-sized table first, and the quadratic-ish
+    * pair explosion only ever touches distinct words. Top-20 pairs with a
+    * deterministic (count desc, pair asc) tie-break.
+    */
+  val q130BpePairs = GraftQuery(
+    "q130_bpe_pairs",
+    (s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(explode(toks(col("text"))).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("wc"))
+      words
+        .select(col("word"), col("wc"),
+          posexplode(sequence(lit(1), length(col("word")) - 1)))
+        .select(expr("substr(word, col, 2)").as("pair"), col("wc"))
+        .groupBy("pair").agg(sum("wc").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    },
+    Some("""WITH w AS (
+           |  SELECT word, count(*) AS wc FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           |  WHERE length(word) >= 2 GROUP BY word),
+           |p AS (
+           |  SELECT substr(word, CAST(i AS INT), 2) AS pair, wc
+           |  FROM (SELECT word, wc, unnest(range(1, length(word))) AS i FROM w))
+           |SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt
+           |FROM p GROUP BY pair
+           |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q19TextStats, q20TokenCounts, q21QualityScore, q22LangId, q23Fingerprints,
-    q60Perplexity, q61Bigrams, q64TopTrigramUdtf)
+    q60Perplexity, q61Bigrams, q64TopTrigramUdtf, q130BpePairs)
 }
