@@ -55,10 +55,15 @@ object Bench {
       val ts = firstPass.map(_._3).filter(_ >= 0).sorted
       if (ts.isEmpty) 0.0 else ts(ts.length / 2)
     }
-    val cutoff = math.max(1.0, 3 * med)
+    // 0.3 s floor (was 1 s): sub-second queries drift by 2-3× under noise
+    // too, and the old floor made that invisible. The 5 slowest queries are
+    // also re-timed unconditionally — they dominate the total, so a single
+    // contention spike on any of them distorts the headline number most.
+    val cutoff = math.max(0.3, 3 * med)
+    val slowest5 = firstPass.filter(_._3 >= 0).sortBy(-_._3).take(5).map(_._1).toSet
     val results = firstPass.map { case (name, fn, sec) =>
       val best =
-        if (sec > cutoff) {
+        if (sec > cutoff || slowest5(name)) {
           val again = timeOne(name, fn)
           val b = if (again >= 0) math.min(sec, again) else sec
           System.err.println(f"[bench] $name%-30s retry $again%8.2f s (kept $b%.2f)")
@@ -72,10 +77,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // the total also goes to stderr as its own short line so it survives any
-    // stdout tail truncation
-    System.err.println(f"[bench] TOTAL ${total}%.2f s over ${results.size} queries")
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // tail-capture of stdout can truncate the long line above from the FRONT,
+    // losing the total; a short trailing line always survives a tail.
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
+    System.err.println(f"[bench] TOTAL ${total}%.2f s over ${results.size} queries")
     spark.stop()
   }
 }

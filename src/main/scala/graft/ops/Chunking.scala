@@ -88,61 +88,67 @@ object Chunking {
            |SELECT lang, rnk, term, tf, df, tfidf FROM r WHERE rnk <= 3
            |ORDER BY lang, rnk""".stripMargin))
 
-  /** GPT-style sequence packing: per language stream, documents are
-    * concatenated in doc_id order and cut into fixed 2048-token context
-    * blocks; documents crossing a block boundary are split into segments
-    * (the standard pretraining packing that wastes zero pad tokens). Output
-    * is one row per (doc, block) segment: where in the block stream each
-    * document's tokens land.
+  /** GPT-style sequence packing: documents are concatenated in doc_id order
+    * and cut into fixed 2048-token context blocks; documents crossing a
+    * block boundary are split into segments (the standard pretraining
+    * packing that wastes zero pad tokens). Output is one row per
+    * (doc, block) segment: where in the block stream each document's
+    * tokens land.
     *
     * All integer arithmetic: a running token count (window sum) gives each
     * doc its absolute token offset, and `div` cuts offsets into blocks —
     * deterministic, no float, so the oracle mirrors it exactly.
     *
-    * Scale (100 TB): the window partitions by `lang`, so packing
-    * parallelizes across streams; a single giant stream would be salted
-    * into (lang, shard) sub-streams first — packing quality is unaffected
-    * because blocks are independent beyond their boundary cuts. One shuffle
-    * (the window), then map-side explode.
+    * Scale (100 TB): the packing stream is (lang, shard), with
+    * shard = doc_id mod 8 — a deterministic split of each language into
+    * independent sub-streams, so a single dominant language can never
+    * serialize through one window task (the per-lang form did exactly
+    * that). Packing quality is unaffected: blocks are full except each
+    * sub-stream's final block, and block ids are scoped to their
+    * (lang, shard) stream. One shuffle (the window), then map-side
+    * explode. On a real cluster NSHARDS scales with executor count.
     */
   val q128SequencePacking = GraftQuery(
     "q128_sequence_packing",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val cap = 2048L
-      val w = Window.partitionBy("lang").orderBy("doc_id")
+      val nShards = 8
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables.documents(s, dir)
         .select(col("lang"), col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("tok"))
+        .withColumn("shard", col("doc_id") % nShards)
         .withColumn("cb", coalesce(sum("tok").over(w), lit(0L)))
         .withColumn("block_id",
           explode(sequence(expr(s"cb div $cap"),
             expr(s"(cb + tok - 1) div $cap"))))
         .select(
-          col("lang"), col("doc_id"), col("block_id"),
+          col("lang"), col("shard"), col("doc_id"), col("block_id"),
           greatest(lit(0L), col("block_id") * cap - col("cb")).as("seg_start"),
           (least(col("cb") + col("tok"), (col("block_id") + 1) * cap) -
             greatest(col("cb"), col("block_id") * cap)).as("seg_len"))
-        .orderBy("lang", "doc_id", "block_id")
+        .orderBy("lang", "shard", "doc_id", "block_id")
     },
     Some("""WITH t AS (
-           |  SELECT lang, doc_id, len(string_split(text, ' ')) AS tok
+           |  SELECT lang, doc_id % 8 AS shard, doc_id,
+           |    len(string_split(text, ' ')) AS tok
            |  FROM documents),
            |c AS (
-           |  SELECT lang, doc_id, tok,
-           |    CAST(COALESCE(sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+           |  SELECT lang, shard, doc_id, tok,
+           |    CAST(COALESCE(sum(tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
            |  FROM t),
            |seg AS (
-           |  SELECT lang, doc_id, tok, cb,
+           |  SELECT lang, shard, doc_id, tok, cb,
            |    unnest(range(cb // 2048, (cb + tok - 1) // 2048 + 1)) AS block_id
            |  FROM c)
-           |SELECT lang, doc_id, CAST(block_id AS BIGINT) AS block_id,
+           |SELECT lang, shard, doc_id, CAST(block_id AS BIGINT) AS block_id,
            |  CAST(greatest(0, block_id * 2048 - cb) AS BIGINT) AS seg_start,
            |  CAST(least(cb + tok, (block_id + 1) * 2048)
            |    - greatest(cb, block_id * 2048) AS BIGINT) AS seg_len
-           |FROM seg ORDER BY lang, doc_id, block_id""".stripMargin))
+           |FROM seg ORDER BY lang, shard, doc_id, block_id""".stripMargin))
 
   val all: Seq[GraftQuery] = Seq(q49Chunking, q50TopTerms, q128SequencePacking)
 }

@@ -124,15 +124,18 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 50,
       localThreshold: Long = 200000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val sym = edges.select(col("i").as("a"), col("j").as("b"))
       .unionAll(edges.select(col("j").as("a"), col("i").as("b")))
-      .persist()
-    val edgeCount = sym.count()
-    if (edgeCount <= localThreshold) {
-      val spark = edges.sparkSession
-      import spark.implicits._
-      val es = sym.select(col("a").cast("long"), col("b").cast("long"))
-        .as[(Long, Long)].collect()
+    // single dispatch job: pull at most threshold+1 edges — a short result
+    // IS the complete edge set (no separate count pass over the expensive
+    // upstream pipeline), an overflow routes to the distributed star path.
+    // Bounded: never materializes more than localThreshold+1 rows of
+    // (long, long) on the driver (~3 MB at the 200k default).
+    val es = sym.select(col("a").cast("long"), col("b").cast("long"))
+      .limit(localThreshold.toInt + 1).as[(Long, Long)].collect()
+    if (es.length <= localThreshold) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -146,11 +149,8 @@ object Dedup {
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
-      val out = parent.keys.toSeq.map(v => (v, find(v))).toDF("v", "lbl")
-      sym.unpersist()
-      return out
+      return parent.keys.toSeq.map(v => (v, find(v))).toDF("v", "lbl")
     }
-    sym.unpersist()
     connectedComponentsStar(edges)
   }
 

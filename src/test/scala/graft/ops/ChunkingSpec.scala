@@ -22,16 +22,31 @@ class ChunkingSpec extends AnyFunSuite with SparkSpec {
       .filter(col("packed") =!= col("tok"))
     assert(bad.count() == 0, "segment lengths must sum to the doc token count")
 
-    // no block overfills: per (lang, block) the segment lengths sum to at
-    // most the 2048-token capacity, and all interior blocks are exactly full
-    val blocks = segs.groupBy("lang", "block_id")
+    // shards are a partition of each language: every doc lands in exactly
+    // the shard its id hashes to, and blocks never mix shards
+    val wrongShard = segs.filter(col("shard") =!= col("doc_id") % 8)
+    assert(wrongShard.count() == 0, "shard must be doc_id mod 8")
+
+    // no block overfills: per (lang, shard, block) the segment lengths sum
+    // to at most the 2048-token capacity, and all interior blocks of each
+    // sub-stream are exactly full — the tiling invariant holds per shard,
+    // not just per language
+    val blocks = segs.groupBy("lang", "shard", "block_id")
       .agg(sum("seg_len").as("fill")).cache()
     assert(blocks.filter(col("fill") > 2048).count() == 0)
-    val lastBlock = blocks.groupBy("lang").agg(max("block_id").as("lb"))
-    val interiorUnderfull = blocks.join(lastBlock, "lang")
+    val lastBlock = blocks.groupBy("lang", "shard").agg(max("block_id").as("lb"))
+    val interiorUnderfull = blocks.join(lastBlock, Seq("lang", "shard"))
       .filter(col("block_id") < col("lb") && col("fill") =!= 2048)
     assert(interiorUnderfull.count() == 0,
-      "every non-final block must be packed to exactly 2048 tokens")
+      "every non-final block of every (lang, shard) stream must be packed to exactly 2048 tokens")
+
+    // block ids are dense from 0 within each sub-stream (no gaps: each
+    // block boundary is crossed by some document segment)
+    val denseViolation = blocks.groupBy("lang", "shard")
+      .agg(min("block_id").as("b0"), max("block_id").as("bn"),
+        count(lit(1)).as("nblk"))
+      .filter(col("b0") =!= 0 || col("nblk") =!= col("bn") + 1)
+    assert(denseViolation.count() == 0, "block ids must be dense from 0 per stream")
 
     // segment starts are consistent: each doc's segments are contiguous
     // from offset 0 (seg_start ordering by block_id)

@@ -93,6 +93,78 @@ class MultimodalBatchSpec extends AnyFunSuite with SparkSpec {
     assert(got.sameElements(batched))
   }
 
+  test("BmpCodec roundtrips payload bytes through a genuine BMP container") {
+    val payload = (0 until 100).map(i => ((i * 37 + 11) % 256).toByte).toArray
+    val bmp = Multimodal.BmpCodec.encode(payload)
+    assert(Multimodal.HeaderCodec.sniff(bmp) == "bmp")
+    // header parse agrees with the encode geometry
+    assert(Multimodal.HeaderCodec.decode(bmp) == Some((16, 3))) // ceil(100/48)=3
+    val Some((w, h, px)) = Multimodal.BmpCodec.decodePixels(bmp)
+    assert((w, h) == (16, 3))
+    // decoded top-down pixels = payload then zero padding
+    assert(px.take(100).sameElements(payload))
+    assert(px.drop(100).forall(_ == 0))
+    // width not a multiple of 4: decode honors the padded row stride.
+    // hand-build a 3×2 24-bit BMP (stride 12 = 9 data + 3 pad) bottom-up
+    def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    val row0 = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9) // top row
+    val row1 = Array[Byte](10, 11, 12, 13, 14, 15, 16, 17, 18)
+    val pad = Array[Byte](0, 0, 0)
+    val strided = "BM".getBytes("US-ASCII") ++ le32(54 + 24) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(3) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++ le32(24) ++
+      Array.fill[Byte](16)(0) ++ // rest of BITMAPINFOHEADER to byte 54
+      row1 ++ pad ++ row0 ++ pad // bottom-up storage
+    val Some((w2, h2, px2)) = Multimodal.BmpCodec.decodePixels(strided)
+    assert((w2, h2) == (3, 2))
+    assert(px2.sameElements(row0 ++ row1)) // stride pad stripped, rows flipped
+  }
+
+  test("WavCodec roundtrips samples and walks non-canonical chunk layouts") {
+    val payload = Array[Byte](0x10, 0x00, 0x00, 0x7f, 0xff.toByte, 0xff.toByte, 0x55)
+    val wav = Multimodal.WavCodec.encode(payload)
+    assert(Multimodal.HeaderCodec.sniff(wav) == "wav")
+    val Some(samples) = Multimodal.WavCodec.decodeSamples(wav)
+    // LE pairs: (0x10,0x00)=16, (0x00,0x7f)=32512, (0xff,0xff)=-1,
+    // odd tail (0x55) padded with zero high byte = 85
+    assert(samples.toSeq == Seq[Short](16, 32512, -1, 85))
+    // decoder must WALK chunks, not assume fmt at byte 12: insert a junk
+    // chunk before fmt and data
+    def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    val data = Array[Byte](3, 0, 0xfe.toByte, 0xff.toByte) // samples 3, -2
+    val shuffled = "RIFF".getBytes("US-ASCII") ++ le32(4 + 12 + 24 + 12) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++ le32(4) ++ "INFO".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(4) ++ data
+    assert(Multimodal.WavCodec.decodeSamples(shuffled).map(_.toSeq) ==
+      Some(Seq[Short](3, -2)))
+    // non-PCM (format tag 3 = float) is refused, not misread
+    val floatFmt = shuffled.clone()
+    floatFmt(32) = 3 // audioFormat field of the fmt chunk
+    assert(Multimodal.WavCodec.decodeSamples(floatFmt).isEmpty)
+  }
+
+  test("decodeContent mean/RMS match direct byte arithmetic") {
+    import spark.implicits._
+    val p1 = "hello multimodal world".getBytes("US-ASCII")
+    val media = Seq(Multimodal.MediaRow(1L, p1)).toDS()
+    val got = Multimodal.decodeContent(media).collect().head
+    val expMean = p1.map(_ & 0xff).sum.toDouble / 48 // 1 row of 48 channel bytes
+    val n = (p1.length + 1) / 2
+    val expSq = (0 until n).map { k =>
+      val lo = p1(2 * k) & 0xff
+      val hi = if (2 * k + 1 < p1.length) p1(2 * k + 1) & 0xff else 0
+      val v = (lo | (hi << 8)).toShort.toLong
+      v * v
+    }.sum
+    assert(got.bmp_w == 16 && got.bmp_h == 1 && got.n_samples == n)
+    assert(math.abs(got.mean_pixel - expMean) < 1e-9)
+    assert(math.abs(got.rms_amplitude - math.sqrt(expSq.toDouble / n)) < 1e-9)
+  }
+
   test("frame sampling expands payloads one-to-many with correct offsets") {
     import spark.implicits._
     val media = Seq(
