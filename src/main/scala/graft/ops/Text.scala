@@ -264,7 +264,100 @@ object Text {
            |FROM p GROUP BY pair
            |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin))
 
+  /** Iterated BPE merge training (the actual tokenizer-training kernel —
+    * q130 is a single step of this): starting from character symbols, K
+    * times pick the most frequent adjacent symbol pair over the
+    * frequency-weighted vocabulary and merge it everywhere, emitting the
+    * merge table (the artifact a BPE tokenizer ships).
+    *
+    * Symbol sequences ride as delimited strings `(s1)(s2)…` over a
+    * `[a-z]+` vocabulary, so applying a merge is a literal leftmost
+    * non-overlapping `replace("(a)(b)" → "(ab)")` — exactly BPE's
+    * left-to-right merge-application order, identical in Spark and DuckDB,
+    * and boundary-safe because parens cannot occur inside symbols.
+    *
+    * Scale shape: the driver loop is K=5 rounds like q98_pagerank; each
+    * round is one distributed pair-count over the VOCABULARY (not the
+    * corpus — the word-count agg collapsed that first) and a top-1
+    * `limit(1).collect()` of a single 16-byte row. The seq table is
+    * localCheckpointed per round to keep lineage O(1).
+    */
+  val q132BpeTrain = GraftQuery(
+    "q132_bpe_train",
+    (s, dir) => {
+      import s.implicits._
+      val steps = 5
+      var seqs = Tables.documents(s, dir)
+        .select(explode(toks(col("text"))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("wc"))
+        .select(
+          concat(lit("("),
+            array_join(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"), ")("),
+            lit(")")).as("seq"),
+          col("wc"))
+        .localCheckpoint()
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (step <- 1 to steps) {
+        val top = seqs
+          .select(col("wc"),
+            split(expr("substring(seq, 2, length(seq) - 2)"), "\\)\\(").as("sym"))
+          .filter(size(col("sym")) >= 2)
+          .select(col("wc"), col("sym"),
+            explode(sequence(lit(0), size(col("sym")) - 2)).as("i"))
+          .select(col("wc"),
+            concat(lit("("), element_at(col("sym"), col("i") + 1), lit(")("),
+              element_at(col("sym"), col("i") + 2), lit(")")).as("pair"))
+          .groupBy("pair").agg(sum("wc").as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(1).collect()
+        if (top.nonEmpty) {
+          val pair = top(0).getString(0)
+          val cnt = top(0).getLong(1)
+          val merged = pair.replace("(", "").replace(")", "")
+          merges += ((step, pair, merged, cnt))
+          seqs = seqs
+            .select(replace(col("seq"), lit(pair), lit(s"($merged)")).as("seq"),
+              col("wc"))
+            .localCheckpoint()
+        }
+      }
+      merges.toSeq.toDF("step", "pair", "merged", "cnt").orderBy("step")
+    },
+    Some {
+      def round(k: Int): String =
+        s"""p$k AS (
+           |  SELECT '(' || sym[CAST(i AS INT)] || ')(' || sym[CAST(i AS INT) + 1] || ')' AS pair,
+           |    CAST(sum(wc) AS BIGINT) AS cnt
+           |  FROM (SELECT sym, wc, unnest(range(1, len(sym))) AS i
+           |        FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), ')(') AS sym, wc
+           |              FROM s${k - 1})
+           |        WHERE len(sym) >= 2)
+           |  GROUP BY 1),
+           |t$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
+           |s$k AS (SELECT replace(seq, (SELECT pair FROM t$k),
+           |    '(' || (SELECT replace(replace(pair, '(', ''), ')', '') FROM t$k) || ')') AS seq, wc
+           |  FROM s${k - 1})"""
+      s"""WITH w AS (
+         |  SELECT word, count(*) AS wc FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) >= 2
+         |  GROUP BY word),
+         |s0 AS (
+         |  SELECT '(' || array_to_string(list_transform(range(1, length(word) + 1),
+         |    i -> substr(word, CAST(i AS INT), 1)), ')(') || ')' AS seq, wc
+         |  FROM w),
+         |${(1 to 5).map(round).mkString(",\n")}
+         |SELECT * FROM (
+         |  SELECT 1 AS step, pair, replace(replace(pair, '(', ''), ')', '') AS merged, cnt FROM t1
+         |  UNION ALL SELECT 2, pair, replace(replace(pair, '(', ''), ')', ''), cnt FROM t2
+         |  UNION ALL SELECT 3, pair, replace(replace(pair, '(', ''), ')', ''), cnt FROM t3
+         |  UNION ALL SELECT 4, pair, replace(replace(pair, '(', ''), ')', ''), cnt FROM t4
+         |  UNION ALL SELECT 5, pair, replace(replace(pair, '(', ''), ')', ''), cnt FROM t5
+         |) ORDER BY step""".stripMargin
+    })
+
   val all: Seq[GraftQuery] = Seq(
     q19TextStats, q20TokenCounts, q21QualityScore, q22LangId, q23Fingerprints,
-    q60Perplexity, q61Bigrams, q64TopTrigramUdtf, q130BpePairs)
+    q60Perplexity, q61Bigrams, q64TopTrigramUdtf, q130BpePairs, q132BpeTrain)
 }
