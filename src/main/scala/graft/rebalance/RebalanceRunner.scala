@@ -100,26 +100,49 @@ object RebalanceRunner {
     droppable
   }
 
+  /** A materialized view of the database: `name` is the MV's catalog table,
+    * `sql` its definition over canonical table names — re-runnable at any
+    * time to rebuild the view.
+    */
+  final case class MvDef(name: String, sql: String)
+
   /** Rebalance every data table in a database (the reference's whole-db
     * workflow), returning table → rows moved.
+    *
+    * `recreateMvs` goes one step beyond the reference, whose MV handling is
+    * an explicit TODO (reference `sharding_recreation.py:258-266,337` —
+    * views are neither moved nor recreated): with `recreateMvs = true`,
+    * after every base-table swap completes each `MvDef` is re-evaluated
+    * against the new canonical tables and swapped into place atomically
+    * ([[graft.streaming.MaterializedView.refresh]]), so MVs are consistent
+    * with the rebalanced data. MV tables themselves are excluded from the
+    * data-table pass — they are derived state, rebuilt rather than moved.
     */
   def rebalanceDatabase(
       spark: SparkSession,
       db: String,
       dist: String => Rebalancer.Distribution,
       shards: Int,
-      version: String): Map[String, Long] = {
+      version: String,
+      mvs: Seq[MvDef] = Nil,
+      recreateMvs: Boolean = false): Map[String, Long] = {
     val names = TableRegistry.tableNames(spark, db)
-    val canonical = names.filterNot(n => n.contains("__v") || n.endsWith("__old"))
+    val mvNames = mvs.map(_.name).toSet
+    val canonical = names.filterNot(n =>
+      n.contains("__v") || n.endsWith("__old") || mvNames.contains(n))
     // a crash between rebalanceTable's two renames strands a table with the
     // canonical name vacant and only `t__v{n}` / `t__old` present; surface
     // those bases too so the recovery branch in rebalanceTable finishes the
     // promotion instead of the table silently vanishing from whole-db runs
     val orphaned = names.collect {
       case n if n.contains(s"__v$version") => n.substring(0, n.indexOf("__v"))
-    }.filterNot(canonical.contains).distinct
-    (canonical ++ orphaned)
+    }.filterNot(n => canonical.contains(n) || mvNames.contains(n)).distinct
+    val moved = (canonical ++ orphaned)
       .map(t => t -> rebalanceTable(spark, db, t, dist(t), shards, version))
       .toMap
+    if (recreateMvs) mvs.foreach { mv =>
+      graft.streaming.MaterializedView.refresh(spark.sql(mv.sql), s"$db.${mv.name}")
+    }
+    moved
   }
 }

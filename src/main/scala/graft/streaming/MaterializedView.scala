@@ -49,6 +49,25 @@ object MaterializedView {
     }
   }
 
+  /** Full MV rebuild through the same shadow-swap: `df` (the MV definition
+    * re-evaluated against current base tables) REPLACES the MV contents
+    * atomically. Used by the rebalance workflow's opt-in MV recreation —
+    * after base tables swap, their MVs are recomputed against the new
+    * canonical tables.
+    */
+  def refresh(df: DataFrame, target: String): Unit = {
+    val spark = df.sparkSession
+    val stage = s"${target}__mv_stage"
+    val old = s"${target}__mv_old"
+    df.write.mode(SaveMode.Overwrite).saveAsTable(stage)
+    spark.sql(s"DROP TABLE IF EXISTS $old")
+    if (spark.catalog.tableExists(target))
+      spark.sql(s"ALTER TABLE $target RENAME TO $old")
+    spark.sql(s"ALTER TABLE $stage RENAME TO $target")
+    spark.sql(s"DROP TABLE IF EXISTS $old")
+    spark.catalog.refreshTable(target)
+  }
+
   /** Start continuous materialization of a (usually aggregated) stream into
     * catalog table `target`, keyed by `keyCols`. Update output mode: each
     * micro-batch carries only the groups that changed.

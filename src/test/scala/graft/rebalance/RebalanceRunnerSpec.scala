@@ -90,6 +90,33 @@ class RebalanceRunnerSpec extends AnyFunSuite with SparkSpec {
     assert(names == Seq("stranded__v3", "t1", "t1__v9"), names)
   }
 
+  test("whole-db rebalance with recreateMvs rebuilds MVs against the swapped tables") {
+    import spark.implicits._
+    freshDatabase("graft_mv")
+    (1L to 200L).map(i => (i, (i % 5), i * 2)).toDF("k", "grp", "v")
+      .write.saveAsTable("graft_mv.facts")
+    val mvSql = "SELECT grp, count(*) AS n, sum(v) AS total " +
+      "FROM graft_mv.facts GROUP BY grp"
+    // MV exists before the rebalance (stale contents to prove it's rebuilt)
+    spark.sql(mvSql).limit(1).write.saveAsTable("graft_mv.mv_by_grp")
+    assert(spark.table("graft_mv.mv_by_grp").count() == 1)
+
+    val moved = RebalanceRunner.rebalanceDatabase(
+      spark, "graft_mv", _ => Rebalancer.ByHash("k"), 4, "2",
+      mvs = Seq(RebalanceRunner.MvDef("mv_by_grp", mvSql)), recreateMvs = true)
+
+    // the MV table was NOT rebalanced as a data table — it was rebuilt
+    assert(moved == Map("facts" -> 200L), moved)
+    val got = spark.table("graft_mv.mv_by_grp").orderBy("grp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = (0L to 4L).map(g =>
+      (g, 40L, (1L to 200L).filter(_ % 5 == g).map(_ * 2).sum))
+    assert(got == want, s"MV must reflect post-rebalance base data: $got")
+    // no stage/old residue from the MV swap
+    val names = TableRegistry.tableNames(spark, "graft_mv").sorted
+    assert(names == Seq("facts", "mv_by_grp"), names)
+  }
+
   test("whole-db run recovers tables stranded in the crash window (orphaned shadow)") {
     import spark.implicits._
     freshDatabase("graft_orph")
