@@ -282,82 +282,133 @@ object Text {
     * `limit(1).collect()` of a single 16-byte row. The seq table is
     * localCheckpointed per round to keep lineage O(1).
     */
+  /** Shared oracle CTE chain for the BPE queries: vocabulary → char-symbol
+    * sequences → five unrolled merge rounds (pair count, top-1, replace),
+    * leaving t1..t5 (per-round winners) and s5 (final encoded vocabulary)
+    * in scope for the caller's final SELECT.
+    */
+  private def bpeOracleCtes: String = {
+    def round(k: Int): String =
+      s"""p$k AS (
+         |  SELECT '(' || sym[CAST(i AS INT)] || ')(' || sym[CAST(i AS INT) + 1] || ')' AS pair,
+         |    CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM (SELECT sym, wc, unnest(range(1, len(sym))) AS i
+         |        FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), ')(') AS sym, wc
+         |              FROM s${k - 1})
+         |        WHERE len(sym) >= 2)
+         |  GROUP BY 1),
+         |t$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
+         |s$k AS (SELECT replace(seq, (SELECT pair FROM t$k),
+         |    '(' || (SELECT replace(replace(pair, '(', ''), ')', '') FROM t$k) || ')') AS seq, wc
+         |  FROM s${k - 1})"""
+    s"""WITH w AS (
+       |  SELECT word, count(*) AS wc FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) >= 2
+       |  GROUP BY word),
+       |s0 AS (
+       |  SELECT '(' || array_to_string(list_transform(range(1, length(word) + 1),
+       |    i -> substr(word, CAST(i AS INT), 1)), ')(') || ')' AS seq, wc
+       |  FROM w),
+       |${(1 to 5).map(round).mkString(",\n")}"""
+  }
+
+  /** The shared BPE training loop behind q132 (merge table) and q133
+    * (encoded-corpus stats): K merge rounds over the delimited symbol
+    * sequences, returning the learned merges and the final encoded
+    * vocabulary.
+    */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String,
+      steps: Int): (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    var seqs = Tables.documents(s, dir)
+      .select(explode(toks(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .select(
+        concat(lit("("),
+          array_join(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"), ")("),
+          lit(")")).as("seq"),
+        col("wc"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (step <- 1 to steps) {
+      val top = seqs
+        .select(col("wc"),
+          split(expr("substring(seq, 2, length(seq) - 2)"), "\\)\\(").as("sym"))
+        .filter(size(col("sym")) >= 2)
+        .select(col("wc"), col("sym"),
+          explode(sequence(lit(0), size(col("sym")) - 2)).as("i"))
+        .select(col("wc"),
+          concat(lit("("), element_at(col("sym"), col("i") + 1), lit(")("),
+            element_at(col("sym"), col("i") + 2), lit(")")).as("pair"))
+        .groupBy("pair").agg(sum("wc").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val pair = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        val merged = pair.replace("(", "").replace(")", "")
+        merges += ((step, pair, merged, cnt))
+        seqs = seqs
+          .select(replace(col("seq"), lit(pair), lit(s"($merged)")).as("seq"),
+            col("wc"))
+          .localCheckpoint()
+      }
+    }
+    (merges.toSeq, seqs)
+  }
+
   val q132BpeTrain = GraftQuery(
     "q132_bpe_train",
     (s, dir) => {
       import s.implicits._
-      val steps = 5
-      var seqs = Tables.documents(s, dir)
-        .select(explode(toks(col("text"))).as("word"))
-        .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
-        .groupBy("word").agg(count(lit(1)).as("wc"))
-        .select(
-          concat(lit("("),
-            array_join(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"), ")("),
-            lit(")")).as("seq"),
-          col("wc"))
-        .localCheckpoint()
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-      for (step <- 1 to steps) {
-        val top = seqs
-          .select(col("wc"),
-            split(expr("substring(seq, 2, length(seq) - 2)"), "\\)\\(").as("sym"))
-          .filter(size(col("sym")) >= 2)
-          .select(col("wc"), col("sym"),
-            explode(sequence(lit(0), size(col("sym")) - 2)).as("i"))
-          .select(col("wc"),
-            concat(lit("("), element_at(col("sym"), col("i") + 1), lit(")("),
-              element_at(col("sym"), col("i") + 2), lit(")")).as("pair"))
-          .groupBy("pair").agg(sum("wc").as("cnt"))
-          .orderBy(col("cnt").desc, col("pair"))
-          .limit(1).collect()
-        if (top.nonEmpty) {
-          val pair = top(0).getString(0)
-          val cnt = top(0).getLong(1)
-          val merged = pair.replace("(", "").replace(")", "")
-          merges += ((step, pair, merged, cnt))
-          seqs = seqs
-            .select(replace(col("seq"), lit(pair), lit(s"($merged)")).as("seq"),
-              col("wc"))
-            .localCheckpoint()
-        }
-      }
-      merges.toSeq.toDF("step", "pair", "merged", "cnt").orderBy("step")
+      bpeTrain(s, dir, 5)._1.toDF("step", "pair", "merged", "cnt").orderBy("step")
     },
-    Some {
-      def round(k: Int): String =
-        s"""p$k AS (
-           |  SELECT '(' || sym[CAST(i AS INT)] || ')(' || sym[CAST(i AS INT) + 1] || ')' AS pair,
-           |    CAST(sum(wc) AS BIGINT) AS cnt
-           |  FROM (SELECT sym, wc, unnest(range(1, len(sym))) AS i
-           |        FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), ')(') AS sym, wc
-           |              FROM s${k - 1})
-           |        WHERE len(sym) >= 2)
-           |  GROUP BY 1),
-           |t$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
-           |s$k AS (SELECT replace(seq, (SELECT pair FROM t$k),
-           |    '(' || (SELECT replace(replace(pair, '(', ''), ')', '') FROM t$k) || ')') AS seq, wc
-           |  FROM s${k - 1})"""
-      s"""WITH w AS (
-         |  SELECT word, count(*) AS wc FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-         |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) >= 2
-         |  GROUP BY word),
-         |s0 AS (
-         |  SELECT '(' || array_to_string(list_transform(range(1, length(word) + 1),
-         |    i -> substr(word, CAST(i AS INT), 1)), ')(') || ')' AS seq, wc
-         |  FROM w),
-         |${(1 to 5).map(round).mkString(",\n")}
+    Some(
+      s"""$bpeOracleCtes
          |SELECT * FROM (
          |  SELECT 1 AS step, pair, replace(replace(pair, '(', ''), ')', '') AS merged, cnt FROM t1
          |  UNION ALL SELECT 2, pair, replace(replace(pair, '(', ''), ')', ''), cnt FROM t2
          |  UNION ALL SELECT 3, pair, replace(replace(pair, '(', ''), ')', ''), cnt FROM t3
          |  UNION ALL SELECT 4, pair, replace(replace(pair, '(', ''), ')', ''), cnt FROM t4
          |  UNION ALL SELECT 5, pair, replace(replace(pair, '(', ''), ')', ''), cnt FROM t5
-         |) ORDER BY step""".stripMargin
-    })
+         |) ORDER BY step""".stripMargin))
+
+  /** BPE encoding stats — the inference side of q132's training: after the
+    * K learned merges are applied to the vocabulary, how compressed is the
+    * corpus? One summary row: vocabulary size, frequency-weighted character
+    * total, frequency-weighted token total after merging, and the
+    * tokens-per-char compression ratio (single per-corpus division — exact
+    * BIGINT sums feed it, so 6-digit rounding is engine-stable).
+    */
+  val q133BpeEncode = GraftQuery(
+    "q133_bpe_encode",
+    (s, dir) => {
+      val (_, seqs) = bpeTrain(s, dir, 5)
+      seqs
+        .select(col("wc"),
+          length(replace(replace(col("seq"), lit("("), lit("")), lit(")"), lit("")))
+            .cast("long").as("chars"),
+          size(split(expr("substring(seq, 2, length(seq) - 2)"), "\\)\\("))
+            .cast("long").as("toks"))
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(col("wc") * col("chars")).as("chars_total"),
+          sum(col("wc") * col("toks")).as("tokens_total"),
+          round(sum(col("wc") * col("toks")).cast("double") /
+            sum(col("wc") * col("chars")), 6).as("tokens_per_char"))
+    },
+    Some(
+      s"""$bpeOracleCtes
+         |SELECT CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(wc * length(replace(replace(seq, '(', ''), ')', ''))) AS BIGINT) AS chars_total,
+         |  CAST(sum(wc * len(string_split(substr(seq, 2, length(seq) - 2), ')('))) AS BIGINT) AS tokens_total,
+         |  round(CAST(sum(wc * len(string_split(substr(seq, 2, length(seq) - 2), ')('))) AS BIGINT)::DOUBLE
+         |    / CAST(sum(wc * length(replace(replace(seq, '(', ''), ')', ''))) AS BIGINT), 6) AS tokens_per_char
+         |FROM s5""".stripMargin))
 
   val all: Seq[GraftQuery] = Seq(
     q19TextStats, q20TokenCounts, q21QualityScore, q22LangId, q23Fingerprints,
-    q60Perplexity, q61Bigrams, q64TopTrigramUdtf, q130BpePairs, q132BpeTrain)
+    q60Perplexity, q61Bigrams, q64TopTrigramUdtf, q130BpePairs, q132BpeTrain,
+    q133BpeEncode)
 }

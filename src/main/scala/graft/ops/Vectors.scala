@@ -260,6 +260,91 @@ object Vectors {
            |  CAST(len(list_filter(q, x -> abs(x) >= 127)) AS BIGINT) AS n_sat
            |FROM qz ORDER BY vec_id""".stripMargin))
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * cluster the embedding space, then compare pairs ONLY within a cluster
+    * — pairwise cost drops from O(n²) to O(Σ n_cell²), the property that
+    * makes semantic dedup tractable at corpus scale. Pipeline:
+    * per-label centroids → argmax-cosine cell assignment (the q47 IVF
+    * machinery) → within-cell pairwise cosine ≥ τ edges → connected
+    * components ([[Dedup.connectedComponents]]: adaptive union-find /
+    * large-star-small-star) → survivor = min vec_id per cluster.
+    *
+    * τ = 0.30 against the synthetic fixtures (which plant no true
+    * near-identical vectors — the threshold exercises a non-degenerate
+    * cluster structure; production SemDeDup uses ~0.95+ on real
+    * embeddings). Pair sims are per-pair left-to-right folds over the
+    * original vectors — bit-identical in both engines, so the edge set is
+    * exact; only the displayed sim is rounded.
+    */
+  val q134SemanticDedup = GraftQuery(
+    "q134_semantic_dedup",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val vecAvg = udaf(new graft.functions.VectorAvg(DIM))
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("nrm", norm(col("v")))
+        .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+        .persist()
+      val centsLit = array(
+        e.groupBy("label").agg(vecAvg(col("v")).as("cvec")).collect().map { r =>
+          val cvec = r.getSeq[Double](1)
+          val cnrm = math.sqrt(cvec.foldLeft(0.0)((a, x) => a + x * x))
+          struct(lit(r.getInt(0)).as("cell"),
+            typedLit(cvec).as("cvec"), lit(cnrm).as("cnrm"))
+        }.toIndexedSeq: _*)
+      val rankedCells = sort_array(transform(centsLit, c =>
+        struct((-(dot(col("v"), c("cvec")) / (col("nrm") * c("cnrm")))).as("neg"),
+          c("cell").as("cell"))))
+      val assigned = e
+        .withColumn("cell", element_at(rankedCells, 1).getField("cell"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+        .persist()
+      val pairs = assigned.as("a")
+        .join(assigned.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .filter(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")) >= 0.30)
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+      val lbl = Dedup.connectedComponents(pairs)
+      val sz = lbl.groupBy(col("lbl").as("c2")).agg(count(lit(1)).as("n_members"))
+      lbl.join(sz, col("lbl") === col("c2"))
+        .join(assigned.select(col("vec_id"), col("cell")), lbl("v") === col("vec_id"))
+        .select(col("vec_id"), col("cell"), col("lbl").as("cluster_id"),
+          col("n_members"),
+          (col("vec_id") === col("lbl")).cast("int").as("survivor"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] v,
+           |  sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) nrm FROM embeddings),
+           |cd AS (SELECT label AS cell, d.d AS dim, avg(v[d.d + 1]) AS c
+           |  FROM e, range(0, 64) d(d) GROUP BY 1, 2),
+           |cents AS (SELECT cell, list(c ORDER BY dim) cvec,
+           |  sqrt(list_sum(list_transform(list(c ORDER BY dim), x -> x*x))) cnrm
+           |  FROM cd GROUP BY cell),
+           |ranked AS (SELECT e.vec_id, e.v, e.nrm, cents.cell,
+           |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |    list_sum(list_transform(range(1, 65), i -> e.v[i]*cents.cvec[i]))
+           |      / (e.nrm*cents.cnrm) DESC, cents.cell) crn
+           |  FROM e, cents),
+           |assigned AS (SELECT vec_id, v, nrm, cell FROM ranked WHERE crn = 1),
+           |pairs AS (SELECT a.vec_id i, b.vec_id j
+           |  FROM assigned a JOIN assigned b
+           |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  WHERE list_sum(list_transform(range(1, 65), k -> a.v[k]*b.v[k]))
+           |      / (a.nrm*b.nrm) >= 0.30),
+           |edges AS (SELECT i a, j b FROM pairs UNION SELECT j, i FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM edges
+           |  UNION
+           |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a AND e2.b <> r.a),
+           |lbl AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+           |sz AS (SELECT cluster_id, count(*) AS n_members FROM lbl GROUP BY 1)
+           |SELECT l.vec_id, asg.cell, l.cluster_id, sz.n_members,
+           |  CAST(l.vec_id = l.cluster_id AS INT) AS survivor
+           |FROM lbl l JOIN sz USING (cluster_id) JOIN assigned asg USING (vec_id)
+           |ORDER BY l.vec_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q29AnnTopk, q30Centroids, q31AnnLsh, q47AnnIvf,
-    q70Int8Quantize)
+    q70Int8Quantize, q134SemanticDedup)
 }
