@@ -112,4 +112,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     val full = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
     assert(full == 1, s"expected 1 user_id exchange, got $full\n${p.take(2000)}")
   }
+
+  test("q128: packing shuffles the documents ONCE, keyed by (lang, shard)") {
+    val p = plan("q128_sequence_packing")
+    // the packing window must partition by both lang and the doc_id shard —
+    // partitioning by lang alone serializes a dominant language through a
+    // single task (the round-4 scale-killer)
+    val winExchanges = "Exchange hashpartitioning\\(lang[^)]*shard".r.findAllIn(p).length
+    assert(winExchanges == 1,
+      s"expected exactly one (lang, shard) exchange, got $winExchanges\n${p.take(2000)}")
+    // a lang-only window partitioning must NOT reappear
+    assert(!"Window .*partitionBy=\\[lang#\\d+\\]".r.findFirstIn(p).isDefined, p.take(2000))
+  }
+
+  test("q131: content decode is map-only — no exchange before the sort") {
+    val p = plan("q131_multimodal_decode")
+    // decode runs partition-parallel; the only exchange allowed is the
+    // final presentation orderBy's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
 }
