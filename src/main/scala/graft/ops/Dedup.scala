@@ -465,7 +465,65 @@ object Dedup {
     },
     q59DedupClusters.oracle)
 
+  /** Cross-document substring duplication via winnowing (Schleimer et al.
+    * 2003, "Winnowing: local algorithms for document fingerprinting" — the
+    * MOSS algorithm; the substring-level exact-dedup Lee et al. 2022 applies
+    * to LLM training data): hash every 40-char gram, then per window of 8
+    * consecutive positions keep only the minimum (ties to the leftmost) —
+    * the winnowing guarantee is that any shared span of ≥ w+k-1 = 47 chars
+    * still collides on at least one selected fingerprint, while the volume
+    * leaving the map side drops ~8×. Selected grams are grouped by their
+    * literal text (hash only selects; equality is exact), docs-sharing ≥ 2
+    * surface as memorized/duplicated spans.
+    *
+    * Scale: the gram explosion is map-local; only winnow-selected
+    * fingerprints shuffle (the 1/w reduction is the published point of
+    * winnowing), and the per-doc window sort is (doc_id, i) — bounded by
+    * document length, never corpus-wide.
+    */
+  val q135SubstringWinnow = GraftQuery(
+    "q135_substring_winnow",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 40 // gram length
+      val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 7)
+      val grams = Tables.documents(s, dir)
+        .filter(length(col("text")) >= k)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("text")) - (k - 1))).as("i"),
+          col("text"))
+        .select(col("doc_id"), col("i"),
+          expr(s"substring(text, i, $k)").as("gram"))
+        .withColumn("h", conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"))
+      grams
+        .withColumn("sel", min(struct(col("h"), col("i"), col("gram"))).over(w))
+        .select(col("doc_id"), col("sel.i").as("i"), col("sel.gram").as("gram"))
+        .distinct()
+        .groupBy("gram")
+        .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 2)
+        .select(substring(md5(col("gram")), 1, 12).as("fp"),
+          col("n_docs"), col("n_occ"))
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("fp"))
+        .limit(20)
+    },
+    Some("""WITH g AS (
+           |  SELECT doc_id, CAST(i AS INT) AS i, substr(text, CAST(i AS INT), 40) AS gram
+           |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 38)) AS i
+           |        FROM documents WHERE length(text) >= 40)),
+           |h AS (SELECT doc_id, i, gram,
+           |  ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h FROM g),
+           |sel AS (SELECT DISTINCT doc_id, (m).i AS i, (m).gram AS gram FROM (
+           |  SELECT doc_id, min({'h': h, 'i': i, 'gram': gram}) OVER (
+           |    PARTITION BY doc_id ORDER BY i
+           |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m
+           |  FROM h)),
+           |dup AS (SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+           |  FROM sel GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+           |SELECT substr(md5(gram), 1, 12) AS fp, n_docs, CAST(n_occ AS BIGINT) AS n_occ
+           |FROM dup ORDER BY n_docs DESC, n_occ DESC, fp LIMIT 20""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q24DedupExact, q25DedupMinhash, q26DedupNgram, q27DedupSimhash, q28EmbeddingNn,
-    q59DedupClusters, q127DedupClustersStar)
+    q59DedupClusters, q127DedupClustersStar, q135SubstringWinnow)
 }
