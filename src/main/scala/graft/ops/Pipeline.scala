@@ -248,6 +248,49 @@ object Pipeline {
            |  CAST(sum(sampled * tok) AS BIGINT) AS tokens_sampled
            |FROM g GROUP BY source ORDER BY source""".stripMargin))
 
+  /** Deterministic per-epoch corpus reshuffle — the data-ordering operator
+    * of a pretraining run: every epoch must present documents in a fresh
+    * pseudo-random order, reproducibly (job restarts and re-runs see the
+    * identical order), sharded so each trainer rank reads its own stream.
+    *
+    * Order key = md5(epoch || doc_id): a new permutation per epoch, no
+    * rand() (engine-/partitioning-dependent), join-stable. Shard =
+    * key-hash mod 8, position = rank within (epoch, shard) by the order
+    * key. The window partitions by (epoch, shard) — 16 independent
+    * sub-streams here, #epochs × #ranks in production — so no global sort
+    * ever happens; at 100 TB each shard's order is produced by its own
+    * task, which is exactly how per-rank epoch streams are consumed.
+    */
+  val q136EpochShuffle = GraftQuery(
+    "q136_epoch_shuffle",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val epochs = docs.crossJoin(
+        s.range(2).select(col("id").cast("int").as("epoch")))
+      val keyed = epochs.withColumn("okey",
+        md5(concat(col("epoch").cast("string"), lit("_"), col("doc_id").cast("string"))))
+        .withColumn("shard",
+          (conv(substring(col("okey"), 1, 4), 16, 10).cast("long") % 8).cast("int"))
+      val w = Window.partitionBy("epoch", "shard").orderBy("okey")
+      keyed
+        .withColumn("pos", row_number().over(w) - 1)
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("epoch"), col("shard"), col("pos").cast("long").as("pos"))
+        .orderBy("doc_id", "epoch")
+    },
+    Some("""WITH k AS (
+           |  SELECT doc_id, epoch,
+           |    md5(epoch::VARCHAR || '_' || doc_id::VARCHAR) AS okey
+           |  FROM documents, (SELECT unnest([0, 1]) AS epoch)),
+           |sh AS (SELECT doc_id, epoch, okey,
+           |  CAST(('0x' || substr(okey, 1, 4))::BIGINT % 8 AS INT) AS shard FROM k),
+           |p AS (SELECT doc_id, epoch, shard,
+           |  row_number() OVER (PARTITION BY epoch, shard ORDER BY okey) - 1 AS pos
+           |  FROM sh)
+           |SELECT doc_id, epoch, shard, CAST(pos AS BIGINT) AS pos
+           |FROM p WHERE doc_id < 40 ORDER BY doc_id, epoch""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q52HashSample, q53IncrementalDedup, q54OutlierFilter,
-    q65StratifiedSample, q97WeightedSample, q129MixtureSample)
+    q65StratifiedSample, q97WeightedSample, q129MixtureSample, q136EpochShuffle)
 }
