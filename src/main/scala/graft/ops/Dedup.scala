@@ -481,24 +481,32 @@ object Dedup {
     * winnowing), and the per-doc window sort is (doc_id, i) — bounded by
     * document length, never corpus-wide.
     */
+  /** Winnowing selection core: from (doc_id, text) rows, the selected
+    * fingerprint positions — every per-window-of-`win` minimum (h, i)
+    * over the k-gram hashes. Guarantee: two docs sharing an exact span of
+    * ≥ win+k-1 chars share at least one selected gram (specced).
+    */
+  private[ops] def winnowSelected(docs: DataFrame, k: Int, win: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, win - 1)
+    docs
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("i"),
+        expr(s"substring(text, i, $k)").as("gram"))
+      .withColumn("h", conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"))
+      .withColumn("sel", min(struct(col("h"), col("i"), col("gram"))).over(w))
+      .select(col("doc_id"), col("sel.i").as("i"), col("sel.gram").as("gram"))
+      .distinct()
+  }
+
   val q135SubstringWinnow = GraftQuery(
     "q135_substring_winnow",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val k = 40 // gram length
-      val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 7)
-      val grams = Tables.documents(s, dir)
-        .filter(length(col("text")) >= k)
-        .select(col("doc_id"),
-          explode(sequence(lit(1), length(col("text")) - (k - 1))).as("i"),
-          col("text"))
-        .select(col("doc_id"), col("i"),
-          expr(s"substring(text, i, $k)").as("gram"))
-        .withColumn("h", conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"))
-      grams
-        .withColumn("sel", min(struct(col("h"), col("i"), col("gram"))).over(w))
-        .select(col("doc_id"), col("sel.i").as("i"), col("sel.gram").as("gram"))
-        .distinct()
+      winnowSelected(Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        k = 40, win = 8)
         .groupBy("gram")
         .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
         .filter(col("n_docs") >= 2)
