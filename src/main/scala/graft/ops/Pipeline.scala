@@ -265,9 +265,10 @@ object Pipeline {
     "q136_epoch_shuffle",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, dir).select(col("doc_id"))
-      val epochs = docs.crossJoin(
-        s.range(2).select(col("id").cast("int").as("epoch")))
+      // epoch fan-out is a map-side explode, not a join — 2 rows per doc
+      // with zero shuffle until the per-(epoch, shard) window
+      val epochs = Tables.documents(s, dir).select(col("doc_id"),
+        explode(sequence(lit(0), lit(1))).as("epoch"))
       val keyed = epochs.withColumn("okey",
         md5(concat(col("epoch").cast("string"), lit("_"), col("doc_id").cast("string"))))
         .withColumn("shard",
