@@ -345,6 +345,90 @@ object Vectors {
            |FROM lbl l JOIN sz USING (cluster_id) JOIN assigned asg USING (vec_id)
            |ORDER BY l.vec_id""".stripMargin))
 
+  /** Distributed Lloyd's k-means (k = 6, 3 iterations) — the clustering
+    * stage SemDeDup/IVF pipelines train with (q47/q134 stand it in with
+    * label centroids; this is the real estimator). Deterministic
+    * throughout: init = the k lowest vec_ids' vectors, assignment =
+    * argmin squared L2 with ties to the lower centroid index.
+    *
+    * Scale shape (the q98/q132 driver-loop pattern): each iteration is one
+    * corpus scan — assignment happens against a BROADCAST-LITERAL centroid
+    * array (k×64 doubles — k rows collected per iteration, never corpus
+    * data), means reduce by partial aggregation. Nothing corpus-sized
+    * touches the driver; iterations are O(k·dim) driver state.
+    *
+    * Float discipline: centroid means are partial-agg sums (order-
+    * dependent at ~1e-13) — assignments only flip if two centroid
+    * distances collide within that, which continuous fixtures never do
+    * (the q47 argmax pattern, green since round 2); inertia is rounded to
+    * 3 digits per the moment-aggregate discipline.
+    */
+  val q137Kmeans = GraftQuery(
+    "q137_kmeans",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val k = 6
+      val vecAvg = udaf(new graft.functions.VectorAvg(DIM))
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select(col("vec_id"), col("v"))
+        .persist()
+      // deterministic seeding: the k lowest vec_ids, centroid idx = rank
+      var cents: Seq[(Int, Seq[Double])] = e.orderBy("vec_id").limit(k).collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+      def centsLit = array(cents.map { case (idx, cv) =>
+        struct(lit(idx).as("idx"), typedLit(cv).as("cv"))
+      }: _*)
+      // squared L2 to centroid c: fold over zipped dims (left-to-right,
+      // engine-stable)
+      def dist2(c: Column) = aggregate(
+        zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d)
+      def assigned = e.withColumn("j",
+        element_at(sort_array(transform(centsLit,
+          c => struct(dist2(c("cv")).as("d"), c("idx").as("idx")))), 1)
+          .getField("idx"))
+      for (_ <- 1 to 2) {
+        cents = assigned.groupBy("j").agg(vecAvg(col("v")).as("cv")).collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      }
+      // final assignment against the 2nd-iteration means; report cluster
+      // sizes + inertia (3-digit rounding: cross-row float accumulation)
+      assigned
+        .withColumn("d", element_at(sort_array(transform(centsLit,
+          c => struct(dist2(c("cv")).as("d"), c("idx").as("idx")))), 1)
+          .getField("d"))
+        .groupBy("j").agg(count(lit(1)).as("n_members"),
+          round(sum("d"), 3).as("inertia"))
+        .select(col("j").as("cluster"), col("n_members"), col("inertia"))
+        .orderBy("cluster")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+           |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, v AS cv
+           |  FROM e ORDER BY vec_id LIMIT 6),
+           |a1 AS (SELECT vec_id, v, idx, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))), idx) rn
+           |  FROM e, c0),
+           |g1 AS (SELECT vec_id, v, idx AS j FROM a1 WHERE rn = 1),
+           |c1 AS (SELECT j AS idx, list(c ORDER BY dim) AS cv FROM (
+           |  SELECT j, d.d AS dim, avg(v[d.d + 1]) AS c FROM g1, range(0, 64) d(d)
+           |  GROUP BY 1, 2) GROUP BY 1),
+           |a2 AS (SELECT vec_id, v, idx, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))), idx) rn
+           |  FROM e, c1),
+           |g2 AS (SELECT vec_id, v, idx AS j FROM a2 WHERE rn = 1),
+           |c2 AS (SELECT j AS idx, list(c ORDER BY dim) AS cv FROM (
+           |  SELECT j, d.d AS dim, avg(v[d.d + 1]) AS c FROM g2, range(0, 64) d(d)
+           |  GROUP BY 1, 2) GROUP BY 1),
+           |a3 AS (SELECT vec_id, v, idx,
+           |    list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS d,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))), idx) rn
+           |  FROM e, c2),
+           |g3 AS (SELECT vec_id, idx AS j, d FROM a3 WHERE rn = 1)
+           |SELECT j AS cluster, count(*) AS n_members, round(sum(d), 3) AS inertia
+           |FROM g3 GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q29AnnTopk, q30Centroids, q31AnnLsh, q47AnnIvf,
-    q70Int8Quantize, q134SemanticDedup)
+    q70Int8Quantize, q134SemanticDedup, q137Kmeans)
 }
