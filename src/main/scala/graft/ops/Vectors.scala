@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -363,41 +363,52 @@ object Vectors {
     * (the q47 argmax pattern, green since round 2); inertia is rounded to
     * 3 digits per the moment-aggregate discipline.
     */
+  /** Lloyd's k-means core behind q137, extracted so specs can feed planted
+    * clusters. Input needs columns (vec_id, v: array<double>) in that
+    * position order; returns the final centroids and the assignment frame
+    * (vec_id, v, j, d) where j is the winning centroid index and d the
+    * squared L2 distance to it. Seeding = the k lowest vec_ids' vectors;
+    * ties in assignment go to the lower centroid index; `rounds` mean
+    * updates re-collect only k centroid rows each.
+    */
+  private[graft] def lloyd(e: DataFrame, k: Int, rounds: Int,
+                           dim: Int = DIM): (Seq[(Int, Seq[Double])], DataFrame) = {
+    val vecAvg = udaf(new graft.functions.VectorAvg(dim))
+    // deterministic seeding: the k lowest vec_ids, centroid idx = rank
+    var cents: Seq[(Int, Seq[Double])] = e.orderBy("vec_id").limit(k).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+    def centsLit = array(cents.map { case (idx, cv) =>
+      struct(lit(idx).as("idx"), typedLit(cv).as("cv"))
+    }: _*)
+    // squared L2 to centroid c: fold over zipped dims (left-to-right,
+    // engine-stable)
+    def dist2(c: Column) = aggregate(
+      zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+    def assigned = e.withColumn("best",
+      element_at(sort_array(transform(centsLit,
+        c => struct(dist2(c("cv")).as("d"), c("idx").as("idx")))), 1))
+      .withColumn("j", col("best.idx")).withColumn("d", col("best.d"))
+      .drop("best")
+    for (_ <- 1 to rounds) {
+      cents = assigned.groupBy("j").agg(vecAvg(col("v")).as("cv")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    }
+    (cents, assigned)
+  }
+
   val q137Kmeans = GraftQuery(
     "q137_kmeans",
     (s, dir) => {
       GraftFunctions.register(s)
-      val k = 6
-      val vecAvg = udaf(new graft.functions.VectorAvg(DIM))
       val e = Tables.embeddings(s, dir)
         .withColumn("v", col("embedding").cast("array<double>"))
         .select(col("vec_id"), col("v"))
         .persist()
-      // deterministic seeding: the k lowest vec_ids, centroid idx = rank
-      var cents: Seq[(Int, Seq[Double])] = e.orderBy("vec_id").limit(k).collect()
-        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
-      def centsLit = array(cents.map { case (idx, cv) =>
-        struct(lit(idx).as("idx"), typedLit(cv).as("cv"))
-      }: _*)
-      // squared L2 to centroid c: fold over zipped dims (left-to-right,
-      // engine-stable)
-      def dist2(c: Column) = aggregate(
-        zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, d) => acc + d)
-      def assigned = e.withColumn("j",
-        element_at(sort_array(transform(centsLit,
-          c => struct(dist2(c("cv")).as("d"), c("idx").as("idx")))), 1)
-          .getField("idx"))
-      for (_ <- 1 to 2) {
-        cents = assigned.groupBy("j").agg(vecAvg(col("v")).as("cv")).collect()
-          .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-      }
       // final assignment against the 2nd-iteration means; report cluster
       // sizes + inertia (3-digit rounding: cross-row float accumulation)
+      val (_, assigned) = lloyd(e, k = 6, rounds = 2)
       assigned
-        .withColumn("d", element_at(sort_array(transform(centsLit,
-          c => struct(dist2(c("cv")).as("d"), c("idx").as("idx")))), 1)
-          .getField("d"))
         .groupBy("j").agg(count(lit(1)).as("n_members"),
           round(sum("d"), 3).as("inertia"))
         .select(col("j").as("cluster"), col("n_members"), col("inertia"))
