@@ -150,5 +150,64 @@ object Chunking {
            |    - greatest(cb, block_id * 2048) AS BIGINT) AS seg_len
            |FROM seg ORDER BY lang, shard, doc_id, block_id""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q49Chunking, q50TopTerms, q128SequencePacking)
+  /** Length-bucketed batch formation with padding-waste accounting — the
+    * finetuning/inference counterpart to q128's zero-pad concatenation
+    * packing: each document is padded to its batch's max length, so batches
+    * are formed from length-homogeneous buckets (descending length within a
+    * bucket) to minimize pad tokens. Output is one row per batch with its
+    * fill statistics: n_docs, max_tok, real tokens, pad tokens, pad ratio.
+    *
+    * Scale (100 TB): bucket = tok div 16 (map-only integer math — no global
+    * sort, no ntile over a single partition) and the batch stream is
+    * (bucket, shard) with shard = doc_id mod 4, the q128 sub-stream split —
+    * a dominant length bucket can never serialize through one window task.
+    * One shuffle (the per-stream window), then partial-agg per batch.
+    * pad_pct is per-row integer-derived math, safe at 6 digits.
+    */
+  val q138LengthBatches = GraftQuery(
+    "q138_length_batches",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val batchSize = 8
+      val nShards = 4
+      val w = Window.partitionBy("bucket", "shard")
+        .orderBy(desc("tok"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        .withColumn("bucket", least(expr("tok div 16"), lit(7L)))
+        .withColumn("shard", col("doc_id") % nShards)
+        .withColumn("rn", row_number().over(w) - 1)
+        .withColumn("batch_id", expr(s"rn div $batchSize"))
+        .groupBy("bucket", "shard", "batch_id")
+        .agg(count(lit(1)).as("n_docs"), max("tok").as("max_tok"),
+          sum("tok").as("tok_sum"))
+        .withColumn("pad_tokens", col("n_docs") * col("max_tok") - col("tok_sum"))
+        .withColumn("pad_pct", round(col("pad_tokens").cast("double") /
+          (col("n_docs") * col("max_tok")), 6))
+        .select("bucket", "shard", "batch_id", "n_docs", "max_tok", "tok_sum",
+          "pad_tokens", "pad_pct")
+        .orderBy("bucket", "shard", "batch_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, len(string_split(text, ' ')) AS tok FROM documents),
+           |b AS (
+           |  SELECT doc_id, tok, least(tok // 16, 7) AS bucket,
+           |    doc_id % 4 AS shard FROM t),
+           |r AS (
+           |  SELECT bucket, shard, doc_id, tok,
+           |    row_number() OVER (PARTITION BY bucket, shard
+           |      ORDER BY tok DESC, doc_id) - 1 AS rn
+           |  FROM b),
+           |g AS (
+           |  SELECT bucket, shard, rn // 8 AS batch_id, count(*) AS n_docs,
+           |    max(tok) AS max_tok, CAST(sum(tok) AS BIGINT) AS tok_sum
+           |  FROM r GROUP BY 1, 2, 3)
+           |SELECT bucket, shard, batch_id, n_docs, max_tok, tok_sum,
+           |  n_docs * max_tok - tok_sum AS pad_tokens,
+           |  round((n_docs * max_tok - tok_sum)::DOUBLE / (n_docs * max_tok), 6) AS pad_pct
+           |FROM g ORDER BY bucket, shard, batch_id""".stripMargin))
+
+  val all: Seq[GraftQuery] =
+    Seq(q49Chunking, q50TopTerms, q128SequencePacking, q138LengthBatches)
 }

@@ -56,4 +56,37 @@ class ChunkingSpec extends AnyFunSuite with SparkSpec {
     assert(firstSeg.count() == 0)
     segs.unpersist(); blocks.unpersist()
   }
+
+  test("length-bucketed batches: full except stream tails, correct accounting") {
+    val sf = "/root/testdata/sf0.001"
+    val batches = Chunking.q138LengthBatches.fn(spark, sf).cache()
+
+    // batch accounting is internally consistent and padding is non-negative:
+    // a batch's pad is exactly n_docs * max_tok - tok_sum
+    assert(batches.filter(
+      col("pad_tokens") =!= col("n_docs") * col("max_tok") - col("tok_sum")
+        || col("pad_tokens") < 0 || col("n_docs") > 8).count() == 0)
+
+    // every batch except possibly the LAST of its (bucket, shard) stream
+    // holds exactly batchSize docs (descending-length order fills greedily)
+    val lastBatch = batches.groupBy("bucket", "shard")
+      .agg(max("batch_id").as("lb"))
+    val shortInterior = batches.join(lastBatch, Seq("bucket", "shard"))
+      .filter(col("batch_id") < col("lb") && col("n_docs") =!= 8)
+    assert(shortInterior.count() == 0,
+      "only a stream's final batch may be short")
+
+    // batches partition the corpus: total docs across batches = corpus size
+    val total = batches.agg(sum("n_docs")).collect()(0).getLong(0)
+    val corpus = graft.Tables.documents(spark, sf).count()
+    assert(total == corpus, "every document lands in exactly one batch")
+
+    // bucket homogeneity: a batch's max_tok stays inside its bucket's
+    // length range (bucket = tok div 16 capped at 7), so padding per doc
+    // is bounded by the bucket width
+    val badBucket = batches.filter(
+      least(expr("max_tok div 16"), lit(7L)) =!= col("bucket"))
+    assert(badBucket.count() == 0, "batch max length must stay in its bucket")
+    batches.unpersist()
+  }
 }
