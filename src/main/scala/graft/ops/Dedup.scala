@@ -476,10 +476,11 @@ object Dedup {
     * literal text (hash only selects; equality is exact), docs-sharing ≥ 2
     * surface as memorized/duplicated spans.
     *
-    * Scale: the gram explosion is map-local; only winnow-selected
-    * fingerprints shuffle (the 1/w reduction is the published point of
-    * winnowing), and the per-doc window sort is (doc_id, i) — bounded by
-    * document length, never corpus-wide.
+    * Scale: selection is a pure per-document function computed map-side
+    * over an in-row array (no gram row-explosion, no per-doc window
+    * shuffle); only the ~1/win winnow-selected fingerprints leave the
+    * mapper for the cross-document group — the 1/w shuffle reduction that
+    * is the published point of winnowing.
     */
   /** Winnowing selection core: from (doc_id, text) rows, the selected
     * fingerprint positions — every per-window-of-`win` minimum (h, i)
@@ -487,19 +488,26 @@ object Dedup {
     * ≥ win+k-1 chars share at least one selected gram (specced).
     */
   private[ops] def winnowSelected(docs: DataFrame, k: Int, win: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, win - 1)
     docs
       .filter(length(col("text")) >= k)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("i"),
-        col("text"))
-      .select(col("doc_id"), col("i"),
-        expr(s"substring(text, i, $k)").as("gram"))
-      .withColumn("h", conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"))
-      .withColumn("sel", min(struct(col("h"), col("i"), col("gram"))).over(w))
-      .select(col("doc_id"), col("sel.i").as("i"), col("sel.gram").as("gram"))
-      .distinct()
+      // per-position (hash, position) pairs as an ARRAY column — winnowing
+      // selection is a pure per-document function, so it runs entirely
+      // map-side: no gram row-explosion, no per-doc window shuffle. Only
+      // the ~1/win selected fingerprints ever leave the mapper (the
+      // published point of winnowing). The array is O(16 bytes × doc
+      // length) — same order as the text itself.
+      .withColumn("hs", expr(
+        s"""transform(sequence(1, length(text) - ${k - 1}),
+           |  i -> struct(cast(conv(substring(md5(substring(text, i, $k)), 1, 8), 16, 10) as bigint) as h,
+           |              i as i))""".stripMargin))
+      // per-window-of-`win` minima over every start position (trailing
+      // windows truncate via slice); struct order (h, i) sends hash ties
+      // to the leftmost position — identical to the windowed-min form
+      .withColumn("sel", array_distinct(expr(
+        s"transform(sequence(1, size(hs)), p -> array_min(slice(hs, p, $win)))")))
+      .select(col("doc_id"), col("text"), explode(col("sel")).as("m"))
+      .select(col("doc_id"), col("m.i").as("i"),
+        expr(s"substring(text, m.i, $k)").as("gram"))
   }
 
   val q135SubstringWinnow = GraftQuery(
