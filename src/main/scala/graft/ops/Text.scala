@@ -407,8 +407,57 @@ object Text {
          |    / CAST(sum(wc * length(replace(replace(seq, '(', ''), ')', ''))) AS BIGINT), 6) AS tokens_per_char
          |FROM s5""".stripMargin))
 
+  /** Corpus tokenization under the trained BPE — the full train→apply loop:
+    * q132 learns the merges, this applies them to EVERY document and reports
+    * per-language token economics. The trick that makes application scale is
+    * that merges act on words, so the corpus never re-runs the merge chain:
+    * the encoded VOCABULARY (tiny — one row per distinct trainable word)
+    * carries each word's post-merge token count, and application is a
+    * broadcast join from the exploded corpus words to that vocabulary.
+    * Words outside the trainable vocabulary (uppercase/digits/len<2 — the
+    * training filter) take the character fallback, length(word) tokens.
+    *
+    * Scale: corpus side is one scan + explode + broadcast hash join +
+    * partial agg; nothing corpus-sized shuffles except the final per-lang
+    * agg. tokens_per_word is one division over exact BIGINT sums — 6-digit
+    * rounding is engine-stable.
+    */
+  val q139BpeEncodeDocs = GraftQuery(
+    "q139_bpe_encode_docs",
+    (s, dir) => {
+      val (_, seqs) = bpeTrain(s, dir, 5)
+      // stripping the delimiters recovers the word exactly (merges only
+      // re-group symbols), so the encoded vocab keys by the original word
+      val vocabEnc = seqs.select(
+        replace(replace(col("seq"), lit("("), lit("")), lit(")"), lit("")).as("word"),
+        size(split(expr("substring(seq, 2, length(seq) - 2)"), "\\)\\("))
+          .cast("long").as("wtoks"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("word"))
+        .join(broadcast(vocabEnc), Seq("word"), "left")
+        .withColumn("tok", coalesce(col("wtoks"), length(col("word")).cast("long")))
+        .groupBy("lang")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("words_total"),
+          sum("tok").as("tokens_total"))
+        .withColumn("tokens_per_word",
+          round(col("tokens_total").cast("double") / col("words_total"), 6))
+        .select("lang", "n_docs", "words_total", "tokens_total", "tokens_per_word")
+        .orderBy("lang")
+    },
+    Some(
+      s"""$bpeOracleCtes,
+         |venc AS (SELECT replace(replace(seq, '(', ''), ')', '') AS word,
+         |  len(string_split(substr(seq, 2, length(seq) - 2), ')(')) AS wtoks FROM s5),
+         |cw AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents)
+         |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS words_total,
+         |  CAST(sum(coalesce(wtoks, length(cw.word))) AS BIGINT) AS tokens_total,
+         |  round(CAST(sum(coalesce(wtoks, length(cw.word))) AS BIGINT)::DOUBLE / count(*), 6) AS tokens_per_word
+         |FROM cw LEFT JOIN venc ON cw.word = venc.word
+         |GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q19TextStats, q20TokenCounts, q21QualityScore, q22LangId, q23Fingerprints,
     q60Perplexity, q61Bigrams, q64TopTrigramUdtf, q130BpePairs, q132BpeTrain,
-    q133BpeEncode)
+    q133BpeEncode, q139BpeEncodeDocs)
 }
