@@ -17,6 +17,7 @@ object GraftFunctions {
   val CHARGRAMS = "graft_chargrams"
   val WORDGRAMS = "graft_word_grams"
   val GRAM_GEN = "graft_gram_gen"
+  val WINNOW = "graft_winnow"
 
   private def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -53,6 +54,8 @@ object GraftFunctions {
       WORDGRAMS, exprs => WordGrams(exprs(0), intArg(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       GRAM_GEN, exprs => GramGenerator(exprs(0), intArg(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      WINNOW, exprs => WinnowPositions(exprs(0), intArg(exprs(1)), intArg(exprs(2))), "built-in")
   }
 
   /** Fused dot product (requires [[register]] on the session). */
@@ -64,6 +67,11 @@ object GraftFunctions {
   /** Merge-count of common elements of two sorted distinct long arrays. */
   def intersectCount(a: Column, b: Column): Column =
     call_function(INTERSECT_COUNT, a, b)
+
+  /** Winnow-selected 1-based k-gram positions (requires [[register]]). */
+  def winnowPositions(text: Column, k: Int, win: Int): Column =
+    call_function(WINNOW, text, org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(win))
 
   /** MinHash signature array over token hashes. */
   def minhash(tokenHashes: Column, numHashes: Int): Column =

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass shingle hashing for the dedup pipelines.
@@ -109,6 +109,49 @@ object GraftHashUtil {
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, nOut))
   }
+
+  /** Winnowing fingerprint selection (Schleimer et al. 2003): 1-based
+    * positions of the per-window-of-`win` minimum k-gram hash, a minimum
+    * taken at EVERY gram position with trailing windows truncated, hash
+    * ties to the leftmost position. The hash is the 8-nibble md5 prefix —
+    * `conv(substring(md5(gram),1,8),16,10)` — so any engine reproduces the
+    * selection. Output is distinct ascending (the sliding argmin is
+    * non-decreasing). O(n·win) time, one md5 per gram position.
+    */
+  def winnowPositions(text: UTF8String, k: Int, win: Int): ArrayData = {
+    val s = text.toString
+    if (s.length < k) return new GenericArrayData(Array.emptyIntArray)
+    val n = s.length - k + 1
+    val m = md.get()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      m.reset()
+      hs(i) = prefixBits(m.digest(
+        s.substring(i, i + k).getBytes(StandardCharsets.UTF_8)), 8)
+      i += 1
+    }
+    val out = new Array[Int](n)
+    var nOut = 0
+    var last = -1
+    var p = 0
+    while (p < n) {
+      val end = math.min(p + win, n)
+      var best = p
+      var q = p + 1
+      while (q < end) {
+        if (hs(q) < hs(best)) best = q
+        q += 1
+      }
+      if (best != last) {
+        out(nOut) = best + 1 // 1-based, Spark/DuckDB substring positions
+        nOut += 1
+        last = best
+      }
+      p += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, nOut))
+  }
 }
 
 /** string → array<string>: ALL word-n-grams (space-joined, occurrence order,
@@ -158,6 +201,33 @@ case class ShingleHashes(child: Expression, nibbles: Int)
       s"${ev.value} = graft.functions.GraftHashUtil.shingle3Hashes($a, $nibbles);")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** string → array<int>: winnow-selected 1-based k-gram positions (one JVM
+  * pass; the HOF formulation — transform + slice + array_min per position —
+  * pays an interpreted lambda per element and was the q135 hot spot).
+  */
+case class WinnowPositions(child: Expression, k: Int, win: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k > 0 && win > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, positive gram size and window")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashUtil.winnowPositions(input.asInstanceOf[UTF8String], k, win)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.GraftHashUtil.winnowPositions($a, $k, $win);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowPositions =
     copy(child = newChild)
 }
 

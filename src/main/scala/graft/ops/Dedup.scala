@@ -488,26 +488,22 @@ object Dedup {
     * ≥ win+k-1 chars share at least one selected gram (specced).
     */
   private[ops] def winnowSelected(docs: DataFrame, k: Int, win: Int): DataFrame = {
+    // winnowing selection is a pure per-document function, so it runs
+    // entirely map-side inside whole-stage codegen (WinnowPositions: one
+    // JVM pass, one md5 per gram position, O(win) window scan): no gram
+    // row-explosion, no per-doc window shuffle. Only the ~1/win selected
+    // fingerprints ever leave the mapper — the published point of
+    // winnowing. The earlier HOF formulation (transform + slice +
+    // array_min) computed the same thing but paid an interpreted lambda
+    // per gram position.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .filter(length(col("text")) >= k)
-      // per-position (hash, position) pairs as an ARRAY column — winnowing
-      // selection is a pure per-document function, so it runs entirely
-      // map-side: no gram row-explosion, no per-doc window shuffle. Only
-      // the ~1/win selected fingerprints ever leave the mapper (the
-      // published point of winnowing). The array is O(16 bytes × doc
-      // length) — same order as the text itself.
-      .withColumn("hs", expr(
-        s"""transform(sequence(1, length(text) - ${k - 1}),
-           |  i -> struct(cast(conv(substring(md5(substring(text, i, $k)), 1, 8), 16, 10) as bigint) as h,
-           |              i as i))""".stripMargin))
-      // per-window-of-`win` minima over every start position (trailing
-      // windows truncate via slice); struct order (h, i) sends hash ties
-      // to the leftmost position — identical to the windowed-min form
-      .withColumn("sel", array_distinct(expr(
-        s"transform(sequence(1, size(hs)), p -> array_min(slice(hs, p, $win)))")))
-      .select(col("doc_id"), col("text"), explode(col("sel")).as("m"))
-      .select(col("doc_id"), col("m.i").as("i"),
-        expr(s"substring(text, m.i, $k)").as("gram"))
+      .select(col("doc_id"), col("text"),
+        explode(graft.functions.GraftFunctions
+          .winnowPositions(col("text"), k, win)).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr(s"substring(text, i, $k)").as("gram"))
   }
 
   val q135SubstringWinnow = GraftQuery(
