@@ -16,9 +16,11 @@ import graft.{GraftQuery, Tables}
   * [[BmpCodec]] and [[WavCodec]] go further — full pixel-array /
   * PCM-sample decode of uncompressed 24-bit BMP and 16-bit PCM WAV,
   * header-driven (offset + stride walk, RIFF chunk iteration), exercised
-  * end-to-end by q131. Compressed formats (PNG inflate, lossy audio) are
-  * the remaining gap — those need codec libs this container lacks;
-  * payloads that match no known magic fall back to the clearly-marked
+  * end-to-end by q131; [[PngCodec]] decodes a COMPRESSED container too —
+  * zlib inflate + all five PNG row filters + chunk CRC verification, pure
+  * JVM (q140). Lossy/entropy-coded formats (JPEG, GIF's LZW, compressed
+  * audio) are the remaining gap — those need codec libs this container
+  * lacks; payloads that match no known magic fall back to the clearly-marked
   * [[FakeCodec]] STUB, which derives deterministic dimensions from leading
   * bytes so the synthetic text fixtures stay oracle-checkable. Everything
   * around the codecs — the binary column, the typed Dataset boundary, the
@@ -155,6 +157,168 @@ object Multimodal {
         row += 1
       }
       Some((w, h, px))
+    }
+  }
+
+  /** REAL pixel-level codec for 8-bit truecolor PNG — pure JVM: zlib via
+    * `java.util.zip.Deflater`/`Inflater`, chunk CRCs via `CRC32`, and the
+    * five PNG row filters in byte arithmetic. `encode` emits a genuine
+    * filtered PNG (Sub on even rows, Up on odd rows — real filter bytes,
+    * not the trivial None row prefix); `decodePixels` walks the chunk list,
+    * verifies every CRC, concatenates IDAT, inflates, and reconstructs all
+    * five filter types (None/Sub/Up/Average/Paeth), so it decodes any
+    * conforming non-interlaced RGB8 PNG, not just its own output.
+    */
+  object PngCodec {
+    val W = 16 // fixed encode width: scanline = 1 filter byte + 48 pixel bytes
+
+    private def wr32(out: Array[Byte], i: Int, v: Int): Unit = {
+      out(i) = (v >>> 24).toByte; out(i + 1) = (v >>> 16).toByte
+      out(i + 2) = (v >>> 8).toByte; out(i + 3) = v.toByte
+    }
+    private def rd32(p: Array[Byte], i: Int): Int =
+      ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+        ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+    private def crc(buf: Array[Byte], off: Int, len: Int): Int = {
+      val c = new java.util.zip.CRC32()
+      c.update(buf, off, len)
+      c.getValue.toInt
+    }
+    private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](12 + data.length)
+      wr32(out, 0, data.length)
+      typ.indices.foreach(k => out(4 + k) = typ.charAt(k).toByte)
+      System.arraycopy(data, 0, out, 8, data.length)
+      wr32(out, 8 + data.length, crc(out, 4, 4 + data.length))
+      out
+    }
+
+    /** Payload bytes become RGB channel bytes row-major (zero-padded last
+      * row), height = ceil(len/48), min 1 — the same pixel mapping as
+      * [[BmpCodec.encode]], so the two containers carry identical images.
+      */
+    def encode(payload: Array[Byte]): Array[Byte] = {
+      val rowB = W * 3
+      val h = math.max(1, (payload.length + rowB - 1) / rowB)
+      val raw = new Array[Byte](h * (1 + rowB))
+      val cur = new Array[Byte](rowB)
+      val prev = new Array[Byte](rowB)
+      var row = 0
+      while (row < h) {
+        java.util.Arrays.fill(cur, 0.toByte)
+        val src = row * rowB
+        val n = math.min(rowB, math.max(0, payload.length - src))
+        if (n > 0) System.arraycopy(payload, src, cur, 0, n)
+        val base = row * (1 + rowB)
+        if (row % 2 == 0) {
+          raw(base) = 1 // Sub: delta vs the pixel 3 bytes left
+          var i = 0
+          while (i < rowB) {
+            raw(base + 1 + i) = (cur(i) - (if (i >= 3) cur(i - 3) else 0)).toByte
+            i += 1
+          }
+        } else {
+          raw(base) = 2 // Up: delta vs the row above
+          var i = 0
+          while (i < rowB) { raw(base + 1 + i) = (cur(i) - prev(i)).toByte; i += 1 }
+        }
+        System.arraycopy(cur, 0, prev, 0, rowB)
+        row += 1
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val buf = new Array[Byte](4096)
+      while (!defl.finished()) bos.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      val ihdr = new Array[Byte](13)
+      wr32(ihdr, 0, W); wr32(ihdr, 4, h)
+      ihdr(8) = 8   // bit depth
+      ihdr(9) = 2   // color type: truecolor RGB
+      // compression 0, filter 0, interlace 0 already zero
+      val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(sig)
+      out.write(chunk("IHDR", ihdr))
+      out.write(chunk("IDAT", bos.toByteArray))
+      out.write(chunk("IEND", Array.emptyByteArray))
+      out.toByteArray
+    }
+
+    /** Chunk-walking, CRC-verified decode of any non-interlaced RGB8 PNG:
+      * returns (width, height, channel bytes top-down, distinct filter
+      * types seen) or None for containers outside that profile.
+      */
+    def decodePixels(p: Array[Byte]): Option[(Int, Int, Array[Byte], Int)] = {
+      if (HeaderCodec.sniff(p) != "png") return None
+      var w = 0; var h = 0; var ihdrOk = false
+      val idat = new java.io.ByteArrayOutputStream()
+      var i = 8
+      var done = false
+      while (!done && i + 12 <= p.length) {
+        val len = rd32(p, i)
+        if (len < 0 || i + 12 + len > p.length) return None
+        if (crc(p, i + 4, 4 + len) != rd32(p, i + 8 + len)) return None
+        val typ = new String(p, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        typ match {
+          case "IHDR" =>
+            w = rd32(p, i + 8); h = rd32(p, i + 12)
+            ihdrOk = p(i + 16) == 8 && p(i + 17) == 2 && p(i + 18) == 0 &&
+              p(i + 19) == 0 && p(i + 20) == 0 && w > 0 && h > 0
+          case "IDAT" => idat.write(p, i + 8, len)
+          case "IEND" => done = true
+          case _ => () // ancillary chunks skipped
+        }
+        i += 12 + len
+      }
+      if (!ihdrOk || idat.size() == 0) return None
+      val rowB = w * 3
+      val raw = new Array[Byte](h * (1 + rowB))
+      val infl = new java.util.zip.Inflater()
+      infl.setInput(idat.toByteArray)
+      var got = 0
+      try {
+        while (got < raw.length && !infl.finished()) {
+          val n = infl.inflate(raw, got, raw.length - got)
+          if (n == 0 && infl.needsInput()) return None // truncated stream
+          got += n
+        }
+      } catch { case _: java.util.zip.DataFormatException => return None }
+      finally infl.end()
+      if (got != raw.length) return None
+      val px = new Array[Byte](h * rowB)
+      var kinds = 0 // bitmask of filter types seen
+      var row = 0
+      while (row < h) {
+        val ft = raw(row * (1 + rowB)) & 0xff
+        if (ft > 4) return None
+        kinds |= 1 << ft
+        val base = row * (1 + rowB) + 1
+        val out = row * rowB
+        val up = out - rowB
+        var c = 0
+        while (c < rowB) {
+          val x = raw(base + c) & 0xff
+          val left = if (c >= 3) px(out + c - 3) & 0xff else 0
+          val above = if (row > 0) px(up + c) & 0xff else 0
+          val upLeft = if (row > 0 && c >= 3) px(up + c - 3) & 0xff else 0
+          val recon = ft match {
+            case 0 => x
+            case 1 => x + left
+            case 2 => x + above
+            case 3 => x + (left + above) / 2
+            case 4 => // Paeth predictor
+              val pp = left + above - upLeft
+              val pa = math.abs(pp - left); val pb = math.abs(pp - above)
+              val pc = math.abs(pp - upLeft)
+              x + (if (pa <= pb && pa <= pc) left else if (pb <= pc) above else upLeft)
+          }
+          px(out + c) = (recon & 0xff).toByte
+          c += 1
+        }
+        row += 1
+      }
+      Some((w, h, px, java.lang.Integer.bitCount(kinds)))
     }
   }
 
@@ -326,6 +490,30 @@ object Multimodal {
     }
   }
 
+  final case class PngContent(doc_id: Long, n_bytes: Int, png_w: Int,
+      png_h: Int, mean_pixel: Double, n_filter_kinds: Int)
+
+  /** Pixel decode through a COMPRESSED container: each payload becomes a
+    * genuine filtered RGB8 PNG (Sub/Up filter bytes, zlib-deflated IDAT,
+    * CRC'd chunks) and is decoded back through inflate + unfiltering. The
+    * extracted mean pixel must equal the BMP path's (same pixel mapping) —
+    * any corruption in the deflate→inflate→unfilter chain breaks the
+    * oracle hash. Partition-parallel, no shuffle, nothing on the driver.
+    */
+  def decodeContentPng(media: Dataset[MediaRow]): Dataset[PngContent] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px, kinds) = PngCodec.decodePixels(PngCodec.encode(r.payload))
+          .getOrElse(throw new IllegalStateException("PNG roundtrip failed"))
+        var psum = 0L
+        px.foreach(b => psum += (b & 0xff))
+        PngContent(r.doc_id, r.payload.length, w, h,
+          psum.toDouble / px.length, kinds)
+      }
+    }
+  }
+
   /** One-to-many decode (frame sampling): each payload expands to its
     * sampled frames, partition-parallel, no shuffle until the caller
     * aggregates.
@@ -426,6 +614,40 @@ object Multimodal {
            |    AS rms_amplitude
            |FROM w ORDER BY doc_id""".stripMargin))
 
+  /** Compressed-container decode end-to-end: payload → real filtered PNG →
+    * CRC walk + inflate + unfilter → mean pixel. The oracle reproduces the
+    * pixel arithmetic from the document text (same mapping as q131's BMP:
+    * 16-wide RGB rows, zero-padded tail), so the hash only matches if the
+    * whole compression round-trip is byte-exact. n_filter_kinds comes from
+    * the actual filter bytes (Sub everywhere; Up too once there are ≥2
+    * rows).
+    */
+  val q140PngDecode = GraftQuery(
+    "q140_png_decode",
+    (s, dir) => {
+      import s.implicits._
+      val media = attachBinary(Tables.documents(s, dir).filter(col("doc_id") < 50))
+        .as[MediaRow]
+      decodeContentPng(media).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("png_w"), col("png_h"),
+          round(col("mean_pixel"), 6).as("mean_pixel"), col("n_filter_kinds"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, text, CAST(length(text) AS INT) AS len
+           |  FROM documents WHERE doc_id < 50),
+           |b AS (
+           |  SELECT doc_id, len,
+           |    greatest(1, (len + 47) // 48) AS h,
+           |    COALESCE(list_sum(list_transform(range(1, len + 1),
+           |      i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS bytesum
+           |  FROM t)
+           |SELECT doc_id, len AS n_bytes,
+           |  CAST(16 AS INT) AS png_w, CAST(h AS INT) AS png_h,
+           |  round(bytesum::DOUBLE / (h * 48), 6) AS mean_pixel,
+           |  CAST(CASE WHEN h = 1 THEN 1 ELSE 2 END AS INT) AS n_filter_kinds
+           |FROM b ORDER BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q32MultimodalMeta, q62MultimodalFrames,
-    q131MultimodalDecode)
+    q131MultimodalDecode, q140PngDecode)
 }
