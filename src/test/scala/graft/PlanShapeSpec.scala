@@ -131,4 +131,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     // final presentation orderBy's range partitioning
     assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
   }
+
+  test("q135: winnow selection is map-side — no per-doc window shuffle") {
+    val p = plan("q135_substring_winnow")
+    // selection must run inside the scan stage (WinnowPositions generator):
+    // no Window operator and no doc_id-keyed exchange may reappear — only
+    // the cross-document gram aggregation shuffles
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!"Exchange hashpartitioning\\(doc_id".r.findFirstIn(p).isDefined,
+      p.take(2000))
+    assert(p.contains("graft_winnow"), p.take(2000))
+  }
+
+  test("q138: batch aggregation reuses the stream window's partitioning") {
+    val p = plan("q138_length_batches")
+    // one (bucket, shard) exchange feeds BOTH the window and the batch
+    // aggregate — hash partitioning on a subset of the grouping keys
+    // satisfies the aggregate's distribution, so no second data shuffle
+    val dataExchanges = "Exchange hashpartitioning\\(bucket".r.findAllIn(p).length
+    assert(dataExchanges == 1,
+      s"expected exactly one (bucket, shard) exchange, got $dataExchanges\n${p.take(2000)}")
+  }
 }
