@@ -78,9 +78,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // tail-capture of stdout can truncate the long line above from the FRONT,
-    // losing the total; a short trailing line always survives a tail.
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
+    // The canonical line above is ~4k chars and a 2k-char tail capture
+    // truncates it from the FRONT, hiding the alphabetically-first per-query
+    // times (r05 lost q100-q140 — every new query's first bench appearance).
+    // Re-emit the map as short 20-query lines, chunks printed in REVERSE
+    // alphabetical order so the alphabetically-first chunks sit nearest the
+    // end of stdout and always survive a tail capture.
+    val chunks = results.grouped(20).toSeq
+    chunks.zipWithIndex.reverse.foreach { case (c, i) =>
+      val part = c.map { case (k, v) => s"\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"queries_part","part":${i + 1},"of":${chunks.size},"queries":$part}""")
+    }
+    // distinct metric name: a consumer summing "metric":"total" records must
+    // see exactly one (the canonical line), not a double-counted duplicate
+    println(s"""{"metric":"total_tail","value":${f(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
     System.err.println(f"[bench] TOTAL ${total}%.2f s over ${results.size} queries")
     spark.stop()
   }

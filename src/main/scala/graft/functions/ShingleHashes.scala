@@ -117,6 +117,11 @@ object GraftHashUtil {
     * `conv(substring(md5(gram),1,8),16,10)` — so any engine reproduces the
     * selection. Output is distinct ascending (the sliding argmin is
     * non-decreasing). O(n·win) time, one md5 per gram position.
+    *
+    * Positions are Java UTF-16 unit offsets; the Spark/DuckDB `substring`
+    * consuming them counts codepoints. Identical only for ASCII input —
+    * an invariant the fixtures satisfy and FixtureInvariantSpec pins (a
+    * non-ASCII fixture must switch this to codepoint counting).
     */
   def winnowPositions(text: UTF8String, k: Int, win: Int): ArrayData = {
     val s = text.toString

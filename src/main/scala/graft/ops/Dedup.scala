@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
@@ -133,9 +134,14 @@ object Dedup {
     // upstream pipeline), an overflow routes to the distributed star path.
     // Bounded: never materializes more than localThreshold+1 rows of
     // (long, long) on the driver (~3 MB at the 200k default).
+    // clamp: limit() takes an Int, and a Long threshold above Int.MaxValue-1
+    // would overflow to a negative limit (AnalysisException). Thresholds that
+    // large can't be probed this way anyway — the driver couldn't hold the
+    // edges — so they just cap at the widest probe that fits.
+    val lim = math.min(localThreshold, (Int.MaxValue - 1).toLong).toInt
     val es = sym.select(col("a").cast("long"), col("b").cast("long"))
-      .limit(localThreshold.toInt + 1).as[(Long, Long)].collect()
-    if (es.length <= localThreshold) {
+      .limit(lim + 1).as[(Long, Long)].collect()
+    if (es.length <= lim) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -509,13 +515,21 @@ object Dedup {
   val q135SubstringWinnow = GraftQuery(
     "q135_substring_winnow",
     (s, dir) => {
+      // the 40-char gram string never shuffles: the cross-document group key
+      // is (xxhash64(gram), 12-nibble md5 prefix) — 20 bytes vs 40+, and the
+      // gap widens with k at corpus scale. The joint 112-bit key makes a
+      // cross-gram collision (two DISTINCT grams in one group) negligible;
+      // WinnowGroupingSpec verifies gram-level group purity against the
+      // fixture by carrying the text, and pins that this narrow-key plan
+      // equals the group-by-gram plan row for row.
       winnowSelected(Tables.documents(s, dir).select(col("doc_id"), col("text")),
         k = 40, win = 8)
-        .groupBy("gram")
+        .select(col("doc_id"), xxhash64(col("gram")).as("h"),
+          substring(md5(col("gram")), 1, 12).as("fp"))
+        .groupBy("h", "fp")
         .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
         .filter(col("n_docs") >= 2)
-        .select(substring(md5(col("gram")), 1, 12).as("fp"),
-          col("n_docs"), col("n_occ"))
+        .select(col("fp"), col("n_docs"), col("n_occ"))
         .orderBy(col("n_docs").desc, col("n_occ").desc, col("fp"))
         .limit(20)
     },
@@ -535,7 +549,125 @@ object Dedup {
            |SELECT substr(md5(gram), 1, 12) AS fp, n_docs, CAST(n_occ AS BIGINT) AS n_occ
            |FROM dup ORDER BY n_docs DESC, n_occ DESC, fp LIMIT 20""".stripMargin))
 
+  /** Substring-span REMOVAL — the corpus surgery Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better") perform
+    * after detection: q135 finds cross-document duplicated spans; this
+    * clips them. Every winnow-selected gram occurring in ≥2 docs flags its
+    * [i, i+k) char span; per document the flagged spans are merged
+    * (classic running-max interval union, one window pass) and cut out,
+    * and the query emits per-doc retained-char accounting plus an md5
+    * fingerprint of the RECONSTRUCTED retained text — the oracle rebuilds
+    * the same text in SQL, so any off-by-one in span math breaks the hash.
+    *
+    * Scale: detection is q135's map-side winnowing; the dup-gram list is a
+    * narrow broadcast-sized frame; interval merge + gap extraction are
+    * per-doc window functions (one shuffle by doc_id); reconstruction
+    * never leaves the executor.
+    */
+  val q144SpanRemoval = GraftQuery(
+    "q144_span_removal",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val sel = winnowSelected(docs, k = 40, win = 8) // (doc_id, i, gram)
+      val dup = sel.groupBy("gram")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("gram"))
+      val hits = sel.join(broadcast(dup), "gram")
+        .select(col("doc_id"), col("i").as("st"), (col("i") + 40).as("en"))
+      // interval union: a span starts a new group iff it begins after the
+      // running max end of everything before it
+      val w = Window.partitionBy("doc_id").orderBy("st", "en")
+      val merged = hits
+        .withColumn("pmax",
+          max("en").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("newgrp",
+          when(col("pmax").isNull || col("st") > col("pmax"), 1).otherwise(0))
+        .withColumn("grp",
+          sum("newgrp").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "grp")
+        .agg(min("st").as("st"), max("en").as("en"))
+      val stats = merged.groupBy("doc_id").agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("en") - col("st")).cast("long").as("removed_chars"))
+      // retained text = the gaps between merged spans: each span's end opens
+      // a gap to the next span's start (head gap starts at 1, tail gap runs
+      // to end-of-text), reassembled in position order
+      val wg = Window.partitionBy("doc_id").orderBy("st")
+      val gaps = merged
+        .withColumn("gs", coalesce(lag("en", 1).over(wg), lit(1)))
+        .select(col("doc_id"), col("gs"), col("st").as("ge"))
+        .unionByName(merged.groupBy("doc_id").agg(max("en").as("gs"))
+          .withColumn("ge", lit(null).cast("int")))
+      val rec = gaps.join(docs, "doc_id")
+        .withColumn("seg",
+          expr("substring(text, gs, coalesce(ge - gs, length(text) - gs + 1))"))
+        .groupBy("doc_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("gs"), col("seg")))),
+            x => x.getField("seg")), "").as("retained"))
+      docs.join(stats, Seq("doc_id"), "left")
+        .join(rec, Seq("doc_id"), "left")
+        .withColumn("len", length(col("text")).cast("long"))
+        .select(
+          col("doc_id"),
+          col("len").as("orig_len"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+          (col("len") - coalesce(col("removed_chars"), lit(0L))).as("retained_chars"),
+          substring(md5(coalesce(col("retained"), col("text"))), 1, 12).as("retained_fp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH g AS (
+           |  SELECT doc_id, CAST(i AS INT) AS i, substr(text, CAST(i AS INT), 40) AS gram
+           |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 38)) AS i
+           |        FROM documents WHERE length(text) >= 40)),
+           |hsh AS (SELECT doc_id, i, gram,
+           |  ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h FROM g),
+           |sel AS (SELECT DISTINCT doc_id, (m).i AS i, (m).gram AS gram FROM (
+           |  SELECT doc_id, min({'h': h, 'i': i, 'gram': gram}) OVER (
+           |    PARTITION BY doc_id ORDER BY i
+           |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m
+           |  FROM hsh)),
+           |dup AS (SELECT gram FROM sel GROUP BY gram
+           |  HAVING count(DISTINCT doc_id) >= 2),
+           |hits AS (SELECT s.doc_id, s.i AS st, s.i + 40 AS en
+           |  FROM sel s JOIN dup USING (gram)),
+           |m1 AS (SELECT doc_id, st, en,
+           |  max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM hits),
+           |m2 AS (SELECT doc_id, st, en,
+           |  CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END AS newgrp FROM m1),
+           |m3 AS (SELECT doc_id, st, en,
+           |  sum(newgrp) OVER (PARTITION BY doc_id ORDER BY st, en
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM m2),
+           |mspans AS (SELECT doc_id, min(st) AS st, max(en) AS en
+           |  FROM m3 GROUP BY doc_id, grp),
+           |stats AS (SELECT doc_id, count(*) AS n_spans,
+           |  CAST(sum(en - st) AS BIGINT) AS removed_chars FROM mspans GROUP BY doc_id),
+           |gaps AS (
+           |  SELECT doc_id,
+           |    coalesce(lag(en) OVER (PARTITION BY doc_id ORDER BY st), 1) AS gs,
+           |    st AS ge
+           |  FROM mspans
+           |  UNION ALL
+           |  SELECT doc_id, max(en) AS gs, NULL AS ge FROM mspans GROUP BY doc_id),
+           |rec AS (SELECT gp.doc_id,
+           |    string_agg(substr(d.text, CAST(gs AS INT),
+           |      CAST(coalesce(ge - gs, length(d.text) - gs + 1) AS INT)), ''
+           |      ORDER BY gs) AS retained
+           |  FROM gaps gp JOIN documents d USING (doc_id) GROUP BY gp.doc_id)
+           |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS orig_len,
+           |  coalesce(stats.n_spans, 0) AS n_spans,
+           |  coalesce(stats.removed_chars, 0) AS removed_chars,
+           |  CAST(length(d.text) AS BIGINT) - coalesce(stats.removed_chars, 0) AS retained_chars,
+           |  substr(md5(coalesce(rec.retained, d.text)), 1, 12) AS retained_fp
+           |FROM documents d
+           |LEFT JOIN stats ON d.doc_id = stats.doc_id
+           |LEFT JOIN rec ON d.doc_id = rec.doc_id
+           |ORDER BY d.doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q24DedupExact, q25DedupMinhash, q26DedupNgram, q27DedupSimhash, q28EmbeddingNn,
-    q59DedupClusters, q127DedupClustersStar, q135SubstringWinnow)
+    q59DedupClusters, q127DedupClustersStar, q135SubstringWinnow, q144SpanRemoval)
 }

@@ -18,9 +18,12 @@ import graft.{GraftQuery, Tables}
   * header-driven (offset + stride walk, RIFF chunk iteration), exercised
   * end-to-end by q131; [[PngCodec]] decodes a COMPRESSED container too —
   * zlib inflate + all five PNG row filters + chunk CRC verification, pure
-  * JVM (q140). Lossy/entropy-coded formats (JPEG, GIF's LZW, compressed
-  * audio) are the remaining gap — those need codec libs this container
-  * lacks; payloads that match no known magic fall back to the clearly-marked
+  * JVM (q140); [[GifCodec]] decodes GIF's LZW entropy coding — a plain
+  * dictionary coder, fully implementable in JVM byte arithmetic (q142).
+  * The remaining boundary is transform-coded lossy media — JPEG
+  * (Huffman + DCT + quantization tables) and compressed audio — which
+  * genuinely needs codec libraries this container lacks; payloads that
+  * match no known magic fall back to the clearly-marked
   * [[FakeCodec]] STUB, which derives deterministic dimensions from leading
   * bytes so the synthetic text fixtures stay oracle-checkable. Everything
   * around the codecs — the binary column, the typed Dataset boundary, the
@@ -33,6 +36,13 @@ import graft.{GraftQuery, Tables}
   * through the driver.
   */
 object Multimodal {
+
+  /** Decode allocation budget: header-declared dimensions are validated in
+    * Long arithmetic against this cap (64 MiB of pixel bytes) before any
+    * array is sized, so adversarial containers fail soft (None) instead of
+    * OOM/NegativeArraySizeException inside a mapPartitions task.
+    */
+  private[ops] val MaxPixelBytes = 64L << 20
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int)
@@ -147,13 +157,18 @@ object Multimodal {
       val bpp = rd16(p, 28)
       val comp = rd32(p, 30)
       if (bpp != 24 || comp != 0 || w <= 0 || h == 0) return None
-      val stride = ((w * 3 + 3) / 4) * 4
-      if (off.toLong + stride.toLong * h > p.length) return None
+      // header-declared dimensions are untrusted: a magic-matching payload
+      // with huge w/h would overflow the Int products below or allocate
+      // gigabytes and kill the whole partition. Long arithmetic + the
+      // available-bytes check reject it as a malformed container instead.
+      val stride = ((w.toLong * 3 + 3) / 4) * 4
+      if (off < 0 || w.toLong * 3 * h > MaxPixelBytes) return None
+      if (off.toLong + stride * h > p.length) return None
       val px = new Array[Byte](w * 3 * h)
       var row = 0
       while (row < h) {
         val srcRow = if (topDown) row else h - 1 - row
-        System.arraycopy(p, off + srcRow * stride, px, row * w * 3, w * 3)
+        System.arraycopy(p, off + srcRow * stride.toInt, px, row * w * 3, w * 3)
         row += 1
       }
       Some((w, h, px))
@@ -272,6 +287,10 @@ object Multimodal {
         i += 12 + len
       }
       if (!ihdrOk || idat.size() == 0) return None
+      // untrusted IHDR dimensions: reject before allocating (see BmpCodec) —
+      // h·(1+3w) must fit an Int and a sane decode budget, or a hostile
+      // CRC-valid container OOMs the executor instead of returning None
+      if (h.toLong * (1 + w.toLong * 3) > MaxPixelBytes) return None
       val rowB = w * 3
       val raw = new Array[Byte](h * (1 + rowB))
       val infl = new java.util.zip.Inflater()
@@ -319,6 +338,242 @@ object Multimodal {
         row += 1
       }
       Some((w, h, px, java.lang.Integer.bitCount(kinds)))
+    }
+  }
+
+  /** REAL pixel-level codec for GIF — pure-JVM LZW, the entropy coder GIF
+    * wraps pixels in. LZW is a plain dictionary coder (no Huffman tables, no
+    * DCT), so unlike JPEG it needs no codec library: `encode` emits a
+    * genuine GIF89a (logical screen descriptor, 256-entry grayscale global
+    * color table, image descriptor, variable-code-width LZW stream in
+    * ≤255-byte sub-blocks); `decodePixels` walks the block list, rebuilds
+    * the LZW dictionary code by code — including the KwKwK
+    * just-added-code case and dictionary reset on CLEAR — and maps indices
+    * through the actual color table, so it decodes any conforming
+    * single-image 8-bit GIF, not just its own output.
+    *
+    * Code-width discipline (the part implementations get wrong): widths
+    * start at minCodeSize+1 and cap at 12. The DECODER grows after adding
+    * entry `next` when `next == 1<<width`; the ENCODER adds its entry one
+    * code earlier in the stream than the decoder does, so it must grow one
+    * entry later — `next == (1<<width)+1` — to stay bit-synchronized.
+    * At 4096 entries the encoder emits CLEAR and resets; the decoder also
+    * tolerates streams that defer the clear (stops adding at 4096).
+    */
+  object GifCodec {
+    val W = 16 // fixed encode width: one payload byte per pixel index
+
+    private def le16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    }
+    private def rd16(p: Array[Byte], i: Int) = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+
+    /** GIF-variant LZW compression of `idx` with 8-bit min code size. */
+    private[ops] def lzwEncode(idx: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nbits = 0
+      var width = 9
+      def emit(code: Int): Unit = {
+        acc |= code.toLong << nbits; nbits += width
+        while (nbits >= 8) { out.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8 }
+      }
+      val Clear = 256; val Eoi = 257
+      // dictionary keyed by (prefixCode << 8 | nextByte) — every prefix is a
+      // known code, so the chain key is exact and O(1)
+      var dict = new java.util.HashMap[Integer, Integer]()
+      var next = 258
+      emit(Clear)
+      if (idx.nonEmpty) {
+        var prefix = idx(0) & 0xff
+        var i = 1
+        while (i < idx.length) {
+          val c = idx(i) & 0xff
+          val key = Integer.valueOf((prefix << 8) | c)
+          val hit = dict.get(key)
+          if (hit != null) prefix = hit.intValue()
+          else {
+            emit(prefix)
+            dict.put(key, Integer.valueOf(next)); next += 1
+            if (next == (1 << width) + 1 && width < 12) width += 1
+            if (next == 4096) { // table full: hard reset (no deferred clear)
+              emit(Clear)
+              dict = new java.util.HashMap[Integer, Integer]()
+              next = 258; width = 9
+            }
+            prefix = c
+          }
+          i += 1
+        }
+        emit(prefix)
+      }
+      emit(Eoi)
+      if (nbits > 0) out.write((acc & 0xff).toInt) // flush partial byte
+      out.toByteArray
+    }
+
+    /** General GIF LZW decode: returns the index stream or None on a
+      * malformed code sequence.
+      */
+    private[ops] def lzwDecode(data: Array[Byte], minCode: Int,
+        maxOut: Int): Option[Array[Byte]] = {
+      val Clear = 1 << minCode; val Eoi = Clear + 1
+      val out = new java.io.ByteArrayOutputStream()
+      // dictionary as parent-pointer chains: suffix byte + previous code
+      val suffix = new Array[Byte](4096)
+      val parent = new Array[Int](4096)
+      val buf = new Array[Byte](4096) // reversed-chain scratch
+      var next = Eoi + 1
+      var width = minCode + 1
+      var prev = -1
+      var acc = 0L; var nbits = 0; var pos = 0
+      def firstByte(code: Int): Byte = {
+        var c = code
+        while (c >= Clear) c = parent(c)
+        c.toByte
+      }
+      def writeChain(code: Int): Unit = {
+        var c = code; var n = 0
+        while (c >= Clear) { buf(n) = suffix(c); n += 1; c = parent(c) }
+        buf(n) = c.toByte; n += 1
+        while (n > 0) { n -= 1; out.write(buf(n)) }
+      }
+      while (true) {
+        while (nbits < width && pos < data.length) {
+          acc |= (data(pos) & 0xffL) << nbits; nbits += 8; pos += 1
+        }
+        if (nbits < width) return None // ran out of bits before EOI
+        val code = (acc & ((1L << width) - 1)).toInt
+        acc >>= width; nbits -= width
+        if (code == Clear) {
+          next = Eoi + 1; width = minCode + 1; prev = -1
+        } else if (code == Eoi) {
+          return Some(out.toByteArray)
+        } else if (code > next || (code == next && prev < 0)) {
+          return None // referenced a code the dictionary can't have yet
+        } else {
+          if (prev < 0) {
+            if (code >= Clear) return None
+            out.write(code)
+          } else {
+            val entryFirst =
+              if (code == next) firstByte(prev) // KwKwK: code being defined
+              else firstByte(code)
+            if (next < 4096) { // deferred-clear streams stop growing here
+              suffix(next) = entryFirst
+              parent(next) = prev
+              next += 1
+              if (next == (1 << width) && width < 12) width += 1
+            }
+            // for KwKwK `code` is the entry just added above, so one
+            // writeChain covers both cases
+            writeChain(code)
+          }
+          prev = code
+          if (out.size() > maxOut) return None // oversized vs declared dims
+        }
+      }
+      None
+    }
+
+    /** Payload bytes become pixel indices row-major (zero-padded last row),
+      * height = ceil(len/16), min 1; the global color table is the identity
+      * grayscale ramp palette[i] = (i, i, i).
+      */
+    def encode(payload: Array[Byte]): Array[Byte] = {
+      val h = math.max(1, (payload.length + W - 1) / W)
+      val idx = java.util.Arrays.copyOf(payload, W * h)
+      val out = new java.io.ByteArrayOutputStream(W * h + 800)
+      "GIF89a".foreach(c => out.write(c))
+      le16(out, W); le16(out, h)
+      out.write(0xf7) // GCT present, color resolution 8, GCT size 2^(7+1)=256
+      out.write(0)    // background color index
+      out.write(0)    // pixel aspect ratio
+      var i = 0
+      while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+      out.write(0x2c) // image descriptor
+      le16(out, 0); le16(out, 0); le16(out, W); le16(out, h)
+      out.write(0)    // no local color table, not interlaced
+      out.write(8)    // LZW min code size
+      val lzw = lzwEncode(idx)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        out.write(n)
+        out.write(lzw, off, n)
+        off += n
+      }
+      out.write(0)    // block terminator
+      out.write(0x3b) // trailer
+      out.toByteArray
+    }
+
+    /** Block-walking decode of any single-image 8-bit non-interlaced GIF:
+      * returns (width, height, gray values = color-table red channel per
+      * pixel) or None outside that profile.
+      */
+    def decodePixels(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (HeaderCodec.sniff(p) != "gif") return None
+      val w = rd16(p, 6); val h = rd16(p, 8)
+      if (w <= 0 || h <= 0 || w.toLong * h > MaxPixelBytes) return None
+      val packed = p(10) & 0xff
+      var i = 13
+      var palette: Array[Byte] = null
+      if ((packed & 0x80) != 0) {
+        val n = 1 << ((packed & 7) + 1)
+        if (i + 3 * n > p.length) return None
+        palette = java.util.Arrays.copyOfRange(p, i, i + 3 * n)
+        i += 3 * n
+      }
+      while (i < p.length) {
+        (p(i) & 0xff) match {
+          case 0x21 => // extension: label byte, then sub-blocks to a 0 block
+            i += 2
+            while (i < p.length && (p(i) & 0xff) != 0) i += 1 + (p(i) & 0xff)
+            i += 1
+          case 0x2c =>
+            if (i + 10 > p.length) return None
+            val iw = rd16(p, i + 5); val ih = rd16(p, i + 7)
+            // untrusted dims: iw·ih can exceed Int.MaxValue (65535² ≈ 4.3e9)
+            if (iw <= 0 || ih <= 0 || iw.toLong * ih > MaxPixelBytes) return None
+            val ipacked = p(i + 9) & 0xff
+            if ((ipacked & 0x40) != 0) return None // interlaced unsupported
+            i += 10
+            if ((ipacked & 0x80) != 0) { // local color table wins
+              val n = 1 << ((ipacked & 7) + 1)
+              if (i + 3 * n > p.length) return None
+              palette = java.util.Arrays.copyOfRange(p, i, i + 3 * n)
+              i += 3 * n
+            }
+            if (palette == null || i >= p.length) return None
+            val minCode = p(i) & 0xff
+            if (minCode < 2 || minCode > 11) return None
+            i += 1
+            val data = new java.io.ByteArrayOutputStream()
+            while (i < p.length && (p(i) & 0xff) != 0) {
+              val n = p(i) & 0xff
+              if (i + 1 + n > p.length) return None
+              data.write(p, i + 1, n)
+              i += 1 + n
+            }
+            val decoded = lzwDecode(data.toByteArray, minCode, iw * ih)
+            decoded match {
+              case Some(idx) if idx.length == iw * ih =>
+                val px = new Array[Byte](iw * ih)
+                var k = 0
+                var ok = true
+                while (ok && k < idx.length) {
+                  val pi = 3 * (idx(k) & 0xff)
+                  if (pi + 2 >= palette.length) ok = false
+                  else { px(k) = palette(pi); k += 1 } // red channel
+                }
+                return if (ok) Some((iw, ih, px)) else None
+              case _ => return None
+            }
+          case 0x3b => return None // trailer before any image data
+          case _ => return None
+        }
+      }
+      None
     }
   }
 
@@ -490,6 +745,32 @@ object Multimodal {
     }
   }
 
+  final case class GifContent(doc_id: Long, n_bytes: Int, gif_w: Int,
+      gif_h: Int, mean_pixel: Double, max_idx: Int)
+
+  /** Pixel decode through GIF's LZW entropy coding: each payload becomes a
+    * genuine GIF89a (grayscale color table, variable-width LZW stream) and
+    * is decoded back through the full dictionary rebuild. The identity
+    * palette makes gray value == pixel index == payload byte, so the
+    * extracted mean must equal the BMP/PNG paths' — any desync in the
+    * code-width schedule or the KwKwK case breaks the oracle hash.
+    * Partition-parallel, no shuffle, nothing on the driver.
+    */
+  def decodeContentGif(media: Dataset[MediaRow]): Dataset[GifContent] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = GifCodec.decodePixels(GifCodec.encode(r.payload))
+          .getOrElse(throw new IllegalStateException("GIF roundtrip failed"))
+        var psum = 0L
+        var mx = 0
+        px.foreach { b => val v = b & 0xff; psum += v; if (v > mx) mx = v }
+        GifContent(r.doc_id, r.payload.length, w, h,
+          psum.toDouble / px.length, mx)
+      }
+    }
+  }
+
   final case class PngContent(doc_id: Long, n_bytes: Int, png_w: Int,
       png_h: Int, mean_pixel: Double, n_filter_kinds: Int)
 
@@ -648,6 +929,40 @@ object Multimodal {
            |  CAST(CASE WHEN h = 1 THEN 1 ELSE 2 END AS INT) AS n_filter_kinds
            |FROM b ORDER BY doc_id""".stripMargin))
 
+  /** Entropy-coded-container decode end-to-end: payload → real GIF89a →
+    * LZW dictionary rebuild + palette lookup → mean pixel / max index. The
+    * oracle reproduces the pixel arithmetic from the document text (16-wide
+    * index rows, zero-padded tail, identity grayscale palette), so the hash
+    * only matches if the whole LZW round-trip is byte-exact.
+    */
+  val q142GifDecode = GraftQuery(
+    "q142_gif_decode",
+    (s, dir) => {
+      import s.implicits._
+      val media = attachBinary(Tables.documents(s, dir).filter(col("doc_id") < 50))
+        .as[MediaRow]
+      decodeContentGif(media).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("gif_w"), col("gif_h"),
+          round(col("mean_pixel"), 6).as("mean_pixel"), col("max_idx"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, text, CAST(length(text) AS INT) AS len
+           |  FROM documents WHERE doc_id < 50),
+           |b AS (
+           |  SELECT doc_id, len,
+           |    greatest(1, (len + 15) // 16) AS h,
+           |    COALESCE(list_sum(list_transform(range(1, len + 1),
+           |      i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS bytesum,
+           |    COALESCE(list_max(list_transform(range(1, len + 1),
+           |      i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS mx
+           |  FROM t)
+           |SELECT doc_id, len AS n_bytes,
+           |  CAST(16 AS INT) AS gif_w, CAST(h AS INT) AS gif_h,
+           |  round(bytesum::DOUBLE / (h * 16), 6) AS mean_pixel,
+           |  CAST(mx AS INT) AS max_idx
+           |FROM b ORDER BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q32MultimodalMeta, q62MultimodalFrames,
-    q131MultimodalDecode, q140PngDecode)
+    q131MultimodalDecode, q140PngDecode, q142GifDecode)
 }

@@ -96,6 +96,63 @@ object StreamingQueries {
            |  round(sum(value), 2) AS total_value
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Continuous MV maintenance e2e ([[graft.streaming.MaterializedView]]) —
+    * the operator that closes the reference's open MV TODO, now under the
+    * driver's oracle gate instead of spec parity alone: the fixture is
+    * replayed as a 4-file stream with `maxFilesPerTrigger=1`, so the
+    * (day, event_type) aggregation is maintained across FOUR micro-batches
+    * of keyed shadow-swap upserts (update mode: each batch carries only the
+    * groups it changed, with cumulative state). The final catalog table
+    * must equal the one-shot batch aggregation the DuckDB oracle computes —
+    * any fault in the upsert merge, the swap, or the relation-cache refresh
+    * shows up as a hash mismatch.
+    *
+    * Scale: per-refresh IO is bounded by MV size (keys touched ∪ previous
+    * snapshot), never by stream history; value sums are rounded to 2 like
+    * q33 (state accumulates in arrival order).
+    */
+  val q143StreamingMv = GraftQuery(
+    "q143_streaming_mv",
+    (s, dir) => {
+      val base = graft.WorkDir.resolve(s, "mvq", dir)
+      val (src, ckpt) = (s"$base/src", s"$base/ckpt")
+      val conf = s.sessionState.newHadoopConf()
+      for (d <- Seq(src, ckpt)) {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(conf).delete(p, true)
+      }
+      val target = "graft_mv_q143"
+      // the in-memory catalog dies with each JVM but managed-table
+      // directories persist in the warehouse — drop BOTH, or a re-run hits
+      // LOCATION_ALREADY_EXISTS on the stage write
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      for (t <- Seq(target, s"${target}__mv_stage", s"${target}__mv_old")) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+        p.getFileSystem(conf).delete(p, true)
+      }
+      val ev = Tables.events(s, dir).select("event_id", "event_type", "ts", "value")
+      ev.repartition(4).write.parquet(src) // 4 files → 4 micro-batches
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+        .select(unix_micros(col("w.start")).as("day_us"), col("event_type"),
+          col("n"), col("total_value"))
+      graft.streaming.MaterializedView
+        .materialize(stream, Seq("day_us", "event_type"), target, ckpt)
+        .awaitTermination()
+      s.table(target)
+        .select(col("day_us"), col("event_type"), col("n"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy("day_us", "event_type")
+    },
+    Some("""WITH ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) us, event_type, value FROM events)
+           |SELECT (us // 86400000000) * 86400000000 AS day_us, event_type,
+           |  count(*) AS n, round(sum(value), 2) AS total_value
+           |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q33SlidingWindows, q34SessionWindows,
-    q63StreamingRebalance)
+    q63StreamingRebalance, q143StreamingMv)
 }

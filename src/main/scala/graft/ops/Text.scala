@@ -318,7 +318,7 @@ object Text {
     * sequences, returning the learned merges and the final encoded
     * vocabulary.
     */
-  private def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String,
+  private[graft] def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String,
       steps: Int): (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
     var seqs = Tables.documents(s, dir)
       .select(explode(toks(col("text"))).as("word"))
@@ -356,6 +356,23 @@ object Text {
       }
     }
     (merges.toSeq, seqs)
+  }
+
+  /** Merge-table BPE encoder — the inference-side contract of [[bpeTrain]]:
+    * a word (seen or HELD-OUT) starts as single-char symbols and each
+    * learned merge applies in RANK ORDER, replacing occurrences
+    * leftmost-first (String.replace scans left to right, exactly the
+    * training loop's `replace(seq, pair, merged)` semantics). Re-encoding a
+    * training word with the final merge table therefore reproduces the
+    * training-side segmentation bit for bit — BpeEncoderSpec pins that
+    * property plus symbol-closure on held-out words.
+    */
+  private[graft] def bpeEncodeWord(word: String,
+      merges: Seq[(String, String)]): Seq[String] = {
+    if (word.isEmpty) return Seq.empty
+    var seq = word.map(c => s"($c)").mkString
+    merges.foreach { case (pair, merged) => seq = seq.replace(pair, s"($merged)") }
+    seq.substring(1, seq.length - 1).split("\\)\\(").toSeq
   }
 
   val q132BpeTrain = GraftQuery(

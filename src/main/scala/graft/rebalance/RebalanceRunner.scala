@@ -128,15 +128,22 @@ object RebalanceRunner {
       recreateMvs: Boolean = false): Map[String, Long] = {
     val names = TableRegistry.tableNames(spark, db)
     val mvNames = mvs.map(_.name).toSet
-    val canonical = names.filterNot(n =>
-      n.contains("__v") || n.endsWith("__old") || mvNames.contains(n))
+    // `__mv_stage`/`__mv_old` are MaterializedView shadow-swap residue (a
+    // crashed refresh leaves them behind); without the explicit exclusion
+    // they'd classify as canonical base tables and get rebalanced/retained
+    // forever. `__v`/`__old` matching covers the base-table swap residue.
+    val isResidue = (n: String) =>
+      n.contains("__v") || n.endsWith("__old") ||
+        n.endsWith("__mv_stage") || n.endsWith("__mv_old")
+    val canonical = names.filterNot(n => isResidue(n) || mvNames.contains(n))
     // a crash between rebalanceTable's two renames strands a table with the
     // canonical name vacant and only `t__v{n}` / `t__old` present; surface
     // those bases too so the recovery branch in rebalanceTable finishes the
     // promotion instead of the table silently vanishing from whole-db runs
     val orphaned = names.collect {
       case n if n.contains(s"__v$version") => n.substring(0, n.indexOf("__v"))
-    }.filterNot(n => canonical.contains(n) || mvNames.contains(n)).distinct
+    }.filterNot(n => canonical.contains(n) || mvNames.contains(n) || isResidue(n))
+      .distinct
     val moved = (canonical ++ orphaned)
       .map(t => t -> rebalanceTable(spark, db, t, dist(t), shards, version))
       .toMap

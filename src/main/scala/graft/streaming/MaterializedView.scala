@@ -22,9 +22,28 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object MaterializedView {
 
+  /** Crash recovery for the shadow-swap: a death between `RENAME target TO
+    * __mv_old` and `RENAME __mv_stage TO target` leaves the canonical name
+    * vacant while the stage table holds the COMPLETE next snapshot —
+    * promote it (the same discipline as
+    * [[graft.rebalance.RebalanceRunner.rebalanceTable]]'s recovery branch).
+    * Without this, a post-crash [[upsert]] would take the create branch and
+    * seed the MV from one batch, silently dropping all merged history.
+    * Always clears `__mv_old` residue. Idempotent; called by both [[upsert]]
+    * and [[refresh]] before they touch anything.
+    */
+  def recover(spark: org.apache.spark.sql.SparkSession, target: String): Unit = {
+    val stage = s"${target}__mv_stage"
+    val old = s"${target}__mv_old"
+    if (!spark.catalog.tableExists(target) && spark.catalog.tableExists(stage))
+      spark.sql(s"ALTER TABLE $stage RENAME TO $target")
+    spark.sql(s"DROP TABLE IF EXISTS $old")
+  }
+
   /** One keyed upsert: rows of `batch` replace same-key rows of `target`. */
   def upsert(batch: DataFrame, keyCols: Seq[String], target: String): Unit = {
     val spark = batch.sparkSession
+    recover(spark, target)
     if (!spark.catalog.tableExists(target)) {
       batch.write.mode(SaveMode.ErrorIfExists).saveAsTable(target)
     } else {
@@ -59,6 +78,7 @@ object MaterializedView {
     val spark = df.sparkSession
     val stage = s"${target}__mv_stage"
     val old = s"${target}__mv_old"
+    recover(spark, target)
     df.write.mode(SaveMode.Overwrite).saveAsTable(stage)
     spark.sql(s"DROP TABLE IF EXISTS $old")
     if (spark.catalog.tableExists(target))

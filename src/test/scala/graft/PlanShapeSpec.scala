@@ -141,6 +141,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!"Exchange hashpartitioning\\(doc_id".r.findFirstIn(p).isDefined,
       p.take(2000))
     assert(p.contains("graft_winnow"), p.take(2000))
+    // the cross-document group must shuffle the narrow (h, fp) key, never
+    // the 40-char gram string (WinnowGroupingSpec proves row parity)
+    assert(!"Exchange hashpartitioning\\(gram".r.findFirstIn(p).isDefined,
+      p.take(2000))
   }
 
   test("q138: batch aggregation reuses the stream window's partitioning") {

@@ -46,8 +46,9 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
 
   test("q93: z-order sink clusters each file into a narrow z-range") {
     Layout.q93ZOrder.fn(spark, sf).collect() // runs the clustered write
-    val key = sf.replaceAll("[^0-9a-zA-Z.]", "_")
-    val out = s"${sys.props("java.io.tmpdir")}/graft_layout/zorder_$key"
+    // resolve through WorkDir exactly as the query does — a hardcoded path
+    // here rotted once before and only passed off a stale directory
+    val out = graft.WorkDir.resolve(spark, "layout_zorder", sf)
     val spans = spark.read.parquet(out)
       .groupBy(input_file_name().as("f"))
       .agg(min("z").as("lo"), max("z").as("hi"))

@@ -40,6 +40,24 @@ class RebalanceRunnerSpec extends AnyFunSuite with SparkSpec {
     assert(moved == Map("t1" -> 100L, "t2" -> 100L))
   }
 
+  test("MV swap residue is neither rebalanced nor retained as canonical") {
+    import spark.implicits._
+    freshDatabase("graft_res")
+    (1L to 50L).map(i => (i, i)).toDF("k", "v")
+      .write.saveAsTable("graft_res.t")
+    // residue of a crashed MaterializedView swap: without the explicit
+    // suffix exclusion these classify as canonical base tables and get
+    // rebalanced (and thereby retained) by every whole-db run
+    Seq((1, 2L)).toDF("k", "n").write.saveAsTable("graft_res.agg__mv_stage")
+    Seq((1, 1L)).toDF("k", "n").write.saveAsTable("graft_res.agg__mv_old")
+    val moved = RebalanceRunner.rebalanceDatabase(
+      spark, "graft_res", _ => Rebalancer.ByHash("k"), 4, "7")
+    assert(moved == Map("t" -> 50L), s"moved: $moved")
+    // and no __v7 shadows were created for the residue tables
+    val names = TableRegistry.tableNames(spark, "graft_res")
+    assert(!names.exists(n => n.contains("__mv_") && n.contains("__v7")), names)
+  }
+
   test("recovers a crash between the two renames (shadow present, canonical vacant)") {
     import spark.implicits._
     freshDatabase("graft_rec")

@@ -60,4 +60,38 @@ class MaterializedViewSpec extends AnyFunSuite with SparkSpec {
     assert(leftovers.isEmpty, leftovers.mkString(","))
     ev.unpersist()
   }
+
+  test("crashed swap (stage present, canonical vacant) recovers, not clobbers") {
+    freshDatabase("mvcrash")
+    import spark.implicits._
+    // simulate a death between 'RENAME target TO __mv_old' and the stage
+    // promotion: the canonical name is vacant, the stranded STAGE holds the
+    // complete merged snapshot, __mv_old holds the superseded one
+    Seq((1, 10L), (2, 20L)).toDF("k", "n")
+      .write.saveAsTable("mvcrash.mv__mv_stage")
+    Seq((1, 1L)).toDF("k", "n").write.saveAsTable("mvcrash.mv__mv_old")
+    // the next upsert must promote the stage and merge into IT — the
+    // unrecovered path would take the create branch and seed the MV from
+    // this single batch, losing rows (1,10) entirely
+    MaterializedView.upsert(
+      Seq((2, 25L), (3, 30L)).toDF("k", "n"), Seq("k"), "mvcrash.mv")
+    val out = spark.table("mvcrash.mv").as[(Int, Long)].collect().toMap
+    assert(out == Map(1 -> 10L, 2 -> 25L, 3 -> 30L))
+    val leftovers = spark.catalog.listTables("mvcrash")
+      .collect().map(_.name).filter(_.contains("__mv_"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
+  test("refresh after a crashed swap also recovers first") {
+    freshDatabase("mvcrash2")
+    import spark.implicits._
+    Seq((7, 70L)).toDF("k", "n").write.saveAsTable("mvcrash2.mv__mv_stage")
+    MaterializedView.refresh(
+      Seq((8, 80L)).toDF("k", "n"), "mvcrash2.mv")
+    val out = spark.table("mvcrash2.mv").as[(Int, Long)].collect().toMap
+    assert(out == Map(8 -> 80L)) // refresh REPLACES — stage residue is gone
+    val leftovers = spark.catalog.listTables("mvcrash2")
+      .collect().map(_.name).filter(_.contains("__mv_"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
 }
