@@ -14,6 +14,21 @@ import graft.streaming.EventStreams
   */
 object StreamingQueries {
 
+  /** Drop a managed table AND its warehouse directory (plus MV shadow
+    * residue): the in-memory catalog dies with each JVM but managed-table
+    * directories persist, so a re-run would hit LOCATION_ALREADY_EXISTS.
+    */
+  private def freshManagedTable(s: org.apache.spark.sql.SparkSession,
+      target: String): Unit = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val conf = s.sessionState.newHadoopConf()
+    for (t <- Seq(target, s"${target}__mv_stage", s"${target}__mv_old")) {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+      p.getFileSystem(conf).delete(p, true)
+    }
+  }
+
   /** Sliding 1h windows every 30min: each event lands in exactly two
     * epoch-aligned windows.
     */
@@ -122,15 +137,7 @@ object StreamingQueries {
         p.getFileSystem(conf).delete(p, true)
       }
       val target = "graft_mv_q143"
-      // the in-memory catalog dies with each JVM but managed-table
-      // directories persist in the warehouse — drop BOTH, or a re-run hits
-      // LOCATION_ALREADY_EXISTS on the stage write
-      val wh = s.conf.get("spark.sql.warehouse.dir")
-      for (t <- Seq(target, s"${target}__mv_stage", s"${target}__mv_old")) {
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
-        p.getFileSystem(conf).delete(p, true)
-      }
+      freshManagedTable(s, target)
       val ev = Tables.events(s, dir).select("event_id", "event_type", "ts", "value")
       ev.repartition(4).write.parquet(src) // 4 files → 4 micro-batches
       val schema = s.read.parquet(src).schema
@@ -141,7 +148,8 @@ object StreamingQueries {
         .select(unix_micros(col("w.start")).as("day_us"), col("event_type"),
           col("n"), col("total_value"))
       graft.streaming.MaterializedView
-        .materialize(stream, Seq("day_us", "event_type"), target, ckpt)
+        .materialize(stream, Seq("day_us", "event_type"), target, ckpt,
+          snapshotPartitions = 1) // the MV is a few hundred rows
         .awaitTermination()
       s.table(target)
         .select(col("day_us"), col("event_type"), col("n"),
@@ -153,6 +161,118 @@ object StreamingQueries {
            |  count(*) AS n, round(sum(value), 2) AS total_value
            |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Exact streaming dedup e2e ([[graft.streaming.StreamingDedup]]) under
+    * the oracle gate: the fixture is replayed with every 10th event
+    * RE-DELIVERED (the at-least-once failure mode the operator exists for),
+    * one file per micro-batch, and `dropDuplicatesWithinWatermark` on
+    * event_id must drop every re-delivery — the horizon (365 days) exceeds
+    * the fixture's event-time span, so no key's state can expire mid-replay
+    * and the result is deterministic regardless of batch boundaries. The
+    * deduplicated sink must aggregate identically to the ORIGINAL events
+    * table (the oracle never sees the duplicates).
+    *
+    * Scale: state is bounded by arrival rate × horizon, the property that
+    * makes exact ingest-time dedup feasible on an unbounded stream;
+    * full-history exactness stays with the batch operators (q24/q53).
+    */
+  val q145StreamingDedup = GraftQuery(
+    "q145_streaming_dedup",
+    (s, dir) => {
+      val base = graft.WorkDir.resolve(s, "sdedupq", dir)
+      val (src, dest, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+      val conf = s.sessionState.newHadoopConf()
+      for (d <- Seq(src, dest, ckpt)) {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(conf).delete(p, true)
+      }
+      val ev = Tables.events(s, dir).select("event_id", "event_type", "ts", "value")
+      ev.coalesce(2).write.parquet(src)
+      ev.filter(col("event_id") % 10 === 0) // exact re-deliveries
+        .coalesce(1).write.mode("append").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val deduped = graft.streaming.StreamingDedup.dedup(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        Seq("event_id"), "ts", "365 days")
+      deduped.writeStream
+        .format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(dest)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct("event_id").as("n_ids"),
+          round(sum("value"), 2).as("total_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_ids,
+           |  round(sum(value), 2) AS total_value
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** transformWithState e2e under the oracle gate: per-user running totals
+    * held in RocksDB-backed ValueState
+    * ([[graft.streaming.TransformWithStateOps.RunningTotalsProcessor]])
+    * across micro-batches, each batch's cumulative emissions upserted
+    * into a catalog table keyed by user — the final MV must equal the
+    * one-shot batch GROUP BY. This closes the last spec-only streaming
+    * operator: arbitrary state now passes through the driver's DuckDB gate.
+    *
+    * Scale: state is one O(1) cell per user in RocksDB (off-heap,
+    * incremental checkpoint snapshots) — the store that survives state
+    * larger than executor heap.
+    */
+  val q146TransformWithState = GraftQuery(
+    "q146_transform_with_state",
+    (s, dir) => {
+      import s.implicits._
+      val base = graft.WorkDir.resolve(s, "twsq", dir)
+      val (src, ckpt) = (s"$base/src", s"$base/ckpt")
+      val conf = s.sessionState.newHadoopConf()
+      for (d <- Seq(src, ckpt)) {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(conf).delete(p, true)
+      }
+      val target = "graft_tws_q146"
+      freshManagedTable(s, target)
+      // two files → two micro-batches: enough to prove state carries across
+      // batches while paying the per-batch RocksDB open/commit cycle
+      // (32 store instances per batch at bench parallelism) only twice
+      Tables.events(s, dir).select("user_id", "event_type", "value")
+        .repartition(2).write.parquet(src)
+      // changelog checkpointing ships per-batch deltas instead of full
+      // RocksDB snapshots — the production setting for frequent batches
+      val confs = Seq(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+          "true")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val schema = s.read.parquet(src).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .as[graft.streaming.StatefulOps.UserEvent]
+        val updates = graft.streaming.TransformWithStateOps
+          .runningUserTotals(stream).toDF()
+        graft.streaming.MaterializedView
+          .materialize(updates, Seq("user_id"), target, ckpt,
+            snapshotPartitions = 1) // MV = one row per user
+          .awaitTermination()
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      s.table(target)
+        .select(col("user_id"), col("n_events"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q33SlidingWindows, q34SessionWindows,
-    q63StreamingRebalance, q143StreamingMv)
+    q63StreamingRebalance, q143StreamingMv, q145StreamingDedup,
+    q146TransformWithState)
 }

@@ -40,19 +40,31 @@ object MaterializedView {
     spark.sql(s"DROP TABLE IF EXISTS $old")
   }
 
-  /** One keyed upsert: rows of `batch` replace same-key rows of `target`. */
-  def upsert(batch: DataFrame, keyCols: Seq[String], target: String): Unit = {
+  /** One keyed upsert: rows of `batch` replace same-key rows of `target`.
+    *
+    * `snapshotPartitions` sizes the rewritten snapshot: an MV is orders of
+    * magnitude smaller than its stream, but the merged frame inherits the
+    * batch's shuffle partitioning, so without it every micro-batch writes
+    * `spark.sql.shuffle.partitions` near-empty files and the next batch
+    * pays the listing. Pick ~MV-size/128 MB (often 1); 0 keeps the planned
+    * partitioning (the right call once the MV is partition-overwritten by a
+    * window column at real scale).
+    */
+  def upsert(batch: DataFrame, keyCols: Seq[String], target: String,
+      snapshotPartitions: Int = 0): Unit = {
     val spark = batch.sparkSession
     recover(spark, target)
+    def sized(df: DataFrame) =
+      if (snapshotPartitions > 0) df.repartition(snapshotPartitions) else df
     if (!spark.catalog.tableExists(target)) {
-      batch.write.mode(SaveMode.ErrorIfExists).saveAsTable(target)
+      sized(batch).write.mode(SaveMode.ErrorIfExists).saveAsTable(target)
     } else {
       val stage = s"${target}__mv_stage"
       val old = s"${target}__mv_old"
       val merged = spark.table(target)
         .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
         .unionByName(batch)
-      merged.write.mode(SaveMode.Overwrite).saveAsTable(stage)
+      sized(merged).write.mode(SaveMode.Overwrite).saveAsTable(stage)
       spark.sql(s"DROP TABLE IF EXISTS $old")
       spark.sql(s"ALTER TABLE $target RENAME TO $old")
       spark.sql(s"ALTER TABLE $stage RENAME TO $target")
@@ -96,13 +108,14 @@ object MaterializedView {
       stream: DataFrame,
       keyCols: Seq[String],
       target: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      snapshotPartitions: Int = 0): StreamingQuery =
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsert(batch, keyCols, target)
+        upsert(batch, keyCols, target, snapshotPartitions)
       }
       .start()
 }
