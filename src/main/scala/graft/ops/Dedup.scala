@@ -667,7 +667,84 @@ object Dedup {
            |LEFT JOIN rec ON d.doc_id = rec.doc_id
            |ORDER BY d.doc_id""".stripMargin))
 
+  /** EXACT Jaccard threshold self-join via prefix filtering (Bayardo et al.
+    * 2007 / PPJoin) — the third set-similarity family next to LSH
+    * (probabilistic, q25) and bounded all-pairs (q26): order every
+    * document's distinct-token set by global rarity (df asc, token), and
+    * the prefix-filtering theorem says two sets with J ≥ τ MUST share a
+    * token inside their first |x| − ⌈τ·|x|⌉ + 1 tokens — so candidates come
+    * from an equi-join on PREFIX tokens only, sizes are pruned by the
+    * J ≥ τ ⇒ |big| ≤ |small|/τ bound, and exact verification runs on
+    * candidates alone. Unlike LSH this misses NOTHING: the output equals
+    * the brute-force join, which is precisely what the oracle computes.
+    *
+    * Scale: the prefix join keys on rare tokens (df-ascending order makes
+    * prefixes the least-frequent tokens), so bucket sizes stay small where
+    * a naive token join would explode on stopwords; candidate count ≪ n²
+    * (PrefixJoinSpec pins the pruning on the fixture).
+    */
+  val q150PrefixJaccardJoin = GraftQuery(
+    "q150_prefix_jaccard_join",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val tau = 0.5
+      // sets are word-3-gram shingle hashes (q25's representation — word
+      // sets are non-discriminative on a shared vocabulary) at HASHED-INT
+      // level throughout (prefix, size pruning, verify, oracle) — one
+      // consistent universe, so a hash collision can never desync
+      // candidate generation from verification
+      val sets = shingleHashed(
+        Tables.documents(s, dir).filter(col("doc_id") < 200), 8)
+        .select(col("doc_id"), sortedInts(col("tints")).as("ti"))
+        .persist()
+      val d = sets.select(col("doc_id"), explode(col("ti")).as("t"))
+      val df = d.groupBy("t").agg(count(lit(1)).as("df"))
+      // per-doc canonical order: rarest token first, ties on the token —
+      // any global total order satisfies the theorem, this one minimizes
+      // prefix-bucket sizes
+      val perDoc = d.join(df, "t")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("sorted"))
+        .withColumn("sz", size(col("sorted")))
+        .withColumn("pl", col("sz") - ceil(col("sz") * tau).cast("int") + 1)
+      val prefix = perDoc
+        .select(col("doc_id"), col("sz"),
+          explode(expr("slice(sorted, 1, pl)")).as("pt"))
+        .select(col("doc_id"), col("sz"), col("pt.t").as("t"))
+      val cand = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.sz") * 2 >= col("b.sz") && col("b.sz") * 2 >= col("a.sz"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .distinct()
+      val inter = graft.functions.GraftFunctions
+        .intersectCount(col("ti_i"), col("ti_j")).cast("int")
+      cand
+        .join(sets.select(col("doc_id").as("i"), col("ti").as("ti_i")), "i")
+        .join(sets.select(col("doc_id").as("j"), col("ti").as("ti_j")), "j")
+        .withColumn("jac",
+          inter.cast("double") / (size(col("ti_i")) + size(col("ti_j")) - inter))
+        .filter(col("jac") >= tau)
+        .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
+        .orderBy("i", "j")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+           |    i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) g
+           |  FROM documents WHERE doc_id < 200),
+           |d AS (SELECT doc_id, list_distinct(list_transform(g,
+           |  t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT))) ti
+           |  FROM toks),
+           |p AS (SELECT a.doc_id i, b.doc_id j,
+           |  len(list_filter(a.ti, e -> list_contains(b.ti, e)))::DOUBLE /
+           |  (len(a.ti) + len(b.ti) - len(list_filter(a.ti, e -> list_contains(b.ti, e)))) jac
+           |  FROM d a, d b WHERE a.doc_id < b.doc_id
+           |    AND len(a.ti) > 0 AND len(b.ti) > 0)
+           |SELECT i, j, round(jac, 6) AS jac FROM p WHERE jac >= 0.5
+           |ORDER BY i, j""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q24DedupExact, q25DedupMinhash, q26DedupNgram, q27DedupSimhash, q28EmbeddingNn,
-    q59DedupClusters, q127DedupClustersStar, q135SubstringWinnow, q144SpanRemoval)
+    q59DedupClusters, q127DedupClustersStar, q135SubstringWinnow, q144SpanRemoval,
+    q150PrefixJaccardJoin)
 }

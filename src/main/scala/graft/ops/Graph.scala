@@ -83,5 +83,105 @@ object Graph {
            |FROM r3 JOIN deg ON deg.src = r3.node
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q98PageRank)
+  /** Distributed triangle counting with clustering coefficients over the
+    * supplier co-purchase graph (an edge when two suppliers ship lines of
+    * the same order). The algorithm is the degree-oriented wedge-closure
+    * (Schank-Wagner / the MapReduce "node-iterator++"): orient every edge
+    * from its lower-(degree, id) endpoint to the higher, enumerate wedges
+    * only from each node's OUT-neighbors, and close them against the
+    * oriented edge list.
+    *
+    * Scale: the orientation is the whole point — out-degrees are bounded by
+    * O(√m) regardless of how skewed the raw degree distribution is, so the
+    * wedge self-join (the quadratic step) is O(m^1.5) total and no hub node
+    * explodes a partition. Both joins are keyed equi-joins (shuffle by node
+    * / by edge endpoints); counts are exact integers, and the one float
+    * (clustering coefficient = 2T / deg·(deg−1)) is per-row arithmetic.
+    */
+  val q148TriangleCount = GraftQuery(
+    "q148_triangle_count",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val und = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+        .distinct()
+        .persist()
+      val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      // orient {a, b} from lower (deg, id) to higher — a total order, so
+      // each triangle has exactly one wedge-closing representation
+      val dn = deg.select(col("n"), col("deg"))
+      val oriented = und
+        .join(dn.select(col("n").as("u"), col("deg").as("du")), "u")
+        .join(dn.select(col("n").as("v"), col("deg").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("u"))
+            .otherwise(col("v")).as("src"),
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("v"))
+            .otherwise(col("u")).as("dst"))
+        .persist()
+      // wedges from a common source, ordered between the two endpoints by
+      // the same total order so the closing edge is oriented (y → z)
+      val dy = dn.select(col("n").as("y"), col("deg").as("dy"))
+      val dz = dn.select(col("n").as("z"), col("deg").as("dz"))
+      val wedges = oriented.as("p")
+        .join(oriented.as("q"), col("p.src") === col("q.src"))
+        .select(col("p.src").as("x"), col("p.dst").as("y"), col("q.dst").as("z"))
+        .join(dy, "y").join(dz, "z")
+        .filter(col("dy") < col("dz") ||
+          (col("dy") === col("dz") && col("y") < col("z")))
+        .select(col("x"), col("y"), col("z"))
+      val tris = wedges.join(oriented,
+          col("y") === col("src") && col("z") === col("dst"))
+        .select(col("x"), col("y"), col("z"))
+        .persist()
+      val perNode = tris.select(col("x").as("n"))
+        .unionAll(tris.select(col("y").as("n")))
+        .unionAll(tris.select(col("z").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("n_tri"))
+      deg.join(perNode, Seq("n"), "left")
+        .select(col("n").as("suppkey"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          when(col("deg") >= 2,
+            round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+              (col("deg") * (col("deg") - 1)), 6)).otherwise(lit(0.0))
+            .as("clustering"))
+        .orderBy("suppkey")
+    },
+    Some("""WITH und AS (
+           |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+           |  FROM lineitem a JOIN lineitem b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+           |deg AS (SELECT n, count(*) AS deg FROM (
+           |  SELECT u AS n FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+           |oriented AS (
+           |  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+           |           THEN u ELSE v END AS src,
+           |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+           |           THEN v ELSE u END AS dst
+           |  FROM und JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v),
+           |wedges AS (
+           |  SELECT p.src AS x, p.dst AS y, q.dst AS z
+           |  FROM oriented p JOIN oriented q ON p.src = q.src
+           |  JOIN deg dy ON dy.n = p.dst JOIN deg dz ON dz.n = q.dst
+           |  WHERE dy.deg < dz.deg OR (dy.deg = dz.deg AND p.dst < q.dst)),
+           |tris AS (
+           |  SELECT x, y, z FROM wedges
+           |  JOIN oriented ON y = oriented.src AND z = oriented.dst),
+           |pernode AS (SELECT n, count(*) AS n_tri FROM (
+           |  SELECT x AS n FROM tris UNION ALL SELECT y FROM tris
+           |  UNION ALL SELECT z FROM tris) GROUP BY 1)
+           |SELECT deg.n AS suppkey, deg.deg,
+           |  coalesce(pernode.n_tri, 0) AS n_tri,
+           |  CASE WHEN deg.deg >= 2 THEN
+           |    round(2.0 * coalesce(pernode.n_tri, 0) / (deg.deg * (deg.deg - 1)), 6)
+           |  ELSE 0.0 END AS clustering
+           |FROM deg LEFT JOIN pernode ON pernode.n = deg.n
+           |ORDER BY suppkey""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q98PageRank, q148TriangleCount)
 }

@@ -473,8 +473,74 @@ object Text {
          |FROM cw LEFT JOIN venc ON cw.word = venc.word
          |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** Interpolated bigram language-model scoring — the step past q60's
+    * unigram proxy: P(w2|w1) = λ·c(w1 w2)/c(w1·) + (1−λ)·c(w2)/N with
+    * λ = 0.75 (Jelinek-Mercer interpolation; the unigram back-off floor
+    * keeps unseen continuations finite), per-document mean negative
+    * log-likelihood aggregated per (lang, source). The corpus LM itself is
+    * three count tables — bigram, bigram-left, unigram — each a partial
+    * agg; scoring is three equi-joins from the exploded bigram stream
+    * (count tables ≪ corpus → broadcast at scale) and per-row float math.
+    * Rounding follows q60: two-level avg at 3 digits.
+    */
+  val q149BigramLm = GraftQuery(
+    "q149_bigram_lm",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(graft.functions.GraftFunctions.wordGrams(col("text"), 2)).as("bigram"))
+        .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+        .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+        .persist()
+      val un = Tables.documents(s, dir)
+        .select(explode(toks(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+        .persist()
+      val total = un.agg(sum("c")).first().getLong(0).toDouble
+      val bc = bg.groupBy("bigram").agg(count(lit(1)).as("cb"))
+      val lc = bg.groupBy(col("w1").as("lw")).agg(count(lit(1)).as("cl"))
+      // fold the LM into ONE per-distinct-bigram probability table before
+      // touching the corpus stream: the count-table joins are vocabulary-
+      // sized, so the (huge) exploded stream shuffles once, not three times
+      val probs = bc
+        .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+        .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+        .join(lc, col("w1") === col("lw"))
+        .join(un.select(col("t").as("rw"), col("c").as("c2")), col("w2") === col("rw"))
+        .select(col("bigram"),
+          (lit(0.75) * col("cb").cast("double") / col("cl") +
+            lit(0.25) * col("c2").cast("double") / lit(total)).as("p"))
+      bg.join(probs, "bigram")
+        .groupBy("doc_id", "lang", "source")
+        .agg(avg(-log(col("p"))).as("nll"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), round(avg("nll"), 3).as("avg_nll2"))
+        .orderBy("lang", "source")
+    },
+    Some("""WITH bg AS (
+           |  SELECT doc_id, lang, source, sp[i] AS w1, sp[i+1] AS w2,
+           |    sp[i] || ' ' || sp[i+1] AS bigram
+           |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') sp,
+           |          unnest(range(1, len(string_split(text, ' ')))) i
+           |        FROM documents)),
+           |un AS (SELECT t, count(*) c FROM (
+           |  SELECT unnest(string_split(text, ' ')) t FROM documents) GROUP BY 1),
+           |tot AS (SELECT CAST(sum(c) AS DOUBLE) s FROM un),
+           |bc AS (SELECT bigram, count(*) cb FROM bg GROUP BY 1),
+           |lc AS (SELECT w1 AS lw, count(*) cl FROM bg GROUP BY 1),
+           |perdoc AS (
+           |  SELECT doc_id, lang, source,
+           |    avg(-ln(0.75 * cb::DOUBLE / cl + 0.25 * c2::DOUBLE / s)) nll
+           |  FROM bg JOIN bc USING (bigram)
+           |  JOIN lc ON bg.w1 = lc.lw
+           |  JOIN (SELECT t AS rw, c AS c2 FROM un) u2 ON bg.w2 = u2.rw, tot
+           |  GROUP BY 1, 2, 3)
+           |SELECT lang, source, count(*) AS n_docs, round(avg(nll), 3) AS avg_nll2
+           |FROM perdoc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q19TextStats, q20TokenCounts, q21QualityScore, q22LangId, q23Fingerprints,
     q60Perplexity, q61Bigrams, q64TopTrigramUdtf, q130BpePairs, q132BpeTrain,
-    q133BpeEncode, q139BpeEncodeDocs)
+    q133BpeEncode, q139BpeEncodeDocs, q149BigramLm)
 }

@@ -527,6 +527,114 @@ object Vectors {
            |SELECT j AS cluster, count(*) AS n_members, round(sum(d), 3) AS inertia
            |FROM g3 GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Product quantization + asymmetric-distance (ADC) search (Jégou et al.
+    * 2011, "Product Quantization for Nearest Neighbor Search") — the
+    * compression stage that makes billion-vector ANN memory-feasible: the
+    * 64-dim space splits into M=4 subspaces of 16 dims, each subspace gets
+    * its own [[lloyd]] codebook (k=4, one refinement round, lowest-id
+    * seeding), and every vector collapses to M one-byte codes. Queries stay
+    * UNQUANTIZED: ADC distance = Σ_m ‖q_sub_m − codebook_m[code_m]‖², so
+    * search touches only the 4-byte codes plus a literal codebook.
+    *
+    * Scale: codebooks train on per-subspace corpus scans (k-row collects,
+    * the q137 discipline); encoding is one shuffle-free scan against
+    * broadcast-literal codebooks; ADC search is a broadcast join from the
+    * query batch to the code table — the corpus-side state is 16× smaller
+    * than the raw vectors, which is the operator's entire point.
+    *
+    * Determinism: codes are argmin-by-(dist, position) over literal
+    * codebooks; ADC sums fold left-to-right per row — both engines
+    * reproduce them exactly (the q47/q137 float discipline).
+    */
+  val q147PqAdc = GraftQuery(
+    "q147_pq_adc",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val M = 4; val SUB = 16; val K = 4
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select(col("vec_id"), col("v"))
+        .persist()
+      // per-subspace codebooks: positions in idx order (cells can only
+      // vanish on duplicate seeds, symmetrically in the oracle)
+      val books: Seq[Seq[Seq[Double]]] = (0 until M).map { m =>
+        val sub = e.select(col("vec_id"), slice(col("v"), m * SUB + 1, SUB).as("v"))
+        lloyd(sub, K, rounds = 1, dim = SUB)._1.sortBy(_._1).map(_._2)
+      }
+      def dist2(a: Column, cv: Seq[Double]): Column = aggregate(
+        zip_with(a, typedLit(cv), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d)
+      def code(m: Int): Column = {
+        val ranked = sort_array(array(books(m).zipWithIndex.map { case (cv, pos) =>
+          struct(dist2(slice(col("v"), m * SUB + 1, SUB), cv).as("d"),
+            lit(pos).as("pos"))
+        }: _*))
+        element_at(ranked, 1).getField("pos")
+      }
+      val codes = e.select(
+        (col("vec_id") +: (0 until M).map(m => code(m).as(s"k$m"))): _*)
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      // ADC: per (query, code-row), sum the per-subspace table lookups —
+      // the codebook rides along as a literal, the corpus side is codes only
+      val adc = (0 until M).map { m =>
+        val lut = array(books(m).map(cv => struct(typedLit(cv).as("cv"))): _*)
+        aggregate(
+          zip_with(slice(col("qv"), m * SUB + 1, SUB),
+            element_at(lut, col(s"k$m") + 1).getField("cv"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d)
+      }.reduce(_ + _)
+      val sims = codes.join(broadcast(queries), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"), adc.as("adc"))
+      val w = Window.partitionBy("qid").orderBy(asc("adc"), col("cid"))
+      sims.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("cid"), round(col("adc"), 5).as("adc"))
+        .orderBy("qid", "rnk")
+    },
+    Some {
+      // one codebook block per subspace: seeds from the 4 lowest vec_ids'
+      // subvectors, one assignment round, means, then positions in idx order
+      def block(m: Int): String = {
+        val lo = m * 16 + 1; val hi = m * 16 + 16
+        s"""s$m AS (SELECT vec_id, v[$lo:$hi] AS sub FROM e),
+           |c0_$m AS (SELECT idx, cv FROM (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, sub AS cv
+           |  FROM s$m) WHERE idx < 4),
+           |a1_$m AS (SELECT vec_id, sub, idx, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY list_sum(list_transform(range(1, 17), i -> (sub[i]-cv[i])*(sub[i]-cv[i]))), idx) rn
+           |  FROM s$m, c0_$m),
+           |c1_$m AS (SELECT j AS idx, list(c ORDER BY dim) AS cv FROM (
+           |  SELECT idx AS j, d.d AS dim, avg(sub[d.d + 1]) AS c
+           |  FROM a1_$m, range(0, 16) d(d) WHERE rn = 1 GROUP BY 1, 2) GROUP BY 1),
+           |cp_$m AS (SELECT row_number() OVER (ORDER BY idx) - 1 AS pos, cv FROM c1_$m),
+           |k_$m AS (SELECT vec_id, pos FROM (
+           |  SELECT vec_id, pos, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY list_sum(list_transform(range(1, 17), i -> (sub[i]-cv[i])*(sub[i]-cv[i]))), pos) rn
+           |  FROM s$m, cp_$m) WHERE rn = 1)"""
+      }
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |${(0 until 4).map(block).mkString(",\n")},
+         |codes AS (SELECT e.vec_id, k_0.pos AS k0, k_1.pos AS k1, k_2.pos AS k2, k_3.pos AS k3
+         |  FROM e JOIN k_0 USING (vec_id) JOIN k_1 USING (vec_id)
+         |         JOIN k_2 USING (vec_id) JOIN k_3 USING (vec_id)),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+         |p AS (SELECT qid, codes.vec_id AS cid,
+         |    list_sum(list_transform(range(1, 17), i -> (qv[i]-b0.cv[i])*(qv[i]-b0.cv[i])))
+         |  + list_sum(list_transform(range(1, 17), i -> (qv[i+16]-b1.cv[i])*(qv[i+16]-b1.cv[i])))
+         |  + list_sum(list_transform(range(1, 17), i -> (qv[i+32]-b2.cv[i])*(qv[i+32]-b2.cv[i])))
+         |  + list_sum(list_transform(range(1, 17), i -> (qv[i+48]-b3.cv[i])*(qv[i+48]-b3.cv[i]))) AS adc
+         |  FROM q JOIN codes ON codes.vec_id <> qid
+         |  JOIN cp_0 b0 ON b0.pos = codes.k0 JOIN cp_1 b1 ON b1.pos = codes.k1
+         |  JOIN cp_2 b2 ON b2.pos = codes.k2 JOIN cp_3 b3 ON b3.pos = codes.k3),
+         |r AS (SELECT qid, cid, adc,
+         |  row_number() OVER (PARTITION BY qid ORDER BY adc, cid) rnk FROM p)
+         |SELECT qid, rnk, cid, round(adc, 5) AS adc FROM r WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin
+    })
+
   val all: Seq[GraftQuery] = Seq(q29AnnTopk, q30Centroids, q31AnnLsh, q47AnnIvf,
-    q70Int8Quantize, q134SemanticDedup, q137Kmeans, q141SemanticDedupKmeans)
+    q70Int8Quantize, q134SemanticDedup, q137Kmeans, q141SemanticDedupKmeans,
+    q147PqAdc)
 }
