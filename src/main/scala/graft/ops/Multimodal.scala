@@ -795,6 +795,48 @@ object Multimodal {
     }
   }
 
+  final case class PerceptualRow(doc_id: Long, dhash: Long)
+
+  /** 64-bit difference hash (dHash) over DECODED pixels — the perceptual
+    * fingerprint image pipelines dedup on (robust to re-encoding, unlike
+    * byte-level md5): sample the image on a 9×8 grid (nearest-neighbor, so
+    * the arithmetic is exactly reproducible), emit one bit per horizontal
+    * gradient (right sample brighter than left), pack row-major. Gray value
+    * = channel-0 byte of the decoded BMP pixel array.
+    */
+  private[ops] def dhash64(px: Array[Byte], w: Int, h: Int): Long = {
+    var hash = 0L
+    var row = 0
+    while (row < 8) {
+      val y = row * h / 8
+      var c = 0
+      while (c < 8) {
+        val xl = c * w / 9
+        val xr = (c + 1) * w / 9
+        val l = px((y * w + xl) * 3) & 0xff
+        val r = px((y * w + xr) * 3) & 0xff
+        if (r > l) hash |= 1L << (row * 8 + c)
+        c += 1
+      }
+      row += 1
+    }
+    hash
+  }
+
+  /** Payload → real BMP container → pixel decode → dHash, one fingerprint
+    * per document, partition-parallel.
+    */
+  def decodePerceptual(media: Dataset[MediaRow]): Dataset[PerceptualRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = BmpCodec.decodePixels(BmpCodec.encode(r.payload))
+          .getOrElse(throw new IllegalStateException("BMP roundtrip failed"))
+        PerceptualRow(r.doc_id, dhash64(px, w, h))
+      }
+    }
+  }
+
   /** One-to-many decode (frame sampling): each payload expands to its
     * sampled frames, partition-parallel, no shuffle until the caller
     * aggregates.
@@ -963,6 +1005,68 @@ object Multimodal {
            |  CAST(mx AS INT) AS max_idx
            |FROM b ORDER BY doc_id""".stripMargin))
 
+  /** Perceptual image dedup end-to-end: payload → real BMP → pixel decode →
+    * 64-bit dHash → nearest neighbor by Hamming distance. This is the
+    * image-side near-dup operator (byte-exact dedup misses re-encoded
+    * images; the gradient hash doesn't), wired through the same decoded
+    * pixels q131 extracts. The oracle reproduces the 9×8 grid sampling and
+    * bit packing from the document text, building the hash in HUGEINT and
+    * wrapping to signed 64-bit explicitly (bit 63 overflows a BIGINT
+    * shift).
+    *
+    * Scale: hashing is map-only; the exact NN pairing here is the bounded
+    * ground-truth form (q28's pattern) — at corpus scale pair by Hamming
+    * bands over the 64-bit hash exactly as q76 bands SimHash signatures.
+    */
+  val q151PerceptualDedup = GraftQuery(
+    "q151_perceptual_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val media = attachBinary(Tables.documents(s, dir).filter(col("doc_id") < 100))
+        .as[MediaRow]
+      val sh = decodePerceptual(media).toDF().persist()
+      val pairs = sh.select(col("doc_id").as("vid"), col("dhash").as("ha"))
+        .join(sh.select(col("doc_id").as("cid"), col("dhash").as("hb")),
+          col("vid") =!= col("cid"))
+        .withColumn("ham", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      // argmin via max(struct): min hamming, ties to the smaller cid —
+      // partial-agg collapses the pair rows before the shuffle (q28 shape)
+      pairs.groupBy("vid")
+        .agg(max(struct((-col("ham")).as("negham"), (-col("cid")).as("negcid"),
+          col("ha").as("h"))).as("best"))
+        .select(col("vid").as("doc_id"), col("best.h").as("dhash"),
+          (-col("best.negcid")).as("nn_id"), (-col("best.negham")).as("ham"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, text, CAST(length(text) AS INT) AS len,
+           |    greatest(1, (CAST(length(text) AS INT) + 47) // 48) AS h
+           |  FROM documents WHERE doc_id < 100),
+           |sh AS (
+           |  SELECT doc_id,
+           |    CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+           |         THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS dhash
+           |  FROM (
+           |    SELECT doc_id, CAST(list_sum(flatten(list_transform(range(0, 8), row ->
+           |      list_transform(range(0, 8), c ->
+           |        CASE WHEN
+           |          (CASE WHEN ((row*h)//8)*48 + (((c+1)*16)//9)*3 + 1 <= len
+           |            THEN ascii(substr(text, CAST(((row*h)//8)*48 + (((c+1)*16)//9)*3 + 1 AS INT), 1))
+           |            ELSE 0 END)
+           |          >
+           |          (CASE WHEN ((row*h)//8)*48 + ((c*16)//9)*3 + 1 <= len
+           |            THEN ascii(substr(text, CAST(((row*h)//8)*48 + ((c*16)//9)*3 + 1 AS INT), 1))
+           |            ELSE 0 END)
+           |        THEN 1::HUGEINT << CAST(row*8 + c AS INT) ELSE 0::HUGEINT END)))) AS HUGEINT) AS s
+           |    FROM t)),
+           |p AS (SELECT a.doc_id vid, a.dhash ha, b.doc_id cid,
+           |    bit_count(xor(a.dhash, b.dhash)) ham
+           |  FROM sh a, sh b WHERE a.doc_id <> b.doc_id),
+           |r AS (SELECT vid, ha, cid, ham,
+           |  row_number() OVER (PARTITION BY vid ORDER BY ham, cid) rn FROM p)
+           |SELECT vid AS doc_id, ha AS dhash, cid AS nn_id, CAST(ham AS BIGINT) AS ham
+           |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q32MultimodalMeta, q62MultimodalFrames,
-    q131MultimodalDecode, q140PngDecode, q142GifDecode)
+    q131MultimodalDecode, q140PngDecode, q142GifDecode, q151PerceptualDedup)
 }

@@ -99,5 +99,64 @@ object Quality {
            |      / (n_cur / CAST(sum(n_cur) OVER () AS DOUBLE))), 6) AS psi_term
            |FROM j ORDER BY bin""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q96DqChecks, q113PsiDrift)
+  /** Rank-based AUC (Mann-Whitney U) — the evaluation op for the data-
+    * quality classifiers a training pipeline trains (how well does doc
+    * length separate English from the rest, per source?). Exact to the last
+    * bit: with average ranks for ties, 2·rank = cnt_less + cnt_leq + 1 is
+    * an INTEGER per row, so the whole statistic stays in integer arithmetic
+    * — AUC = (Σ_pos 2r − P(P+1)) / (2PN) — until one final division. No
+    * float accumulation, no rounding drift.
+    *
+    * Scale: two window passes partitioned by source (cnt_leq via a RANGE
+    * frame, peers via a score partition) and one partial agg — the same
+    * one-shuffle shape as the q118 retention matrix.
+    */
+  val q153Auc = GraftQuery(
+    "q153_auc",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+        .select(col("source"),
+          (col("lang") === "en").cast("long").as("y"),
+          length(col("text")).cast("long").as("score"))
+      val wLeq = Window.partitionBy("source").orderBy("score")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPeer = Window.partitionBy("source", "score")
+      val ranked = docs
+        .withColumn("cnt_leq", count(lit(1)).over(wLeq))
+        .withColumn("peers", count(lit(1)).over(wPeer))
+        .withColumn("r2", col("cnt_leq") - col("peers") + col("cnt_leq") + 1)
+      ranked.groupBy("source")
+        .agg(
+          sum("y").as("n_pos"),
+          (count(lit(1)) - sum("y")).as("n_neg"),
+          sum(col("y") * col("r2")).as("s2"))
+        .filter(col("n_pos") > 0 && col("n_neg") > 0)
+        .withColumn("auc",
+          round((col("s2") - col("n_pos") * (col("n_pos") + 1))
+            .cast("double") / (lit(2.0) * col("n_pos") * col("n_neg")), 6))
+        .select(col("source"), col("n_pos"), col("n_neg"), col("auc"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (
+           |  SELECT source, CAST(lang = 'en' AS BIGINT) y,
+           |    CAST(length(text) AS BIGINT) score
+           |  FROM documents),
+           |ranked AS (
+           |  SELECT source, y,
+           |    count(*) OVER (PARTITION BY source ORDER BY score
+           |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_leq,
+           |    count(*) OVER (PARTITION BY source, score) AS peers
+           |  FROM d),
+           |agg AS (
+           |  SELECT source, CAST(sum(y) AS BIGINT) n_pos,
+           |    CAST(count(*) - sum(y) AS BIGINT) n_neg,
+           |    CAST(sum(y * (cnt_leq - peers + cnt_leq + 1)) AS BIGINT) s2
+           |  FROM ranked GROUP BY 1)
+           |SELECT source, n_pos, n_neg,
+           |  round((s2 - n_pos * (n_pos + 1))::DOUBLE / (2.0 * n_pos * n_neg), 6) AS auc
+           |FROM agg WHERE n_pos > 0 AND n_neg > 0
+           |ORDER BY source""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q96DqChecks, q113PsiDrift, q153Auc)
 }

@@ -80,5 +80,64 @@ object Retrieval {
            |SELECT qid, CAST(rank AS INT) AS rank, cid, overlap, sim, rrf
            |FROM top WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q112HybridRrf)
+  /** Sparse TF-IDF cosine document-pair similarity through an inverted
+    * index — the lexical counterpart of the dense ANN family: weights are
+    * tf · ln(N/df) (a df = N term weighs exactly 0), pair dot products come
+    * from the POSTINGS self-join on shared terms (only co-occurring pairs
+    * ever materialize — no n² candidate set), norms from one per-doc
+    * partial agg, and pairs clearing cosine ≥ 0.75 survive (the synthetic
+    * corpus shares most of its vocabulary, so the threshold sits at the
+    * top decile of the pair distribution — median pair cosine is ~0.59).
+    *
+    * Scale: the term-keyed join is the inverted index; hot stopword
+    * postings are exactly the q74-style skew problem — at corpus scale
+    * combine with q150's rarity-prefix pruning or a df cap, both of which
+    * keep the equi-join shape. Dot/norm sums are float partial aggs, so
+    * the output rounds at 5 (the q29/q149 discipline).
+    */
+  val q152TfidfCosinePairs = GraftQuery(
+    "q152_tfidf_cosine_pairs",
+    (s, dir) => {
+      val tf = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        .persist()
+      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val n = tf.select(countDistinct("doc_id")).first().getLong(0).toDouble
+      val w = tf.join(df, "t")
+        .select(col("doc_id"), col("t"),
+          (col("tf") * log(lit(n) / col("df"))).as("w"))
+        .persist()
+      val nrm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      val dots = w.select(col("doc_id").as("i"), col("t"), col("w").as("wa"))
+        .join(w.select(col("doc_id").as("j"), col("t"), col("w").as("wb")),
+          Seq("t"))
+        .filter(col("i") < col("j"))
+        .groupBy("i", "j").agg(sum(col("wa") * col("wb")).as("dot"))
+      dots
+        .join(nrm.select(col("doc_id").as("i"), col("nrm").as("na")), "i")
+        .join(nrm.select(col("doc_id").as("j"), col("nrm").as("nb")), "j")
+        .withColumn("cosim", col("dot") / (col("na") * col("nb")))
+        .filter(col("cosim") >= 0.75)
+        .select(col("i"), col("j"), round(col("cosim"), 5).as("cosim"))
+        .orderBy("i", "j")
+    },
+    Some("""WITH tf AS (
+           |  SELECT doc_id, t, count(*) tf FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) t
+           |    FROM documents WHERE doc_id < 150) GROUP BY 1, 2),
+           |df AS (SELECT t, count(*) df FROM tf GROUP BY 1),
+           |nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) n FROM tf),
+           |w AS (SELECT doc_id, t, tf * ln(n / df) AS w
+           |  FROM tf JOIN df USING (t), nn),
+           |nrm AS (SELECT doc_id, sqrt(sum(w*w)) nrm FROM w GROUP BY 1),
+           |dots AS (SELECT a.doc_id i, b.doc_id j, sum(a.w * b.w) dot
+           |  FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |cosv AS (SELECT i, j, dot / (x.nrm * y.nrm) cosim
+           |  FROM dots JOIN nrm x ON x.doc_id = i JOIN nrm y ON y.doc_id = j)
+           |SELECT i, j, round(cosim, 5) AS cosim FROM cosv WHERE cosim >= 0.75
+           |ORDER BY i, j""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q112HybridRrf, q152TfidfCosinePairs)
 }
