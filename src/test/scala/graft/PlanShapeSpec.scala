@@ -147,6 +147,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       p.take(2000))
   }
 
+  test("pair generation is keyed, never cartesian: q148/q150/q152") {
+    // each of these enumerates pairs of a self-joined corpus; the entire
+    // scale story is that candidates come from EQUI-joins (wedge closure,
+    // prefix tokens, shared postings) — a cartesian/NLJ in any of them
+    // means the pruning silently stopped reaching the planner
+    for (q <- Seq("q148_triangle_count", "q150_prefix_jaccard_join",
+        "q152_tfidf_cosine_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q\n${p.take(2000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q\n${p.take(2000)}")
+    }
+  }
+
+  test("q151: perceptual hashing is map-side; NN argmin partial-aggregates") {
+    val p = plan("q151_perceptual_dedup")
+    // decode+dhash run inside the scan stage (no exchange keyed by doc_id
+    // before the pair join) and the per-vid argmin must collapse map-side
+    // (partial max over the struct) before its shuffle
+    assert(p.contains("partial_max") || p.contains("partial max"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
   test("q138: batch aggregation reuses the stream window's partitioning") {
     val p = plan("q138_length_batches")
     // one (bucket, shard) exchange feeds BOTH the window and the batch
