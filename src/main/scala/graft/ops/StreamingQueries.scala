@@ -14,6 +14,25 @@ import graft.streaming.EventStreams
   */
 object StreamingQueries {
 
+  /** A cloned session with the STATE partition count pinned for one
+    * streaming pipeline. Stateful operators freeze their partitioning into
+    * the checkpoint at first run, inherited from `spark.sql.shuffle.
+    * partitions` — production streaming jobs pin it per pipeline (sized to
+    * the stream, not to the batch default), and at fixture scale 32
+    * near-empty state stores per operator per micro-batch are pure
+    * lifecycle overhead (open/commit/snapshot × partitions × batches). The
+    * clone shares the SparkContext and external catalog but NOT session
+    * conf, so concurrently-running queries keep their own settings.
+    */
+  private def streamSession(s: org.apache.spark.sql.SparkSession,
+      statePartitions: Int,
+      extraConf: Seq[(String, String)] = Nil): org.apache.spark.sql.SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    extraConf.foreach { case (k, v) => ss.conf.set(k, v) }
+    ss
+  }
+
   /** Drop a managed table AND its warehouse directory (plus MV shadow
     * residue): the in-memory catalog dies with each JVM but managed-table
     * directories persist, so a re-run would hit LOCATION_ALREADY_EXISTS.
@@ -140,8 +159,9 @@ object StreamingQueries {
       freshManagedTable(s, target)
       val ev = Tables.events(s, dir).select("event_id", "event_type", "ts", "value")
       ev.repartition(4).write.parquet(src) // 4 files → 4 micro-batches
-      val schema = s.read.parquet(src).schema
-      val stream = s.readStream.schema(schema)
+      val ss = streamSession(s, statePartitions = 8)
+      val schema = ss.read.parquet(src).schema
+      val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
@@ -189,9 +209,10 @@ object StreamingQueries {
       ev.coalesce(2).write.parquet(src)
       ev.filter(col("event_id") % 10 === 0) // exact re-deliveries
         .coalesce(1).write.mode("append").parquet(src)
-      val schema = s.read.parquet(src).schema
+      val ss = streamSession(s, statePartitions = 8)
+      val schema = ss.read.parquet(src).schema
       val deduped = graft.streaming.StreamingDedup.dedup(
-        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        ss.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
         Seq("event_id"), "ts", "365 days")
       deduped.writeStream
         .format("parquet")
@@ -240,30 +261,25 @@ object StreamingQueries {
       // (32 store instances per batch at bench parallelism) only twice
       Tables.events(s, dir).select("user_id", "event_type", "value")
         .repartition(2).write.parquet(src)
-      // changelog checkpointing ships per-batch deltas instead of full
-      // RocksDB snapshots — the production setting for frequent batches
-      val confs = Seq(
+      // RocksDB provider + changelog checkpointing (per-batch deltas, not
+      // full snapshots) pinned on the pipeline's own cloned session — no
+      // global conf mutation, nothing to restore, no cross-query races
+      val ss = streamSession(s, statePartitions = 8, extraConf = Seq(
         "spark.sql.streaming.stateStore.providerClass" ->
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
-          "true")
-      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
-      confs.foreach { case (k, v) => s.conf.set(k, v) }
-      try {
-        val schema = s.read.parquet(src).schema
-        val stream = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1).parquet(src)
-          .as[graft.streaming.StatefulOps.UserEvent]
-        val updates = graft.streaming.TransformWithStateOps
-          .runningUserTotals(stream).toDF()
-        graft.streaming.MaterializedView
-          .materialize(updates, Seq("user_id"), target, ckpt,
-            snapshotPartitions = 1) // MV = one row per user
-          .awaitTermination()
-      } finally saved.foreach {
-        case (k, Some(v)) => s.conf.set(k, v)
-        case (k, None) => s.conf.unset(k)
-      }
+          "true"))
+      val schema = ss.read.parquet(src).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .as[graft.streaming.StatefulOps.UserEvent](
+          org.apache.spark.sql.Encoders.product[graft.streaming.StatefulOps.UserEvent])
+      val updates = graft.streaming.TransformWithStateOps
+        .runningUserTotals(stream).toDF()
+      graft.streaming.MaterializedView
+        .materialize(updates, Seq("user_id"), target, ckpt,
+          snapshotPartitions = 1) // MV = one row per user
+        .awaitTermination()
       s.table(target)
         .select(col("user_id"), col("n_events"),
           round(col("total_value"), 2).as("total_value"))
@@ -272,7 +288,70 @@ object StreamingQueries {
     Some("""SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Stream-stream interval join e2e under the oracle gate — the last
+    * streaming operator class to get a driver-checked row (previously spec
+    * parity only, StreamStreamJoinSpec): errors join the same user's clicks
+    * from the preceding 4 hours, both sides replayed as 2-file streams
+    * and joined with event-time bounds + watermarks, appended to a parquet
+    * sink. The watermark horizon (365 days) exceeds the fixture's span, so
+    * no state evicts and no out-of-time-order file can lose a late row —
+    * the joined set is deterministic across any batch decomposition and
+    * must equal the batch interval join the oracle computes. In production
+    * the horizon is tight and state stays bounded by interval + watermark;
+    * that bounded-state behavior is what the spec exercises.
+    */
+  val q154StreamStreamJoin = GraftQuery(
+    "q154_stream_stream_join",
+    (s, dir) => {
+      val base = graft.WorkDir.resolve(s, "ssjq", dir)
+      val (src, dest, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+      val conf = s.sessionState.newHadoopConf()
+      for (d <- Seq(src, dest, ckpt)) {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(conf).delete(p, true)
+      }
+      // stage only the two joined event types — anything else would be
+      // re-scanned by every micro-batch just to be filtered out — and two
+      // files: enough batches to prove cross-batch join state, half the
+      // per-batch cost of the 4-state-store-per-partition join machinery
+      Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type")
+        .filter(col("event_type").isin("error", "click"))
+        .repartition(2).write.parquet(src)
+      val ss = streamSession(s, statePartitions = 8)
+      val schema = ss.read.parquet(src).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val err = stream.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id").as("e_user"),
+          col("ts").as("e_ts"))
+        .withWatermark("e_ts", "365 days")
+      val click = stream.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "365 days")
+      err.join(click, expr(
+          "e_user = c_user AND c_ts >= e_ts - INTERVAL 4 HOURS AND c_ts <= e_ts"))
+        .select("err_id", "click_id")
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(dest).orderBy("err_id", "click_id")
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+           |    epoch_us(CAST(ts AS TIMESTAMP)) us FROM events),
+           |e AS (SELECT event_id err_id, user_id, us FROM ev WHERE event_type = 'error'),
+           |c AS (SELECT event_id click_id, user_id, us FROM ev WHERE event_type = 'click')
+           |SELECT err_id, click_id
+           |FROM e JOIN c ON e.user_id = c.user_id
+           |  AND c.us >= e.us - 14400000000 AND c.us <= e.us
+           |ORDER BY err_id, click_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q33SlidingWindows, q34SessionWindows,
     q63StreamingRebalance, q143StreamingMv, q145StreamingDedup,
-    q146TransformWithState)
+    q146TransformWithState, q154StreamStreamJoin)
 }
