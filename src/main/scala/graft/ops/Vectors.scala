@@ -634,7 +634,72 @@ object Vectors {
          |ORDER BY qid, rnk""".stripMargin
     })
 
+  /** Johnson-Lindenstrauss random projection 64 → 16 dims with a
+    * distance-distortion audit — the dimensionality-reduction step
+    * embedding pipelines run before expensive pairwise work (4× less data
+    * movement for every operator downstream). The projection matrix is the
+    * deterministic ±1/√16 sign matrix derived from md5 parity (the q31
+    * hyperplane discipline — any engine reproduces it), so the projection
+    * is one shuffle-free scan of 16 literal-vector dot products per row;
+    * the audit emits per-pair original distance, projected distance, and
+    * the distortion ratio JL says concentrates around 1.
+    *
+    * Scale: projection is map-only against a broadcast-literal matrix; the
+    * all-pairs audit is the bounded ground-truth form (vec_id < 40) — in
+    * production you audit a sample, project everything.
+    */
+  val q155JlProjection = GraftQuery(
+    "q155_jl_projection",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      // r(k, d) = +1 if the first 8 md5 nibbles of "r{k}_{d}" are even
+      val rows: Seq[Seq[Double]] = (0 until 16).map { k =>
+        (0 until DIM).map { d =>
+          val hex = md.digest(s"r${k}_$d".getBytes("UTF-8"))
+            .take(4).map("%02x".format(_)).mkString
+          if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+        }
+      }
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") < 40)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("p", array(rows.map(r =>
+          lit(0.25) * GraftFunctions.dot(col("v"), typedLit(r))): _*))
+        .select(col("vec_id"), col("v"), col("p"))
+      def dist2(a: Column, b: Column) = aggregate(
+        zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d)
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+          dist2(col("a.v"), col("b.v")).as("d2o"),
+          dist2(col("a.p"), col("b.p")).as("d2p"))
+        .filter(col("d2o") > 0)
+        .select(col("i"), col("j"),
+          round(sqrt(col("d2o")), 5).as("dist_orig"),
+          round(sqrt(col("d2p")), 5).as("dist_proj"),
+          round(sqrt(col("d2p") / col("d2o")), 5).as("distortion"))
+        .orderBy("i", "j")
+    },
+    Some("""WITH rl AS (
+           |  SELECT k.k, list(CASE WHEN ('0x' || substr(md5('r'||k.k||'_'||d.d), 1, 8))::BIGINT % 2 = 0
+           |      THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS wv
+           |  FROM range(0, 16) k(k), range(0, 64) d(d) GROUP BY k.k),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 40),
+           |prk AS (SELECT e.vec_id, rl.k,
+           |    0.25 * list_sum(list_transform(range(1, 65), i -> e.v[i] * rl.wv[i])) AS pk
+           |  FROM e, rl),
+           |pr AS (SELECT prk.vec_id, e.v, list(pk ORDER BY k) AS p
+           |  FROM prk JOIN e USING (vec_id) GROUP BY prk.vec_id, e.v),
+           |pairs AS (SELECT a.vec_id i, b.vec_id j,
+           |    list_sum(list_transform(range(1, 65), q -> (a.v[q]-b.v[q])*(a.v[q]-b.v[q]))) d2o,
+           |    list_sum(list_transform(range(1, 17), q -> (a.p[q]-b.p[q])*(a.p[q]-b.p[q]))) d2p
+           |  FROM pr a, pr b WHERE a.vec_id < b.vec_id)
+           |SELECT i, j, round(sqrt(d2o), 5) AS dist_orig,
+           |  round(sqrt(d2p), 5) AS dist_proj,
+           |  round(sqrt(d2p / d2o), 5) AS distortion
+           |FROM pairs WHERE d2o > 0 ORDER BY i, j""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q29AnnTopk, q30Centroids, q31AnnLsh, q47AnnIvf,
     q70Int8Quantize, q134SemanticDedup, q137Kmeans, q141SemanticDedupKmeans,
-    q147PqAdc)
+    q147PqAdc, q155JlProjection)
 }
