@@ -683,6 +683,43 @@ object Dedup {
     * a naive token join would explode on stopwords; candidate count ≪ n²
     * (PrefixJoinSpec pins the pruning on the fixture).
     */
+  /** Candidate pairs from prefix filtering over rarity-ordered token sets
+    * (the pair-generating half of q150, extracted so PrefixJoinSpec can pin
+    * the pruning). `sets` is (doc_id, ti: sorted distinct int array).
+    */
+  private[ops] def prefixCandidates(sets: DataFrame, tau: Double): DataFrame = {
+    val d = sets.select(col("doc_id"), explode(col("ti")).as("t"))
+    val df = d.groupBy("t").agg(count(lit(1)).as("df"))
+    // per-doc canonical order: rarest token first, ties on the token —
+    // any global total order satisfies the theorem, this one minimizes
+    // prefix-bucket sizes
+    val perDoc = d.join(df, "t")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("sorted"))
+      .withColumn("sz", size(col("sorted")))
+      .withColumn("pl", col("sz") - ceil(col("sz") * tau).cast("int") + 1)
+    val prefix = perDoc
+      .select(col("doc_id"), col("sz"),
+        explode(expr("slice(sorted, 1, pl)")).as("pt"))
+      .select(col("doc_id"), col("sz"), col("pt.t").as("t"))
+    prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * lit(1.0 / tau) >= col("b.sz") &&
+          col("b.sz") * lit(1.0 / tau) >= col("a.sz"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+  }
+
+  /** q150's document → sorted-distinct-shingle-hash sets (shared with
+    * PrefixJoinSpec so the spec exercises the identical representation).
+    */
+  private[ops] def prefixJoinSets(s: SparkSession, dir: String,
+      maxDocId: Int): DataFrame =
+    shingleHashed(
+      Tables.documents(s, dir).filter(col("doc_id") < maxDocId), 8)
+      .select(col("doc_id"), sortedInts(col("tints")).as("ti"))
+
   val q150PrefixJaccardJoin = GraftQuery(
     "q150_prefix_jaccard_join",
     (s, dir) => {
@@ -693,30 +730,8 @@ object Dedup {
       // level throughout (prefix, size pruning, verify, oracle) — one
       // consistent universe, so a hash collision can never desync
       // candidate generation from verification
-      val sets = shingleHashed(
-        Tables.documents(s, dir).filter(col("doc_id") < 200), 8)
-        .select(col("doc_id"), sortedInts(col("tints")).as("ti"))
-        .persist()
-      val d = sets.select(col("doc_id"), explode(col("ti")).as("t"))
-      val df = d.groupBy("t").agg(count(lit(1)).as("df"))
-      // per-doc canonical order: rarest token first, ties on the token —
-      // any global total order satisfies the theorem, this one minimizes
-      // prefix-bucket sizes
-      val perDoc = d.join(df, "t")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("sorted"))
-        .withColumn("sz", size(col("sorted")))
-        .withColumn("pl", col("sz") - ceil(col("sz") * tau).cast("int") + 1)
-      val prefix = perDoc
-        .select(col("doc_id"), col("sz"),
-          explode(expr("slice(sorted, 1, pl)")).as("pt"))
-        .select(col("doc_id"), col("sz"), col("pt.t").as("t"))
-      val cand = prefix.as("a")
-        .join(prefix.as("b"),
-          col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id") &&
-            col("a.sz") * 2 >= col("b.sz") && col("b.sz") * 2 >= col("a.sz"))
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-        .distinct()
+      val sets = prefixJoinSets(s, dir, 200).persist()
+      val cand = prefixCandidates(sets, tau)
       val inter = graft.functions.GraftFunctions
         .intersectCount(col("ti_i"), col("ti_j")).cast("int")
       cand

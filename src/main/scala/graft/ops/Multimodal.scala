@@ -152,11 +152,15 @@ object Multimodal {
       val off = rd32(p, 10)
       val w = rd32(p, 18)
       val rawH = rd32(p, 22)
-      val h = math.abs(rawH)
+      // abs in Long: math.abs(Int.MinValue) is still negative and would
+      // slip through the size guards below as a negative product
+      val hL = math.abs(rawH.toLong)
       val topDown = rawH < 0
       val bpp = rd16(p, 28)
       val comp = rd32(p, 30)
-      if (bpp != 24 || comp != 0 || w <= 0 || h == 0) return None
+      if (bpp != 24 || comp != 0 || w <= 0 || hL == 0 || hL > Int.MaxValue)
+        return None
+      val h = hL.toInt
       // header-declared dimensions are untrusted: a magic-matching payload
       // with huge w/h would overflow the Int products below or allocate
       // gigabytes and kill the whole partition. Long arithmetic + the

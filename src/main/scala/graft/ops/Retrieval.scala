@@ -90,10 +90,18 @@ object Retrieval {
     * top decile of the pair distribution — median pair cosine is ~0.59).
     *
     * Scale: the term-keyed join is the inverted index; hot stopword
-    * postings are exactly the q74-style skew problem — at corpus scale
-    * combine with q150's rarity-prefix pruning or a df cap, both of which
-    * keep the equi-join shape. Dot/norm sums are float partial aggs, so
-    * the output rounds at 5 (the q29/q149 discipline).
+    * postings are exactly the q74-style skew problem. Terms with df = N
+    * weigh exactly ln(N/df) = 0 — they cannot change any cosine — so they
+    * are dropped BEFORE the pair-generating self-join (`df < n`, mirrored
+    * in the oracle's `w` CTE): on this fixture the hottest postings lists
+    * are precisely the shared-vocabulary stopwords, and at 100× corpus a
+    * df≈N term would contribute ~n² candidate rows for zero weight. At
+    * corpus scale the same predicate generalizes to a df cap (drop terms
+    * with df > αN), composing with q150's rarity-prefix pruning; both keep
+    * the equi-join shape. TfidfPostingsSpec pins that the hottest
+    * surviving postings list on the fixture is strictly smaller than the
+    * document count. Dot/norm sums are float partial aggs, so the output
+    * rounds at 5 (the q29/q149 discipline).
     */
   val q152TfidfCosinePairs = GraftQuery(
     "q152_tfidf_cosine_pairs",
@@ -105,6 +113,7 @@ object Retrieval {
       val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
       val n = tf.select(countDistinct("doc_id")).first().getLong(0).toDouble
       val w = tf.join(df, "t")
+        .filter(col("df") < n) // weight-zero (df = N) stopwords never join
         .select(col("doc_id"), col("t"),
           (col("tf") * log(lit(n) / col("df"))).as("w"))
         .persist()
@@ -129,7 +138,7 @@ object Retrieval {
            |df AS (SELECT t, count(*) df FROM tf GROUP BY 1),
            |nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) n FROM tf),
            |w AS (SELECT doc_id, t, tf * ln(n / df) AS w
-           |  FROM tf JOIN df USING (t), nn),
+           |  FROM tf JOIN df USING (t), nn WHERE df < n),
            |nrm AS (SELECT doc_id, sqrt(sum(w*w)) nrm FROM w GROUP BY 1),
            |dots AS (SELECT a.doc_id i, b.doc_id j, sum(a.w * b.w) dot
            |  FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id

@@ -118,6 +118,12 @@ class MultimodalBatchSpec extends AnyFunSuite with SparkSpec {
     val Some((w2, h2, px2)) = Multimodal.BmpCodec.decodePixels(strided)
     assert((w2, h2) == (3, 2))
     assert(px2.sameElements(row0 ++ row1)) // stride pad stripped, rows flipped
+    // hostile header: height = Int.MinValue defeats Int-domain abs (still
+    // negative), which would turn the size guards into negative-product
+    // no-ops and crash the allocation — must be rejected, not thrown
+    val hostile = strided.clone()
+    hostile(22) = 0; hostile(23) = 0; hostile(24) = 0; hostile(25) = 0x80.toByte
+    assert(Multimodal.BmpCodec.decodePixels(hostile).isEmpty)
   }
 
   test("WavCodec roundtrips samples and walks non-canonical chunk layouts") {
