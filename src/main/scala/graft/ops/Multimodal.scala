@@ -1019,8 +1019,8 @@ object Multimodal {
     * shift).
     *
     * Scale: hashing is map-only; the exact NN pairing here is the bounded
-    * ground-truth form (q28's pattern) — at corpus scale pair by Hamming
-    * bands over the 64-bit hash exactly as q76 bands SimHash signatures.
+    * ground-truth form (q28's pattern) — the Hamming-banded scale path is
+    * registered as q156 below.
     */
   val q151PerceptualDedup = GraftQuery(
     "q151_perceptual_dedup",
@@ -1071,6 +1071,76 @@ object Multimodal {
            |SELECT vid AS doc_id, ha AS dhash, cid AS nn_id, CAST(ham AS BIGINT) AS ham
            |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin))
 
+  /** Hamming-banded perceptual near-dup pairs — q151's SCALE path,
+    * registered: the 64-bit dHash splits into 4×16-bit bands, and by
+    * pigeonhole two hashes within Hamming distance 3 MUST agree on at
+    * least one whole band — so candidates come from an EQUI-join on
+    * (band, key) buckets (q76's SimHash recipe) and the exact Hamming
+    * verify runs on candidates only. Recall at ham ≤ 3 is therefore
+    * exact, which is what the oracle proves: it brute-forces all pairs
+    * (bounded fixture) and the banded pair set must equal it.
+    *
+    * Scale: decode + hash are map-only; the only shuffles are the keyed
+    * band join and the candidate distinct — no all-pairs stage anywhere
+    * (PlanShapeSpec pins non-cartesian). Band buckets over near-uniform
+    * hashes stay tiny; a pathological constant-image corpus would hot-spot
+    * a bucket, which AQE skew-join splits like any other keyed join.
+    */
+  val q156BandedPerceptualPairs = GraftQuery(
+    "q156_banded_perceptual_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val media = attachBinary(Tables.documents(s, dir).filter(col("doc_id") < 200))
+        .as[MediaRow]
+      val sh = decodePerceptual(media).toDF()
+        .select(col("doc_id"), col("dhash")).persist()
+      val bands = sh.select(col("doc_id"), col("dhash"),
+          explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+            shiftrightunsigned(col("dhash"), b * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("dhash"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      val cand = bands
+        .select(col("doc_id").as("i"), col("dhash").as("ha"),
+          col("band"), col("key"))
+        .join(bands.select(col("doc_id").as("j"), col("dhash").as("hb"),
+          col("band"), col("key")), Seq("band", "key"))
+        .filter(col("i") < col("j"))
+        .select("i", "j", "ha", "hb").distinct()
+      cand
+        .withColumn("ham", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        .filter(col("ham") <= 3)
+        .select(col("i"), col("j"), col("ham"))
+        .orderBy("i", "j")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, text, CAST(length(text) AS INT) AS len,
+           |    greatest(1, (CAST(length(text) AS INT) + 47) // 48) AS h
+           |  FROM documents WHERE doc_id < 200),
+           |sh AS (
+           |  SELECT doc_id,
+           |    CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+           |         THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS dhash
+           |  FROM (
+           |    SELECT doc_id, CAST(list_sum(flatten(list_transform(range(0, 8), row ->
+           |      list_transform(range(0, 8), c ->
+           |        CASE WHEN
+           |          (CASE WHEN ((row*h)//8)*48 + (((c+1)*16)//9)*3 + 1 <= len
+           |            THEN ascii(substr(text, CAST(((row*h)//8)*48 + (((c+1)*16)//9)*3 + 1 AS INT), 1))
+           |            ELSE 0 END)
+           |          >
+           |          (CASE WHEN ((row*h)//8)*48 + ((c*16)//9)*3 + 1 <= len
+           |            THEN ascii(substr(text, CAST(((row*h)//8)*48 + ((c*16)//9)*3 + 1 AS INT), 1))
+           |            ELSE 0 END)
+           |        THEN 1::HUGEINT << CAST(row*8 + c AS INT) ELSE 0::HUGEINT END)))) AS HUGEINT) AS s
+           |    FROM t)),
+           |p AS (SELECT a.doc_id i, b.doc_id j,
+           |    bit_count(xor(a.dhash, b.dhash)) ham
+           |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+           |SELECT i, j, CAST(ham AS BIGINT) AS ham FROM p WHERE ham <= 3
+           |ORDER BY i, j""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q32MultimodalMeta, q62MultimodalFrames,
-    q131MultimodalDecode, q140PngDecode, q142GifDecode, q151PerceptualDedup)
+    q131MultimodalDecode, q140PngDecode, q142GifDecode, q151PerceptualDedup,
+    q156BandedPerceptualPairs)
 }

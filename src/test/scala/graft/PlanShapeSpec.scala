@@ -153,7 +153,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     // prefix tokens, shared postings) — a cartesian/NLJ in any of them
     // means the pruning silently stopped reaching the planner
     for (q <- Seq("q148_triangle_count", "q150_prefix_jaccard_join",
-        "q152_tfidf_cosine_pairs")) {
+        "q152_tfidf_cosine_pairs", "q156_banded_perceptual_pairs")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q\n${p.take(2000)}")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q\n${p.take(2000)}")
