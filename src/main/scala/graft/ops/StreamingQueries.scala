@@ -351,7 +351,99 @@ object StreamingQueries {
            |  AND c.us >= e.us - 14400000000 AND c.us <= e.us
            |ORDER BY err_id, click_id""".stripMargin))
 
+  /** Watermark EVICTION under the oracle gate — q143/q145/q154 prove
+    * no-eviction parity (365-day horizons, deliberately); this query proves
+    * the DROP. A three-batch replay: batch 0 = the full fixture (advances
+    * the watermark to max(ts) − 2 days ≈ day 28 of the 30-day span),
+    * batch 1 = a re-delivery of the latest day (inside the horizon —
+    * merges, doubling that day), batch 2 = a re-delivery of the earliest
+    * day (late: its day-window closed ~27 days before the watermark —
+    * dropped entirely). The ORACLE encodes exactly that: it aggregates the
+    * full stream input MINUS the late re-delivery. If the engine failed to
+    * drop (no watermark filtering, batch order broken), the earliest day
+    * doubles and the hash mismatches; if it dropped too much, the latest
+    * day's re-delivery goes missing.
+    *
+    * The intervening batch 1 is LOAD-BEARING: since SPARK-40925 the
+    * late-event filter evaluates against the PREVIOUS micro-batch's
+    * watermark (only state eviction uses the current one — needed for
+    * correctly chained stateful operators), so a late file in batch 1
+    * would be filtered against watermark 0 and sail through. Batch order
+    * itself is pinned by explicit file names + mtimes (the file source
+    * processes oldest-modified first), not write-timing luck.
+    *
+    * Scale: THIS is the property that bounds streaming-agg state — windows
+    * older than the horizon leave the store, so state is arrival-rate ×
+    * horizon regardless of stream age. Both boundary days sit ~26 days from
+    * the watermark, so `<` vs `<=` eviction edge semantics can't flake the
+    * gate.
+    */
+  val q158WatermarkEviction = GraftQuery(
+    "q158_watermark_eviction",
+    (s, dir) => {
+      val base = graft.WorkDir.resolve(s, "wmevq", dir)
+      val (src, ckpt) = (s"$base/src", s"$base/ckpt")
+      val conf = s.sessionState.newHadoopConf()
+      for (d <- Seq(src, ckpt)) {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(conf).delete(p, true)
+      }
+      val target = "graft_mv_q158"
+      freshManagedTable(s, target)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+        .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      val b = ev.agg(min("day"), max("day")).first()
+      val (mnd, mxd) = (b.getLong(0), b.getLong(1))
+      val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
+      def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+          mtime: Long): Unit = {
+        val tmp = s"$base/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.startsWith("part-")).get
+        fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+        val dest = new org.apache.hadoop.fs.Path(s"$src/$name.parquet")
+        fs.rename(part, dest)
+        fs.setTimes(dest, mtime, -1)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      writeOne(ev.drop("day"), "a_fixture", 1000000000000L)
+      writeOne(ev.filter(col("day") === mxd).drop("day"), "b_fresh",
+        1000003600000L)
+      writeOne(ev.filter(col("day") === mnd).drop("day"), "c_late",
+        1000007200000L)
+      val ss = streamSession(s, statePartitions = 8)
+      val schema = ss.read.parquet(src).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withWatermark("ts", "2 days")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+        .select(unix_micros(col("w.start")).as("day_us"), col("event_type"),
+          col("n"), col("total_value"))
+      graft.streaming.MaterializedView
+        .materialize(stream, Seq("day_us", "event_type"), target, ckpt,
+          snapshotPartitions = 1)
+        .awaitTermination()
+      s.table(target)
+        .select(col("day_us"), col("event_type"), col("n"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy("day_us", "event_type")
+    },
+    Some("""WITH ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) us, event_type, value
+           |  FROM events),
+           |b AS (SELECT min(us) // 86400000000 AS mnd, max(us) // 86400000000 AS mxd
+           |  FROM ev),
+           |kept_redeliv AS (SELECT ev.* FROM ev, b
+           |  WHERE us // 86400000000 = mxd),
+           |allr AS (SELECT us, event_type, value FROM ev
+           |  UNION ALL SELECT us, event_type, value FROM kept_redeliv)
+           |SELECT (us // 86400000000) * 86400000000 AS day_us, event_type,
+           |  count(*) AS n, round(sum(value), 2) AS total_value
+           |FROM allr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q33SlidingWindows, q34SessionWindows,
     q63StreamingRebalance, q143StreamingMv, q145StreamingDedup,
-    q146TransformWithState, q154StreamStreamJoin)
+    q146TransformWithState, q154StreamStreamJoin, q158WatermarkEviction)
 }
