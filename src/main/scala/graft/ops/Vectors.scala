@@ -276,6 +276,12 @@ object Vectors {
     * embeddings). Pair sims are per-pair left-to-right folds over the
     * original vectors — bit-identical in both engines, so the edge set is
     * exact; only the displayed sim is rounded.
+    *
+    * RETIRED from the registered inventory (round 7): strictly dominated
+    * by q141, whose `lloyd`-derived cells bound cell cardinality (label
+    * cells grow with the corpus — O(n²/L) pairwise). Kept as the bounded
+    * ground-truth sibling, exercised by TrainingPipelineSpec; the one
+    * registered SemDeDup scale path is q141.
     */
   val q134SemanticDedup = GraftQuery(
     "q134_semantic_dedup",
@@ -839,7 +845,9 @@ object Vectors {
          |ORDER BY qid, rnk""".stripMargin
     })
 
+  // q134SemanticDedup is deliberately absent: retired round 7, dominated
+  // by q141 (see its scaladoc) — spec-covered, not oracle-registered
   val all: Seq[GraftQuery] = Seq(q29AnnTopk, q30Centroids, q31AnnLsh, q47AnnIvf,
-    q70Int8Quantize, q134SemanticDedup, q137Kmeans, q141SemanticDedupKmeans,
+    q70Int8Quantize, q137Kmeans, q141SemanticDedupKmeans,
     q147PqAdc, q155JlProjection, q157IvfAdc)
 }
