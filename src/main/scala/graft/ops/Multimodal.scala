@@ -643,6 +643,81 @@ object Multimodal {
     }
   }
 
+  /** REAL compressed-audio codec: ITU-T G.711 μ-law (companding — the
+    * logarithmic 8-bit encoding telephony and legacy audio pipelines use;
+    * WAV format tag 7). Decode is the standard memoryless expansion
+    * (invert, split sign/exponent/mantissa, `t = ((m<<3)+0x84)<<e`,
+    * `±(t−0x84)`), which reaches ±32124 over a 16-segment log curve — a
+    * genuine lossy compressed format whose decode is exact integer
+    * arithmetic, so a SQL oracle reproduces it in closed form. `encode`
+    * wraps payload bytes AS the μ-law stream in a conforming format-7 WAV
+    * (fmt tag 7, 8 bits/sample); `decodeSamples` walks the RIFF chunks
+    * (junk-chunk tolerant, like [[WavCodec]]), validates the format, and
+    * expands every code byte. The remaining audio boundary after this is
+    * perceptual codecs (MP3/AAC) — genuine native-lib territory.
+    */
+  object MuLawCodec {
+    /** Standard μ-law code → linear PCM expansion (G.711). */
+    def expand(code: Int): Short = {
+      val u = (~code) & 0xff
+      val t = (((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 7)
+      (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+    }
+
+    private def le16(out: Array[Byte], i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    private def le32(out: Array[Byte], i: Int, v: Int): Unit = {
+      le16(out, i, v & 0xffff); le16(out, i + 2, (v >>> 16) & 0xffff)
+    }
+    private def tag(out: Array[Byte], i: Int, s: String): Unit =
+      s.indices.foreach(k => out(i + k) = s.charAt(k).toByte)
+    private def rd16(p: Array[Byte], i: Int) = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    private def rd32(p: Array[Byte], i: Int) = rd16(p, i) | (rd16(p, i + 2) << 16)
+    private def isTag(p: Array[Byte], i: Int, s: String) =
+      p.length >= i + 4 && s.indices.forall(k => (p(i + k) & 0xff) == s.charAt(k))
+
+    /** Payload bytes become the μ-law sample stream, one code per byte
+      * (min 1 sample, zero pad — code 0 expands to −8031).
+      */
+    def encode(payload: Array[Byte]): Array[Byte] = {
+      val n = math.max(1, payload.length)
+      val out = new Array[Byte](44 + n)
+      tag(out, 0, "RIFF"); le32(out, 4, 36 + n); tag(out, 8, "WAVE")
+      tag(out, 12, "fmt "); le32(out, 16, 16)
+      le16(out, 20, 7)      // WAVE_FORMAT_MULAW
+      le16(out, 22, 1)      // mono
+      le32(out, 24, 8000)   // sample rate
+      le32(out, 28, 8000)   // byte rate (1 byte/sample)
+      le16(out, 32, 1)      // block align
+      le16(out, 34, 8)      // bits per sample
+      tag(out, 36, "data"); le32(out, 40, n)
+      System.arraycopy(payload, 0, out, 44, payload.length)
+      out
+    }
+
+    /** Chunk-walking decode of any μ-law WAV: expands every code byte to
+      * linear PCM, or None for non-μ-law/malformed containers.
+      */
+    def decodeSamples(p: Array[Byte]): Option[Array[Short]] = {
+      if (HeaderCodec.sniff(p) != "wav") return None
+      var i = 12
+      var fmtOk = false
+      var data: Option[(Int, Int)] = None
+      while (i + 8 <= p.length) {
+        val sz = rd32(p, i + 4)
+        if (isTag(p, i, "fmt ") && sz >= 16)
+          fmtOk = rd16(p, i + 8) == 7 && rd16(p, i + 22) == 8
+        else if (isTag(p, i, "data"))
+          data = Some((i + 8, math.min(sz, p.length - i - 8)))
+        i += 8 + sz + (sz & 1)
+      }
+      data.filter(_ => fmtOk).map { case (off, len) =>
+        Array.tabulate(len)(k => expand(p(off + k) & 0xff))
+      }
+    }
+  }
+
   /** REAL baseline sequential JPEG codec for GRAYSCALE JFIF — pure JVM:
     * canonical Huffman tables built from DHT segments (ITU-T T.81 Annex K
     * constants on the encode side), zigzag de-serialization, table-driven
@@ -1213,6 +1288,32 @@ object Multimodal {
     }
   }
 
+  final case class MuLawContent(doc_id: Long, n_bytes: Int, n_samples: Int,
+      rms_amplitude: Double, max_abs: Int)
+
+  /** Sample decode through a COMPRESSED audio container: each payload
+    * becomes a genuine μ-law WAV (its bytes ARE the companded stream) and
+    * is expanded back to linear PCM through the G.711 curve. Sums of
+    * squares are exact integers; the single division + sqrt happens per
+    * row (order-independent, oracle-safe at 6 digits).
+    */
+  def decodeContentMuLaw(media: Dataset[MediaRow]): Dataset[MuLawContent] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val samples = MuLawCodec.decodeSamples(MuLawCodec.encode(r.payload))
+          .getOrElse(throw new IllegalStateException("mu-law roundtrip failed"))
+        var sq = 0L; var mx = 0
+        samples.foreach { s =>
+          sq += s.toLong * s
+          if (math.abs(s.toInt) > mx) mx = math.abs(s.toInt)
+        }
+        MuLawContent(r.doc_id, r.payload.length, samples.length,
+          math.sqrt(sq.toDouble / samples.length), mx)
+      }
+    }
+  }
+
   final case class JpegContent(doc_id: Long, n_bytes: Int, jpg_w: Int,
       jpg_h: Int, mean_pixel: Double, max_gray: Int)
 
@@ -1643,7 +1744,48 @@ object Multimodal {
            |  CAST(mx AS INT) AS max_gray
            |FROM b ORDER BY doc_id""".stripMargin))
 
+  /** Compressed-audio decode end-to-end: payload → real format-7 μ-law WAV
+    * → G.711 expansion → RMS / peak amplitude. Every code byte expands
+    * through exact integer arithmetic (the memoryless property that makes
+    * a companded codec — unlike predictive ADPCM or perceptual MP3/AAC —
+    * oracle-expressible in closed form), so the hash only matches if the
+    * chunk walk, format validation, and the full 16-segment expansion
+    * curve are byte-exact.
+    */
+  val q160MulawDecode = GraftQuery(
+    "q160_mulaw_decode",
+    (s, dir) => {
+      import s.implicits._
+      val media = attachBinary(Tables.documents(s, dir).filter(col("doc_id") < 50))
+        .as[MediaRow]
+      decodeContentMuLaw(media).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("n_samples"),
+          round(col("rms_amplitude"), 6).as("rms_amplitude"), col("max_abs"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, text, CAST(length(text) AS INT) AS len
+           |  FROM documents WHERE doc_id < 50),
+           |c AS (
+           |  SELECT doc_id, len, greatest(1, len) AS n,
+           |    CASE WHEN len = 0 THEN [0]
+           |         ELSE list_transform(range(1, len + 1),
+           |           i -> ascii(substr(text, CAST(i AS INT), 1))) END AS codes
+           |  FROM t),
+           |e AS (
+           |  SELECT doc_id, len, n,
+           |    list_transform(codes, b -> CASE WHEN (255 - b) >= 128
+           |      THEN 132 - (((255 - b) % 16) * 8 + 132) * (1 << (((255 - b) // 16) % 8))
+           |      ELSE (((255 - b) % 16) * 8 + 132) * (1 << (((255 - b) // 16) % 8)) - 132
+           |      END) AS ss
+           |  FROM c)
+           |SELECT doc_id, len AS n_bytes, CAST(n AS INT) AS n_samples,
+           |  round(sqrt(list_sum(list_transform(ss, x -> x * x))::DOUBLE / n), 6)
+           |    AS rms_amplitude,
+           |  CAST(list_max(list_transform(ss, x -> abs(x))) AS INT) AS max_abs
+           |FROM e ORDER BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q32MultimodalMeta, q62MultimodalFrames,
     q131MultimodalDecode, q140PngDecode, q142GifDecode, q151PerceptualDedup,
-    q156BandedPerceptualPairs, q159JpegDecode)
+    q156BandedPerceptualPairs, q159JpegDecode, q160MulawDecode)
 }
