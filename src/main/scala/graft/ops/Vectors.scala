@@ -845,9 +845,163 @@ object Vectors {
          |ORDER BY qid, rnk""".stripMargin
     })
 
+  /** RESIDUAL IVFADC — the full Jégou et al. 2011 §IV.A recipe: q157
+    * quantizes raw vectors, but the production encoding quantizes the
+    * RESIDUAL r = v − centroid(cell), which concentrates the PQ codebooks
+    * on the within-cell distribution (much tighter than the global one —
+    * the reason IVFADC beats IVF+PQ-on-raw at equal code budget). Search
+    * becomes per-(query, cell) asymmetric: probing a cell first subtracts
+    * that cell's centroid from the query, then ADC-scores the residual
+    * codes inside it.
+    *
+    * Scale shape is identical to q157 (k-row collects for training,
+    * shuffle-free encode against broadcast literals, keyed probe join);
+    * the only addition is one zip_with subtraction per row and per probe.
+    *
+    * Determinism: the cell centroids are partial-agg means (~1e-13
+    * order-dependence), so residual argmins inherit the q141/q147
+    * discipline — continuous fixtures never tie within that; displayed
+    * adc rounds at 5.
+    */
+  val q161IvfAdcResidual = GraftQuery(
+    "q161_ivfadc_residual",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val M = 4; val SUB = 16; val K = 4; val KC = 8
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select(col("vec_id"), col("v"))
+        .persist()
+      val (cents, assigned) = lloyd(e, KC, rounds = 1)
+      // every seed self-assigns at distance 0, so all KC cells survive the
+      // mean update and centArr can be indexed by cell id directly
+      require(cents.map(_._1) == (0 until KC),
+        s"coarse cells not contiguous: ${cents.map(_._1)}")
+      val centArr = array(cents.map { case (_, cv) => typedLit(cv) }: _*)
+      val resid = assigned.select(col("vec_id"),
+          zip_with(col("v"), element_at(centArr, col("j") + 1),
+            (a, b) => a - b).as("rv"),
+          col("j").as("cell"))
+        .persist()
+      // PQ codebooks train on RESIDUAL subvectors
+      val books: Seq[Seq[Seq[Double]]] = (0 until M).map { m =>
+        val sub = resid.select(col("vec_id"), slice(col("rv"), m * SUB + 1, SUB).as("v"))
+        lloyd(sub, K, rounds = 1, dim = SUB)._1.sortBy(_._1).map(_._2)
+      }
+      def dist2(a: Column, cv: Seq[Double]): Column = aggregate(
+        zip_with(a, typedLit(cv), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d)
+      def code(m: Int): Column = {
+        val ranked = sort_array(array(books(m).zipWithIndex.map { case (cv, pos) =>
+          struct(dist2(slice(col("rv"), m * SUB + 1, SUB), cv).as("d"),
+            lit(pos).as("pos"))
+        }: _*))
+        element_at(ranked, 1).getField("pos")
+      }
+      val codes = resid.select(
+        (col("vec_id") +: col("cell") +:
+          (0 until M).map(m => code(m).as(s"k$m"))): _*)
+      def dist2c(a: Column, c: Column): Column = aggregate(
+        zip_with(a, c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d)
+      val centsLit = array(cents.map { case (idx, cv) =>
+        struct(lit(idx).as("idx"), typedLit(cv).as("cv"))
+      }: _*)
+      // probe top-2 cells, then subtract THAT cell's centroid from the query
+      val probes = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+        .withColumn("pc", explode(slice(sort_array(transform(centsLit,
+          c => struct(dist2c(col("qv"), c("cv")).as("d"), c("idx").as("idx")))),
+          1, 2)))
+        .select(col("qid"),
+          zip_with(col("qv"), element_at(centArr, col("pc.idx") + 1),
+            (a, b) => a - b).as("qres"),
+          col("pc.idx").as("pcell"))
+      val adc = (0 until M).map { m =>
+        val lut = array(books(m).map(cv => struct(typedLit(cv).as("cv"))): _*)
+        aggregate(
+          zip_with(slice(col("qres"), m * SUB + 1, SUB),
+            element_at(lut, col(s"k$m") + 1).getField("cv"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d)
+      }.reduce(_ + _)
+      val sims = codes.join(broadcast(probes),
+          col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"), col("cell"), adc.as("adc"))
+      val w = Window.partitionBy("qid").orderBy(asc("adc"), col("cid"))
+      sims.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("cid"), col("cell"),
+          round(col("adc"), 5).as("adc"))
+        .orderBy("qid", "rnk")
+    },
+    Some {
+      // per-subspace codebook blocks over RESIDUAL subvectors
+      def block(m: Int): String = {
+        val lo = m * 16 + 1; val hi = m * 16 + 16
+        s"""s$m AS (SELECT vec_id, rv[$lo:$hi] AS sub FROM resid),
+           |c0_$m AS (SELECT idx, cv FROM (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, sub AS cv
+           |  FROM s$m) WHERE idx < 4),
+           |a1_$m AS (SELECT vec_id, sub, idx, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY list_sum(list_transform(range(1, 17), i -> (sub[i]-cv[i])*(sub[i]-cv[i]))), idx) rn
+           |  FROM s$m, c0_$m),
+           |c1_$m AS (SELECT j AS idx, list(c ORDER BY dim) AS cv FROM (
+           |  SELECT idx AS j, d.d AS dim, avg(sub[d.d + 1]) AS c
+           |  FROM a1_$m, range(0, 16) d(d) WHERE rn = 1 GROUP BY 1, 2) GROUP BY 1),
+           |cp_$m AS (SELECT row_number() OVER (ORDER BY idx) - 1 AS pos, cv FROM c1_$m),
+           |k_$m AS (SELECT vec_id, pos FROM (
+           |  SELECT vec_id, pos, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY list_sum(list_transform(range(1, 17), i -> (sub[i]-cv[i])*(sub[i]-cv[i]))), pos) rn
+           |  FROM s$m, cp_$m) WHERE rn = 1)"""
+      }
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |cc0 AS (SELECT idx, cv FROM (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, v AS cv FROM e)
+         |  WHERE idx < 8),
+         |ca1 AS (SELECT vec_id, v, idx, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))), idx) rn
+         |  FROM e, cc0),
+         |cc1 AS (SELECT j AS idx, list(c ORDER BY dim) AS cv FROM (
+         |  SELECT idx AS j, d.d AS dim, avg(v[d.d + 1]) AS c FROM ca1, range(0, 64) d(d)
+         |  WHERE rn = 1 GROUP BY 1, 2) GROUP BY 1),
+         |cells AS (SELECT vec_id, idx AS cell FROM (
+         |  SELECT vec_id, idx, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))), idx) rn
+         |  FROM e, cc1) WHERE rn = 1),
+         |resid AS (SELECT e.vec_id, cells.cell,
+         |    list_transform(range(1, 65), i -> e.v[i] - cc1.cv[i]) AS rv
+         |  FROM e JOIN cells USING (vec_id) JOIN cc1 ON cc1.idx = cells.cell),
+         |${(0 until 4).map(block).mkString(",\n")},
+         |codes AS (SELECT resid.vec_id, resid.cell,
+         |    k_0.pos AS k0, k_1.pos AS k1, k_2.pos AS k2, k_3.pos AS k3
+         |  FROM resid JOIN k_0 USING (vec_id) JOIN k_1 USING (vec_id)
+         |         JOIN k_2 USING (vec_id) JOIN k_3 USING (vec_id)),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+         |probe AS (SELECT qid, qv, idx AS cell FROM (
+         |  SELECT qid, qv, idx, row_number() OVER (PARTITION BY qid
+         |    ORDER BY list_sum(list_transform(range(1, 65), i -> (qv[i]-cv[i])*(qv[i]-cv[i]))), idx) crn
+         |  FROM q, cc1) WHERE crn <= 2),
+         |pq AS (SELECT qid, probe.cell,
+         |    list_transform(range(1, 65), i -> qv[i] - cc1.cv[i]) AS qres
+         |  FROM probe JOIN cc1 ON cc1.idx = probe.cell),
+         |p AS (SELECT pq.qid, codes.vec_id AS cid, codes.cell,
+         |    list_sum(list_transform(range(1, 17), i -> (qres[i]-b0.cv[i])*(qres[i]-b0.cv[i])))
+         |  + list_sum(list_transform(range(1, 17), i -> (qres[i+16]-b1.cv[i])*(qres[i+16]-b1.cv[i])))
+         |  + list_sum(list_transform(range(1, 17), i -> (qres[i+32]-b2.cv[i])*(qres[i+32]-b2.cv[i])))
+         |  + list_sum(list_transform(range(1, 17), i -> (qres[i+48]-b3.cv[i])*(qres[i+48]-b3.cv[i]))) AS adc
+         |  FROM pq JOIN codes ON codes.cell = pq.cell AND codes.vec_id <> pq.qid
+         |  JOIN cp_0 b0 ON b0.pos = codes.k0 JOIN cp_1 b1 ON b1.pos = codes.k1
+         |  JOIN cp_2 b2 ON b2.pos = codes.k2 JOIN cp_3 b3 ON b3.pos = codes.k3),
+         |r AS (SELECT qid, cid, cell, adc,
+         |  row_number() OVER (PARTITION BY qid ORDER BY adc, cid) rnk FROM p)
+         |SELECT qid, rnk, cid, cell, round(adc, 5) AS adc FROM r WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin
+    })
+
   // q134SemanticDedup is deliberately absent: retired round 7, dominated
   // by q141 (see its scaladoc) — spec-covered, not oracle-registered
   val all: Seq[GraftQuery] = Seq(q29AnnTopk, q30Centroids, q31AnnLsh, q47AnnIvf,
     q70Int8Quantize, q137Kmeans, q141SemanticDedupKmeans,
-    q147PqAdc, q155JlProjection, q157IvfAdc)
+    q147PqAdc, q155JlProjection, q157IvfAdc, q161IvfAdcResidual)
 }
