@@ -160,14 +160,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("q157: IVFADC search is a broadcast probe join, never cartesian") {
-    val p = plan("q157_ivfadc")
-    // the query batch must broadcast to the code table and join on cell id;
-    // a cartesian/NLJ here means the cell equi-join stopped reaching the
-    // planner and search degraded to scanning every code for every query
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
-    assert(!p.contains("CartesianProduct"), p.take(2000))
-    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  test("q157/q161: IVFADC search is a broadcast probe join, never cartesian") {
+    for (q <- Seq("q157_ivfadc", "q161_ivfadc_residual")) {
+      val p = plan(q)
+      // the query batch must broadcast to the code table and join on cell
+      // id; a cartesian/NLJ here means the cell equi-join stopped reaching
+      // the planner and search degraded to scanning every code per query
+      assert(p.contains("BroadcastHashJoin"), s"$q\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), s"$q\n${p.take(2000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q\n${p.take(2000)}")
+    }
   }
 
   test("q151: perceptual hashing is map-side; NN argmin partial-aggregates") {
