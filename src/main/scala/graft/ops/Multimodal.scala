@@ -1288,6 +1288,55 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor resample of a byte grid to `tw`×`th` — the resize
+    * primitive a multimodal pipeline runs after decode (thumbnailing,
+    * fixed-input-size models). Source index per target cell is the
+    * standard floor mapping sx = ⌊x·W/tw⌋, sy = ⌊y·H/th⌋ — integer
+    * arithmetic, so an oracle reproduces it exactly.
+    */
+  def resizeNearest(px: Array[Byte], srcW: Int, srcH: Int,
+      tw: Int, th: Int): Array[Byte] = {
+    val out = new Array[Byte](tw * th)
+    var y = 0
+    while (y < th) {
+      val sy = y * srcH / th
+      var x = 0
+      while (x < tw) {
+        out(y * tw + x) = px(sy * srcW + x * srcW / tw)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  final case class ResizedContent(doc_id: Long, n_bytes: Int, src_h: Int,
+      rs_mean: Double, rs_min: Int, rs_max: Int)
+
+  /** Decode → resize feature extraction: payload → real BMP → pixel decode
+    * → 8×8 nearest-neighbor thumbnail → summary stats. The source grid is
+    * the decoded channel-byte plane (48 bytes per 16-px RGB row), so every
+    * sampled byte is payload(sy·48 + sx) or zero padding — closed-form for
+    * the oracle. Map-only, partition-parallel, nothing on the driver.
+    */
+  def decodeResized(media: Dataset[MediaRow]): Dataset[ResizedContent] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = BmpCodec.decodePixels(BmpCodec.encode(r.payload))
+          .getOrElse(throw new IllegalStateException("BMP roundtrip failed"))
+        val thumb = resizeNearest(px, w * 3, h, 8, 8)
+        var sum = 0L; var mn = 255; var mx = 0
+        thumb.foreach { b =>
+          val v = b & 0xff
+          sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+        }
+        ResizedContent(r.doc_id, r.payload.length, h,
+          sum.toDouble / thumb.length, mn, mx)
+      }
+    }
+  }
+
   final case class MuLawContent(doc_id: Long, n_bytes: Int, n_samples: Int,
       rms_amplitude: Double, max_abs: Int)
 
@@ -1785,7 +1834,43 @@ object Multimodal {
            |  CAST(list_max(list_transform(ss, x -> abs(x))) AS INT) AS max_abs
            |FROM e ORDER BY doc_id""".stripMargin))
 
+  /** Resize after decode end-to-end: payload → real BMP → pixel decode →
+    * 8×8 nearest-neighbor thumbnail → mean/min/max. The oracle reproduces
+    * the floor-mapping sample grid from the document text (byte at
+    * sy·48 + sx, zero past the payload), so the hash only matches if the
+    * decode AND the resample index arithmetic are exact.
+    */
+  val q162ImageResize = GraftQuery(
+    "q162_image_resize",
+    (s, dir) => {
+      import s.implicits._
+      val media = attachBinary(Tables.documents(s, dir).filter(col("doc_id") < 50))
+        .as[MediaRow]
+      decodeResized(media).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("src_h"),
+          round(col("rs_mean"), 6).as("rs_mean"), col("rs_min"), col("rs_max"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, text, CAST(length(text) AS INT) AS len,
+           |    greatest(1, (CAST(length(text) AS INT) + 47) // 48) AS h
+           |  FROM documents WHERE doc_id < 50),
+           |s AS (
+           |  SELECT doc_id, len, h,
+           |    flatten(list_transform(range(0, 8), y ->
+           |      list_transform(range(0, 8), x ->
+           |        CASE WHEN ((y * h) // 8) * 48 + (x * 48) // 8 + 1 <= len
+           |          THEN ascii(substr(text,
+           |            CAST(((y * h) // 8) * 48 + (x * 48) // 8 + 1 AS INT), 1))
+           |          ELSE 0 END))) AS thumb
+           |  FROM t)
+           |SELECT doc_id, len AS n_bytes, CAST(h AS INT) AS src_h,
+           |  round(list_sum(thumb)::DOUBLE / 64, 6) AS rs_mean,
+           |  CAST(list_min(thumb) AS INT) AS rs_min,
+           |  CAST(list_max(thumb) AS INT) AS rs_max
+           |FROM s ORDER BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q32MultimodalMeta, q62MultimodalFrames,
     q131MultimodalDecode, q140PngDecode, q142GifDecode, q151PerceptualDedup,
-    q156BandedPerceptualPairs, q159JpegDecode, q160MulawDecode)
+    q156BandedPerceptualPairs, q159JpegDecode, q160MulawDecode, q162ImageResize)
 }

@@ -126,6 +126,14 @@ class MultimodalBatchSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.BmpCodec.decodePixels(hostile).isEmpty)
   }
 
+  test("resizeNearest: identity at same size, floor-mapped sampling when shrinking") {
+    val src = Array.tabulate(6 * 4)(i => i.toByte) // 6 wide, 4 tall
+    assert(Multimodal.resizeNearest(src, 6, 4, 6, 4).sameElements(src))
+    val half = Multimodal.resizeNearest(src, 6, 4, 3, 2)
+    // sx = x*6/3 = 2x, sy = y*4/2 = 2y → bytes at (2y)*6 + 2x
+    assert(half.toSeq == Seq[Byte](0, 2, 4, 12, 14, 16))
+  }
+
   test("WavCodec roundtrips samples and walks non-canonical chunk layouts") {
     val payload = Array[Byte](0x10, 0x00, 0x00, 0x7f, 0xff.toByte, 0xff.toByte, 0x55)
     val wav = Multimodal.WavCodec.encode(payload)
