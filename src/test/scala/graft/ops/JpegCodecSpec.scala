@@ -56,6 +56,19 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(a._3.sameElements(b._3))
   }
 
+  test("decode fails soft on any corruption (deterministic fuzz)") {
+    // a decoder that runs inside mapPartitions must return None on garbage,
+    // never throw: flip one byte at every position, truncate at every
+    // length — decode either succeeds or returns None
+    val jpg = JpegCodec.encode(payload.take(24))
+    for (i <- jpg.indices) {
+      val mut = jpg.clone()
+      mut(i) = (mut(i) ^ ((i * 37 + 1) & 0xff)).toByte
+      JpegCodec.decodePixels(mut) // must not throw
+      JpegCodec.decodePixels(jpg.take(i)) // nor any truncation
+    }
+  }
+
   test("rejects non-baseline, truncated, and hostile containers") {
     val jpg = JpegCodec.encode(payload)
     assert(JpegCodec.decodePixels(jpg.take(jpg.length / 2)).isEmpty)
