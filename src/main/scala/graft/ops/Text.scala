@@ -539,8 +539,81 @@ object Text {
            |SELECT lang, source, count(*) AS n_docs, round(avg(nll), 3) AS avg_nll2
            |FROM perdoc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Interpolated Kneser-Ney bigram scoring — the smoothing that actually
+    * ships in corpus-filtering LMs (KenLM's default), next to q149's
+    * Jelinek-Mercer: instead of backing off to raw unigram frequency, the
+    * lower-order distribution is the CONTINUATION probability
+    * P_cont(w2) = N1+(·w2)/N1+(··) — "how many distinct contexts does w2
+    * complete" — which famously stops high-frequency-but-context-bound
+    * words (the "San Francisco" effect) from inflating back-off mass.
+    * P(w2|w1) = (c(w1w2) − D)/c(w1·) + D·N1+(w1·)/c(w1·) · P_cont(w2),
+    * D = 0.75; every scored bigram is observed, so the discount never
+    * floors at zero.
+    *
+    * Scale (the q149 shape): the LM is four count tables — bigram, left,
+    * continuation-types-from-w1, continuation-types-into-w2 — each a
+    * partial agg over the exploded stream, folded into ONE per-distinct-
+    * bigram probability table before the (huge) corpus stream joins it
+    * once (vocabulary-sized → broadcast at scale). One driver scalar: the
+    * distinct-bigram-type count. Rounding: two-level avg at 3.
+    */
+  val q163KneserNey = GraftQuery(
+    "q163_kneser_ney",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(graft.functions.GraftFunctions.wordGrams(col("text"), 2)).as("bigram"))
+        .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+        .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+        .persist()
+      val bc = bg.groupBy("bigram").agg(count(lit(1)).as("cb")).persist()
+      val lc = bg.groupBy(col("w1").as("lw")).agg(count(lit(1)).as("cl"))
+      val n1l = bg.groupBy(col("w1").as("fw")).agg(countDistinct("w2").as("nf"))
+      val n1r = bg.groupBy(col("w2").as("pw")).agg(countDistinct("w1").as("np"))
+      val types = bc.count().toDouble
+      val probs = bc
+        .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+        .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+        .join(lc, col("w1") === col("lw"))
+        .join(n1l, col("w1") === col("fw"))
+        .join(n1r, col("w2") === col("pw"))
+        .select(col("bigram"),
+          ((col("cb").cast("double") - lit(0.75)) / col("cl") +
+            lit(0.75) * col("nf").cast("double") / col("cl") *
+              (col("np").cast("double") / lit(types))).as("p"))
+      bg.join(probs, "bigram")
+        .groupBy("doc_id", "lang", "source")
+        .agg(avg(-log(col("p"))).as("nll"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), round(avg("nll"), 3).as("avg_nll_kn"))
+        .orderBy("lang", "source")
+    },
+    Some("""WITH bg AS (
+           |  SELECT doc_id, lang, source, sp[i] AS w1, sp[i+1] AS w2,
+           |    sp[i] || ' ' || sp[i+1] AS bigram
+           |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') sp,
+           |          unnest(range(1, len(string_split(text, ' ')))) i
+           |        FROM documents)),
+           |bc AS (SELECT bigram, count(*) cb FROM bg GROUP BY 1),
+           |lc AS (SELECT w1 AS lw, count(*) cl FROM bg GROUP BY 1),
+           |n1l AS (SELECT w1 AS fw, count(DISTINCT w2) nf FROM bg GROUP BY 1),
+           |n1r AS (SELECT w2 AS pw, count(DISTINCT w1) np FROM bg GROUP BY 1),
+           |tt AS (SELECT CAST(count(*) AS DOUBLE) nbt FROM bc),
+           |perdoc AS (
+           |  SELECT doc_id, lang, source,
+           |    avg(-ln((cb::DOUBLE - 0.75) / cl
+           |      + 0.75 * nf::DOUBLE / cl * (np::DOUBLE / nbt))) nll
+           |  FROM bg JOIN bc USING (bigram)
+           |  JOIN lc ON bg.w1 = lc.lw
+           |  JOIN n1l ON bg.w1 = n1l.fw
+           |  JOIN n1r ON bg.w2 = n1r.pw, tt
+           |  GROUP BY 1, 2, 3)
+           |SELECT lang, source, count(*) AS n_docs, round(avg(nll), 3) AS avg_nll_kn
+           |FROM perdoc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q19TextStats, q20TokenCounts, q21QualityScore, q22LangId, q23Fingerprints,
     q60Perplexity, q61Bigrams, q64TopTrigramUdtf, q130BpePairs, q132BpeTrain,
-    q133BpeEncode, q139BpeEncodeDocs, q149BigramLm)
+    q133BpeEncode, q139BpeEncodeDocs, q149BigramLm, q163KneserNey)
 }
