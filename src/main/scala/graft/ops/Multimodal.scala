@@ -631,6 +631,9 @@ object Multimodal {
       var data: Option[(Int, Int)] = None
       while (i + 8 <= p.length) {
         val sz = rd32(p, i + 4)
+        // hostile negative chunk size would walk i BACKWARDS and loop the
+        // task forever — reject the container instead
+        if (sz < 0) return None
         if (isTag(p, i, "fmt ") && sz >= 16)
           fmtOk = rd16(p, i + 8) == 1 && rd16(p, i + 22) == 16
         else if (isTag(p, i, "data"))
@@ -706,6 +709,7 @@ object Multimodal {
       var data: Option[(Int, Int)] = None
       while (i + 8 <= p.length) {
         val sz = rd32(p, i + 4)
+        if (sz < 0) return None // negative size would walk i backwards
         if (isTag(p, i, "fmt ") && sz >= 16)
           fmtOk = rd16(p, i + 8) == 7 && rd16(p, i + 22) == 8
         else if (isTag(p, i, "data"))

@@ -47,4 +47,16 @@ class MuLawCodecSpec extends AnyFunSuite {
     val Some(got) = MuLawCodec.decodeSamples(wonky)
     assert(got.toSeq == Seq[Short](-32124, 32124))
   }
+
+  test("hostile negative chunk size is rejected, not an infinite walk") {
+    // corrupt the fmt chunk size to 0x80000000 — a backwards-walking size
+    for (mk <- Seq[Array[Byte] => Array[Byte]](
+        p => { val q = p.clone(); q(19) = 0x80.toByte; q }, // fmt size hi byte
+        p => { val q = p.clone(); q(43) = 0x80.toByte; q })) { // data size hi byte
+      val bad = mk(MuLawCodec.encode(Array[Byte](1, 2, 3, 4)))
+      assert(MuLawCodec.decodeSamples(bad).isEmpty)
+      val badPcm = mk(Multimodal.WavCodec.encode(Array[Byte](1, 2, 3, 4)))
+      assert(Multimodal.WavCodec.decodeSamples(badPcm).isEmpty)
+    }
+  }
 }
