@@ -351,6 +351,27 @@ object StreamingQueries {
            |  AND c.us >= e.us - 14400000000 AND c.us <= e.us
            |ORDER BY err_id, click_id""".stripMargin))
 
+  /** Stage one DataFrame as ONE named source file with a pinned mtime —
+    * the file source processes oldest-modified first, so explicit names +
+    * mtimes make micro-batch order deterministic instead of write-timing
+    * luck (q158/q164 both depend on it).
+    */
+  private def writeStagedFile(s: org.apache.spark.sql.SparkSession,
+      base: String, src: String, name: String, mtime: Long,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val conf = s.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
+    val tmp = s"$base/tmp_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+    val dest = new org.apache.hadoop.fs.Path(s"$src/$name.parquet")
+    fs.rename(part, dest)
+    fs.setTimes(dest, mtime, -1)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
   /** Watermark EVICTION under the oracle gate — q143/q145/q154 prove
     * no-eviction parity (365-day horizons, deliberately); this query proves
     * the DROP. A three-batch replay: batch 0 = the full fixture (advances
@@ -395,24 +416,11 @@ object StreamingQueries {
         .withColumn("day", expr("unix_micros(ts) div 86400000000"))
       val b = ev.agg(min("day"), max("day")).first()
       val (mnd, mxd) = (b.getLong(0), b.getLong(1))
-      val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
-      def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
-          mtime: Long): Unit = {
-        val tmp = s"$base/tmp_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-          .map(_.getPath).find(_.getName.startsWith("part-")).get
-        fs.mkdirs(new org.apache.hadoop.fs.Path(src))
-        val dest = new org.apache.hadoop.fs.Path(s"$src/$name.parquet")
-        fs.rename(part, dest)
-        fs.setTimes(dest, mtime, -1)
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      }
-      writeOne(ev.drop("day"), "a_fixture", 1000000000000L)
-      writeOne(ev.filter(col("day") === mxd).drop("day"), "b_fresh",
-        1000003600000L)
-      writeOne(ev.filter(col("day") === mnd).drop("day"), "c_late",
-        1000007200000L)
+      writeStagedFile(s, base, src, "a_fixture", 1000000000000L, ev.drop("day"))
+      writeStagedFile(s, base, src, "b_fresh", 1000003600000L,
+        ev.filter(col("day") === mxd).drop("day"))
+      writeStagedFile(s, base, src, "c_late", 1000007200000L,
+        ev.filter(col("day") === mnd).drop("day"))
       val ss = streamSession(s, statePartitions = 8)
       val schema = ss.read.parquet(src).schema
       val stream = ss.readStream.schema(schema)
@@ -443,7 +451,93 @@ object StreamingQueries {
            |  count(*) AS n, round(sum(value), 2) AS total_value
            |FROM allr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Streaming SESSION windows e2e in APPEND mode — the last window kind
+    * without an end-to-end gate (q34 is batch parity; q143 gates tumbling,
+    * q33 covers sliding in batch). Append mode only emits a session once
+    * the watermark passes its end (last event + 30-min gap), so which
+    * sessions appear in the sink is itself watermark semantics — and the
+    * ORACLE encodes it: gap-sessionize in SQL, then keep sessions with
+    * end ≤ max(ts) − 1 h (the final watermark). Sessions still open at
+    * stream end must NOT be in the sink; an engine that emitted everything
+    * (or dropped a finalized session) hash-mismatches.
+    *
+    * The replay splits the fixture at its time midpoint into two
+    * mtime-pinned files, so every batch-2 event is newer than every
+    * batch-1 event: a session spanning the boundary provably cannot close
+    * prematurely (its last batch-1 event is within gap of a batch-2 event,
+    * so its end exceeds the batch-1 watermark), and no batch-2 event is
+    * late. The post-data watermark-flush micro-batch then emits everything
+    * up to the final watermark.
+    *
+    * Scale: session state is bounded by (open sessions × gap horizon) —
+    * merged on arrival, evicted at finalization; this plus q158 covers
+    * both halves of the bounded-state story (drop late, flush closed).
+    */
+  val q164StreamingSessions = GraftQuery(
+    "q164_streaming_sessions",
+    (s, dir) => {
+      val base = graft.WorkDir.resolve(s, "ssessq", dir)
+      val (src, dest, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+      val conf = s.sessionState.newHadoopConf()
+      for (d <- Seq(src, dest, ckpt)) {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(conf).delete(p, true)
+      }
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .withColumn("us", expr("unix_micros(ts)"))
+      val b = ev.agg(min("us"), max("us")).first()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      writeStagedFile(s, base, src, "a_first_half", 1000000000000L,
+        ev.filter(col("us") <= mid).drop("us"))
+      writeStagedFile(s, base, src, "b_second_half", 1000003600000L,
+        ev.filter(col("us") > mid).drop("us"))
+      val ss = streamSession(s, statePartitions = 8)
+      val schema = ss.read.parquet(src).schema
+      ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+        .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+          col("n_events"), col("session_value"))
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(dest)
+        .select(col("user_id"), col("start_us"), col("n_events"),
+          round(col("session_value"), 2).as("session_value"))
+        .orderBy("user_id", "start_us")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) us, event_id
+           |  FROM events),
+           |wm AS (SELECT max(us) - 3600000000 AS w FROM ev),
+           |marked AS (
+           |  SELECT user_id, value, us,
+           |    CASE WHEN lag(us) OVER wn IS NULL OR us - lag(us) OVER wn >= 1800000000
+           |         THEN 1 ELSE 0 END AS new_sess, event_id
+           |  FROM ev WINDOW wn AS (PARTITION BY user_id ORDER BY us, event_id)),
+           |sess AS (
+           |  SELECT user_id, value, us,
+           |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           |  FROM marked),
+           |agg AS (
+           |  SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+           |    count(*) AS n_events, round(sum(value), 2) AS session_value
+           |  FROM sess GROUP BY user_id, sid)
+           |SELECT user_id, start_us, n_events, session_value
+           |FROM agg, wm WHERE end_us <= w
+           |ORDER BY user_id, start_us""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q33SlidingWindows, q34SessionWindows,
     q63StreamingRebalance, q143StreamingMv, q145StreamingDedup,
-    q146TransformWithState, q154StreamStreamJoin, q158WatermarkEviction)
+    q146TransformWithState, q154StreamStreamJoin, q158WatermarkEviction,
+    q164StreamingSessions)
 }
