@@ -150,6 +150,7 @@ object Multimodal {
       */
     def decodePixels(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
       if (HeaderCodec.sniff(p) != "bmp") return None
+      if (p.length < 54) return None // truncated before BITMAPINFOHEADER ends
       val off = rd32(p, 10)
       val w = rd32(p, 18)
       val rawH = rd32(p, 22)
@@ -518,6 +519,7 @@ object Multimodal {
       */
     def decodePixels(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
       if (HeaderCodec.sniff(p) != "gif") return None
+      if (p.length < 13) return None // truncated screen descriptor
       val w = rd16(p, 6); val h = rd16(p, 8)
       if (w <= 0 || h <= 0 || w.toLong * h > MaxPixelBytes) return None
       val packed = p(10) & 0xff
@@ -634,7 +636,7 @@ object Multimodal {
         // hostile negative chunk size would walk i BACKWARDS and loop the
         // task forever — reject the container instead
         if (sz < 0) return None
-        if (isTag(p, i, "fmt ") && sz >= 16)
+        if (isTag(p, i, "fmt ") && sz >= 16 && i + 24 <= p.length)
           fmtOk = rd16(p, i + 8) == 1 && rd16(p, i + 22) == 16
         else if (isTag(p, i, "data"))
           data = Some((i + 8, math.min(sz, p.length - i - 8)))
@@ -710,7 +712,7 @@ object Multimodal {
       while (i + 8 <= p.length) {
         val sz = rd32(p, i + 4)
         if (sz < 0) return None // negative size would walk i backwards
-        if (isTag(p, i, "fmt ") && sz >= 16)
+        if (isTag(p, i, "fmt ") && sz >= 16 && i + 24 <= p.length)
           fmtOk = rd16(p, i + 8) == 7 && rd16(p, i + 22) == 8
         else if (isTag(p, i, "data"))
           data = Some((i + 8, math.min(sz, p.length - i - 8)))

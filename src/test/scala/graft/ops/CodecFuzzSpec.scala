@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Multimodal._
+
+/** Deterministic corruption fuzz across every container codec: decoders run
+  * inside mapPartitions tasks, so on ANY corrupt input they must return
+  * None (or a wrong-but-bounded value) — never throw, never hang, never
+  * allocate past the decode budget. One byte flipped at every position and
+  * every truncation length, per format.
+  */
+class CodecFuzzSpec extends AnyFunSuite {
+
+  private val payload =
+    (0 until 64).map(i => ((i * 31 + 7) % 256).toByte).toArray
+
+  private def fuzz(name: String, container: Array[Byte],
+      decode: Array[Byte] => Any): Unit = {
+    for (i <- container.indices) {
+      val mut = container.clone()
+      mut(i) = (mut(i) ^ ((i * 41 + 3) & 0xff)).toByte
+      try decode(mut) catch {
+        case e: Throwable =>
+          fail(s"$name decode threw ${e.getClass.getSimpleName} with byte $i flipped")
+      }
+      try decode(container.take(i)) catch {
+        case e: Throwable =>
+          fail(s"$name decode threw ${e.getClass.getSimpleName} truncated at $i")
+      }
+    }
+  }
+
+  test("BMP decode survives every one-byte flip and truncation") {
+    fuzz("bmp", BmpCodec.encode(payload), BmpCodec.decodePixels)
+  }
+
+  test("PNG decode survives every one-byte flip and truncation") {
+    fuzz("png", PngCodec.encode(payload), PngCodec.decodePixels)
+  }
+
+  test("GIF decode survives every one-byte flip and truncation") {
+    fuzz("gif", GifCodec.encode(payload), GifCodec.decodePixels)
+  }
+
+  test("WAV and mu-law decode survive every one-byte flip and truncation") {
+    fuzz("wav", WavCodec.encode(payload), WavCodec.decodeSamples)
+    fuzz("mulaw", MuLawCodec.encode(payload), MuLawCodec.decodeSamples)
+  }
+}
