@@ -47,4 +47,12 @@ class CodecFuzzSpec extends AnyFunSuite {
     fuzz("wav", WavCodec.encode(payload), WavCodec.decodeSamples)
     fuzz("mulaw", MuLawCodec.encode(payload), MuLawCodec.decodeSamples)
   }
+
+  test("header-level decodeDims (the q32 path) survives corruption of every format") {
+    for ((name, c) <- Seq(
+        "bmp" -> BmpCodec.encode(payload), "png" -> PngCodec.encode(payload),
+        "gif" -> GifCodec.encode(payload), "wav" -> WavCodec.encode(payload),
+        "jpeg" -> JpegCodec.encode(payload)))
+      fuzz(s"dims:$name", c, decodeDims)
+  }
 }
