@@ -731,10 +731,13 @@ object Multimodal {
     * (FF 00) and restart-marker (DRI/RSTn) handling. `decodePixels` decodes
     * any conforming single-component baseline sequential JPEG — DC + AC
     * coefficients, multiple DQT/DHT segments, 8/16-bit quant tables,
-    * restart intervals — not just this encoder's output. Out of scope
-    * (returns None, the remaining honest [[FakeCodec]] boundary together
-    * with compressed audio): multi-component color (subsampled MCU
-    * interleave + YCbCr), progressive (SOF2), arithmetic coding.
+    * restart intervals — not just this encoder's output; `decodeColorPixels`
+    * extends that to 3-component 4:4:4 color (interleaved MCUs, three
+    * independent DC predictors, per-component quant/Huffman selection,
+    * JFIF YCbCr → RGB). Out of scope (returns None, the remaining honest
+    * [[FakeCodec]] boundary together with perceptual audio): SUBSAMPLED
+    * color (4:2:0/4:2:2 MCU geometry), progressive (SOF2), arithmetic
+    * coding.
     *
     * `encode` packs one payload byte per FLAT 8×8 block (4 blocks per row,
     * zero-padded tail). A flat block has only a DC coefficient, and with
@@ -828,7 +831,7 @@ object Multimodal {
       if (v >= 0) v else v + (1 << cat) - 1
 
     private def writeHeaders(out: java.io.ByteArrayOutputStream, w: Int,
-        h: Int, qtab: Array[Int], restartInterval: Int): Unit = {
+        h: Int, qtab: Array[Int], restartInterval: Int, nc: Int = 1): Unit = {
       out.write(0xff); out.write(0xd8) // SOI
       out.write(0xff); out.write(0xe0) // APP0 JFIF
       w16(out, 16)
@@ -840,10 +843,10 @@ object Multimodal {
       w16(out, 2 + 1 + 64)
       out.write(0x00)
       Zigzag.indices.foreach(k => out.write(qtab(k)))
-      out.write(0xff); out.write(0xc0) // SOF0: 8-bit, 1 component, 1x1
-      w16(out, 11)
-      out.write(8); w16(out, h); w16(out, w); out.write(1)
-      out.write(1); out.write(0x11); out.write(0)
+      out.write(0xff); out.write(0xc0) // SOF0: 8-bit, nc components, all 1x1
+      w16(out, 8 + 3 * nc)
+      out.write(8); w16(out, h); w16(out, w); out.write(nc)
+      for (c <- 1 to nc) { out.write(c); out.write(0x11); out.write(0) }
       out.write(0xff); out.write(0xc4) // DHT: DC class 0 id 0 + AC class 1 id 0
       w16(out, 2 + (1 + 16 + DcVals.length) + (1 + 16 + AcVals.length))
       out.write(0x00); DcBits.foreach(out.write); DcVals.foreach(b => out.write(b & 0xff))
@@ -851,9 +854,10 @@ object Multimodal {
       if (restartInterval > 0) {
         out.write(0xff); out.write(0xdd); w16(out, 4); w16(out, restartInterval)
       }
-      out.write(0xff); out.write(0xda) // SOS: 1 component, tables 0/0
-      w16(out, 8)
-      out.write(1); out.write(1); out.write(0x00)
+      out.write(0xff); out.write(0xda) // SOS: all components, tables 0/0
+      w16(out, 6 + 2 * nc)
+      out.write(nc)
+      for (c <- 1 to nc) { out.write(c); out.write(0x00) }
       out.write(0); out.write(63); out.write(0)
     }
 
@@ -889,6 +893,47 @@ object Multimodal {
       }
       bw.flush()
       out.write(0xff); out.write(0xd9) // EOI
+      out.toByteArray
+    }
+
+    /** 3-component 4:4:4 color variant of [[encode]]: luma carries one flat
+      * payload block per byte, chroma is flat neutral (Cb = Cr = 128, i.e.
+      * level-shifted DC 0) — so the decoded RGB equals the payload gray
+      * triplicated EXACTLY (R = Y + 1.402·0, etc.), keeping the color path
+      * oracle-expressible while exercising MCU interleave and the three
+      * independent DC predictors.
+      */
+    def encodeColor(payload: Array[Byte], restartInterval: Int = 0): Array[Byte] = {
+      val nBlocks = math.max(1, (payload.length + BlocksPerRow - 1) / BlocksPerRow) * BlocksPerRow
+      val w = BlocksPerRow * 8; val h = nBlocks / BlocksPerRow * 8
+      val qtab = Array.tabulate(64)(k => if (k == 0) 8 else 16)
+      val out = new java.io.ByteArrayOutputStream()
+      writeHeaders(out, w, h, qtab, restartInterval, nc = 3)
+      val dcCodes = canonical(DcBits, DcVals)
+      val acCodes = canonical(AcBits, AcVals)
+      var bw = new BitWriter(out)
+      val pred = new Array[Int](3); var rst = 0
+      val (ec, el) = acCodes(0x00) // EOB
+      for (i <- 0 until nBlocks) {
+        if (restartInterval > 0 && i > 0 && i % restartInterval == 0) {
+          bw.flush()
+          out.write(0xff); out.write(0xd0 + rst); rst = (rst + 1) % 8
+          bw = new BitWriter(out); java.util.Arrays.fill(pred, 0)
+        }
+        val v = if (i < payload.length) payload(i) & 0xff else 0
+        // MCU = Y, Cb, Cr blocks interleaved; chroma DC is 0 (neutral 128)
+        for (c <- 0 until 3) {
+          val dc = if (c == 0) v - 128 else 0
+          val diff = dc - pred(c); pred(c) = dc
+          val cat = category(diff)
+          val (cc, cl) = dcCodes(cat)
+          bw.put(cc, cl)
+          if (cat > 0) bw.put(valueBits(diff, cat), cat)
+          bw.put(ec, el)
+        }
+      }
+      bw.flush()
+      out.write(0xff); out.write(0xd9)
       out.toByteArray
     }
 
@@ -1039,22 +1084,55 @@ object Multimodal {
       * None for color/progressive/arithmetic/malformed containers.
       */
     def decodePixels(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
-      try decodeOrThrow(p) catch {
+      try decodeOrThrow(p).collect {
+        case (w, h, planes) if planes.length == 1 => (w, h, planes(0))
+      } catch {
         case _: DecodeFail | _: ArrayIndexOutOfBoundsException => None
       }
     }
 
-    private def decodeOrThrow(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    /** Header-driven decode of any 3-component 4:4:4 baseline sequential
+      * JPEG: YCbCr → RGB per JFIF (R = Y + 1.402·Cr', G = Y − 0.344136·Cb'
+      * − 0.714136·Cr', B = Y + 1.772·Cb'), returns interleaved RGB bytes.
+      */
+    def decodeColorPixels(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      try decodeOrThrow(p).collect {
+        case (w, h, pl) if pl.length == 3 =>
+          val rgb = new Array[Byte](w * h * 3)
+          def clamp(v: Long) = math.max(0L, math.min(255L, v)).toByte
+          var i = 0
+          while (i < w * h) {
+            val y = pl(0)(i) & 0xff
+            val cb = (pl(1)(i) & 0xff) - 128
+            val cr = (pl(2)(i) & 0xff) - 128
+            rgb(3 * i) = clamp(math.round(y + 1.402 * cr))
+            rgb(3 * i + 1) = clamp(math.round(y - 0.344136 * cb - 0.714136 * cr))
+            rgb(3 * i + 2) = clamp(math.round(y + 1.772 * cb))
+            i += 1
+          }
+          (w, h, rgb)
+      } catch {
+        case _: DecodeFail | _: ArrayIndexOutOfBoundsException => None
+      }
+    }
+
+    /** Decoded component planes: width, height, one w×h byte plane per
+      * SOF component in scan order.
+      */
+    private def decodeOrThrow(p: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] = {
       if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
         return None
       val qtabs = new Array[Array[Int]](4)
       val dcTabs = new Array[HuffTable](4)
       val acTabs = new Array[HuffTable](4)
-      var w = 0; var h = 0; var tq = 0; var restartInterval = 0
+      var w = 0; var h = 0; var restartInterval = 0
+      // per SOF component: (component id, quant table id)
+      var comps: Array[(Int, Int)] = null
       var i = 2
       def u16(at: Int) = ((p(at) & 0xff) << 8) | (p(at + 1) & 0xff)
       var scanStart = -1
-      var dcSel = 0; var acSel = 0
+      // per scan component, in SOF order: (dc table id, ac table id)
+      var sel: Array[(Int, Int)] = null
       while (scanStart < 0) {
         if (i + 4 > p.length) return None
         if ((p(i) & 0xff) != 0xff) return None
@@ -1086,78 +1164,99 @@ object Multimodal {
               if (cls == 0) dcTabs(id) = t else acTabs(id) = t
               j += 17 + nv
             }
-          case 0xc0 => // SOF0 baseline
+          case 0xc0 => // SOF0 baseline; 1 or 3 components, all 1×1 sampling
             if ((p(i + 4) & 0xff) != 8) return None
             h = u16(i + 5); w = u16(i + 7)
             val nc = p(i + 9) & 0xff
-            if (nc != 1) return None // grayscale scope (see scaladoc)
-            if ((p(i + 11) & 0xff) != 0x11) return None
-            tq = p(i + 12) & 0x0f
-            if (w <= 0 || h <= 0 || w.toLong * h > MaxPixelBytes) return None
+            if (nc != 1 && nc != 3) return None
+            comps = Array.tabulate(nc) { c =>
+              if ((p(i + 11 + 3 * c) & 0xff) != 0x11) return None // subsampled
+              (p(i + 10 + 3 * c) & 0xff, p(i + 12 + 3 * c) & 0x0f)
+            }
+            if (w <= 0 || h <= 0 || w.toLong * h * nc > MaxPixelBytes) return None
           case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
                0xcc | 0xcd | 0xce | 0xcf =>
             return None // extended/progressive/lossless/arithmetic
           case 0xdd =>
             restartInterval = u16(i + 4)
-          case 0xda => // SOS
-            if ((p(i + 4) & 0xff) != 1) return None
-            dcSel = (p(i + 6) & 0xff) >> 4; acSel = p(i + 6) & 0x0f
+          case 0xda => // SOS: every SOF component, in SOF order
+            if (comps == null || (p(i + 4) & 0xff) != comps.length) return None
+            val bySel = Array.tabulate(comps.length) { c =>
+              (p(i + 5 + 2 * c) & 0xff,
+                ((p(i + 6 + 2 * c) & 0xff) >> 4, p(i + 6 + 2 * c) & 0x0f))
+            }.toMap
+            sel = comps.map { case (cid, _) =>
+              bySel.getOrElse(cid, return None)
+            }
             scanStart = i + 2 + len
           case _ => () // APPn / COM / others: skip
         }
         i += 2 + len
       }
-      if (w == 0 || qtabs(tq) == null || dcTabs(dcSel) == null ||
-        acTabs(acSel) == null) return None
-      val q = qtabs(tq); val dcT = dcTabs(dcSel); val acT = acTabs(acSel)
+      if (comps == null || sel == null) return None
+      val nc = comps.length
+      val q = comps.map { case (_, tq) =>
+        if (qtabs(tq) == null) return None else qtabs(tq)
+      }
+      val dcT = sel.map { case (d, _) =>
+        if (dcTabs(d) == null) return None else dcTabs(d)
+      }
+      val acT = sel.map { case (_, a) =>
+        if (acTabs(a) == null) return None else acTabs(a)
+      }
       val bx = (w + 7) / 8; val by = (h + 7) / 8
-      val px = new Array[Byte](w * h)
+      val planes = Array.fill(nc)(new Array[Byte](w * h))
       val br = new BitReader(p, scanStart)
-      var pred = 0; var mcu = 0
+      val pred = new Array[Int](nc)
+      var mcu = 0
       val coef = new Array[Int](64)
       val tmp = new Array[Double](64)
       for (byi <- 0 until by; bxi <- 0 until bx) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          br.restart(); pred = 0
+          br.restart(); java.util.Arrays.fill(pred, 0)
         }
         mcu += 1
-        java.util.Arrays.fill(coef, 0)
-        val dcat = dcT.decode(br)
-        if (dcat > 15) throw new DecodeFail
-        pred += extend(br.receive(dcat), dcat)
-        coef(0) = pred * q(0)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = acT.decode(br)
-          val r = rs >> 4; val s = rs & 0x0f
-          if (s == 0) {
-            if (r == 15) k += 16 else eob = true // ZRL / EOB
-          } else {
-            k += r
-            if (k > 63) throw new DecodeFail
-            coef(Zigzag(k)) = extend(br.receive(s), s) * q(k)
-            k += 1
+        // MCU at 1×1 sampling = one block per component, interleaved
+        for (c <- 0 until nc) {
+          java.util.Arrays.fill(coef, 0)
+          val dcat = dcT(c).decode(br)
+          if (dcat > 15) throw new DecodeFail
+          pred(c) += extend(br.receive(dcat), dcat)
+          coef(0) = pred(c) * q(c)(0)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = acT(c).decode(br)
+            val r = rs >> 4; val s = rs & 0x0f
+            if (s == 0) {
+              if (r == 15) k += 16 else eob = true // ZRL / EOB
+            } else {
+              k += r
+              if (k > 63) throw new DecodeFail
+              coef(Zigzag(k)) = extend(br.receive(s), s) * q(c)(k)
+              k += 1
+            }
+          }
+          // separable IDCT (A.3.3), double precision
+          for (y <- 0 until 8; x <- 0 until 8) {
+            var acc = 0.0
+            var u = 0
+            while (u < 8) { acc += Cn(u) * coef(y * 8 + u) * Cos(u)(x); u += 1 }
+            tmp(y * 8 + x) = 0.5 * acc
+          }
+          for (y <- 0 until 8; x <- 0 until 8) {
+            var acc = 0.0
+            var v = 0
+            while (v < 8) { acc += Cn(v) * tmp(v * 8 + x) * Cos(v)(y); v += 1 }
+            val out = math.round(0.5 * acc + 128.0)
+            val gx = bxi * 8 + x; val gy = byi * 8 + y
+            if (gx < w && gy < h)
+              planes(c)(gy * w + gx) =
+                math.max(0L, math.min(255L, out)).toByte
           }
         }
-        // separable IDCT (A.3.3), double precision
-        for (y <- 0 until 8; x <- 0 until 8) {
-          var acc = 0.0
-          var u = 0
-          while (u < 8) { acc += Cn(u) * coef(y * 8 + u) * Cos(u)(x); u += 1 }
-          tmp(y * 8 + x) = 0.5 * acc
-        }
-        for (y <- 0 until 8; x <- 0 until 8) {
-          var acc = 0.0
-          var v = 0
-          while (v < 8) { acc += Cn(v) * tmp(v * 8 + x) * Cos(v)(y); v += 1 }
-          val out = math.round(0.5 * acc + 128.0)
-          val gx = bxi * 8 + x; val gy = byi * 8 + y
-          if (gx < w && gy < h)
-            px(gy * w + gx) = math.max(0L, math.min(255L, out)).toByte
-        }
       }
-      Some((w, h, px))
+      Some((w, h, planes))
     }
   }
 
@@ -1760,6 +1859,31 @@ object Multimodal {
            |SELECT i, j, CAST(ham AS BIGINT) AS ham FROM p WHERE ham <= 3
            |ORDER BY i, j""".stripMargin))
 
+  final case class JpegColorContent(doc_id: Long, n_bytes: Int, jpg_w: Int,
+      jpg_h: Int, mean_rgb: Double, max_channel: Int)
+
+  /** COLOR decode through the full 3-component path: payload → real 4:4:4
+    * JFIF (luma = flat payload blocks, chroma = flat neutral 128) →
+    * interleaved-MCU Huffman decode → YCbCr→RGB. Neutral chroma makes
+    * R = G = B = payload byte exactly, so the oracle stays closed-form
+    * while the decode exercises three DC predictor chains and the color
+    * conversion.
+    */
+  def decodeContentJpegColor(media: Dataset[MediaRow]): Dataset[JpegColorContent] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, rgb) = JpegCodec.decodeColorPixels(JpegCodec.encodeColor(r.payload))
+          .getOrElse(throw new IllegalStateException("color JPEG roundtrip failed"))
+        var psum = 0L
+        var mx = 0
+        rgb.foreach { b => val v = b & 0xff; psum += v; if (v > mx) mx = v }
+        JpegColorContent(r.doc_id, r.payload.length, w, h,
+          psum.toDouble / rgb.length, mx)
+      }
+    }
+  }
+
   /** Transform-coded-container decode end-to-end: payload → real baseline
     * JFIF → Huffman + dequant + IDCT → mean pixel / max gray. The flat
     * DC-only encoding with q_DC = 8 is the point where JPEG's lossy
@@ -1876,7 +2000,42 @@ object Multimodal {
            |  CAST(list_max(thumb) AS INT) AS rs_max
            |FROM s ORDER BY doc_id""".stripMargin))
 
+  /** Color-JPEG decode end-to-end: the 3-component 4:4:4 path (interleaved
+    * MCUs, three DC predictor chains, YCbCr→RGB) under the oracle gate.
+    * Neutral chroma keeps the lossy pipeline exactly invertible, so mean
+    * RGB = mean payload byte and max channel = max byte — same closed
+    * forms as q159 over three channels.
+    */
+  val q165JpegColorDecode = GraftQuery(
+    "q165_jpeg_color_decode",
+    (s, dir) => {
+      import s.implicits._
+      val media = attachBinary(Tables.documents(s, dir).filter(col("doc_id") < 50))
+        .as[MediaRow]
+      decodeContentJpegColor(media).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("jpg_w"), col("jpg_h"),
+          round(col("mean_rgb"), 6).as("mean_rgb"), col("max_channel"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, text, CAST(length(text) AS INT) AS len
+           |  FROM documents WHERE doc_id < 50),
+           |b AS (
+           |  SELECT doc_id, len,
+           |    greatest(1, (len + 3) // 4) AS nrows,
+           |    COALESCE(list_sum(list_transform(range(1, len + 1),
+           |      i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS bytesum,
+           |    COALESCE(list_max(list_transform(range(1, len + 1),
+           |      i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS mx
+           |  FROM t)
+           |SELECT doc_id, len AS n_bytes,
+           |  CAST(32 AS INT) AS jpg_w, CAST(nrows * 8 AS INT) AS jpg_h,
+           |  round(bytesum::DOUBLE / (nrows * 4), 6) AS mean_rgb,
+           |  CAST(mx AS INT) AS max_channel
+           |FROM b ORDER BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q32MultimodalMeta, q62MultimodalFrames,
     q131MultimodalDecode, q140PngDecode, q142GifDecode, q151PerceptualDedup,
-    q156BandedPerceptualPairs, q159JpegDecode, q160MulawDecode, q162ImageResize)
+    q156BandedPerceptualPairs, q159JpegDecode, q160MulawDecode, q162ImageResize,
+    q165JpegColorDecode)
 }

@@ -48,6 +48,10 @@ class CodecFuzzSpec extends AnyFunSuite {
     fuzz("mulaw", MuLawCodec.encode(payload), MuLawCodec.decodeSamples)
   }
 
+  test("color JPEG decode survives every one-byte flip and truncation") {
+    fuzz("jpeg-color", JpegCodec.encodeColor(payload), JpegCodec.decodeColorPixels)
+  }
+
   test("header-level decodeDims (the q32 path) survives corruption of every format") {
     for ((name, c) <- Seq(
         "bmp" -> BmpCodec.encode(payload), "png" -> PngCodec.encode(payload),

@@ -56,6 +56,27 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(a._3.sameElements(b._3))
   }
 
+  test("4:4:4 color encode decodes to exact gray triplets via YCbCr") {
+    val jpg = JpegCodec.encodeColor(payload)
+    val Some((w, h, rgb)) = JpegCodec.decodeColorPixels(jpg)
+    assert(w == 32 && h == 8 * 25 && rgb.length == w * h * 3)
+    for (i <- 0 until 25 * 4) {
+      val expected = if (i < payload.length) payload(i) & 0xff else 0
+      val bx = i % 4; val by = i / 4
+      for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3) {
+        val got = rgb(((by * 8 + y) * w + bx * 8 + x) * 3 + c) & 0xff
+        assert(got == expected, s"block $i ($x,$y) ch $c: $got != $expected")
+      }
+    }
+    // gray and color decoders reject each other's component counts
+    assert(JpegCodec.decodePixels(jpg).isEmpty)
+    assert(JpegCodec.decodeColorPixels(JpegCodec.encode(payload)).isEmpty)
+    // restart markers reset all three DC predictors
+    val rst = JpegCodec.decodeColorPixels(
+      JpegCodec.encodeColor(payload, restartInterval = 3)).get
+    assert(rst._3.sameElements(rgb))
+  }
+
   test("decode fails soft on any corruption (deterministic fuzz)") {
     // a decoder that runs inside mapPartitions must return None on garbage,
     // never throw: flip one byte at every position, truncate at every
