@@ -831,7 +831,8 @@ object Multimodal {
       if (v >= 0) v else v + (1 << cat) - 1
 
     private def writeHeaders(out: java.io.ByteArrayOutputStream, w: Int,
-        h: Int, qtab: Array[Int], restartInterval: Int, nc: Int = 1): Unit = {
+        h: Int, qtab: Array[Int], restartInterval: Int, nc: Int = 1,
+        lumaHv: Int = 0x11): Unit = {
       out.write(0xff); out.write(0xd8) // SOI
       out.write(0xff); out.write(0xe0) // APP0 JFIF
       w16(out, 16)
@@ -846,7 +847,9 @@ object Multimodal {
       out.write(0xff); out.write(0xc0) // SOF0: 8-bit, nc components, all 1x1
       w16(out, 8 + 3 * nc)
       out.write(8); w16(out, h); w16(out, w); out.write(nc)
-      for (c <- 1 to nc) { out.write(c); out.write(0x11); out.write(0) }
+      for (c <- 1 to nc) {
+        out.write(c); out.write(if (c == 1) lumaHv else 0x11); out.write(0)
+      }
       out.write(0xff); out.write(0xc4) // DHT: DC class 0 id 0 + AC class 1 id 0
       w16(out, 2 + (1 + 16 + DcVals.length) + (1 + 16 + AcVals.length))
       out.write(0x00); DcBits.foreach(out.write); DcVals.foreach(b => out.write(b & 0xff))
@@ -931,6 +934,55 @@ object Multimodal {
           if (cat > 0) bw.put(valueBits(diff, cat), cat)
           bw.put(ec, el)
         }
+      }
+      bw.flush()
+      out.write(0xff); out.write(0xd9)
+      out.toByteArray
+    }
+
+    /** 4:2:0 SUBSAMPLED color variant: the MCU is 2×2 luma blocks plus one
+      * Cb and one Cr block covering the same 16×16 area at half resolution
+      * — the geometry virtually every camera JPEG uses. Luma carries one
+      * flat payload block per byte (luma block rows padded to even so MCUs
+      * tile exactly), chroma is flat neutral, so nearest-neighbor chroma
+      * upsampling is exact and decoded RGB still equals the payload gray.
+      */
+    def encode420(payload: Array[Byte], restartInterval: Int = 0): Array[Byte] = {
+      val nr0 = math.max(1, (payload.length + BlocksPerRow - 1) / BlocksPerRow)
+      val lumaRows = nr0 + (nr0 % 2) // even: MCUs are 2 luma-block rows tall
+      val w = BlocksPerRow * 8; val h = lumaRows * 8
+      val qtab = Array.tabulate(64)(k => if (k == 0) 8 else 16)
+      val out = new java.io.ByteArrayOutputStream()
+      writeHeaders(out, w, h, qtab, restartInterval, nc = 3, lumaHv = 0x22)
+      val dcCodes = canonical(DcBits, DcVals)
+      val acCodes = canonical(AcBits, AcVals)
+      var bw = new BitWriter(out)
+      val pred = new Array[Int](3); var rst = 0
+      val (ec, el) = acCodes(0x00)
+      def block(c: Int, dc: Int): Unit = {
+        val diff = dc - pred(c); pred(c) = dc
+        val cat = category(diff)
+        val (cc, cl) = dcCodes(cat)
+        bw.put(cc, cl)
+        if (cat > 0) bw.put(valueBits(diff, cat), cat)
+        bw.put(ec, el)
+      }
+      val mcusX = BlocksPerRow / 2; val mcusY = lumaRows / 2
+      var mcu = 0
+      for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush()
+          out.write(0xff); out.write(0xd0 + rst); rst = (rst + 1) % 8
+          bw = new BitWriter(out); java.util.Arrays.fill(pred, 0)
+        }
+        mcu += 1
+        for (bv <- 0 until 2; bh <- 0 until 2) { // Y: 2×2 blocks, row-major
+          val bi = (my * 2 + bv) * BlocksPerRow + (mx * 2 + bh)
+          val v = if (bi < payload.length) payload(bi) & 0xff else 0
+          block(0, v - 128)
+        }
+        block(1, 0) // Cb: flat neutral
+        block(2, 0) // Cr
       }
       bw.flush()
       out.write(0xff); out.write(0xd9)
@@ -1126,8 +1178,8 @@ object Multimodal {
       val dcTabs = new Array[HuffTable](4)
       val acTabs = new Array[HuffTable](4)
       var w = 0; var h = 0; var restartInterval = 0
-      // per SOF component: (component id, quant table id)
-      var comps: Array[(Int, Int)] = null
+      // per SOF component: (component id, h factor, v factor, quant table id)
+      var comps: Array[(Int, Int, Int, Int)] = null
       var i = 2
       def u16(at: Int) = ((p(at) & 0xff) << 8) | (p(at + 1) & 0xff)
       var scanStart = -1
@@ -1164,14 +1216,17 @@ object Multimodal {
               if (cls == 0) dcTabs(id) = t else acTabs(id) = t
               j += 17 + nv
             }
-          case 0xc0 => // SOF0 baseline; 1 or 3 components, all 1×1 sampling
+          case 0xc0 => // SOF0 baseline; 1 or 3 components, factors 1 or 2
             if ((p(i + 4) & 0xff) != 8) return None
             h = u16(i + 5); w = u16(i + 7)
             val nc = p(i + 9) & 0xff
             if (nc != 1 && nc != 3) return None
             comps = Array.tabulate(nc) { c =>
-              if ((p(i + 11 + 3 * c) & 0xff) != 0x11) return None // subsampled
-              (p(i + 10 + 3 * c) & 0xff, p(i + 12 + 3 * c) & 0x0f)
+              val hv = p(i + 11 + 3 * c) & 0xff
+              val (sh, sv) = (hv >> 4, hv & 0x0f)
+              if (sh < 1 || sh > 2 || sv < 1 || sv > 2) return None
+              if (nc == 1 && hv != 0x11) return None // 1-comp scans: 1×1
+              (p(i + 10 + 3 * c) & 0xff, sh, sv, p(i + 12 + 3 * c) & 0x0f)
             }
             if (w <= 0 || h <= 0 || w.toLong * h * nc > MaxPixelBytes) return None
           case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
@@ -1185,7 +1240,7 @@ object Multimodal {
               (p(i + 5 + 2 * c) & 0xff,
                 ((p(i + 6 + 2 * c) & 0xff) >> 4, p(i + 6 + 2 * c) & 0x0f))
             }.toMap
-            sel = comps.map { case (cid, _) =>
+            sel = comps.map { case (cid, _, _, _) =>
               bySel.getOrElse(cid, return None)
             }
             scanStart = i + 2 + len
@@ -1195,7 +1250,7 @@ object Multimodal {
       }
       if (comps == null || sel == null) return None
       val nc = comps.length
-      val q = comps.map { case (_, tq) =>
+      val q = comps.map { case (_, _, _, tq) =>
         if (qtabs(tq) == null) return None else qtabs(tq)
       }
       val dcT = sel.map { case (d, _) =>
@@ -1204,55 +1259,76 @@ object Multimodal {
       val acT = sel.map { case (_, a) =>
         if (acTabs(a) == null) return None else acTabs(a)
       }
-      val bx = (w + 7) / 8; val by = (h + 7) / 8
+      val hmax = comps.map(_._2).max; val vmax = comps.map(_._3).max
+      val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+      // planes land at FULL resolution: subsampled components replicate
+      // each decoded sample hmax/hc × vmax/vc times (nearest-neighbor
+      // upsampling — exact for the flat-chroma encodings, a conforming
+      // choice for general content)
       val planes = Array.fill(nc)(new Array[Byte](w * h))
       val br = new BitReader(p, scanStart)
       val pred = new Array[Int](nc)
       var mcu = 0
       val coef = new Array[Int](64)
       val tmp = new Array[Double](64)
-      for (byi <- 0 until by; bxi <- 0 until bx) {
+      for (my <- 0 until mcusY; mx <- 0 until mcusX) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           br.restart(); java.util.Arrays.fill(pred, 0)
         }
         mcu += 1
-        // MCU at 1×1 sampling = one block per component, interleaved
+        // MCU = hc×vc blocks per component, components interleaved, each
+        // component's blocks left-to-right then top-to-bottom (A.2.3)
         for (c <- 0 until nc) {
-          java.util.Arrays.fill(coef, 0)
-          val dcat = dcT(c).decode(br)
-          if (dcat > 15) throw new DecodeFail
-          pred(c) += extend(br.receive(dcat), dcat)
-          coef(0) = pred(c) * q(c)(0)
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob) {
-            val rs = acT(c).decode(br)
-            val r = rs >> 4; val s = rs & 0x0f
-            if (s == 0) {
-              if (r == 15) k += 16 else eob = true // ZRL / EOB
-            } else {
-              k += r
-              if (k > 63) throw new DecodeFail
-              coef(Zigzag(k)) = extend(br.receive(s), s) * q(c)(k)
-              k += 1
+          val (_, hc, vc, _) = comps(c)
+          val sx = hmax / hc; val sy = vmax / vc
+          for (bv <- 0 until vc; bh <- 0 until hc) {
+            java.util.Arrays.fill(coef, 0)
+            val dcat = dcT(c).decode(br)
+            if (dcat > 15) throw new DecodeFail
+            pred(c) += extend(br.receive(dcat), dcat)
+            coef(0) = pred(c) * q(c)(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = acT(c).decode(br)
+              val r = rs >> 4; val s = rs & 0x0f
+              if (s == 0) {
+                if (r == 15) k += 16 else eob = true // ZRL / EOB
+              } else {
+                k += r
+                if (k > 63) throw new DecodeFail
+                coef(Zigzag(k)) = extend(br.receive(s), s) * q(c)(k)
+                k += 1
+              }
             }
-          }
-          // separable IDCT (A.3.3), double precision
-          for (y <- 0 until 8; x <- 0 until 8) {
-            var acc = 0.0
-            var u = 0
-            while (u < 8) { acc += Cn(u) * coef(y * 8 + u) * Cos(u)(x); u += 1 }
-            tmp(y * 8 + x) = 0.5 * acc
-          }
-          for (y <- 0 until 8; x <- 0 until 8) {
-            var acc = 0.0
-            var v = 0
-            while (v < 8) { acc += Cn(v) * tmp(v * 8 + x) * Cos(v)(y); v += 1 }
-            val out = math.round(0.5 * acc + 128.0)
-            val gx = bxi * 8 + x; val gy = byi * 8 + y
-            if (gx < w && gy < h)
-              planes(c)(gy * w + gx) =
-                math.max(0L, math.min(255L, out)).toByte
+            // separable IDCT (A.3.3), double precision
+            for (y <- 0 until 8; x <- 0 until 8) {
+              var acc = 0.0
+              var u = 0
+              while (u < 8) { acc += Cn(u) * coef(y * 8 + u) * Cos(u)(x); u += 1 }
+              tmp(y * 8 + x) = 0.5 * acc
+            }
+            // block origin in component coords, then upsample-replicate
+            val cx0 = (mx * hc + bh) * 8; val cy0 = (my * vc + bv) * 8
+            for (y <- 0 until 8; x <- 0 until 8) {
+              var acc = 0.0
+              var v = 0
+              while (v < 8) { acc += Cn(v) * tmp(v * 8 + x) * Cos(v)(y); v += 1 }
+              val out = math.round(0.5 * acc + 128.0)
+              val b = math.max(0L, math.min(255L, out)).toByte
+              var ry = 0
+              while (ry < sy) {
+                val gy = (cy0 + y) * sy + ry
+                var rx = 0
+                while (rx < sx) {
+                  val gx = (cx0 + x) * sx + rx
+                  if (gx < w && gy < h) planes(c)(gy * w + gx) = b
+                  rx += 1
+                }
+                ry += 1
+              }
+            }
           }
         }
       }
@@ -1884,6 +1960,25 @@ object Multimodal {
     }
   }
 
+  /** 4:2:0 sibling of [[decodeContentJpegColor]]: the subsampled-MCU
+    * geometry (2×2 luma + 1 Cb + 1 Cr) with nearest-neighbor chroma
+    * upsampling, exact under flat neutral chroma.
+    */
+  def decodeContentJpeg420(media: Dataset[MediaRow]): Dataset[JpegColorContent] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, rgb) = JpegCodec.decodeColorPixels(JpegCodec.encode420(r.payload))
+          .getOrElse(throw new IllegalStateException("4:2:0 JPEG roundtrip failed"))
+        var psum = 0L
+        var mx = 0
+        rgb.foreach { b => val v = b & 0xff; psum += v; if (v > mx) mx = v }
+        JpegColorContent(r.doc_id, r.payload.length, w, h,
+          psum.toDouble / rgb.length, mx)
+      }
+    }
+  }
+
   /** Transform-coded-container decode end-to-end: payload → real baseline
     * JFIF → Huffman + dequant + IDCT → mean pixel / max gray. The flat
     * DC-only encoding with q_DC = 8 is the point where JPEG's lossy
@@ -2034,8 +2129,44 @@ object Multimodal {
            |  CAST(mx AS INT) AS max_channel
            |FROM b ORDER BY doc_id""".stripMargin))
 
+  /** SUBSAMPLED (4:2:0) JPEG decode end-to-end — the MCU geometry virtually
+    * every camera JPEG ships: 2×2 luma blocks + one Cb + one Cr per MCU,
+    * three predictor chains, chroma upsampling, YCbCr→RGB. Flat neutral
+    * chroma keeps the whole lossy pipeline exactly invertible; luma block
+    * rows pad to EVEN so MCUs tile, which the oracle mirrors in its row
+    * count.
+    */
+  val q166Jpeg420Decode = GraftQuery(
+    "q166_jpeg420_decode",
+    (s, dir) => {
+      import s.implicits._
+      val media = attachBinary(Tables.documents(s, dir).filter(col("doc_id") < 50))
+        .as[MediaRow]
+      decodeContentJpeg420(media).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("jpg_w"), col("jpg_h"),
+          round(col("mean_rgb"), 6).as("mean_rgb"), col("max_channel"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, text, CAST(length(text) AS INT) AS len
+           |  FROM documents WHERE doc_id < 50),
+           |b AS (
+           |  SELECT doc_id, len,
+           |    greatest(1, (len + 3) // 4)
+           |      + (greatest(1, (len + 3) // 4) % 2) AS nrows,
+           |    COALESCE(list_sum(list_transform(range(1, len + 1),
+           |      i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS bytesum,
+           |    COALESCE(list_max(list_transform(range(1, len + 1),
+           |      i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS mx
+           |  FROM t)
+           |SELECT doc_id, len AS n_bytes,
+           |  CAST(32 AS INT) AS jpg_w, CAST(nrows * 8 AS INT) AS jpg_h,
+           |  round(bytesum::DOUBLE / (nrows * 4), 6) AS mean_rgb,
+           |  CAST(mx AS INT) AS max_channel
+           |FROM b ORDER BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q32MultimodalMeta, q62MultimodalFrames,
     q131MultimodalDecode, q140PngDecode, q142GifDecode, q151PerceptualDedup,
     q156BandedPerceptualPairs, q159JpegDecode, q160MulawDecode, q162ImageResize,
-    q165JpegColorDecode)
+    q165JpegColorDecode, q166Jpeg420Decode)
 }

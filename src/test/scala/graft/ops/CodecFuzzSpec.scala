@@ -50,6 +50,7 @@ class CodecFuzzSpec extends AnyFunSuite {
 
   test("color JPEG decode survives every one-byte flip and truncation") {
     fuzz("jpeg-color", JpegCodec.encodeColor(payload), JpegCodec.decodeColorPixels)
+    fuzz("jpeg-420", JpegCodec.encode420(payload), JpegCodec.decodeColorPixels)
   }
 
   test("header-level decodeDims (the q32 path) survives corruption of every format") {

@@ -77,6 +77,24 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(rst._3.sameElements(rgb))
   }
 
+  test("4:2:0 subsampled encode decodes to exact gray triplets") {
+    val jpg = JpegCodec.encode420(payload)
+    val Some((w, h, rgb)) = JpegCodec.decodeColorPixels(jpg)
+    assert(w == 32 && h == 8 * 26) // 25 luma block rows pad to 26 (even)
+    for (i <- 0 until 26 * 4) {
+      val expected = if (i < payload.length) payload(i) & 0xff else 0
+      val bx = i % 4; val by = i / 4
+      for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3) {
+        val got = rgb(((by * 8 + y) * w + bx * 8 + x) * 3 + c) & 0xff
+        assert(got == expected, s"block $i ($x,$y) ch $c: $got != $expected")
+      }
+    }
+    // restart markers also resync the 6-block 4:2:0 MCUs
+    val rst = JpegCodec.decodeColorPixels(
+      JpegCodec.encode420(payload, restartInterval = 2)).get
+    assert(rst._3.sameElements(rgb))
+  }
+
   test("decode fails soft on any corruption (deterministic fuzz)") {
     // a decoder that runs inside mapPartitions must return None on garbage,
     // never throw: flip one byte at every position, truncate at every
