@@ -148,5 +148,79 @@ object Retrieval {
            |SELECT i, j, round(cosim, 5) AS cosim FROM cosv WHERE cosim >= 0.75
            |ORDER BY i, j""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q112HybridRrf, q152TfidfCosinePairs)
+  /** Okapi BM25 ranked retrieval through the inverted index — the lexical
+    * ranking function production search engines actually run (Robertson &
+    * Zaragoza 2009), complementing q112's set-overlap signal and q152's
+    * tf-idf cosine: idf(t) = ln((N − df + ½)/(df + ½) + 1) (the
+    * always-positive Lucene variant), and each matching term contributes
+    * idf · tf·(k₁+1)/(tf + k₁·(1 − b + b·len/avgdl)) with k₁ = 1.2,
+    * b = 0.75 — rewarding rarity, saturating raw tf, and normalizing by
+    * document length.
+    *
+    * Scale: one corpus scan builds the postings (doc, term, tf) and the
+    * per-doc lengths; N and avgdl are two scalar aggs; the query batch
+    * (distinct terms of 5 query docs) is tiny and BROADCAST, so scoring is
+    * a map-side hash join against the postings — no corpus-side shuffle
+    * beyond the tf groupBy — followed by one partial-agg sum per
+    * (query, doc) and a per-query top-5 window. Postings are term-keyed
+    * exactly like q152's inverted index, but BM25 never self-joins them —
+    * cost stays linear in corpus tokens at any scale. Scores are
+    * order-dependent float sums → rounded at 3 (the q149 discipline), with
+    * doc_id tiebreak making ranks deterministic.
+    */
+  val q167Bm25TopK = GraftQuery(
+    "q167_bm25_topk",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf")).persist()
+      val len = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val nAvg = len.agg(count(lit(1)).cast("double").as("n"),
+        avg(col("len")).as("avgdl")).first()
+      val (n, avgdl) = (nAvg.getDouble(0), nAvg.getDouble(1))
+      val idf = tf.groupBy("t").agg(count(lit(1)).as("df"))
+        .select(col("t"),
+          log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0).as("idf"))
+      val qTerms = tf.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("t")).distinct()
+      val contrib = tf.join(len, "doc_id")
+        .join(broadcast(qTerms), Seq("t"))
+        .filter(col("doc_id") =!= col("qid"))
+        .join(idf, "t")
+        .select(col("qid"), col("doc_id").as("cid"),
+          (col("idf") * col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / lit(avgdl))))
+            .as("c"))
+      val wr = Window.partitionBy("qid").orderBy(desc("score"), col("cid"))
+      contrib.groupBy("qid", "cid").agg(round(sum(col("c")), 3).as("score"))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("cid"), col("score"))
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents),
+           |tf AS (SELECT doc_id, t, count(*) tf FROM toks GROUP BY 1, 2),
+           |len AS (SELECT doc_id, count(*) len FROM toks GROUP BY 1),
+           |stats AS (SELECT CAST(count(*) AS DOUBLE) n, avg(len) avgdl FROM len),
+           |idf AS (SELECT t, ln((n - df + 0.5) / (df + 0.5) + 1.0) idf
+           |  FROM (SELECT t, count(*) df FROM tf GROUP BY 1), stats),
+           |q AS (SELECT DISTINCT doc_id qid, t FROM tf WHERE doc_id < 5),
+           |contrib AS (
+           |  SELECT q.qid, tf.doc_id cid,
+           |    idf.idf * tf.tf * 2.2 /
+           |      (tf.tf + 1.2 * (0.25 + 0.75 * len.len / stats.avgdl)) c
+           |  FROM tf JOIN len USING (doc_id) JOIN q USING (t)
+           |  JOIN idf USING (t), stats
+           |  WHERE tf.doc_id <> q.qid),
+           |scored AS (SELECT qid, cid, round(sum(c), 3) score
+           |  FROM contrib GROUP BY 1, 2),
+           |ranked AS (SELECT *,
+           |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) rank
+           |  FROM scored)
+           |SELECT qid, CAST(rank AS INT) AS rank, cid, score
+           |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
+
+  val all: Seq[GraftQuery] =
+    Seq(q112HybridRrf, q152TfidfCosinePairs, q167Bm25TopK)
 }
