@@ -158,5 +158,84 @@ object Quality {
            |FROM agg WHERE n_pos > 0 AND n_neg > 0
            |ORDER BY source""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q96DqChecks, q113PsiDrift, q153Auc)
+  /** DSIR data selection — hashed n-gram importance resampling (Xie et al.
+    * 2023, the DoReMi-era recipe behind most "select raw web data that
+    * looks like the target corpus" pipelines): word unigrams + bigrams are
+    * feature-HASHED into B = 256 buckets, bag-of-words categorical models
+    * are fitted for the TARGET distribution (here lang = 'en' docs, the
+    * paper's "formal text" stand-in) and the RAW distribution (the whole
+    * corpus) with add-1 smoothing, and every document scores
+    * log ŵ = Σ_grams [ln p̂_target(b) − ln p̂_raw(b)] over its gram
+    * occurrences; the top-m by log-weight are selected.
+    *
+    * Scale: feature hashing is the whole point — model state is EXACTLY
+    * 2·B counts no matter how many distinct n-grams 100 TB of text holds,
+    * so both models are two shuffle-light partial aggs over one gram scan
+    * (persisted, reused for scoring), the 256-row log-ratio table joins the
+    * gram stream as a BROADCAST hash join (map-side, no corpus shuffle),
+    * and selection is one TakeOrderedAndProject top-m, never a global sort.
+    * Per-doc score is an order-dependent float sum → rounded at 3 (q149
+    * discipline) with doc_id tiebreaks.
+    */
+  val q168DsirSelect = GraftQuery(
+    "q168_dsir_select",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("lang"),
+          explode(concat(col("w"), expr(
+            "zip_with(slice(w, 1, greatest(size(w) - 1, 0)), " +
+              "slice(w, 2, greatest(size(w) - 1, 0)), (a, b) -> concat(a, ' ', b))")))
+            .as("g"))
+        .select(col("doc_id"), col("lang"),
+          pmod(conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"), lit(256))
+            .as("b"))
+        .persist()
+      val tot = grams.agg(
+        count(lit(1)).cast("double").as("tr"),
+        sum((col("lang") === "en").cast("long")).cast("double").as("tt")).first()
+      val (tRaw, tTgt) = (tot.getDouble(0), tot.getDouble(1))
+      val model = grams.groupBy("b").agg(
+        count(lit(1)).as("cr"),
+        sum((col("lang") === "en").cast("long")).as("ct"))
+        .select(col("b"),
+          (log((col("ct") + 1.0) / (tTgt + 256.0)) -
+            log((col("cr") + 1.0) / (tRaw + 256.0))).as("lr"))
+      val scored = grams.join(broadcast(model), "b")
+        .groupBy("doc_id").agg(round(sum("lr"), 3).as("logw"))
+      scored.orderBy(desc("logw"), col("doc_id")).limit(25)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("logw"), col("doc_id"))))
+        .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+        .select(col("rank"), col("doc_id"), col("lang"), col("logw"))
+        .orderBy("rank")
+    },
+    Some("""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
+           |grams AS (
+           |  SELECT doc_id, lang, unnest(w) g FROM d
+           |  UNION ALL
+           |  SELECT doc_id, lang,
+           |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) g
+           |  FROM d),
+           |hashed AS (SELECT doc_id, lang,
+           |    CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 256 b
+           |  FROM grams),
+           |tot AS (SELECT CAST(count(*) AS DOUBLE) tr,
+           |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) tt
+           |  FROM hashed),
+           |model AS (SELECT b,
+           |    ln((sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1.0) / (tt + 256.0))
+           |      - ln((count(*) + 1.0) / (tr + 256.0)) lr
+           |  FROM hashed, tot GROUP BY b, tt, tr),
+           |scored AS (SELECT doc_id, round(sum(lr), 3) logw
+           |  FROM hashed JOIN model USING (b) GROUP BY 1),
+           |top AS (SELECT doc_id, logw,
+           |    row_number() OVER (ORDER BY logw DESC, doc_id) rank
+           |  FROM scored)
+           |SELECT CAST(rank AS INT) AS rank, top.doc_id, d2.lang, logw
+           |FROM top JOIN documents d2 ON top.doc_id = d2.doc_id
+           |WHERE rank <= 25 ORDER BY rank""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q96DqChecks, q113PsiDrift, q153Auc, q168DsirSelect)
 }
