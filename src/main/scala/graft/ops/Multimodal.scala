@@ -724,6 +724,149 @@ object Multimodal {
     }
   }
 
+  /** REAL predictive-audio codec: IMA/DVI ADPCM (WAV format tag 0x11) —
+    * the 4-bit adaptive differential PCM of the IMA reference algorithm:
+    * every nibble updates a (predictor, step-index) STATE pair, so unlike
+    * the memoryless G.711 curve ([[MuLawCodec]]) each decoded sample
+    * depends on the entire nibble history. The arithmetic is still exact
+    * integers (table step, 3-shift diff reconstruction, ±32768 clamp,
+    * index clamp to [0, 88]), which is what lets a SQL oracle replay the
+    * recurrence with a recursive CTE — closing the "predictive codecs
+    * aren't oracle-expressible" boundary; what genuinely remains out of
+    * scope is perceptual audio (MP3/AAC).
+    *
+    * `encode` wraps payload bytes AS the nibble stream (low nibble first,
+    * the WAV layout) in a conforming single-block format-0x11 container
+    * (fmt size 20 with samplesPerBlock extra field, 4-byte block header:
+    * int16 predictor, step index, reserved). `decodeSamples` walks the
+    * RIFF chunks, validates format tag/bits/block header, and replays the
+    * recurrence block by block — any conforming mono IMA ADPCM WAV, not
+    * just this encoder's output.
+    */
+  object AdpcmCodec {
+    /** IMA ADPCM step-size table (89 entries, public reference constants). */
+    val StepTable: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+      19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+      50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+      130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+      337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+      876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+      2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+      5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+      15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    /** Step-index adjustment by nibble magnitude (sign bit ignored). */
+    val IndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** One decoder step: (predictor, stepIndex) × nibble → next state.
+      * diff = (s>>3) + b0·(s>>2) + b1·(s>>1) + b2·s, subtract when the
+      * sign bit is set, clamp both state components.
+      */
+    def step(pred: Int, idx: Int, nib: Int): (Int, Int) = {
+      val s = StepTable(idx)
+      var diff = s >> 3
+      if ((nib & 1) != 0) diff += s >> 2
+      if ((nib & 2) != 0) diff += s >> 1
+      if ((nib & 4) != 0) diff += s
+      val p = math.max(-32768,
+        math.min(32767, if ((nib & 8) != 0) pred - diff else pred + diff))
+      val i2 = math.max(0, math.min(88, idx + IndexTable(nib & 7)))
+      (p, i2)
+    }
+
+    private def le16(out: Array[Byte], i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    private def le32(out: Array[Byte], i: Int, v: Int): Unit = {
+      le16(out, i, v & 0xffff); le16(out, i + 2, (v >>> 16) & 0xffff)
+    }
+    private def tag(out: Array[Byte], i: Int, s: String): Unit =
+      s.indices.foreach(k => out(i + k) = s.charAt(k).toByte)
+    private def rd16(p: Array[Byte], i: Int) = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    private def rd32(p: Array[Byte], i: Int) = rd16(p, i) | (rd16(p, i + 2) << 16)
+    private def isTag(p: Array[Byte], i: Int, s: String) =
+      p.length >= i + 4 && s.indices.forall(k => (p(i + k) & 0xff) == s.charAt(k))
+
+    /** Payload bytes become the nibble stream of ONE ADPCM block (low
+      * nibble first; min 1 data byte, zero pad): block header predictor 0,
+      * step index 0, so samplesPerBlock = 2·n + 1.
+      */
+    def encode(payload: Array[Byte]): Array[Byte] = {
+      val n = math.max(1, payload.length)
+      val blockAlign = 4 + n
+      val out = new Array[Byte](48 + blockAlign)
+      tag(out, 0, "RIFF"); le32(out, 4, 40 + blockAlign); tag(out, 8, "WAVE")
+      tag(out, 12, "fmt "); le32(out, 16, 20)
+      le16(out, 20, 0x11)       // WAVE_FORMAT_IMA_ADPCM
+      le16(out, 22, 1)          // mono
+      le32(out, 24, 8000)       // sample rate
+      le32(out, 28, 4000)       // nominal byte rate
+      le16(out, 32, blockAlign)
+      le16(out, 34, 4)          // bits per sample
+      le16(out, 36, 2)          // cbSize
+      le16(out, 38, 2 * n + 1)  // samplesPerBlock
+      tag(out, 40, "data"); le32(out, 44, blockAlign)
+      // block header at 48: predictor = 0 (int16 LE), step index = 0,
+      // reserved — all zero already; nibbles follow
+      System.arraycopy(payload, 0, out, 52, payload.length)
+      out
+    }
+
+    /** Chunk-walking decode of any mono IMA ADPCM WAV: replays the
+      * predictor recurrence over every block (block-header sample first,
+      * then two nibbles per byte, low first, capped at samplesPerBlock),
+      * or None for malformed/non-ADPCM containers.
+      */
+    def decodeSamples(p: Array[Byte]): Option[Array[Short]] = {
+      if (HeaderCodec.sniff(p) != "wav") return None
+      var i = 12
+      var blockAlign = 0
+      var samplesPerBlock = 0
+      var fmtOk = false
+      var data: Option[(Int, Int)] = None
+      while (i + 8 <= p.length) {
+        val sz = rd32(p, i + 4)
+        if (sz < 0) return None // negative size would walk i backwards
+        if (isTag(p, i, "fmt ") && sz >= 20 && i + 28 <= p.length) {
+          fmtOk = rd16(p, i + 8) == 0x11 && rd16(p, i + 10) == 1 &&
+            rd16(p, i + 22) == 4
+          blockAlign = rd16(p, i + 20)
+          samplesPerBlock = rd16(p, i + 26)
+        } else if (isTag(p, i, "data"))
+          data = Some((i + 8, math.min(sz, p.length - i - 8)))
+        i += 8 + sz + (sz & 1)
+      }
+      if (!fmtOk || blockAlign < 5 || samplesPerBlock < 1) return None
+      data.map { case (off, len) =>
+        val out = Array.newBuilder[Short]
+        var b = off
+        while (b + 4 <= off + len) {
+          val blockEnd = math.min(b + blockAlign, off + len)
+          var pred = rd16(p, b).toShort.toInt
+          var idx = p(b + 2) & 0xff
+          if (idx > 88) return None // hostile header: out-of-table index
+          out += pred.toShort
+          var emitted = 1
+          var j = b + 4
+          while (j < blockEnd && emitted < samplesPerBlock) {
+            val byte = p(j) & 0xff
+            var half = 0
+            while (half < 2 && emitted < samplesPerBlock) {
+              val (p2, i2) = step(pred, idx, (byte >> (4 * half)) & 0xf)
+              pred = p2; idx = i2
+              out += pred.toShort
+              emitted += 1
+              half += 1
+            }
+            j += 1
+          }
+          b += blockAlign
+        }
+        out.result()
+      }
+    }
+  }
+
   /** REAL baseline sequential JPEG codec for GRAYSCALE JFIF — pure JVM:
     * canonical Huffman tables built from DHT segments (ITU-T T.81 Annex K
     * constants on the encode side), zigzag de-serialization, table-driven
@@ -1544,6 +1687,34 @@ object Multimodal {
     }
   }
 
+  final case class AdpcmContent(doc_id: Long, n_bytes: Int, n_samples: Int,
+      rms_amplitude: Double, max_abs: Int, end_pred: Int)
+
+  /** Sample decode through a PREDICTIVE audio container: each payload
+    * becomes a genuine IMA ADPCM WAV (its bytes ARE the nibble stream) and
+    * is reconstructed sample by sample through the adaptive predictor.
+    * Every decoded sample depends on the whole nibble prefix — the state
+    * recurrence the oracle replays with a recursive CTE. Sums of squares
+    * stay exact integers; one division + sqrt per row (order-independent,
+    * oracle-safe at 6 digits). Map-only, partition-parallel.
+    */
+  def decodeContentAdpcm(media: Dataset[MediaRow]): Dataset[AdpcmContent] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val samples = AdpcmCodec.decodeSamples(AdpcmCodec.encode(r.payload))
+          .getOrElse(throw new IllegalStateException("ADPCM roundtrip failed"))
+        var sq = 0L; var mx = 0
+        samples.foreach { s =>
+          sq += s.toLong * s
+          if (math.abs(s.toInt) > mx) mx = math.abs(s.toInt)
+        }
+        AdpcmContent(r.doc_id, r.payload.length, samples.length,
+          math.sqrt(sq.toDouble / samples.length), mx, samples.last.toInt)
+      }
+    }
+  }
+
   final case class JpegContent(doc_id: Long, n_bytes: Int, jpg_w: Int,
       jpg_h: Int, mean_pixel: Double, max_gray: Int)
 
@@ -2020,11 +2191,11 @@ object Multimodal {
 
   /** Compressed-audio decode end-to-end: payload → real format-7 μ-law WAV
     * → G.711 expansion → RMS / peak amplitude. Every code byte expands
-    * through exact integer arithmetic (the memoryless property that makes
-    * a companded codec — unlike predictive ADPCM or perceptual MP3/AAC —
-    * oracle-expressible in closed form), so the hash only matches if the
-    * chunk walk, format validation, and the full 16-segment expansion
-    * curve are byte-exact.
+    * through exact integer arithmetic (memoryless, so the oracle is CLOSED
+    * FORM per byte — contrast q169, where the predictive ADPCM state forces
+    * a recursive-CTE replay), so the hash only matches if the chunk walk,
+    * format validation, and the full 16-segment expansion curve are
+    * byte-exact.
     */
   val q160MulawDecode = GraftQuery(
     "q160_mulaw_decode",
@@ -2058,6 +2229,92 @@ object Multimodal {
            |    AS rms_amplitude,
            |  CAST(list_max(list_transform(ss, x -> abs(x))) AS INT) AS max_abs
            |FROM e ORDER BY doc_id""".stripMargin))
+
+  /** Predictive-audio decode end-to-end: payload → real format-0x11 IMA
+    * ADPCM WAV → adaptive-predictor reconstruction → RMS / peak / final
+    * predictor. Each sample depends on the ENTIRE nibble history through
+    * the (predictor, step-index) state pair, so the oracle replays the
+    * recurrence with a recursive CTE over the nibble sequence (low nibble
+    * first, exactly the WAV bit layout) — the hash only matches if the
+    * chunk walk, block-header parse, step/index tables, shift-sum diff
+    * reconstruction, and both clamps are all bit-exact over every step.
+    */
+  val q169AdpcmDecode = GraftQuery(
+    "q169_adpcm_decode",
+    (s, dir) => {
+      import s.implicits._
+      val media = attachBinary(Tables.documents(s, dir).filter(col("doc_id") < 50))
+        .as[MediaRow]
+      decodeContentAdpcm(media).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("n_samples"),
+          round(col("rms_amplitude"), 6).as("rms_amplitude"),
+          col("max_abs"), col("end_pred"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE t AS (
+           |  SELECT doc_id, text, CAST(length(text) AS INT) AS len
+           |  FROM documents WHERE doc_id < 50),
+           |c AS (
+           |  SELECT doc_id, len,
+           |    CASE WHEN len = 0 THEN [0]
+           |         ELSE list_transform(range(1, len + 1),
+           |           i -> ascii(substr(text, CAST(i AS INT), 1))) END AS codes
+           |  FROM t),
+           |nb AS (
+           |  SELECT doc_id, len,
+           |    flatten(list_transform(codes, b -> [b % 16, b // 16])) AS nibs
+           |  FROM c),
+           |st AS (SELECT [7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+           |    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+           |    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+           |    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+           |    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+           |    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+           |    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+           |    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+           |    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767] AS s),
+           |dec AS (
+           |  SELECT doc_id, 0 AS k, 0 AS pred, 0 AS idx,
+           |    CAST(0 AS BIGINT) AS sq, 0 AS mx
+           |  FROM nb
+           |  UNION ALL
+           |  SELECT d.doc_id, d.k + 1,
+           |    least(32767, greatest(-32768, d.pred
+           |      + (1 - 2 * (nb.nibs[d.k + 1] // 8))
+           |      * (st.s[d.idx + 1] // 8
+           |        + (nb.nibs[d.k + 1] % 2) * (st.s[d.idx + 1] // 4)
+           |        + ((nb.nibs[d.k + 1] // 2) % 2) * (st.s[d.idx + 1] // 2)
+           |        + ((nb.nibs[d.k + 1] // 4) % 2) * st.s[d.idx + 1]))),
+           |    least(88, greatest(0, d.idx
+           |      + [-1, -1, -1, -1, 2, 4, 6, 8][(nb.nibs[d.k + 1] % 8) + 1])),
+           |    d.sq + CAST(least(32767, greatest(-32768, d.pred
+           |      + (1 - 2 * (nb.nibs[d.k + 1] // 8))
+           |      * (st.s[d.idx + 1] // 8
+           |        + (nb.nibs[d.k + 1] % 2) * (st.s[d.idx + 1] // 4)
+           |        + ((nb.nibs[d.k + 1] // 2) % 2) * (st.s[d.idx + 1] // 2)
+           |        + ((nb.nibs[d.k + 1] // 4) % 2) * st.s[d.idx + 1])))
+           |      AS BIGINT) * least(32767, greatest(-32768, d.pred
+           |      + (1 - 2 * (nb.nibs[d.k + 1] // 8))
+           |      * (st.s[d.idx + 1] // 8
+           |        + (nb.nibs[d.k + 1] % 2) * (st.s[d.idx + 1] // 4)
+           |        + ((nb.nibs[d.k + 1] // 2) % 2) * (st.s[d.idx + 1] // 2)
+           |        + ((nb.nibs[d.k + 1] // 4) % 2) * st.s[d.idx + 1]))),
+           |    greatest(d.mx, abs(least(32767, greatest(-32768, d.pred
+           |      + (1 - 2 * (nb.nibs[d.k + 1] // 8))
+           |      * (st.s[d.idx + 1] // 8
+           |        + (nb.nibs[d.k + 1] % 2) * (st.s[d.idx + 1] // 4)
+           |        + ((nb.nibs[d.k + 1] // 2) % 2) * (st.s[d.idx + 1] // 2)
+           |        + ((nb.nibs[d.k + 1] // 4) % 2) * st.s[d.idx + 1])))))
+           |  FROM dec d JOIN nb ON nb.doc_id = d.doc_id, st
+           |  WHERE d.k < len(nb.nibs)),
+           |fin AS (
+           |  SELECT d.doc_id, nb.len, len(nb.nibs) AS nn, d.pred, d.sq, d.mx
+           |  FROM dec d JOIN nb ON nb.doc_id = d.doc_id
+           |  WHERE d.k = len(nb.nibs))
+           |SELECT doc_id, len AS n_bytes, CAST(nn + 1 AS INT) AS n_samples,
+           |  round(sqrt(sq::DOUBLE / (nn + 1)), 6) AS rms_amplitude,
+           |  CAST(mx AS INT) AS max_abs, CAST(pred AS INT) AS end_pred
+           |FROM fin ORDER BY doc_id""".stripMargin))
 
   /** Resize after decode end-to-end: payload → real BMP → pixel decode →
     * 8×8 nearest-neighbor thumbnail → mean/min/max. The oracle reproduces
@@ -2168,5 +2425,5 @@ object Multimodal {
   val all: Seq[GraftQuery] = Seq(q32MultimodalMeta, q62MultimodalFrames,
     q131MultimodalDecode, q140PngDecode, q142GifDecode, q151PerceptualDedup,
     q156BandedPerceptualPairs, q159JpegDecode, q160MulawDecode, q162ImageResize,
-    q165JpegColorDecode, q166Jpeg420Decode)
+    q165JpegColorDecode, q166Jpeg420Decode, q169AdpcmDecode)
 }

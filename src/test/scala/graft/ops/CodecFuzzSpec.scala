@@ -48,6 +48,10 @@ class CodecFuzzSpec extends AnyFunSuite {
     fuzz("mulaw", MuLawCodec.encode(payload), MuLawCodec.decodeSamples)
   }
 
+  test("ADPCM decode survives every one-byte flip and truncation") {
+    fuzz("adpcm", AdpcmCodec.encode(payload), AdpcmCodec.decodeSamples)
+  }
+
   test("color JPEG decode survives every one-byte flip and truncation") {
     fuzz("jpeg-color", JpegCodec.encodeColor(payload), JpegCodec.decodeColorPixels)
     fuzz("jpeg-420", JpegCodec.encode420(payload), JpegCodec.decodeColorPixels)
