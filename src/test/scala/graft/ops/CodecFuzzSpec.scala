@@ -57,6 +57,13 @@ class CodecFuzzSpec extends AnyFunSuite {
     fuzz("jpeg-420", JpegCodec.encode420(payload), JpegCodec.decodeColorPixels)
   }
 
+  test("progressive JPEG decode survives every one-byte flip and truncation") {
+    fuzz("jpeg-prog", JpegCodec.encodeProgressive(payload),
+      JpegCodec.decodeProgressivePixels)
+    fuzz("jpeg-prog-rich", JpegCodec.encodeProgressiveRich(payload),
+      JpegCodec.decodeProgressivePixels)
+  }
+
   test("header-level decodeDims (the q32 path) survives corruption of every format") {
     for ((name, c) <- Seq(
         "bmp" -> BmpCodec.encode(payload), "png" -> PngCodec.encode(payload),
