@@ -758,8 +758,176 @@ object Dedup {
            |SELECT i, j, round(jac, 6) AS jac FROM p WHERE jac >= 0.5
            |ORDER BY i, j""".stripMargin))
 
+  /** Candidate (i, j) pairs for containment C(i→j) = |T_i ∩ T_j| / |T_i|
+    * ≥ t. The prefix theorem specializes asymmetrically: only the PROBE
+    * side i needs a prefix (its first |T_i| − ⌈t·|T_i|⌉ + 1 tokens in
+    * global df-ascending order — an overlap of ⌈t·|T_i|⌉ cannot avoid it),
+    * joined against the FULL posting list of every candidate container j;
+    * the one size bound is |T_j| ≥ ⌈t·|T_i|⌉ (a container can be
+    * arbitrarily larger, never smaller than the required overlap).
+    * Extracted so ContainmentJoinSpec can pin pruning + completeness.
+    */
+  private[ops] def containmentCandidates(sets: DataFrame, t: Double): DataFrame = {
+    val d = sets.select(col("doc_id"), explode(col("ti")).as("t"))
+    val df = d.groupBy("t").agg(count(lit(1)).as("df"))
+    val need = ceil(col("sz") * t).cast("int")
+    val perDoc = d.join(df, "t")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("sorted"))
+      .withColumn("sz", size(col("sorted")))
+      .withColumn("pl", col("sz") - need + 1)
+    val probe = perDoc
+      .select(col("doc_id").as("i"), col("sz").as("szi"),
+        explode(expr("slice(sorted, 1, pl)")).as("pt"))
+      .select(col("i"), col("szi"), col("pt.t").as("t"))
+    val index = d.join(perDoc.select(col("doc_id"), col("sz").as("szj")), "doc_id")
+      .select(col("doc_id").as("j"), col("szj"), col("t"))
+    probe.join(index, Seq("t"))
+      .filter(col("i") =!= col("j") &&
+        col("szj") >= ceil(col("szi") * t).cast("int"))
+      .select(col("i"), col("j"))
+      .distinct()
+  }
+
+  /** EXACT containment (asymmetric Jaccard) join: directional pairs where
+    * C(i→j) = |T_i ∩ T_j| / |T_i| ≥ 0.8 over word-3-gram shingle sets —
+    * the "document i is mostly embedded in document j" detector that
+    * symmetric Jaccard (q150) structurally misses: a short doc quoted
+    * whole inside a long one has high containment but low Jaccard, and
+    * it's exactly the boilerplate/quotation duplication a training-data
+    * pipeline must catch. Same exactness contract as q150: prefix-filtered
+    * candidates ([[containmentCandidates]]) + exact verification equals
+    * the brute-force join the oracle computes, missing nothing.
+    *
+    * Scale: the probe side joins only its df-ascending PREFIX tokens
+    * (rare by construction) against the full inverted index, so the hot
+    * stopword postings are probed only by docs whose prefix genuinely
+    * reaches them; the |T_j| ≥ ⌈t·|T_i|⌉ bound prunes small containers
+    * before verification, and exact set intersection runs on candidates
+    * only (codegen'd merge over sorted int arrays).
+    */
+  val q173ContainmentJoin = GraftQuery(
+    "q173_containment_join",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val t = 0.8
+      val sets = prefixJoinSets(s, dir, 200).persist()
+      val cand = containmentCandidates(sets, t)
+      val inter = graft.functions.GraftFunctions
+        .intersectCount(col("ti_i"), col("ti_j")).cast("int")
+      cand
+        .join(sets.select(col("doc_id").as("i"), col("ti").as("ti_i")), "i")
+        .join(sets.select(col("doc_id").as("j"), col("ti").as("ti_j")), "j")
+        .withColumn("cont", inter.cast("double") / size(col("ti_i")))
+        .filter(col("cont") >= t)
+        .select(col("i"), col("j"), round(col("cont"), 6).as("cont"))
+        .orderBy("i", "j")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+           |    i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) g
+           |  FROM documents WHERE doc_id < 200),
+           |d AS (SELECT doc_id, list_distinct(list_transform(g,
+           |  t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT))) ti
+           |  FROM toks),
+           |p AS (SELECT a.doc_id i, b.doc_id j,
+           |  len(list_filter(a.ti, e -> list_contains(b.ti, e)))::DOUBLE / len(a.ti) cont
+           |  FROM d a, d b WHERE a.doc_id <> b.doc_id
+           |    AND len(a.ti) > 0 AND len(b.ti) > 0)
+           |SELECT i, j, round(cont, 6) AS cont FROM p WHERE cont >= 0.8
+           |ORDER BY i, j""".stripMargin))
+
+  /** Global rank by (k, doc_id) WITHOUT a single-partition window: rank =
+    * row_number within 2-char-prefix buckets (partitioned, parallel — a
+    * fixed-length prefix respects the lexicographic order, so bucket order
+    * equals global order) + cumulated bucket-count offsets (a bounded
+    * ≤ alphabet² row table, broadcast). SnmRankSpec pins equality with the
+    * single-partition global row_number. Input: (doc_id, k).
+    */
+  private[ops] def twoLevelRank(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = docs.withColumn("b", substring(col("k"), 1, 2))
+    val offsets = bucketed.groupBy("b").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum("c").over(Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("b", "off")
+    bucketed
+      .withColumn("rn0", row_number().over(
+        Window.partitionBy("b").orderBy(col("k"), col("doc_id"))))
+      .join(broadcast(offsets), "b")
+      .select(col("doc_id"), (col("rn0") + col("off")).as("rn"))
+  }
+
+  /** Sorted-neighborhood near-dup detection (Hernández & Stolfo's SNM) —
+    * the FOURTH candidate-generation family next to LSH banding (q25,
+    * probabilistic), prefix filtering (q150, exact), and bounded all-pairs
+    * (q26): sort the corpus by a blocking key (first 24 chars of the
+    * text), slide a fixed window (w = 6) down the sorted order, and emit
+    * only pairs at rank distance < w; exact 3-gram Jaccard (≥ 0.5) then
+    * verifies candidates. Candidates are O(n·w) by construction — the
+    * cheapest family — at the documented cost of single-pass recall (a
+    * near-dup pair whose texts diverge in the first 24 chars lands far
+    * apart in the sort; production SNM runs multiple passes with
+    * different keys). The oracle replicates the identical window, so
+    * both sides agree exactly.
+    *
+    * Scale: the global rank is TWO-LEVEL — row_number within 2-char-prefix
+    * buckets (a partitioned, parallel window; the prefix respects the
+    * lexicographic sort so bucket order equals global order) plus
+    * cumulated bucket-count offsets (a bounded ≤ alphabet² row table,
+    * broadcast) — never a single-partition window over the corpus. Pair
+    * generation is an equi-join on (rank + offset), keyed and
+    * explode-bounded by w, and verification touches candidates only.
+    */
+  val q174SortedNeighborhood = GraftQuery(
+    "q174_sorted_neighborhood",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
+      val w = 6
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("k"))
+      val ranked = twoLevelRank(docs).persist()
+      val cand = ranked.select(col("doc_id").as("i"), col("rn"),
+          explode(sequence(lit(1), lit(w - 1))).as("d"))
+        .withColumn("rn_j", col("rn") + col("d"))
+        .join(ranked.select(col("doc_id").as("j"), col("rn").as("rn_j")), "rn_j")
+        .select("i", "j")
+      val sets = prefixJoinSets(s, dir, 500).persist()
+      val inter = graft.functions.GraftFunctions
+        .intersectCount(col("ti_i"), col("ti_j")).cast("int")
+      cand
+        .join(sets.select(col("doc_id").as("i"), col("ti").as("ti_i")), "i")
+        .join(sets.select(col("doc_id").as("j"), col("ti").as("ti_j")), "j")
+        .withColumn("jac",
+          inter.cast("double") / (size(col("ti_i")) + size(col("ti_j")) - inter))
+        .filter(col("jac") >= 0.5)
+        .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
+        .orderBy("i", "j")
+    },
+    Some("""WITH r AS MATERIALIZED (
+           |  SELECT doc_id, text, row_number() OVER (ORDER BY substr(text,1,24), doc_id) rn
+           |  FROM documents WHERE doc_id < 500),
+           |cand AS (SELECT a.doc_id i, b.doc_id j, a.text ta, b.text tb
+           |  FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 5),
+           |g AS (SELECT i, j,
+           |  list_distinct(list_transform(list_transform(range(1, len(string_split(ta,' '))-1),
+           |    x -> string_split(ta,' ')[x]||' '||string_split(ta,' ')[x+1]||' '||string_split(ta,' ')[x+2]),
+           |    t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT))) ga,
+           |  list_distinct(list_transform(list_transform(range(1, len(string_split(tb,' '))-1),
+           |    x -> string_split(tb,' ')[x]||' '||string_split(tb,' ')[x+1]||' '||string_split(tb,' ')[x+2]),
+           |    t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT))) gb
+           |  FROM cand),
+           |jac AS (SELECT i, j,
+           |  len(list_filter(ga, e -> list_contains(gb, e)))::DOUBLE /
+           |  (len(ga) + len(gb) - len(list_filter(ga, e -> list_contains(gb, e)))) jc
+           |  FROM g WHERE len(ga) > 0 AND len(gb) > 0)
+           |SELECT i, j, round(jc, 6) AS jac FROM jac WHERE jc >= 0.5
+           |ORDER BY i, j""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q24DedupExact, q25DedupMinhash, q26DedupNgram, q27DedupSimhash, q28EmbeddingNn,
     q59DedupClusters, q127DedupClustersStar, q135SubstringWinnow, q144SpanRemoval,
-    q150PrefixJaccardJoin)
+    q150PrefixJaccardJoin, q173ContainmentJoin, q174SortedNeighborhood)
 }

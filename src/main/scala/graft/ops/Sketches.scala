@@ -115,5 +115,94 @@ object Sketches {
            |SELECT is_member, count(*) AS n_pass FROM hits
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q94CmsFreq, q95BloomMembership)
+  /** KMV (k-minimum-values) distinct sketch, k = 64: keep the k smallest
+    * hash values of a set's distinct elements; the distinct count is
+    * estimated as (k−1)·2³² / h_k (Bar-Yossef et al., Beyer et al.). Unlike
+    * opaque HLL registers the sketch is plain rows, so it composes: the
+    * UNION of two sets is sketched by the k smallest of the merged
+    * sketches, and the INTERSECTION estimate is Jaccard-by-sketch
+    * (|K(A∪B) ∩ K_A ∩ K_B| / k) times the union estimate — the classic
+    * mergeable-summary trick for distinct-intersection without a rescan.
+    *
+    * Output: one row per order priority (exact distinct customers vs KMV
+    * estimate) plus one URGENT∩HIGH intersection row in the same schema.
+    *
+    * Scale: the per-group k-min is a rank-≤-k window, which Spark's
+    * InferWindowGroupLimit rewrites to a map-side partial top-k per group
+    * (each task forwards at most k rows per group before the shuffle —
+    * the same WindowGroupLimit shape q71/q72 pin). Everything downstream
+    * of the sketches touches O(k) rows per set; only scalar estimates and
+    * k-row sketch joins, nothing proportional to the corpus.
+    */
+  val q172KmvSketch = GraftQuery(
+    "q172_kmv_sketch",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val a = "1-URGENT"; val b = "2-HIGH"
+      val el = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("grp"), col("o_custkey").as("v"))
+        .distinct().persist()
+      val hashed = el.withColumn("h", md5Int(col("v").cast("string")))
+      val sk = hashed
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("grp").orderBy(col("h"), col("v"))))
+        .filter(col("rn") <= 64).persist()
+      val base = sk.groupBy("grp").agg(max("h").as("hk"))
+        .join(el.groupBy("grp").agg(count(lit(1)).as("exact_dv")), "grp")
+        .select(col("grp"), col("exact_dv"),
+          round(lit(63.0) * lit(4294967296.0) / col("hk"), 3).as("kmv_est"))
+      val uel = el.filter(col("grp").isin(a, b)).select("v").distinct()
+      val usk = uel.withColumn("h", md5Int(col("v").cast("string")))
+        .withColumn("rn", row_number().over(Window.orderBy(col("h"), col("v"))))
+        .filter(col("rn") <= 64).persist()
+      val udv = usk.agg(max("h").as("uhk"))
+        .select((lit(63.0) * lit(4294967296.0) / col("uhk")).as("udv"))
+      val rho = usk
+        .join(sk.filter(col("grp") === a).select("v"), Seq("v"), "left_semi")
+        .join(sk.filter(col("grp") === b).select("v"), Seq("v"), "left_semi")
+        .agg(count(lit(1)).as("nboth"))
+      val iexact = el.filter(col("grp") === a).select("v")
+        .intersect(el.filter(col("grp") === b).select("v"))
+        .agg(count(lit(1)).as("iex"))
+      val irow = rho.crossJoin(udv).crossJoin(iexact)
+        .select(lit("URGENT_x_HIGH").as("grp"), col("iex").as("exact_dv"),
+          round(col("nboth") / lit(64.0) * col("udv"), 3).as("kmv_est"))
+      base.unionAll(irow).orderBy("grp")
+    },
+    Some("""WITH el AS MATERIALIZED (
+           |  SELECT DISTINCT o_orderpriority AS grp, o_custkey AS v FROM orders),
+           |h AS (SELECT grp, v,
+           |    CAST(concat('0x', substr(md5(v::VARCHAR), 1, 8)) AS BIGINT) AS h
+           |  FROM el),
+           |sk AS MATERIALIZED (SELECT grp, v, h FROM (
+           |    SELECT grp, v, h,
+           |      row_number() OVER (PARTITION BY grp ORDER BY h, v) AS rn FROM h)
+           |  WHERE rn <= 64),
+           |base AS (
+           |  SELECT sk.grp, ex.exact_dv,
+           |    round(63.0 * 4294967296.0 / max(sk.h), 3) AS kmv_est
+           |  FROM sk JOIN (SELECT grp, count(*) AS exact_dv FROM el GROUP BY 1) ex
+           |    ON ex.grp = sk.grp
+           |  GROUP BY 1, 2),
+           |uel AS (SELECT DISTINCT v FROM el WHERE grp IN ('1-URGENT', '2-HIGH')),
+           |usk AS MATERIALIZED (SELECT v, h FROM (
+           |    SELECT v, CAST(concat('0x', substr(md5(v::VARCHAR), 1, 8)) AS BIGINT) AS h,
+           |      row_number() OVER (ORDER BY CAST(concat('0x', substr(md5(v::VARCHAR), 1, 8)) AS BIGINT), v) AS rn
+           |    FROM uel)
+           |  WHERE rn <= 64),
+           |rho AS (SELECT count(*) AS nboth FROM usk
+           |  WHERE v IN (SELECT v FROM sk WHERE grp = '1-URGENT')
+           |    AND v IN (SELECT v FROM sk WHERE grp = '2-HIGH')),
+           |udv AS (SELECT 63.0 * 4294967296.0 / max(h) AS udv FROM usk),
+           |iexact AS (SELECT count(*) AS iex FROM (
+           |  SELECT v FROM el WHERE grp = '1-URGENT'
+           |  INTERSECT SELECT v FROM el WHERE grp = '2-HIGH')),
+           |irow AS (SELECT 'URGENT_x_HIGH' AS grp, iex AS exact_dv,
+           |    round(nboth / 64.0 * udv, 3) AS kmv_est
+           |  FROM rho, udv, iexact)
+           |SELECT grp, exact_dv, kmv_est FROM
+           |  (SELECT * FROM base UNION ALL SELECT * FROM irow)
+           |ORDER BY grp""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q94CmsFreq, q95BloomMembership, q172KmvSketch)
 }
