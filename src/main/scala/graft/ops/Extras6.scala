@@ -395,8 +395,45 @@ object Extras6 {
            |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
            |ORDER BY gid, rf, ls""".stripMargin))
 
+  /** Exponentially time-decayed engagement score per user — the
+    * feature-store staple (recency-weighted activity with a 7-day
+    * half-life: an event's contribution halves every week between it and
+    * the corpus horizon). The horizon is the one-row max-timestamp
+    * aggregate CROSS-JOINED as a broadcast, not a driver-side scalar, so
+    * the whole computation stays one scan + one partial-agg shuffle; the
+    * decay factor is per-row closed-form math (unix_micros keeps the age
+    * arithmetic integer until one division). Σ value·2^(−age/7) is a
+    * float accumulation → round 3 (the order-dependent discipline);
+    * min(age) is order-independent → round 6.
+    */
+  val q177DecayedEngagement = GraftQuery(
+    "q177_decayed_engagement",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val refDf = ev.agg(max(unix_micros(col("ts"))).as("ref_us"))
+      ev.crossJoin(broadcast(refDf))
+        .withColumn("age_d",
+          (col("ref_us") - unix_micros(col("ts"))) / lit(86400e6))
+        .withColumn("decay",
+          col("value") * pow(lit(2.0), -col("age_d") / lit(7.0)))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(min("age_d"), 6).as("last_seen_days"),
+          round(sum("decay"), 3).as("decayed_value"))
+        .orderBy("user_id")
+    },
+    Some("""WITH r AS (SELECT max(epoch_us(ts)) AS ref_us FROM events),
+           |d AS (SELECT user_id, value,
+           |    (ref_us - epoch_us(ts)) / 86400e6 AS age_d
+           |  FROM events, r)
+           |SELECT user_id, count(*) AS n_events,
+           |  round(min(age_d), 6) AS last_seen_days,
+           |  round(sum(value * pow(2.0, -age_d / 7.0)), 3) AS decayed_value
+           |FROM d GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q115ArgExtremes, q116ArrayFuncs, q117Funnel, q118Retention,
       q119Transitions, q120Rfm, q121SessionPaths, q122Listagg,
-      q123ApproxPercentile, q124MapFuncs, q125UnionByName, q126GroupingId)
+      q123ApproxPercentile, q124MapFuncs, q125UnionByName, q126GroupingId,
+      q177DecayedEngagement)
 }

@@ -2660,6 +2660,92 @@ object Multimodal {
            |  CAST(mx AS INT) AS max_gray
            |FROM b ORDER BY doc_id""".stripMargin))
 
+  final case class ResampledAudio(doc_id: Long, n_in: Int, n_out: Int,
+      rms_amplitude: Double, max_abs: Int, checksum: Long)
+
+  /** Decode → resample composition: μ-law-expanded PCM decimated 2:1
+    * through the 3-tap [1, 2, 1]/4 anti-alias filter, y[j] =
+    * ⌊(x[2j−1] + 2·x[2j] + x[2j+1]) / 4⌋ — the sample-rate normalization
+    * every audio ingest pipeline runs before feature extraction (filter
+    * first, THEN drop samples, or the dropped half aliases into the kept
+    * band). floorDiv keeps the filter integer-exact for negative samples,
+    * so the per-sample outputs are closed-form from the payload bytes and
+    * the checksum Σ j·y[j] pins every output sample and its position.
+    * Map-only, partition-parallel, payloads never on the driver.
+    */
+  def resampleContentMuLaw(media: Dataset[MediaRow]): Dataset[ResampledAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val x = MuLawCodec.decodeSamples(MuLawCodec.encode(r.payload))
+          .getOrElse(throw new IllegalStateException("mu-law roundtrip failed"))
+        val n = x.length
+        val m = (n - 1) / 2
+        var sq = 0L; var mx = 0; var ck = 0L
+        var j = 0
+        while (j < m) {
+          val y = Math.floorDiv(x(2 * j).toInt + 2 * x(2 * j + 1) + x(2 * j + 2), 4)
+          sq += y.toLong * y
+          if (math.abs(y) > mx) mx = math.abs(y)
+          ck += (j + 1).toLong * y
+          j += 1
+        }
+        ResampledAudio(r.doc_id, n, m,
+          if (m == 0) 0.0 else math.sqrt(sq.toDouble / m), mx, ck)
+      }
+    }
+  }
+
+  /** Anti-aliased 2:1 audio decimation after μ-law decode (see
+    * [[resampleContentMuLaw]]). The oracle expands the same μ-law curve in
+    * closed form per byte (q160's construction), applies the identical
+    * [1,2,1]/4 floor-division filter over the 1-based sample list, and
+    * checks RMS, peak, and the position-weighted checksum — bit-exact but
+    * for the one rounded sqrt.
+    */
+  val q175AudioResample = GraftQuery(
+    "q175_audio_resample",
+    (s, dir) => {
+      import s.implicits._
+      val media = attachBinary(Tables.documents(s, dir).filter(col("doc_id") < 50))
+        .as[MediaRow]
+      resampleContentMuLaw(media).toDF()
+        .filter(col("n_out") > 0)
+        .select(col("doc_id"), col("n_in"), col("n_out"),
+          round(col("rms_amplitude"), 6).as("rms_amplitude"),
+          col("max_abs"), col("checksum"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, text, CAST(length(text) AS INT) AS len
+           |  FROM documents WHERE doc_id < 50),
+           |c AS (
+           |  SELECT doc_id, len, greatest(1, len) AS n,
+           |    CASE WHEN len = 0 THEN [0]
+           |         ELSE list_transform(range(1, len + 1),
+           |           i -> ascii(substr(text, CAST(i AS INT), 1))) END AS codes
+           |  FROM t),
+           |e AS (
+           |  SELECT doc_id, len, n,
+           |    list_transform(codes, b -> CASE WHEN (255 - b) >= 128
+           |      THEN 132 - (((255 - b) % 16) * 8 + 132) * (1 << (((255 - b) // 16) % 8))
+           |      ELSE (((255 - b) % 16) * 8 + 132) * (1 << (((255 - b) // 16) % 8)) - 132
+           |      END) AS ss
+           |  FROM c),
+           |y AS (
+           |  SELECT doc_id, n, (n - 1) // 2 AS m,
+           |    list_transform(range(1, (n - 1) // 2 + 1),
+           |      j -> CAST(floor((ss[CAST(2*j-1 AS INT)] + 2*ss[CAST(2*j AS INT)]
+           |        + ss[CAST(2*j+1 AS INT)]) / 4.0) AS BIGINT)) AS ys
+           |  FROM e)
+           |SELECT doc_id, CAST(n AS INT) AS n_in, CAST(m AS INT) AS n_out,
+           |  round(sqrt(list_sum(list_transform(ys, v -> v * v))::DOUBLE / m), 6)
+           |    AS rms_amplitude,
+           |  CAST(list_max(list_transform(ys, v -> abs(v))) AS INT) AS max_abs,
+           |  CAST(list_sum(list_transform(range(1, CAST(m+1 AS INT)),
+           |    j -> j * ys[CAST(j AS INT)])) AS BIGINT) AS checksum
+           |FROM y WHERE m > 0 ORDER BY doc_id""".stripMargin))
+
   /** Compressed-audio decode end-to-end: payload → real format-7 μ-law WAV
     * → G.711 expansion → RMS / peak amplitude. Every code byte expands
     * through exact integer arithmetic (memoryless, so the oracle is CLOSED
@@ -2897,5 +2983,5 @@ object Multimodal {
     q131MultimodalDecode, q140PngDecode, q142GifDecode, q151PerceptualDedup,
     q156BandedPerceptualPairs, q159JpegDecode, q160MulawDecode, q162ImageResize,
     q165JpegColorDecode, q166Jpeg420Decode, q169AdpcmDecode,
-    q170JpegProgressiveDecode)
+    q170JpegProgressiveDecode, q175AudioResample)
 }

@@ -221,6 +221,61 @@ object Retrieval {
            |SELECT qid, CAST(rank AS INT) AS rank, cid, score
            |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
 
+  /** Feature hashing (the "hashing trick", Weinberger et al. 2009) with
+    * signed random projection: every sparse TF-IDF vector over an
+    * UNBOUNDED vocabulary lands in a fixed 8-dim dense feature space via
+    * f_d = Σ_t w(doc,t) · s(t,d), where the sign s(t,d) = ±1 comes from
+    * the term hash — there is NO materialized projection matrix, no vocab
+    * dictionary, and no join: the matrix entry is recomputed from md5 at
+    * the row it multiplies. The lexical counterpart of q155's dense JL
+    * projection (which broadcasts a literal matrix over bounded dims);
+    * this form is how text featurization survives a vocabulary that grows
+    * with the corpus.
+    *
+    * Scale: the 8 output dims are 8 aggregate COLUMNS of one groupBy, not
+    * an 8× row explosion — partial (map-side) aggregation compresses each
+    * partition to one row per doc before the single shuffle, and the
+    * shuffle carries 8 doubles per doc regardless of document length.
+    * Σ ±w float sums are accumulation-order-dependent → round 5 (the
+    * q152 dot-product discipline).
+    */
+  val q176FeatureHashing = GraftQuery(
+    "q176_feature_hashing",
+    (s, dir) => {
+      val tf = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        .persist()
+      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val n = tf.select(countDistinct("doc_id")).first().getLong(0).toDouble
+      val w = tf.join(df, "t")
+        .filter(col("df") < n)
+        .select(col("doc_id"), col("t"),
+          (col("tf") * log(lit(n) / col("df"))).as("w"))
+      def sign(d: Int) = lit(1) - lit(2) *
+        (conv(substring(md5(concat(col("t"), lit(s"_d$d"))), 1, 8), 16, 10)
+          .cast("long") % 2)
+      val aggs = (0 until 8).map(d =>
+        round(sum(col("w") * sign(d)), 5).as(s"f$d"))
+      w.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
+    },
+    Some {
+      val cols = (0 until 8).map { d =>
+        s"""round(sum(w * (1 - 2 * (CAST(concat('0x', substr(md5(t || '_d$d'), 1, 8)) AS BIGINT) % 2))), 5) AS f$d"""
+      }.mkString(",\n  ")
+      s"""WITH tf AS (
+         |  SELECT doc_id, t, count(*) tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) t
+         |    FROM documents WHERE doc_id < 150) GROUP BY 1, 2),
+         |df AS (SELECT t, count(*) df FROM tf GROUP BY 1),
+         |nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) n FROM tf),
+         |w AS (SELECT doc_id, t, tf * ln(n / df) AS w
+         |  FROM tf JOIN df USING (t), nn WHERE df < n)
+         |SELECT doc_id,
+         |  $cols
+         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
+
   val all: Seq[GraftQuery] =
-    Seq(q112HybridRrf, q152TfidfCosinePairs, q167Bm25TopK)
+    Seq(q112HybridRrf, q152TfidfCosinePairs, q167Bm25TopK, q176FeatureHashing)
 }
