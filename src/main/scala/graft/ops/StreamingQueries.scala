@@ -536,8 +536,69 @@ object StreamingQueries {
            |FROM agg, wm WHERE end_us <= w
            |ORDER BY user_id, start_us""".stripMargin))
 
+  /** Streaming distinct-count sketch e2e
+    * ([[graft.streaming.SketchMaintenance]]): the fixture replays as a
+    * 3-file stream PLUS a whole re-delivered duplicate file, and a
+    * per-event-type KMV sketch (k = 64, q172's summary) is maintained
+    * across the micro-batches. Because min-k-of-union is commutative and
+    * idempotent, the final sketch table must equal the one-shot batch
+    * sketch the oracle computes — duplicates and batch boundaries
+    * mathematically cannot change it (SketchMergeSpec pins both), which
+    * is the property that makes sketch state the cheapest streaming
+    * distinct-count: correct under at-least-once delivery with no dedup
+    * operator or watermark in front.
+    */
+  val q179StreamingKmv = GraftQuery(
+    "q179_streaming_kmv",
+    (s, dir) => {
+      val base = graft.WorkDir.resolve(s, "skmvq", dir)
+      val (src, ckpt) = (s"$base/src", s"$base/ckpt")
+      val conf = s.sessionState.newHadoopConf()
+      for (d <- Seq(src, ckpt)) {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(conf).delete(p, true)
+      }
+      val target = "graft_kmv_q179"
+      freshManagedTable(s, target)
+      val ev = Tables.events(s, dir).select("event_type", "user_id")
+      ev.repartition(3).write.parquet(src)
+      ev.limit(500).coalesce(1).write.mode("append").parquet(src) // re-delivery
+      val ss = streamSession(s, statePartitions = 8)
+      val schema = ss.read.parquet(src).schema
+      graft.streaming.SketchMaintenance.start(
+        ss.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        "event_type", "user_id", target, ckpt, 64)
+        .awaitTermination()
+      val est = s.table(target).groupBy("event_type")
+        .agg(count(lit(1)).as("k"), max("h").as("hk"))
+      val exact = Tables.events(s, dir).groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_dv"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("k"), col("exact_dv"),
+          when(col("k") < 64, col("k").cast("double"))
+            .otherwise(round(lit(63.0) * lit(4294967296.0) / col("hk"), 3))
+            .as("kmv_est"))
+        .orderBy("event_type")
+    },
+    Some("""WITH el AS (SELECT DISTINCT event_type, user_id FROM events),
+           |hd AS (SELECT DISTINCT event_type,
+           |    CAST(concat('0x', substr(md5(user_id::VARCHAR), 1, 8)) AS BIGINT) AS h
+           |  FROM el),
+           |sk AS (SELECT event_type, h FROM (
+           |    SELECT event_type, h,
+           |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM hd)
+           |  WHERE rn <= 64),
+           |est AS (SELECT event_type, count(*) AS k, max(h) AS hk FROM sk GROUP BY 1),
+           |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_dv
+           |  FROM events GROUP BY 1)
+           |SELECT est.event_type, k, exact_dv,
+           |  CASE WHEN k < 64 THEN k::DOUBLE
+           |       ELSE round(63.0 * 4294967296.0 / hk, 3) END AS kmv_est
+           |FROM est JOIN ex ON est.event_type = ex.event_type
+           |ORDER BY est.event_type""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q33SlidingWindows, q34SessionWindows,
     q63StreamingRebalance, q143StreamingMv, q145StreamingDedup,
     q146TransformWithState, q154StreamStreamJoin, q158WatermarkEviction,
-    q164StreamingSessions)
+    q164StreamingSessions, q179StreamingKmv)
 }

@@ -1000,8 +1000,76 @@ object Vectors {
     })
 
   // q134SemanticDedup is deliberately absent: retired round 7, dominated
+  /** One exact ALS half-step (Zhou et al. 2008): solve every user's rank-2
+    * factor from FIXED item factors by per-user ridge normal equations,
+    * u = (Σ v·vᵀ + λI)⁻¹ (Σ r·v) — at rank 2 the inverse is the
+    * closed-form 2×2 adjugate, so the whole "training step" is five
+    * partial-agg sums per user followed by per-row arithmetic: exactly
+    * how distributed ALS scales (each user solve touches only that
+    * user's interactions; item factors are a broadcast, here closed-form
+    * md5-derived so both engines regenerate them identically instead of
+    * shipping state). The interaction matrix is customer×part purchase
+    * quantities through orders⋈lineitem, with the small filtered orders
+    * side broadcast into the lineitem scan.
+    *
+    * Float discipline: ΣvvT/Σrv are accumulation-order-dependent, and the
+    * solve divides by det ≥ λ² (ridge keeps it away from 0) — round 3.
+    */
+  val q178AlsStep = GraftQuery(
+    "q178_als_step",
+    (s, dir) => {
+      val lam = 0.1
+      val o = Tables.orders(s, dir).filter(col("o_custkey") < 200)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, dir).filter(col("l_partkey") < 500)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      val inter = li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("l_partkey").as("item"))
+        .agg(sum("l_quantity").as("r"))
+      def vdim(d: Int) =
+        (conv(substring(md5(concat(col("item"), lit(s"_v$d"))), 1, 8), 16, 10)
+          .cast("long") % 1000).cast("double") / 1000.0
+      val sums = inter
+        .withColumn("v0", vdim(0)).withColumn("v1", vdim(1))
+        .groupBy("u")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("v0") * col("v0")).as("a00"),
+          sum(col("v0") * col("v1")).as("a01"),
+          sum(col("v1") * col("v1")).as("a11"),
+          sum(col("r") * col("v0")).as("b0"),
+          sum(col("r") * col("v1")).as("b1"))
+      sums
+        .withColumn("det",
+          (col("a00") + lam) * (col("a11") + lam) - col("a01") * col("a01"))
+        .select(col("u"), col("n_items"),
+          round(((col("a11") + lam) * col("b0") - col("a01") * col("b1")) / col("det"), 3).as("u0"),
+          round(((col("a00") + lam) * col("b1") - col("a01") * col("b0")) / col("det"), 3).as("u1"))
+        .orderBy("u")
+    },
+    Some("""WITH inter AS (
+           |  SELECT o.o_custkey AS u, l.l_partkey AS item, sum(l.l_quantity) AS r
+           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  WHERE o.o_custkey < 200 AND l.l_partkey < 500
+           |  GROUP BY 1, 2),
+           |v AS (SELECT u, item, r,
+           |    (CAST(concat('0x', substr(md5(item::VARCHAR || '_v0'), 1, 8)) AS BIGINT) % 1000) / 1000.0 AS v0,
+           |    (CAST(concat('0x', substr(md5(item::VARCHAR || '_v1'), 1, 8)) AS BIGINT) % 1000) / 1000.0 AS v1
+           |  FROM inter),
+           |sums AS (SELECT u, count(*) AS n_items,
+           |    sum(v0*v0) AS a00, sum(v0*v1) AS a01, sum(v1*v1) AS a11,
+           |    sum(r*v0) AS b0, sum(r*v1) AS b1
+           |  FROM v GROUP BY 1),
+           |solved AS (SELECT u, n_items,
+           |    (a00 + 0.1) * (a11 + 0.1) - a01 * a01 AS det,
+           |    a00, a01, a11, b0, b1
+           |  FROM sums)
+           |SELECT u, n_items,
+           |  round(((a11 + 0.1) * b0 - a01 * b1) / det, 3) AS u0,
+           |  round(((a00 + 0.1) * b1 - a01 * b0) / det, 3) AS u1
+           |FROM solved ORDER BY u""".stripMargin))
+
   // by q141 (see its scaladoc) — spec-covered, not oracle-registered
   val all: Seq[GraftQuery] = Seq(q29AnnTopk, q30Centroids, q31AnnLsh, q47AnnIvf,
     q70Int8Quantize, q137Kmeans, q141SemanticDedupKmeans,
-    q147PqAdc, q155JlProjection, q157IvfAdc, q161IvfAdcResidual)
+    q147PqAdc, q155JlProjection, q157IvfAdc, q161IvfAdcResidual, q178AlsStep)
 }
