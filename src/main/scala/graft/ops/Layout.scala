@@ -257,7 +257,102 @@ object Layout {
            |  round(sum(o_totalprice), 2) AS price_sum
            |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Append Hilbert-index columns (x_out, y_out intermediates collapse into
+    * one final `hd`) for an `order`-level curve over a 2^order × 2^order
+    * grid, via the standard xy→d walk (one rotation + quadrant digit per
+    * level, MSB first). Each level is materialized as NAMED columns through
+    * withColumn — the per-level expressions reference the previous level's
+    * x/y twice, so substituting them inline (one giant expression) would
+    * grow the tree 3^order; named columns keep the plan linear and
+    * Catalyst's CollapseProject declines to re-inline multiply-referenced
+    * non-trivial expressions. HilbertSpec pins the curve property.
+    */
+  private[ops] def withHilbert(df0: org.apache.spark.sql.DataFrame,
+      xCol: org.apache.spark.sql.Column, yCol: org.apache.spark.sql.Column,
+      order: Int): org.apache.spark.sql.DataFrame = {
+    var df = df0.withColumn("hx", xCol.cast("long"))
+      .withColumn("hy", yCol.cast("long"))
+      .withColumn("hd", lit(0L))
+    var s = 1L << (order - 1)
+    while (s > 0) {
+      val rx = when(col("hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      val ry = when(col("hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      df = df
+        .withColumn("hrx", rx).withColumn("hry", ry)
+        .withColumn("hd",
+          col("hd") + lit(s * s) * (lit(3L) * col("hrx")).bitwiseXOR(col("hry")))
+        .withColumn("hx2",
+          when(col("hry") === 0,
+            when(col("hrx") === 1, lit(s - 1) - col("hy")).otherwise(col("hy")))
+            .otherwise(col("hx")))
+        .withColumn("hy2",
+          when(col("hry") === 0,
+            when(col("hrx") === 1, lit(s - 1) - col("hx")).otherwise(col("hx")))
+            .otherwise(col("hy")))
+        .withColumn("hx", col("hx2")).withColumn("hy", col("hy2"))
+        .drop("hx2", "hy2", "hrx", "hry")
+      s >>= 1
+    }
+    df.drop("hx", "hy")
+  }
+
+  /** Hilbert-curve clustered layout — z-order's (q93) stronger sibling: the
+    * Hilbert walk never takes the long diagonal jumps Morton order takes
+    * between quadrant boundaries, so EVERY pair of consecutive indices is
+    * an adjacent grid cell (HilbertSpec pins exactly that) and range reads
+    * over either key touch fewer files at the same file count. Same
+    * discipline as q93: compute the index, repartitionByRange + sort on it,
+    * write, and audit the committed layout by index bucket. The oracle
+    * replays the identical 10-level rotation walk as chained MATERIALIZED
+    * CTEs (each level reads the previous one's x/y twice — inlining would
+    * double the plan per level, the q171 lesson).
+    */
+  val q180HilbertLayout = GraftQuery(
+    "q180_hilbert_layout",
+    (s, dir) => {
+      val out = workDir(s, dir, "hilbert")
+      val withH = withHilbert(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_partkey", "l_quantity"),
+        col("l_orderkey") % 1024, col("l_partkey") % 1024, 10)
+      withH.repartitionByRange(8, col("hd"))
+        .sortWithinPartitions("hd")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy(shiftright(col("hd"), 14).as("hbucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          min("hd").as("min_hd"),
+          max("hd").as("max_hd"),
+          round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("hbucket")
+    },
+    Some {
+      val levels = (0 until 10).map { i =>
+        val s = 1L << (9 - i)
+        val p = i // previous level index; l0 is the seed
+        s"""h${i + 1} AS MATERIALIZED (SELECT l_quantity,
+           |  d$p + ${s * s} * xor(3 * (CASE WHEN (x$p & $s) > 0 THEN 1 ELSE 0 END),
+           |                       (CASE WHEN (y$p & $s) > 0 THEN 1 ELSE 0 END)) AS d${i + 1},
+           |  CASE WHEN (y$p & $s) = 0 THEN
+           |    CASE WHEN (x$p & $s) > 0 THEN ${s - 1} - y$p ELSE y$p END
+           |  ELSE x$p END AS x${i + 1},
+           |  CASE WHEN (y$p & $s) = 0 THEN
+           |    CASE WHEN (x$p & $s) > 0 THEN ${s - 1} - x$p ELSE x$p END
+           |  ELSE y$p END AS y${i + 1}
+           |FROM h$p)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH h0 AS (
+         |  SELECT l_quantity, l_orderkey % 1024 AS x0, l_partkey % 1024 AS y0,
+         |    CAST(0 AS BIGINT) AS d0
+         |  FROM lineitem),
+         |$levels
+         |SELECT d10 >> 14 AS hbucket, count(*) AS n,
+         |  min(d10) AS min_hd, max(d10) AS max_hd,
+         |  round(sum(l_quantity), 2) AS qty
+         |FROM h10 GROUP BY 1 ORDER BY 1""".stripMargin
+    })
+
   val all: Seq[GraftQuery] = Seq(q83TextSource, q84PartitionedWrite,
     q85BucketedJoin, q86SchemaEvolution, q93ZOrder, q102NumbersSource,
-    q105V2SinkRoundtrip)
+    q105V2SinkRoundtrip, q180HilbertLayout)
 }

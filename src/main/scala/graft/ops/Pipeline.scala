@@ -292,6 +292,72 @@ object Pipeline {
            |SELECT doc_id, epoch, shard, CAST(pos AS BIGINT) AS pos
            |FROM p WHERE doc_id < 40 ORDER BY doc_id, epoch""".stripMargin))
 
+  /** CDC snapshot diff — classify every key across two table versions as
+    * insert / delete / update by a full outer join on the key, comparing
+    * value columns COLUMN-WISE (never a stringified row hash: float/date
+    * formatting differs across engines, column equality doesn't). This is
+    * the change-capture primitive incremental ingestion is built on: the
+    * diff of yesterday's and today's snapshot IS the day's CDC stream when
+    * the source can't emit one.
+    *
+    * The "new" snapshot is synthesized deterministically from orders
+    * (keys %97 deleted, %13 repriced +10, %89 re-inserted under shifted
+    * keys), so both engines reconstruct identical versions with no staged
+    * state. Scale: one key-keyed full outer join (sort-merge on the key,
+    * AQE-skew-safe) + per-row comparisons; the unchanged majority is
+    * filtered before any further processing, so downstream cost is
+    * proportional to the CHANGE volume, not the snapshot.
+    */
+  val q181SnapshotDiff = GraftQuery(
+    "q181_snapshot_diff",
+    (s, dir) => {
+      val v1 = Tables.orders(s, dir).filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+          col("o_totalprice").as("price"))
+      val v2 = v1.filter(col("k") % 97 =!= 0) // deletes
+        .withColumn("price",
+          when(col("k") % 13 === 0, col("price") + 10.0).otherwise(col("price")))
+        .unionByName(v1.filter(col("k") % 89 === 0) // inserts under new keys
+          .select((col("k") + 10000000L).as("k"), col("cust"), col("price")))
+      val a = v1.select(col("k"), col("cust").as("cust_old"), col("price").as("price_old"))
+      val b = v2.select(col("k"), col("cust").as("cust_new"), col("price").as("price_new"))
+      a.join(b, Seq("k"), "full_outer")
+        .withColumn("change_type",
+          when(col("cust_old").isNull, lit("insert"))
+            .when(col("cust_new").isNull, lit("delete"))
+            .when(col("cust_old") =!= col("cust_new") ||
+              col("price_old") =!= col("price_new"), lit("update"))
+            .otherwise(lit("unchanged")))
+        .filter(col("change_type") =!= "unchanged")
+        .select(col("change_type"), col("k"),
+          round(col("price_old"), 2).as("price_old"),
+          round(col("price_new"), 2).as("price_new"))
+        .orderBy("k", "change_type")
+    },
+    Some("""WITH v1 AS (
+           |  SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS price
+           |  FROM orders WHERE o_orderkey < 3000),
+           |v2 AS (
+           |  SELECT k, cust,
+           |    CASE WHEN k % 13 = 0 THEN price + 10.0 ELSE price END AS price
+           |  FROM v1 WHERE k % 97 <> 0
+           |  UNION ALL
+           |  SELECT k + 10000000, cust, price FROM v1 WHERE k % 89 = 0),
+           |d AS (
+           |  SELECT coalesce(a.k, b.k) AS k,
+           |    a.cust AS cust_old, a.price AS price_old,
+           |    b.cust AS cust_new, b.price AS price_new
+           |  FROM v1 a FULL OUTER JOIN v2 b ON a.k = b.k)
+           |SELECT CASE WHEN cust_old IS NULL THEN 'insert'
+           |            WHEN cust_new IS NULL THEN 'delete'
+           |            ELSE 'update' END AS change_type,
+           |  k, round(price_old, 2) AS price_old, round(price_new, 2) AS price_new
+           |FROM d
+           |WHERE cust_old IS NULL OR cust_new IS NULL
+           |   OR cust_old <> cust_new OR price_old <> price_new
+           |ORDER BY k, change_type""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q52HashSample, q53IncrementalDedup, q54OutlierFilter,
-    q65StratifiedSample, q97WeightedSample, q129MixtureSample, q136EpochShuffle)
+    q65StratifiedSample, q97WeightedSample, q129MixtureSample, q136EpochShuffle,
+    q181SnapshotDiff)
 }

@@ -237,5 +237,66 @@ object Quality {
            |FROM top JOIN documents d2 ON top.doc_id = d2.doc_id
            |WHERE rank <= 25 ORDER BY rank""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q96DqChecks, q113PsiDrift, q153Auc, q168DsirSelect)
+  /** One-pass dataset profiler (the Deequ/TFDV "column statistics" op):
+    * every column's row count, null count, exact distinct count, and — for
+    * numerics — min/max/mean/stddev, computed as ONE wide aggregation over
+    * a single scan and then stacked to a (column, stats) long format. The
+    * point at 100 TB is the single pass: profiling k columns as k separate
+    * queries rescans the table k times, while one agg row carries all
+    * k×6 partial aggregates through one shuffle of exactly one row per
+    * partition. mean/stddev are accumulation-order-dependent → round 3;
+    * min/max/counts are exact.
+    */
+  val q182ColumnProfile = GraftQuery(
+    "q182_column_profile",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val nums = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val strs = Seq("l_returnflag", "l_linestatus")
+      val aggs =
+        Seq(count(lit(1)).as("n_rows")) ++
+        (nums ++ strs).flatMap { c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+          countDistinct(col(c)).as(s"dist_$c"))
+        } ++
+        nums.flatMap { c => Seq(
+          min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+          round(avg(col(c)), 3).as(s"mean_$c"),
+          round(stddev_samp(col(c)), 3).as(s"std_$c"))
+        }
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = (
+        nums.map(c =>
+          s"'$c', n_rows, null_$c, dist_$c, min_$c, max_$c, mean_$c, std_$c") ++
+        strs.map(c =>
+          s"'$c', n_rows, null_$c, dist_$c, " +
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), " +
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)")
+      ).mkString(", ")
+      one.select(expr(
+        s"stack(6, $stackArgs) AS (col_name, n_rows, n_null, n_distinct, " +
+          "min_v, max_v, mean_v, std_v)"))
+        .orderBy("col_name")
+    },
+    Some {
+      val num = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  min($c) AS min_v, max($c) AS max_v,
+           |  round(avg($c), 3) AS mean_v, round(stddev_samp($c), 3) AS std_v
+           |FROM lineitem""".stripMargin
+      }
+      val str = Seq("l_returnflag", "l_linestatus").map { c =>
+        s"""SELECT '$c', count(*), CAST(count(*) - count($c) AS BIGINT),
+           |  count(DISTINCT $c),
+           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+           |FROM lineitem""".stripMargin
+      }
+      (num ++ str).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    })
+
+  val all: Seq[GraftQuery] = Seq(q96DqChecks, q113PsiDrift, q153Auc, q168DsirSelect,
+    q182ColumnProfile)
 }
