@@ -926,8 +926,74 @@ object Dedup {
            |SELECT i, j, round(jc, 6) AS jac FROM jac WHERE jc >= 0.5
            |ORDER BY i, j""".stripMargin))
 
+  /** CCNet-style line-level dedup: the corpus is cut into fixed "lines"
+    * (the fixture text carries no newlines, so a line is an aligned 12-word
+    * chunk — the same role paragraph splits play in CCNet), every line is
+    * counted across the corpus, and any line appearing verbatim in ≥ 2
+    * distinct documents is removed from ALL of them (boilerplate headers,
+    * navigation, license blurbs — content nobody wants twice in a training
+    * set). Distinct from q135's winnowing: this is exact match on whole
+    * normalized units with corpus-frequency evidence, not fingerprint
+    * sampling of arbitrary substrings.
+    *
+    * Scale: explode → one groupBy on the line text (balanced: line hashes
+    * are near-uniform keys), then one keyed equi-join of lines against the
+    * duplicated-line set — never broadcast, since at 100 TB the boilerplate
+    * set is itself huge. Reconstruction is a per-doc partial-agg
+    * collect_list of the surviving lines, fingerprinted so the oracle
+    * compares whole reconstructed texts without shipping them.
+    */
+  val q183LineDedup = GraftQuery(
+    "q183_line_dedup",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val lines = docs
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("line_no",
+          explode(sequence(lit(0), (ceil(size(col("ws")) / 12.0) - 1).cast("int"))))
+        .select(col("doc_id"), col("line_no"),
+          array_join(slice(col("ws"), col("line_no") * 12 + 1, lit(12)), " ").as("line"))
+      val dup = lines.groupBy("line")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("line"), lit(1).as("is_dup"))
+      val marked = lines.join(dup, Seq("line"), "left")
+      val rec = marked.filter(col("is_dup").isNull)
+        .groupBy("doc_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+            x => x.getField("line")), " ").as("retained"))
+      val stats = marked.groupBy("doc_id").agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("is_dup").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+      docs.join(stats, "doc_id")
+        .join(rec, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"), col("n_removed"),
+          substring(md5(coalesce(col("retained"), lit(""))), 1, 12).as("retained_fp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |l AS (SELECT doc_id, CAST(i AS INT) AS line_no,
+           |    array_to_string(ws[CAST(i*12+1 AS INT) : CAST(i*12+12 AS INT)], ' ') AS line
+           |  FROM (SELECT doc_id, ws,
+           |          unnest(range(0, CAST(ceil(len(ws)/12.0) AS BIGINT))) AS i FROM w)),
+           |dup AS (SELECT line FROM l GROUP BY line
+           |  HAVING count(DISTINCT doc_id) >= 2),
+           |m AS (SELECT l.doc_id, l.line_no, l.line,
+           |    CASE WHEN dup.line IS NULL THEN 0 ELSE 1 END AS is_dup
+           |  FROM l LEFT JOIN dup ON l.line = dup.line),
+           |rec AS (SELECT doc_id,
+           |    string_agg(line, ' ' ORDER BY line_no) AS retained
+           |  FROM m WHERE is_dup = 0 GROUP BY doc_id),
+           |st AS (SELECT doc_id, count(*) AS n_lines,
+           |    CAST(sum(is_dup) AS BIGINT) AS n_removed FROM m GROUP BY doc_id)
+           |SELECT st.doc_id, st.n_lines, st.n_removed,
+           |  substr(md5(coalesce(rec.retained, '')), 1, 12) AS retained_fp
+           |FROM st LEFT JOIN rec ON st.doc_id = rec.doc_id
+           |ORDER BY st.doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q24DedupExact, q25DedupMinhash, q26DedupNgram, q27DedupSimhash, q28EmbeddingNn,
     q59DedupClusters, q127DedupClustersStar, q135SubstringWinnow, q144SpanRemoval,
-    q150PrefixJaccardJoin, q173ContainmentJoin, q174SortedNeighborhood)
+    q150PrefixJaccardJoin, q173ContainmentJoin, q174SortedNeighborhood, q183LineDedup)
 }

@@ -321,5 +321,60 @@ object Graph {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     })
 
-  val all: Seq[GraftQuery] = Seq(q98PageRank, q148TriangleCount, q171KcoreSemantic)
+  /** Single-source shortest paths over the supplier co-supply graph
+    * (suppliers are adjacent when they supply the same part; the edge
+    * weight 1 + (s1+s2) % 7 is a deterministic symmetric cost). Four
+    * Bellman-Ford relaxation rounds from supplier 1, each round one keyed
+    * equi-join (frontier ⋈ edges) + one partial-agg min — the Pregel
+    * dataflow shape, so a billion-edge graph relaxes with per-round
+    * shuffles keyed by node id and no driver state beyond loop control.
+    * The distance table carries REACHED nodes only (sparse frontier), so
+    * early rounds shuffle a fraction of the node set. Determinism: a fixed
+    * round count replayed identically by the oracle's unrolled CTEs —
+    * integer weights keep every distance exact.
+    */
+  val q184Sssp = GraftQuery(
+    "q184_sssp",
+    (s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+      val e = ps.alias("a").join(ps.alias("b"), Seq("pk"))
+        .filter(col("a.sk") =!= col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+        .withColumn("w", lit(1L) + (col("src") + col("dst")) % 7)
+        .persist()
+      var d = s.range(1).select(lit(1L).as("node"), lit(0L).as("dist"))
+      for (_ <- 1 to 4) {
+        val relax = e.join(d, e("src") === d("node"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        d = d.unionByName(relax).groupBy("node").agg(min("dist").as("dist"))
+      }
+      val out = d.filter(col("node") <= 60)
+        .select(col("node").as("supp"), col("dist").cast("long").as("dist"))
+        .orderBy("supp")
+      out.count() // materialize before unpersisting the cached edge list
+      e.unpersist()
+      out
+    },
+    Some {
+      val rounds = (1 to 4).map { i =>
+        s"""d$i AS (SELECT node, min(dist) AS dist FROM (
+           |  SELECT node, dist FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT e.dst, d.dist + e.w FROM d${i - 1} d JOIN ew e ON d.node = e.src)
+           |GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+         |ew AS MATERIALIZED (
+         |  SELECT src, dst, 1 + (src + dst) % 7 AS w FROM (
+         |    SELECT DISTINCT a.sk AS src, b.sk AS dst
+         |    FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk <> b.sk)),
+         |d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+         |$rounds
+         |SELECT node AS supp, CAST(dist AS BIGINT) AS dist
+         |FROM d4 WHERE node <= 60 ORDER BY supp""".stripMargin
+    })
+
+  val all: Seq[GraftQuery] = Seq(q98PageRank, q148TriangleCount, q171KcoreSemantic,
+    q184Sssp)
 }
