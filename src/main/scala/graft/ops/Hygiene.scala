@@ -125,5 +125,113 @@ object Hygiene {
            |WHERE rn = 1 AND round(t.cnt / tt.n_words, 6) > 0.08
            |ORDER BY t.doc_id""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q99PiiRedact, q100Contamination, q101Repetition)
+  /** URL canonicalization + canonical-URL dedup — the crawl-hygiene pass
+    * every web-scale corpus runs before content dedup. The fixture carries
+    * no URL column, so each doc derives a deterministic MESSY url from
+    * (source, doc_id) — four variants per logical page (doc_id div 3):
+    * uppercase host + :443 + tracking param + fragment, doubled path
+    * slashes, /index.html suffix, param-order shuffle. The operator then
+    * canonicalizes FROM THE URL STRING ALONE: strip fragment, lowercase
+    * host, drop default port and leading www., collapse duplicate path
+    * slashes, drop /index.html and trailing slash, remove utm_*, gclid and
+    * fbclid params, sort survivors. Docs collapsing to one canonical URL
+    * are duplicates; per registered domain we report the collapse rate.
+    *
+    * Scale: pure per-row regexp/array expressions (one codegen scan), then
+    * one partial-agg groupBy on domain — no join, no shuffle beyond the
+    * final k-domain agg. The dedup itself is the q24 exact-hash shape keyed
+    * on the canonical string.
+    */
+  val q185UrlCanonical = GraftQuery(
+    "q185_url_canonical",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr("doc_id div 3").as("pid"),
+          concat(col("source"), lit(".example.com")).as("dom"))
+      val urls = docs.withColumn("url",
+        when(col("doc_id") % 4 === 0,
+          concat(lit("HTTPS://WWW."), upper(col("dom")), lit(":443/p/"),
+            col("pid").cast("string"), lit("/?utm_source=feed&ref="),
+            col("pid").cast("string"), lit("#top")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://"), col("dom"), lit("//p//"),
+            col("pid").cast("string"), lit("?ref="),
+            col("pid").cast("string"), lit("&utm_campaign=x")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://www."), col("dom"), lit("/p/"),
+            col("pid").cast("string"), lit("/index.html?ref="),
+            col("pid").cast("string")))
+        .otherwise(
+          concat(lit("https://"), col("dom"), lit(":443/p/"),
+            col("pid").cast("string"), lit("?gclid=abc&ref="),
+            col("pid").cast("string"))))
+      val canon = urls
+        .withColumn("nofrag", regexp_replace(col("url"), "#.*$", ""))
+        .withColumn("host",
+          regexp_replace(regexp_replace(regexp_replace(
+            regexp_extract(lower(col("nofrag")), "^[a-z]+://([^/?#]+)", 1),
+            ":(80|443)$", ""), "^www\\.", ""), ":(80|443)$", ""))
+        .withColumn("path",
+          regexp_replace(regexp_replace(regexp_replace(
+            regexp_extract(col("nofrag"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+            "/{2,}", "/"), "/index\\.html$", ""), "/$", ""))
+        .withColumn("params", array_sort(filter(
+          split(regexp_extract(col("nofrag"), "\\?(.*)$", 1), "&"),
+          p => !p.rlike("^(utm_[^=]*|gclid|fbclid)=") && p =!= lit(""))))
+        .withColumn("canon", concat(lit("https://"), col("host"), col("path"),
+          when(size(col("params")) > 0,
+            concat(lit("?"), array_join(col("params"), "&"))).otherwise(lit(""))))
+        .withColumn("domain", regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+      canon.groupBy("host", "domain").agg(
+        count(lit(1)).as("n_urls"),
+        countDistinct(col("url")).as("n_raw_distinct"),
+        countDistinct(col("canon")).as("n_canonical"),
+        (count(lit(1)) - countDistinct(col("canon"))).as("n_dups_removed"),
+        min(col("canon")).as("sample_canon"))
+        .orderBy("host")
+    },
+    Some("""WITH u AS (
+           |  SELECT doc_id, source, doc_id // 3 AS pid,
+           |    source || '.example.com' AS dom FROM documents),
+           |urls AS (SELECT doc_id,
+           |    CASE doc_id % 4
+           |      WHEN 0 THEN 'HTTPS://WWW.' || upper(dom) || ':443/p/' || pid
+           |        || '/?utm_source=feed&ref=' || pid || '#top'
+           |      WHEN 1 THEN 'http://' || dom || '//p//' || pid || '?ref='
+           |        || pid || '&utm_campaign=x'
+           |      WHEN 2 THEN 'https://www.' || dom || '/p/' || pid
+           |        || '/index.html?ref=' || pid
+           |      ELSE 'https://' || dom || ':443/p/' || pid || '?gclid=abc&ref='
+           |        || pid END AS url
+           |  FROM u),
+           |c AS (SELECT doc_id, url,
+           |    regexp_replace(url, '#.*$', '') AS nofrag FROM urls),
+           |c2 AS (SELECT doc_id, url,
+           |    regexp_replace(regexp_replace(regexp_replace(
+           |      regexp_extract(lower(nofrag), '^[a-z]+://([^/?#]+)', 1),
+           |      ':(80|443)$', ''), '^www\.', ''), ':(80|443)$', '') AS host,
+           |    regexp_replace(regexp_replace(regexp_replace(
+           |      regexp_extract(nofrag, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+           |      '/{2,}', '/', 'g'), '/index\.html$', ''), '/$', '') AS path,
+           |    list_sort(list_filter(string_split(
+           |      regexp_extract(nofrag, '\?(.*)$', 1), '&'),
+           |      p -> NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)=')
+           |        AND p <> '')) AS params
+           |  FROM c),
+           |c3 AS (SELECT doc_id, url, host,
+           |    'https://' || host || path ||
+           |      CASE WHEN len(params) > 0
+           |        THEN '?' || array_to_string(params, '&') ELSE '' END AS canon,
+           |    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+           |  FROM c2)
+           |SELECT host, domain, CAST(count(*) AS BIGINT) AS n_urls,
+           |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_distinct,
+           |  CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+           |  CAST(count(*) - count(DISTINCT canon) AS BIGINT) AS n_dups_removed,
+           |  min(canon) AS sample_canon
+           |FROM c3 GROUP BY host, domain ORDER BY host""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q99PiiRedact, q100Contamination, q101Repetition,
+    q185UrlCanonical)
 }
