@@ -300,25 +300,83 @@ object Graph {
            |e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e
            |  JOIN k$r a ON e.u = a.u JOIN k$r b ON e.v = b.u)""".stripMargin
       }.mkString(",\n")
-      s"""WITH tf AS MATERIALIZED (
-         |  SELECT doc_id, t, count(*) tf FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) t
-         |    FROM documents WHERE doc_id < 150) GROUP BY 1, 2),
-         |df AS (SELECT t, count(*) df FROM tf GROUP BY 1),
-         |nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) n FROM tf),
-         |w AS MATERIALIZED (SELECT doc_id, t, tf * ln(n / df) AS w
-         |  FROM tf JOIN df USING (t), nn WHERE df < n),
-         |nrm AS (SELECT doc_id, sqrt(sum(w*w)) nrm FROM w GROUP BY 1),
-         |dots AS (SELECT a.doc_id i, b.doc_id j, sum(a.w * b.w) dot
-         |  FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS MATERIALIZED (SELECT i, j
-         |  FROM dots JOIN nrm x ON x.doc_id = i JOIN nrm y ON y.doc_id = j
-         |  WHERE dot / (x.nrm * y.nrm) >= 0.75),
-         |e0 AS MATERIALIZED (SELECT i u, j v FROM pairs UNION ALL SELECT j, i FROM pairs),
+      s"""WITH $semanticEdgesSql,
          |$peel
          |SELECT u AS doc_id, count(*) AS core_deg FROM e6
          |GROUP BY 1 ORDER BY 1""".stripMargin
+    })
+
+  /** The q171/q186 oracle's shared edge builder: tf-idf cosine ≥ 0.75
+    * pairs over docs < 150, emitted both directions as e0 (mirrors
+    * [[semanticEdges]] exactly). */
+  private lazy val semanticEdgesSql: String =
+    """tf AS MATERIALIZED (
+      |  SELECT doc_id, t, count(*) tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) t
+      |    FROM documents WHERE doc_id < 150) GROUP BY 1, 2),
+      |df AS (SELECT t, count(*) df FROM tf GROUP BY 1),
+      |nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) n FROM tf),
+      |w AS MATERIALIZED (SELECT doc_id, t, tf * ln(n / df) AS w
+      |  FROM tf JOIN df USING (t), nn WHERE df < n),
+      |nrm AS (SELECT doc_id, sqrt(sum(w*w)) nrm FROM w GROUP BY 1),
+      |dots AS (SELECT a.doc_id i, b.doc_id j, sum(a.w * b.w) dot
+      |  FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS MATERIALIZED (SELECT i, j
+      |  FROM dots JOIN nrm x ON x.doc_id = i JOIN nrm y ON y.doc_id = j
+      |  WHERE dot / (x.nrm * y.nrm) >= 0.75),
+      |e0 AS MATERIALIZED (SELECT i u, j v FROM pairs UNION ALL SELECT j, i FROM pairs)""".stripMargin
+
+  /** Synchronous label-propagation community detection over the semantic
+    * similarity graph ([[semanticEdges]]): every node starts labeled with
+    * its own id; each round it adopts the most frequent label among its
+    * neighbors, ties broken toward the SMALLEST label. Four synchronous
+    * rounds — the asynchronous/randomized LPA of Raghavan et al. is
+    * non-deterministic by design, so this is the deterministic variant a
+    * reproducible corpus pipeline needs (same tie-break GraphX's
+    * LabelPropagation uses modulo hash order — here made total by the
+    * (count desc, label asc) sort).
+    *
+    * Scale: per round one keyed equi-join (edges ⋈ labels, shuffled on
+    * node id) + one partial-agg count + one per-node window top-1 — the
+    * Pregel message/vote shape; label state is one row per node, never
+    * collected to the driver. Fixed round count replays identically in the
+    * oracle's unrolled CTEs.
+    */
+  val q186LabelProp = GraftQuery(
+    "q186_label_prop",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = semanticEdges(s, dir)
+      var lab = e.select(col("u")).distinct()
+        .select(col("u").as("node"), col("u").as("lbl"))
+      for (_ <- 1 to 4) {
+        val votes = e.join(lab, e("v") === lab("node"))
+          .groupBy(e("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        lab = votes
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("u").orderBy(desc("cnt"), col("lbl"))))
+          .filter(col("rn") === 1)
+          .select(col("u").as("node"), col("lbl"))
+      }
+      val out = lab.select(col("node").as("doc_id"), col("lbl").as("community"))
+        .orderBy("doc_id")
+      out.count() // materialize before releasing the cached edge list
+      e.unpersist()
+      out
+    },
+    Some {
+      val rounds = (1 to 4).map { r =>
+        s"""v$r AS (SELECT e.u, l.lbl, count(*) cnt
+           |  FROM e0 e JOIN l${r - 1} l ON e.v = l.node GROUP BY 1, 2),
+           |l$r AS MATERIALIZED (SELECT u AS node, lbl FROM (
+           |  SELECT u, lbl, row_number() OVER (
+           |    PARTITION BY u ORDER BY cnt DESC, lbl) rn FROM v$r) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $semanticEdgesSql,
+         |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM e0),
+         |$rounds
+         |SELECT node AS doc_id, lbl AS community FROM l4 ORDER BY node""".stripMargin
     })
 
   /** Single-source shortest paths over the supplier co-supply graph
@@ -376,5 +434,5 @@ object Graph {
     })
 
   val all: Seq[GraftQuery] = Seq(q98PageRank, q148TriangleCount, q171KcoreSemantic,
-    q184Sssp)
+    q184Sssp, q186LabelProp)
 }

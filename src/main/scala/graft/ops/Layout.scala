@@ -352,7 +352,64 @@ object Layout {
          |FROM h10 GROUP BY 1 ORDER BY 1""".stripMargin
     })
 
+  /** Small-file compaction planner — the lakehouse maintenance op (Iceberg
+    * rewrite_data_files binpack / Delta OPTIMIZE) that groups undersized
+    * files into target-size rewrite bins, partition by partition. Orders
+    * stands in for the file manifest: file_id = o_orderkey, partition =
+    * order month, size = ⌊o_totalprice⌋ bytes, target bin = 400 kB. Files
+    * already ≥ target pass through untouched (reported as bin −1); the
+    * rest are packed size-descending by running-total quantile: bin =
+    * (cumulative bytes before this file) div target — the deterministic,
+    * one-window equivalent of the greedy accumulate-until-full scan, so
+    * every bin but a partition's last lands in [target, target + max_file).
+    *
+    * Scale: planning a billion-file manifest is one window (partitioned by
+    * the table partition — manifests are naturally partition-bounded) plus
+    * one partial agg: no collect, no loop, no join. The plan output is
+    * bin-granular (what a rewrite job consumes), not file-granular.
+    */
+  val q187CompactionPlan = GraftQuery(
+    "q187_compaction_plan",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val target = 400000L
+      val files = Tables.orders(s, dir).select(
+        col("o_orderkey").as("file_id"),
+        substring(col("o_orderdate").cast("string"), 1, 7).as("part"),
+        floor(col("o_totalprice")).as("bytes"))
+      val small = files.filter(col("bytes") < target)
+        .withColumn("cum_before",
+          sum("bytes").over(Window.partitionBy("part")
+            .orderBy(desc("bytes"), col("file_id"))) - col("bytes"))
+        .withColumn("bin", expr(s"cum_before div ${target}L"))
+      val keep = files.filter(col("bytes") >= target)
+        .withColumn("bin", lit(-1L))
+      small.select("part", "bin", "file_id", "bytes")
+        .unionByName(keep.select("part", "bin", "file_id", "bytes"))
+        .groupBy("part", "bin")
+        .agg(count(lit(1)).as("n_files"), sum("bytes").as("bin_bytes"))
+        .orderBy("part", "bin")
+    },
+    Some("""WITH f AS (
+           |  SELECT o_orderkey AS file_id,
+           |    substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS part,
+           |    CAST(floor(o_totalprice) AS BIGINT) AS bytes
+           |  FROM orders),
+           |small AS (SELECT part, file_id, bytes,
+           |    sum(bytes) OVER (PARTITION BY part
+           |      ORDER BY bytes DESC, file_id) - bytes AS cum_before
+           |  FROM f WHERE bytes < 400000),
+           |plan AS (
+           |  SELECT part, CAST(cum_before // 400000 AS BIGINT) AS bin,
+           |    file_id, bytes FROM small
+           |  UNION ALL
+           |  SELECT part, CAST(-1 AS BIGINT), file_id, bytes
+           |  FROM f WHERE bytes >= 400000)
+           |SELECT part, bin, CAST(count(*) AS BIGINT) AS n_files,
+           |  CAST(sum(bytes) AS BIGINT) AS bin_bytes
+           |FROM plan GROUP BY part, bin ORDER BY part, bin""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q83TextSource, q84PartitionedWrite,
     q85BucketedJoin, q86SchemaEvolution, q93ZOrder, q102NumbersSource,
-    q105V2SinkRoundtrip, q180HilbertLayout)
+    q105V2SinkRoundtrip, q180HilbertLayout, q187CompactionPlan)
 }

@@ -85,7 +85,9 @@ object Multimodal {
         Some((be32(p, 16), be32(p, 20)))
       // BMP: BITMAPINFOHEADER width at 18, height at 22 (LE int32; height
       // may be negative for top-down rows)
-      case "bmp" => Some((le32(p, 18), math.abs(le32(p, 22))))
+      // abs in Long: Int.MinValue height must not surface as negative dims
+      case "bmp" => Some((le32(p, 18),
+        math.abs(le32(p, 22).toLong).min(Int.MaxValue.toLong).toInt))
       // GIF: logical screen descriptor, LE uint16 at 6/8
       case "gif" => Some((le16(p, 6), le16(p, 8)))
       // WAV: fmt chunk directly after "WAVE" in canonical files — channels

@@ -357,7 +357,74 @@ object Pipeline {
            |   OR cust_old <> cust_new OR price_old <> price_new
            |ORDER BY k, change_type""".stripMargin))
 
+  /** Leakage-safe train/val/test split: assigning docs to splits by a hash
+    * of their OWN id leaks near-duplicates across the eval boundary — the
+    * classic contamination bug. Here the split key is the near-dup GROUP:
+    * connected components over the q25 MinHash-verified pair graph
+    * (singletons are their own group), bucketed md5(group) % 10 →
+    * 8/1/1 train/val/test, so a whole duplicate family always lands in one
+    * split. `leaked_groups` (groups spanning >1 split) is computed from
+    * the output itself and must be 0 — the audit is part of the operator.
+    *
+    * Scale: the group table is the q59 CC machinery (banded LSH + bounded
+    * CC dispatch); assignment is one hash expression; the audit is one
+    * partial-agg groupBy on group id. Nothing new shuffles beyond the CC
+    * labels themselves.
+    */
+  val q188GroupSplit = GraftQuery(
+    "q188_group_split",
+    (s, dir) => {
+      val pairs = Dedup.minhashPairs(s, dir).select(col("i"), col("j"))
+      val lbl = Dedup.connectedComponents(pairs)
+      val grp = Tables.documents(s, dir).select(col("doc_id"))
+        .join(lbl.select(col("v").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+        .withColumn("grp", coalesce(col("lbl"), col("doc_id")))
+      val bucket = conv(substring(md5(col("grp").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10
+      val split = grp.withColumn("split",
+        when(bucket <= 7, "train").when(bucket === 8, "val").otherwise("test"))
+      val perGroup = split.groupBy("grp").agg(
+        count(lit(1)).as("gsz"), countDistinct("split").as("nsplits"))
+      val leak = perGroup.agg(
+        sum(when(col("nsplits") > 1, 1L).otherwise(0L)).as("leaked_groups"))
+      split.join(perGroup.select("grp", "gsz"), "grp")
+        .groupBy("split").agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct("grp").as("n_groups"),
+          sum(when(col("gsz") >= 2, 1L).otherwise(0L)).as("n_grouped_docs"))
+        .crossJoin(broadcast(leak))
+        .orderBy("split")
+    },
+    Some(s"""WITH RECURSIVE pairs AS (SELECT i, j FROM (
+            |${Dedup.q25DedupMinhash.oracle.get}) q25),
+            |edges AS (SELECT i a, j b FROM pairs UNION SELECT j, i FROM pairs),
+            |reach(a, b) AS (
+            |  SELECT a, b FROM edges
+            |  UNION
+            |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND e.b <> r.a),
+            |lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            |  FROM reach GROUP BY a),
+            |g AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS grp
+            |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+            |sp AS (SELECT doc_id, grp,
+            |    CASE WHEN CAST(concat('0x', substr(md5(grp::VARCHAR), 1, 4)) AS BIGINT)
+            |           % 10 <= 7 THEN 'train'
+            |         WHEN CAST(concat('0x', substr(md5(grp::VARCHAR), 1, 4)) AS BIGINT)
+            |           % 10 = 8 THEN 'val'
+            |         ELSE 'test' END AS split
+            |  FROM g),
+            |gg AS (SELECT grp, count(*) AS gsz, count(DISTINCT split) AS nsplits
+            |  FROM sp GROUP BY 1),
+            |lk AS (SELECT CAST(sum(CASE WHEN nsplits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            |  AS leaked_groups FROM gg)
+            |SELECT sp.split, CAST(count(*) AS BIGINT) AS n_docs,
+            |  CAST(count(DISTINCT sp.grp) AS BIGINT) AS n_groups,
+            |  CAST(sum(CASE WHEN gg.gsz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_grouped_docs,
+            |  any_value(lk.leaked_groups) AS leaked_groups
+            |FROM sp JOIN gg USING (grp), lk
+            |GROUP BY sp.split ORDER BY sp.split""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q52HashSample, q53IncrementalDedup, q54OutlierFilter,
     q65StratifiedSample, q97WeightedSample, q129MixtureSample, q136EpochShuffle,
-    q181SnapshotDiff)
+    q181SnapshotDiff, q188GroupSplit)
 }
