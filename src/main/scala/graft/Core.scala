@@ -29,13 +29,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
-    * rejects; read nanos as long and truncate to microsecond timestamps
-    * (matching DuckDB's TIMESTAMP_NS→TIMESTAMP cast, which also truncates).
+  /** events.ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    * parquet across fixture generations, so normalize by the type that
+    * actually arrives: nanos (read as long — Spark's vectorized reader
+    * rejects nanos timestamps) truncate to micros exactly like DuckDB's
+    * TIMESTAMP_NS→TIMESTAMP cast; naive micros (TIMESTAMP_NTZ) cast to
+    * TimestampType under the repo's fixed UTC session timezone (a pure
+    * re-tag of the same micros value), so every downstream query sees one
+    * stable TimestampType column either way.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
