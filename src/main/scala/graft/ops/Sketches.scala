@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
@@ -204,5 +204,69 @@ object Sketches {
            |  (SELECT * FROM base UNION ALL SELECT * FROM irow)
            |ORDER BY grp""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q94CmsFreq, q95BloomMembership, q172KmvSketch)
+  /** Per-partition Misra-Gries candidate generation (Misra & Gries 1982;
+    * the "frequent" / space-saving family): each partition keeps at most
+    * `k` counters over its token stream — on a full table, an unseen token
+    * decrements every counter and drops the zeros instead of entering.
+    * The classic guarantee is per-partition: any term with partition
+    * frequency > N_p/(k+1) still holds a counter at the end, and by
+    * pigeonhole any GLOBAL term with frequency > N/(k+1) exceeds that
+    * local bar in at least one partition — so the union of per-partition
+    * survivors is a SUPERSET of the global heavy hitters, at O(parts·k)
+    * candidate rows instead of one row per distinct term.
+    */
+  private[graft] def misraGriesCandidates(terms: DataFrame, k: Int): DataFrame = {
+    val s = terms.sparkSession
+    import s.implicits._
+    terms.as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (counts.contains(t)) counts(t) += 1
+        else if (counts.size < k) counts(t) = 1L
+        else {
+          counts.mapValuesInPlace((_, c) => c - 1)
+          counts.filterInPlace((_, c) => c > 0)
+        }
+      }
+      counts.keysIterator
+    }.toDF("term").distinct()
+  }
+
+  /** Exact corpus heavy hitters (tokens with frequency > N/200) through the
+    * scale-right two-phase shape: a Misra-Gries candidate sweep
+    * ([[misraGriesCandidates]], k = 512 ≥ the 200 the threshold needs, so
+    * the superset guarantee holds with margin), then exact counts for the
+    * candidates ONLY via a broadcast semi-join — the full token stream is
+    * never globally grouped by term. The final exact filter makes the
+    * output partition-independent (any MG false positives fail the exact
+    * bar), which is what lets a deterministic oracle check a
+    * partitioning-dependent sketch. HeavyHittersSpec pins the superset
+    * property and the candidate-volume bound separately.
+    */
+  val q189HeavyHitters = GraftQuery(
+    "q189_heavy_hitters",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .persist()
+      val cands = misraGriesCandidates(toks, k = 512)
+      val total = toks.agg(count(lit(1)).as("n"))
+      val out = toks.join(broadcast(cands), Seq("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .crossJoin(total)
+        .filter(col("cnt") * 200 > col("n"))
+        .select(col("term"), col("cnt"))
+        .orderBy(desc("cnt"), col("term"))
+      out.count() // materialize before releasing the cached token stream
+      toks.unpersist()
+      out
+    },
+    Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+           |n AS (SELECT count(*) AS n FROM t)
+           |SELECT term, count(*) AS cnt FROM t, n
+           |GROUP BY term, n.n HAVING count(*) * 200 > n.n
+           |ORDER BY cnt DESC, term""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q94CmsFreq, q95BloomMembership, q172KmvSketch,
+    q189HeavyHitters)
 }

@@ -1069,7 +1069,83 @@ object Vectors {
            |FROM solved ORDER BY u""".stripMargin))
 
   // by q141 (see its scaladoc) — spec-covered, not oracle-registered
+  /** Centroid-based (simplified / "medoid-free") silhouette audit of the
+    * q137 clustering — the cluster-quality score a training-data curation
+    * pipeline reads before trusting k-means cells for SemDeDup or IVF:
+    * per point a = L2 distance to its OWN final centroid, b = distance to
+    * the nearest OTHER centroid, s = (b−a)/max(a,b) ∈ [−1, 1]; report
+    * per-cluster size and mean silhouette. This is the O(n·k) silhouette
+    * variant (Rousseeuw's exact form is O(n²) pairwise — a non-starter at
+    * corpus scale); it needs only the same broadcast-literal centroid
+    * array the assignment pass already carries, so the whole audit is one
+    * extra map over the assigned frame plus a k-row aggregate: no new
+    * shuffle of the corpus beyond the final groupBy(j) on k keys.
+    *
+    * Determinism: distances fold left-to-right over literal centroids
+    * (the q137 float discipline); the one cross-row aggregate (avg) is
+    * rounded to 3 digits on both sides.
+    */
+  val q190Silhouette = GraftQuery(
+    "q190_silhouette",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select(col("vec_id"), col("v"))
+        .persist()
+      val (cents, assigned) = lloyd(e, k = 6, rounds = 2)
+      val centsLit = array(cents.map { case (idx, cv) =>
+        struct(lit(idx).as("idx"), typedLit(cv).as("cv"))
+      }: _*)
+      val allD = transform(centsLit, c => struct(c("idx").as("idx"),
+        aggregate(zip_with(col("v"), c("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, dd) => acc + dd).as("dd")))
+      val out = assigned
+        .withColumn("a", sqrt(col("d")))
+        .withColumn("b", sqrt(array_min(transform(
+          filter(allD, c => c("idx") =!= col("j")), c => c("dd")))))
+        .withColumn("sil",
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+        .groupBy("j").agg(count(lit(1)).as("n_members"),
+          round(avg("sil"), 3).as("avg_sil"))
+        .select(col("j").as("cluster"), col("n_members"), col("avg_sil"))
+        .orderBy("cluster")
+      out.count() // materialize before releasing the cached embeddings
+      e.unpersist()
+      out
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+           |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, v AS cv
+           |  FROM e ORDER BY vec_id LIMIT 6),
+           |a1 AS (SELECT vec_id, v, idx, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))), idx) rn
+           |  FROM e, c0),
+           |g1 AS (SELECT vec_id, v, idx AS j FROM a1 WHERE rn = 1),
+           |c1 AS (SELECT j AS idx, list(c ORDER BY dim) AS cv FROM (
+           |  SELECT j, d.d AS dim, avg(v[d.d + 1]) AS c FROM g1, range(0, 64) d(d)
+           |  GROUP BY 1, 2) GROUP BY 1),
+           |a2 AS (SELECT vec_id, v, idx, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))), idx) rn
+           |  FROM e, c1),
+           |g2 AS (SELECT vec_id, v, idx AS j FROM a2 WHERE rn = 1),
+           |c2 AS (SELECT j AS idx, list(c ORDER BY dim) AS cv FROM (
+           |  SELECT j, d.d AS dim, avg(v[d.d + 1]) AS c FROM g2, range(0, 64) d(d)
+           |  GROUP BY 1, 2) GROUP BY 1),
+           |a3 AS (SELECT vec_id, v, idx,
+           |    list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS d,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))), idx) rn
+           |  FROM e, c2),
+           |own AS (SELECT vec_id, idx AS j, d AS a2d FROM a3 WHERE rn = 1),
+           |oth AS (SELECT vec_id, min(d) AS b2d FROM a3 WHERE rn > 1 GROUP BY 1),
+           |sil AS (SELECT own.j,
+           |    (sqrt(b2d) - sqrt(a2d)) / greatest(sqrt(a2d), sqrt(b2d)) AS s
+           |  FROM own JOIN oth USING (vec_id))
+           |SELECT j AS cluster, count(*) AS n_members, round(avg(s), 3) AS avg_sil
+           |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q29AnnTopk, q30Centroids, q31AnnLsh, q47AnnIvf,
-    q70Int8Quantize, q137Kmeans, q141SemanticDedupKmeans,
-    q147PqAdc, q155JlProjection, q157IvfAdc, q161IvfAdcResidual, q178AlsStep)
+    q70Int8Quantize, q137Kmeans, q141SemanticDedupKmeans, q147PqAdc,
+    q155JlProjection, q157IvfAdc, q161IvfAdcResidual, q178AlsStep,
+    q190Silhouette)
 }
