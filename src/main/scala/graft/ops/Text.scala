@@ -612,8 +612,46 @@ object Text {
            |SELECT lang, source, count(*) AS n_docs, round(avg(nll), 3) AS avg_nll_kn
            |FROM perdoc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Zipf's-law fit over the corpus token distribution: rank terms by
+    * frequency and OLS-fit ln(freq) against ln(rank) — the slope (~−1 on
+    * natural language) plus r² is the one-glance diagnostic separating
+    * organic text from templated/synthetic corpora (whose rank curves go
+    * flat or stair-step), a standard corpus-health probe before training.
+    *
+    * Scale: term counting is a partial-agg scan; the rank is a window over
+    * the VOCABULARY (not the corpus) — vocabulary-sized sort, corpus rows
+    * never shuffle twice; the regression folds to one 6-number aggregate
+    * state. regr_* accumulation is order-dependent → 3-digit rounding on
+    * both sides (the repo float discipline).
+    */
+  val q191ZipfFit = GraftQuery(
+    "q191_zipf_fit",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(desc("cnt"), col("term"))))
+      tf.agg(
+        count(lit(1)).as("n_terms"),
+        round(expr("regr_slope(ln(cnt), ln(rnk))"), 3).as("zipf_slope"),
+        round(expr("regr_intercept(ln(cnt), ln(rnk))"), 3).as("zipf_intercept"),
+        round(expr("regr_r2(ln(cnt), ln(rnk))"), 3).as("r2"))
+    },
+    Some("""WITH tf AS (SELECT term, count(*) AS cnt FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+           |  GROUP BY 1),
+           |rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+           |  FROM tf)
+           |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           |  round(regr_slope(ln(cnt), ln(rnk)), 3) AS zipf_slope,
+           |  round(regr_intercept(ln(cnt), ln(rnk)), 3) AS zipf_intercept,
+           |  round(regr_r2(ln(cnt), ln(rnk)), 3) AS r2
+           |FROM rk""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q19TextStats, q20TokenCounts, q21QualityScore, q22LangId, q23Fingerprints,
     q60Perplexity, q61Bigrams, q64TopTrigramUdtf, q130BpePairs, q132BpeTrain,
-    q133BpeEncode, q139BpeEncodeDocs, q149BigramLm, q163KneserNey)
+    q133BpeEncode, q139BpeEncodeDocs, q149BigramLm, q163KneserNey, q191ZipfFit)
 }

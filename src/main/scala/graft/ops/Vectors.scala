@@ -1144,8 +1144,80 @@ object Vectors {
            |SELECT j AS cluster, count(*) AS n_members, round(avg(s), 3) AS avg_sil
            |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Dominant principal component of the embedding corpus via distributed
+    * covariance + power iteration — the PCA-whitening / decorrelation
+    * primitive an embedding pipeline runs before quantization (and the
+    * standard first look at "is this embedding space collapsed?"). The
+    * corpus-sized work is exactly two aggregations: the mean vector, then
+    * the d×d covariance as ONE VectorAvg over per-row flattened outer
+    * products (map-side combined; shuffle state is d² doubles per task,
+    * never row-proportional — the Gram-matrix trick). The 64×64 eigen
+    * problem is then driver math on a collected 4096-double matrix (the
+    * lloyd k-row-collect discipline): 6 power-iteration rounds from the
+    * uniform unit vector, L2-normalized each round.
+    *
+    * Determinism: both engines accumulate the covariance in their own
+    * order (~1e-15 relative noise), which propagates linearly through the
+    * normalized iteration — absorbed by the 3-digit rounding; `+ 0.0`
+    * canonicalizes any −0.0 loading (the driver's typed hash distinguishes
+    * signed zeros).
+    */
+  val q192PcaPower = GraftQuery(
+    "q192_pca_power",
+    (s, dir) => {
+      val dim = DIM
+      val vecAvgD = udaf(new graft.functions.VectorAvg(dim))
+      val vecAvgD2 = udaf(new graft.functions.VectorAvg(dim * dim))
+      val e = Tables.embeddings(s, dir)
+        .select(col("embedding").cast("array<double>").as("v"))
+        .persist()
+      val mu = e.agg(vecAvgD(col("v"))).head().getSeq[Double](0)
+      val vc = zip_with(col("v"), typedLit(mu), (x, y) => x - y)
+      val outer = flatten(transform(vc, x => transform(vc, y => x * y)))
+      val cov = e.select(outer.as("o")).agg(vecAvgD2(col("o")))
+        .head().getSeq[Double](0)
+      e.unpersist()
+      var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+      var lambda = 0.0
+      for (_ <- 1 to 6) {
+        val w = Array.tabulate(dim) { i =>
+          var acc = 0.0; var j = 0
+          while (j < dim) { acc += cov(i * dim + j) * v(j); j += 1 }
+          acc
+        }
+        lambda = math.sqrt(w.map(x => x * x).sum)
+        v = w.map(_ / lambda)
+      }
+      def r3(x: Double): Double =
+        BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      import s.implicits._
+      v.toSeq.zipWithIndex
+        .map { case (x, i) => (i, r3(x), r3(lambda)) }
+        .toDF("dim", "loading", "eigval")
+        .orderBy("dim")
+    },
+    Some {
+      val rounds = (1 to 6).map { r =>
+        s"""w$r AS (SELECT c.i, sum(c.c * v.x) AS w
+           |  FROM c JOIN v${r - 1} v ON c.j = v.i GROUP BY 1),
+           |v$r AS MATERIALIZED (SELECT i, w / sqrt((SELECT sum(w*w) FROM w$r)) AS x
+           |  FROM w$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT embedding::DOUBLE[] v FROM embeddings),
+         |mu AS MATERIALIZED (SELECT d.d AS i, avg(v[d.d + 1]) AS m
+         |  FROM e, range(0, 64) d(d) GROUP BY 1),
+         |c AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+         |    avg((v[a.i + 1] - a.m) * (v[b.i + 1] - b.m)) AS c
+         |  FROM e, mu a, mu b GROUP BY 1, 2),
+         |v0 AS (SELECT i, 1.0 / sqrt(64) AS x FROM range(0, 64) t(i)),
+         |$rounds
+         |SELECT CAST(v6.i AS INT) AS dim, round(v6.x, 3) + 0.0 AS loading,
+         |  round((SELECT sqrt(sum(w*w)) FROM w6), 3) + 0.0 AS eigval
+         |FROM v6 ORDER BY dim""".stripMargin
+    })
+
   val all: Seq[GraftQuery] = Seq(q29AnnTopk, q30Centroids, q31AnnLsh, q47AnnIvf,
     q70Int8Quantize, q137Kmeans, q141SemanticDedupKmeans, q147PqAdc,
     q155JlProjection, q157IvfAdc, q161IvfAdcResidual, q178AlsStep,
-    q190Silhouette)
+    q190Silhouette, q192PcaPower)
 }
