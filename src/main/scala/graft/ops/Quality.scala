@@ -297,6 +297,44 @@ object Quality {
       (num ++ str).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     })
 
+  /** Quantile normalization of a per-document score across sources — the
+    * standard cross-domain score-equalization step before mixing corpora
+    * (a length/quality score calibrated on web text is NOT comparable to
+    * one on code; quantile-mapping both onto a shared reference
+    * distribution is the fix, same recipe as microarray quantile norm):
+    * rank each doc's n_chars WITHIN its source into 10 ntile buckets
+    * (ties broken by doc_id so the bucketing is total), take the
+    * cross-source mean per bucket as the reference distribution, and map
+    * every doc to its bucket's reference value.
+    *
+    * Scale: one window shuffle partitioned by source plus a 10-row
+    * broadcast join back. With few giant sources the per-source window is
+    * the hot spot at 100 TB — the production variant swaps the exact
+    * ntile for per-source approximate quantile boundaries (the q123
+    * sketch) and keeps this query's join shape; this is the exact form
+    * the sketch variant is validated against.
+    */
+  val q193QuantileNorm = GraftQuery(
+    "q193_quantile_norm",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val b = d.withColumn("q", ntile(10).over(
+        Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))))
+      val ref = b.groupBy("q").agg(round(avg("n_chars"), 3).as("norm_score"))
+      b.join(ref, Seq("q"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("q"),
+          col("norm_score"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH b AS (SELECT doc_id, source, n_chars,
+           |    ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS q
+           |  FROM documents),
+           |ref AS (SELECT q, round(avg(n_chars), 3) AS norm_score FROM b GROUP BY 1)
+           |SELECT doc_id, source, n_chars, b.q, norm_score
+           |FROM b JOIN ref USING (q) ORDER BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q96DqChecks, q113PsiDrift, q153Auc, q168DsirSelect,
-    q182ColumnProfile)
+    q182ColumnProfile, q193QuantileNorm)
 }

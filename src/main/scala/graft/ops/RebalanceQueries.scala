@@ -71,6 +71,59 @@ object RebalanceQueries {
            |  round(sum(c_acctbal), 2) AS bal_sum
            |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Join-key skew report — the diagnostic a rebalance/partitioning
+    * decision actually reads (choose hash vs range vs salted, size the salt
+    * factor): per-key row counts for lineitem.l_partkey collapsed into one
+    * summary row of n_keys, total rows, the hottest key's count and share,
+    * the Gini coefficient of the key-count distribution (0 = perfectly
+    * even, →1 = one hot key holds everything; computed from the ranked-sum
+    * identity G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over counts sorted
+    * ascending), and the derived salt factor ⌈max/avg⌉ that
+    * [[graft.ops.Skew.saltedEquiJoin]] would need to level the hottest key.
+    *
+    * Scale: per-key counts are a partial-agg scan; everything after runs
+    * over the KEY set (window rank by count, then one fold to a single
+    * row) — key-cardinality-sized, never row-sized. Gini stays in integer
+    * arithmetic (i·xᵢ sums of longs) until the final division, so both
+    * engines agree bit-exactly; the two float outputs are one-division
+    * per-row math, safe at 6 digits.
+    */
+  val q194SkewReport = GraftQuery(
+    "q194_skew_report",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.lineitem(s, dir)
+        .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+        .withColumn("i", row_number().over(
+          Window.orderBy(col("cnt"), col("l_partkey"))))
+      counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum("cnt").as("total_rows"),
+        max("cnt").as("max_cnt"),
+        sum(col("i") * col("cnt")).as("ranked_sum"))
+        .select(col("n_keys"), col("total_rows"), col("max_cnt"),
+          round(col("max_cnt").cast("double") / col("total_rows"), 6)
+            .as("top_share"),
+          round(lit(2.0) * col("ranked_sum") / (col("n_keys") * col("total_rows"))
+            - (col("n_keys") + lit(1.0)) / col("n_keys"), 6).as("gini"),
+          ceil(col("max_cnt") * col("n_keys").cast("double") / col("total_rows"))
+            .cast("long").as("salt_factor"))
+    },
+    Some("""WITH c AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+           |r AS (SELECT cnt, l_partkey,
+           |    row_number() OVER (ORDER BY cnt, l_partkey) AS i FROM c),
+           |a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           |    CAST(sum(cnt) AS BIGINT) AS total_rows,
+           |    CAST(max(cnt) AS BIGINT) AS max_cnt,
+           |    CAST(sum(i * cnt) AS BIGINT) AS ranked_sum FROM r)
+           |SELECT n_keys, total_rows, max_cnt,
+           |  round(max_cnt::DOUBLE / total_rows, 6) AS top_share,
+           |  round(2.0 * ranked_sum / (n_keys::DOUBLE * total_rows)
+           |    - (n_keys + 1.0) / n_keys, 6) AS gini,
+           |  CAST(ceil(max_cnt * n_keys::DOUBLE / total_rows) AS BIGINT) AS salt_factor
+           |FROM a""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(q17RebalanceHash, q18RebalanceRange, q51RebalanceRoundRobin)
+    Seq(q17RebalanceHash, q18RebalanceRange, q51RebalanceRoundRobin,
+      q194SkewReport)
 }
