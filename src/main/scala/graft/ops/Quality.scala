@@ -335,6 +335,58 @@ object Quality {
            |SELECT doc_id, source, n_chars, b.q, norm_score
            |FROM b JOIN ref USING (q) ORDER BY doc_id""".stripMargin))
 
+  /** Calibration curve (reliability diagram) of a probability-like score
+    * against observed outcomes — the companion to q153's AUC: AUC says the
+    * score RANKS well, calibration says its VALUES mean what they claim,
+    * which is what a threshold-based data filter actually relies on. The
+    * score is a logistic over ship-delay days (l_shipdate − o_orderdate,
+    * centered at 60); the outcome is whether the line came back returned
+    * (l_returnflag = 'R'). Rows bucket into
+    * global score deciles (ordered by the INTEGER day delta + unique keys,
+    * so the sort never compares cross-engine floats), then each bin
+    * reports mean predicted probability vs empirical positive rate and
+    * the gap — per-bin |gap| summed is ECE if the caller wants one number.
+    *
+    * Scale: the global decile is a full sort (the exact form); at corpus
+    * scale the sort is replaced by approximate-quantile bin edges (q123's
+    * sketch) with identical downstream shape. Positive rates are integer
+    * ratios (safe at 6); avg(score) accumulates floats → 3 digits.
+    */
+  val q196Calibration = GraftQuery(
+    "q196_calibration",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (datediff(col("l_shipdate"), col("o_orderdate")) - lit(60)).as("dd"),
+          (col("l_returnflag") === "R").cast("int").as("late"))
+      val scored = li
+        .withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("dd") / lit(30.0))))
+        .withColumn("bin", ntile(10).over(
+          Window.orderBy(col("dd"), col("l_orderkey"), col("l_linenumber"))))
+      scored.groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        round(avg("score"), 3).as("avg_score"),
+        round(avg(col("late").cast("double")), 6).as("pos_rate"),
+        round(avg("score") - avg(col("late").cast("double")), 3).as("gap"))
+        .orderBy("bin")
+    },
+    Some("""WITH li AS (SELECT l_orderkey, l_linenumber,
+           |    datediff('day', o_orderdate, l_shipdate) - 60 AS dd,
+           |    CAST(l_returnflag = 'R' AS INT) AS late
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |sc AS (SELECT *, 1.0 / (1.0 + exp(-dd / 30.0)) AS score,
+           |    ntile(10) OVER (ORDER BY dd, l_orderkey, l_linenumber) AS bin
+           |  FROM li)
+           |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           |  round(avg(score), 3) AS avg_score,
+           |  round(avg(late::DOUBLE), 6) AS pos_rate,
+           |  round(avg(score) - avg(late::DOUBLE), 3) AS gap
+           |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q96DqChecks, q113PsiDrift, q153Auc, q168DsirSelect,
-    q182ColumnProfile, q193QuantileNorm)
+    q182ColumnProfile, q193QuantileNorm, q196Calibration)
 }

@@ -1216,8 +1216,56 @@ object Vectors {
          |FROM v6 ORDER BY dim""".stripMargin
     })
 
+  /** Nearest-class-mean classification of the embedding corpus against its
+    * own labels, reported as a confusion matrix — the cheap linear probe
+    * ("are these embeddings linearly separable by label?") an embedding
+    * pipeline runs before spending on a trained head; also the assignment
+    * primitive behind prototype-based label cleaning (mislabeled rows land
+    * off-diagonal). Class centroids are one grouped VectorAvg (L-row
+    * collect, L = label count — the lloyd discipline); assignment is a
+    * map-only scan against the broadcast-literal centroid array with
+    * argmin ties broken toward the smaller label; the confusion matrix is
+    * a ≤L² partial agg. No corpus-sized shuffle anywhere.
+    */
+  val q195NcmConfusion = GraftQuery(
+    "q195_ncm_confusion",
+    (s, dir) => {
+      val vecAvgD = udaf(new graft.functions.VectorAvg(DIM))
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .persist()
+      val cents = e.groupBy("label").agg(vecAvgD(col("v")).as("cv")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      val centsLit = array(cents.map { case (lbl, cv) =>
+        struct(lit(lbl).as("plabel"), typedLit(cv).as("cv"))
+      }: _*)
+      val best = element_at(sort_array(transform(centsLit,
+        c => struct(
+          aggregate(zip_with(col("v"), c("cv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, d) => acc + d).as("d"),
+          c("plabel").as("plabel")))), 1)
+      val out = e.withColumn("pred", best("plabel"))
+        .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred")
+      out.count() // materialize before releasing the cached embeddings
+      e.unpersist()
+      out
+    },
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+           |c AS (SELECT label AS plabel, d.d AS dim, avg(v[d.d + 1]) AS c
+           |  FROM e, range(0, 64) d(d) GROUP BY 1, 2),
+           |cl AS (SELECT plabel, list(c ORDER BY dim) AS cv FROM c GROUP BY 1),
+           |a AS (SELECT vec_id, label, plabel, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY
+           |      list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))),
+           |      plabel) AS rn
+           |  FROM e, cl)
+           |SELECT label, plabel AS pred, CAST(count(*) AS BIGINT) AS n
+           |FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q29AnnTopk, q30Centroids, q31AnnLsh, q47AnnIvf,
     q70Int8Quantize, q137Kmeans, q141SemanticDedupKmeans, q147PqAdc,
     q155JlProjection, q157IvfAdc, q161IvfAdcResidual, q178AlsStep,
-    q190Silhouette, q192PcaPower)
+    q190Silhouette, q192PcaPower, q195NcmConfusion)
 }
