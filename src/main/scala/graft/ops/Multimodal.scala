@@ -2981,9 +2981,65 @@ object Multimodal {
            |  CAST(mx AS INT) AS max_channel
            |FROM b ORDER BY doc_id""".stripMargin))
 
+  /** Post-decode luminance histogram (16 bins of 16 gray levels) across
+    * the image corpus — the feature-extraction step after q131's decode
+    * that real curation filters read (all-black/all-white detection,
+    * exposure outliers, near-constant screenshots). Each payload round-
+    * trips through the REAL BMP container ([[BmpCodec]] encode→decode),
+    * the per-image histogram folds map-side inside mapPartitions (≤16
+    * rows leave each image regardless of pixel count — the shuffle is
+    * bins × docs, never pixels), and the global agg sums per-bin counts
+    * plus how many distinct images touch the bin. The oracle reproduces
+    * the pixel arithmetic from the document text (q131's encode-side
+    * mapping: 48-byte rows, zero-padded tail ⇒ padding lands in bin 0),
+    * so the hash only matches if the container round-trip is byte-exact.
+    */
+  val q197ImageHistogram = GraftQuery(
+    "q197_image_histogram",
+    (s, dir) => {
+      import s.implicits._
+      val media = attachBinary(Tables.documents(s, dir).filter(col("doc_id") < 50))
+        .as[MediaRow]
+      val perDoc = media.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val (_, _, px) = BmpCodec.decodePixels(BmpCodec.encode(r.payload))
+            .getOrElse(throw new IllegalStateException("BMP roundtrip failed"))
+          val counts = new Array[Long](16)
+          px.foreach(b => counts((b & 0xff) >> 4) += 1)
+          counts.iterator.zipWithIndex
+            .collect { case (c, bin) if c > 0 => (r.doc_id, bin, c) }
+        }
+      }.toDF("doc_id", "bin", "cnt")
+      perDoc.groupBy("bin")
+        .agg(sum("cnt").as("n_pixels"), count(lit(1)).as("n_docs"))
+        .orderBy("bin")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, text, CAST(length(text) AS INT) AS len
+           |  FROM documents WHERE doc_id < 50),
+           |b AS (SELECT doc_id, text, len,
+           |    greatest(1, (len + 47) // 48) AS h FROM t),
+           |chars AS (
+           |  SELECT doc_id, unnest(list_transform(range(1, len + 1),
+           |    i -> ascii(substr(text, CAST(i AS INT), 1)) // 16)) AS bin
+           |  FROM b),
+           |perchar AS (
+           |  SELECT doc_id, bin, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM chars GROUP BY 1, 2),
+           |pad AS (
+           |  SELECT doc_id, 0 AS bin, CAST(h * 48 - len AS BIGINT) AS cnt
+           |  FROM b WHERE h * 48 - len > 0),
+           |perdoc AS (
+           |  SELECT doc_id, bin, sum(cnt) AS c
+           |  FROM (SELECT * FROM perchar UNION ALL SELECT * FROM pad)
+           |  GROUP BY 1, 2)
+           |SELECT CAST(bin AS INT) AS bin, CAST(sum(c) AS BIGINT) AS n_pixels,
+           |  CAST(count(*) AS BIGINT) AS n_docs
+           |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q32MultimodalMeta, q62MultimodalFrames,
     q131MultimodalDecode, q140PngDecode, q142GifDecode, q151PerceptualDedup,
     q156BandedPerceptualPairs, q159JpegDecode, q160MulawDecode, q162ImageResize,
     q165JpegColorDecode, q166Jpeg420Decode, q169AdpcmDecode,
-    q170JpegProgressiveDecode, q175AudioResample)
+    q170JpegProgressiveDecode, q175AudioResample, q197ImageHistogram)
 }

@@ -650,8 +650,70 @@ object Text {
            |  round(regr_r2(ln(cnt), ln(rnk)), 3) AS r2
            |FROM rk""".stripMargin))
 
+  /** Cross-source duplication matrix: for every pair of corpus sources,
+    * how many distinct 5-word shingles they share, as containment
+    * (shared / the smaller source's shingle set) and Jaccard — the
+    * corpus-level view of contamination (q100 is the doc-level form):
+    * "is my web crawl secretly re-hosting my books source?" drives
+    * source-mixture decisions before any doc-level dedup runs.
+    *
+    * Scale: the (source, shingle) set is built with one explode + distinct
+    * (partial-agg); the pair join is an inverted-postings equi-join keyed
+    * by shingle whose per-key fan-out is bounded by the SOURCE count (each
+    * shingle appears once per source after the distinct — at most S rows
+    * per key, S² pair rows), so no hot key can explode it — unlike
+    * doc-level postings, no df cap is even needed. Counts are integers;
+    * the two ratios are single divisions (6-digit safe).
+    */
+  val q198SourceOverlap = GraftQuery(
+    "q198_source_overlap",
+    (s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("source"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 5)
+        .select(col("source"), explode(expr(
+          "transform(sequence(0, size(w)-5), i -> concat_ws(' ', slice(w, i+1, 5)))"))
+          .as("sh"))
+        .distinct().persist()
+      val nsrc = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val shared = sh.select(col("source").as("source_a"), col("sh"))
+        .join(sh.select(col("source").as("source_b"), col("sh")), Seq("sh"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("shared"))
+      val out = shared
+        .join(nsrc.select(col("source").as("source_a"), col("n").as("na")), "source_a")
+        .join(nsrc.select(col("source").as("source_b"), col("n").as("nb")), "source_b")
+        .select(col("source_a"), col("source_b"), col("shared"),
+          round(col("shared") / least(col("na"), col("nb")).cast("double"), 6)
+            .as("containment"),
+          round(col("shared") / (col("na") + col("nb") - col("shared")).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy("source_a", "source_b")
+      out.count() // materialize before releasing the cached shingle set
+      sh.unpersist()
+      out
+    },
+    Some("""WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+           |sh AS MATERIALIZED (SELECT DISTINCT source, sh FROM (
+           |  SELECT source, unnest(list_transform(range(0, len(w) - 4),
+           |    i -> array_to_string(w[i + 1:i + 5], ' '))) AS sh
+           |  FROM w WHERE len(w) >= 5)),
+           |ns AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+           |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+           |    CAST(count(*) AS BIGINT) AS shared
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+           |  GROUP BY 1, 2)
+           |SELECT source_a, source_b, shared,
+           |  round(shared / least(na.n, nb.n)::DOUBLE, 6) AS containment,
+           |  round(shared / (na.n + nb.n - shared)::DOUBLE, 6) AS jaccard
+           |FROM pairs
+           |JOIN ns na ON na.source = source_a
+           |JOIN ns nb ON nb.source = source_b
+           |ORDER BY source_a, source_b""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q19TextStats, q20TokenCounts, q21QualityScore, q22LangId, q23Fingerprints,
     q60Perplexity, q61Bigrams, q64TopTrigramUdtf, q130BpePairs, q132BpeTrain,
-    q133BpeEncode, q139BpeEncodeDocs, q149BigramLm, q163KneserNey, q191ZipfFit)
+    q133BpeEncode, q139BpeEncodeDocs, q149BigramLm, q163KneserNey, q191ZipfFit,
+    q198SourceOverlap)
 }
