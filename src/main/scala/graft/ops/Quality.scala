@@ -387,6 +387,53 @@ object Quality {
            |  round(avg(score) - avg(late::DOUBLE), 3) AS gap
            |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Robust outlier detection via median/MAD modified z-score (Iglewicz &
+    * Hoaglin's 0.6745·(x−med)/MAD > 3.5 rule) per event type — the
+    * heavy-tail-safe sibling of q54's percentile clip: mean/stddev bounds
+    * are themselves dragged by the outliers they're hunting, while the
+    * double-median breaks down only past 50% contamination. Two grouped
+    * exact percentiles (one for the median, one for the MAD over the
+    * broadcast-joined residuals) and a final count — both percentile
+    * passes are per-group selection (no cross-row float accumulation:
+    * Spark `percentile` and DuckDB `quantile_cont` interpolate the same
+    * two order statistics, the q54-proven pairing), so 6-digit rounding
+    * holds.
+    */
+  val q199MadOutliers = GraftQuery(
+    "q199_mad_outliers",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type").as("mt"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = ev.join(broadcast(med), col("event_type") === col("mt"))
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), first("med").as("med2"),
+          expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad.select(col("event_type").as("kt"),
+          col("mad"))), col("event_type") === col("kt"))
+        .withColumn("out",
+          (lit(0.6745) * col("adev") / col("mad") > 3.5).cast("int"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(first("med"), 6).as("med"),
+          round(first("mad"), 6).as("mad"), sum("out").as("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some("""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+           |  FROM events GROUP BY 1),
+           |dev AS (SELECT e.event_type, e.value, m.med,
+           |    abs(e.value - m.med) AS adev
+           |  FROM events e JOIN med m USING (event_type)),
+           |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+           |  FROM dev GROUP BY 1)
+           |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+           |  round(any_value(d.med), 6) AS med,
+           |  round(any_value(mad.mad), 6) AS mad,
+           |  CAST(sum(CAST(0.6745 * d.adev / mad.mad > 3.5 AS INT)) AS BIGINT)
+           |    AS n_outliers
+           |FROM dev d JOIN mad USING (event_type)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q96DqChecks, q113PsiDrift, q153Auc, q168DsirSelect,
-    q182ColumnProfile, q193QuantileNorm, q196Calibration)
+    q182ColumnProfile, q193QuantileNorm, q196Calibration, q199MadOutliers)
 }

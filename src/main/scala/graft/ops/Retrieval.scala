@@ -276,6 +276,91 @@ object Retrieval {
          |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
     })
 
+  /** Pseudo-relevance feedback (Rocchio 1971, the classic two-pass
+    * retrieval loop): score once with the original query, treat the top-3
+    * results as pseudo-relevant, pull the 5 highest-tf-idf-mass NEW terms
+    * from them into the query at β = 0.4, and rescore — the standard
+    * recall-expansion step between q167's one-shot BM25 and a learned
+    * reranker. Queries are docs 0–4 as bags of terms (weight 1.0).
+    *
+    * Determinism discipline: every score that feeds a top-k selection is
+    * rounded to 3 digits FIRST (the q167 pattern), so cross-engine float
+    * noise cannot flip a rank; remaining ties break on (cid) / (term).
+    *
+    * Scale: every stage is an inverted-postings equi-join on term with
+    * weight-zero (df = n) terms dropped before any join — the q152
+    * stopword-skew discipline — and the per-query state (terms, feedback
+    * docs, expansion terms) is constant-bounded. Nothing joins
+    * unkeyed; the corpus-sized tf/w tables shuffle once each on term.
+    */
+  val q200RocchioPrf = GraftQuery(
+    "q200_rocchio_prf",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf")).persist()
+      val n = tf.select("doc_id").distinct().count().toDouble
+      val w = tf.join(tf.groupBy("t").agg(count(lit(1)).as("df")), "t")
+        .filter(col("df") < n)
+        .select(col("doc_id"), col("t"),
+          (col("tf") * log(lit(n) / col("df"))).as("w"))
+        .persist()
+      val qt = tf.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("t")).distinct()
+      val rnk0 = Window.partitionBy("qid").orderBy(desc("s0"), col("cid"))
+      val fb = w.join(qt, Seq("t"))
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy(col("qid"), col("doc_id").as("cid"))
+        .agg(round(sum("w"), 3).as("s0"))
+        .withColumn("rn", row_number().over(rnk0)).filter(col("rn") <= 3)
+        .select("qid", "cid")
+      val rnkE = Window.partitionBy("qid").orderBy(desc("ew"), col("t"))
+      val exp5 = w.join(fb, w("doc_id") === fb("cid"))
+        .groupBy("qid", "t").agg(round(sum("w") / 3, 3).as("ew"))
+        .join(qt, Seq("qid", "t"), "left_anti")
+        .withColumn("rn", row_number().over(rnkE)).filter(col("rn") <= 5)
+        .select(col("qid"), col("t"), lit(0.4).as("qw"))
+      val qv = qt.withColumn("qw", lit(1.0)).unionByName(exp5)
+      val rnk1 = Window.partitionBy("qid").orderBy(desc("score"), col("cid"))
+      val out = w.join(qv, Seq("t"))
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy(col("qid"), col("doc_id").as("cid"))
+        .agg(round(sum(col("w") * col("qw")), 3).as("score"))
+        .withColumn("rank", row_number().over(rnk1)).filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("cid"), col("score"))
+        .orderBy("qid", "rank")
+      out.count() // materialize before releasing tf/w caches
+      tf.unpersist(); w.unpersist()
+      out
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents),
+           |tf AS MATERIALIZED (SELECT doc_id, t, count(*) tf FROM toks GROUP BY 1, 2),
+           |nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) n FROM tf),
+           |dft AS (SELECT t, count(*) df FROM tf GROUP BY 1),
+           |w AS MATERIALIZED (SELECT doc_id, t, tf * ln(n / df) AS w
+           |  FROM tf JOIN dft USING (t), nn WHERE df < n),
+           |qt AS (SELECT DISTINCT doc_id qid, t FROM tf WHERE doc_id < 5),
+           |s0 AS (SELECT qt.qid, w.doc_id cid, round(sum(w.w), 3) s0
+           |  FROM w JOIN qt USING (t) WHERE w.doc_id <> qt.qid GROUP BY 1, 2),
+           |fb AS (SELECT qid, cid FROM (SELECT *, row_number() OVER (
+           |    PARTITION BY qid ORDER BY s0 DESC, cid) rn FROM s0) WHERE rn <= 3),
+           |ew AS (SELECT fb.qid, w.t, round(sum(w.w) / 3, 3) ew
+           |  FROM w JOIN fb ON w.doc_id = fb.cid GROUP BY 1, 2),
+           |ewn AS (SELECT e.qid, e.t, e.ew FROM ew e
+           |  LEFT JOIN qt ON qt.qid = e.qid AND qt.t = e.t WHERE qt.t IS NULL),
+           |exp5 AS (SELECT qid, t, 0.4 qw FROM (SELECT *, row_number() OVER (
+           |    PARTITION BY qid ORDER BY ew DESC, t) rn FROM ewn) WHERE rn <= 5),
+           |qv AS (SELECT qid, t, 1.0 qw FROM qt
+           |  UNION ALL SELECT qid, t, qw FROM exp5),
+           |s1 AS (SELECT qv.qid, w.doc_id cid, round(sum(w.w * qv.qw), 3) score
+           |  FROM w JOIN qv USING (t) WHERE w.doc_id <> qv.qid GROUP BY 1, 2)
+           |SELECT qid, CAST(rank AS INT) AS rank, cid, score FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid
+           |    ORDER BY score DESC, cid) rank FROM s1)
+           |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(q112HybridRrf, q152TfidfCosinePairs, q167Bm25TopK, q176FeatureHashing)
+    Seq(q112HybridRrf, q152TfidfCosinePairs, q167Bm25TopK, q176FeatureHashing,
+      q200RocchioPrf)
 }
