@@ -232,6 +232,44 @@ object Hygiene {
            |  min(canon) AS sample_canon
            |FROM c3 GROUP BY host, domain ORDER BY host""".stripMargin))
 
+  /** k-anonymity audit over quasi-identifiers — the re-identification
+    * check a dataset release (or a training-corpus metadata table) runs
+    * before publication: every document falls into an equivalence class
+    * on (lang, source, n_chars rounded to 100), and any class smaller
+    * than k = 5 is a linkage risk (its members are distinguishable by
+    * their quasi-identifiers alone). Output is the class-size histogram —
+    * one row per distinct class size with how many classes and documents
+    * sit at that size, plus a risk flag for sizes below k — compact
+    * enough to eyeball, complete enough to compute k_min/risk-share from.
+    *
+    * Scale: two stacked partial aggregations (docs → classes → sizes),
+    * both keyed and map-side combined; the histogram is at most
+    * max-class-size rows. No joins, no windows, no driver state.
+    */
+  val q202KAnonymity = GraftQuery(
+    "q202_k_anonymity",
+    (s, dir) => {
+      val classes = Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source"),
+          (col("n_chars") - pmod(col("n_chars"), lit(100))).as("chars_bucket"))
+        .agg(count(lit(1)).as("class_size"))
+      classes.groupBy("class_size")
+        .agg(count(lit(1)).as("n_classes"),
+          (count(lit(1)) * col("class_size")).as("n_docs"))
+        .withColumn("at_risk", (col("class_size") < 5).cast("int"))
+        .select(col("class_size"), col("n_classes"), col("n_docs"),
+          col("at_risk"))
+        .orderBy("class_size")
+    },
+    Some("""WITH classes AS (
+           |  SELECT lang, source, n_chars - (n_chars % 100) AS chars_bucket,
+           |    count(*) AS class_size
+           |  FROM documents GROUP BY 1, 2, 3)
+           |SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes,
+           |  CAST(count(*) * class_size AS BIGINT) AS n_docs,
+           |  CAST(class_size < 5 AS INT) AS at_risk
+           |FROM classes GROUP BY class_size ORDER BY class_size""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q99PiiRedact, q100Contamination, q101Repetition,
-    q185UrlCanonical)
+    q185UrlCanonical, q202KAnonymity)
 }

@@ -377,6 +377,79 @@ object Stats {
            |  count(*) AS n
            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Poisson-bootstrap confidence intervals for the per-type mean — THE
+    * cluster-scale resampling technique (Chamandy et al. / Kleiner et al.
+    * lineage): classic bootstrap resampling needs n draws per replica and
+    * coordination across the dataset; the Poisson approximation gives each
+    * row an independent Poisson(1) multiplicity per replica, so all 50
+    * replicas materialize in ONE scan as a row-local explode — mergeable,
+    * shuffle-once (groupBy (type, replica) partial-aggregates map-side),
+    * and embarrassingly parallel at any scale. Multiplicities come from a
+    * deterministic md5-uniform inverted through the Poisson(1) CDF
+    * (thresholds are the e⁻¹·Σ1/k! partial sums as shared literals), so
+    * both engines draw identical "randomness". Replica means round to 3
+    * digits before the exact percentile bracket [2.5%, 97.5%] — the same
+    * round-before-rank discipline as q167/q200.
+    */
+  val q201PoissonBootstrap = GraftQuery(
+    "q201_poisson_bootstrap",
+    (s, dir) => {
+      val u = conv(substring(md5(concat(col("b").cast("string"), lit("_"),
+        col("event_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        .cast("double") / lit(4294967296.0)
+      val wgt = when(col("u") < 0.3678794412, 0)
+        .when(col("u") < 0.7357588823, 1)
+        .when(col("u") < 0.9196986029, 2)
+        .when(col("u") < 0.9810118431, 3)
+        .when(col("u") < 0.9963401532, 4)
+        .when(col("u") < 0.9994058152, 5)
+        .otherwise(6)
+      val reps = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("b", explode(sequence(lit(0), lit(49))))
+        .withColumn("u", u)
+        .withColumn("wgt", wgt)
+      val rm = reps.groupBy("event_type", "b")
+        .agg(round(sum(col("wgt") * col("value")) / sum("wgt"), 3).as("m"))
+      val ci = rm.groupBy("event_type").agg(
+        round(expr("percentile(m, 0.025)"), 3).as("ci_lo"),
+        round(expr("percentile(m, 0.975)"), 3).as("ci_hi"))
+      Tables.events(s, dir).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 3).as("mean_value"))
+        .join(ci, "event_type")
+        .select(col("event_type"), col("n"), col("mean_value"),
+          col("ci_lo"), col("ci_hi"))
+        .orderBy("event_type")
+    },
+    Some("""WITH reps AS (
+           |  SELECT event_type, r.b,
+           |    CAST(concat('0x', substr(md5(r.b::VARCHAR || '_' || event_id::VARCHAR), 1, 8)) AS BIGINT)
+           |      / 4294967296.0 AS u,
+           |    value
+           |  FROM events, range(0, 50) r(b)),
+           |w AS (SELECT event_type, b, value,
+           |    CASE WHEN u < 0.3678794412 THEN 0
+           |         WHEN u < 0.7357588823 THEN 1
+           |         WHEN u < 0.9196986029 THEN 2
+           |         WHEN u < 0.9810118431 THEN 3
+           |         WHEN u < 0.9963401532 THEN 4
+           |         WHEN u < 0.9994058152 THEN 5
+           |         ELSE 6 END AS wgt
+           |  FROM reps),
+           |rm AS (SELECT event_type, b,
+           |    round(sum(wgt * value) / sum(wgt), 3) AS m
+           |  FROM w GROUP BY 1, 2),
+           |ci AS (SELECT event_type,
+           |    round(quantile_cont(m, 0.025), 3) AS ci_lo,
+           |    round(quantile_cont(m, 0.975), 3) AS ci_hi
+           |  FROM rm GROUP BY 1)
+           |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           |  round(avg(e.value), 3) AS mean_value,
+           |  any_value(ci.ci_lo) AS ci_lo, any_value(ci.ci_hi) AS ci_hi
+           |FROM events e JOIN ci USING (event_type)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q42Pivot, q43Percentiles, q44Moments, q45WindowExtras,
-    q66Histogram, q75MathFuncs, q87Regression, q88DistShape, q89Bitwise)
+    q66Histogram, q75MathFuncs, q87Regression, q88DistShape, q89Bitwise,
+    q201PoissonBootstrap)
 }
