@@ -1264,8 +1264,108 @@ object Vectors {
            |SELECT label, plabel AS pred, CAST(count(*) AS BIGINT) AS n
            |FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Recall@5 audit of the IVF index (q47's probe-2 search) against exact
+    * brute-force ground truth (q29's scan) — the evaluation loop every ANN
+    * deployment runs before trusting an index: approximate search is only
+    * as good as its measured recall, and the recall/probe-count curve is
+    * how nprobe gets sized. Ground truth restricts to the query batch
+    * (10 queries × full scan — the bounded-ground-truth form, same
+    * discipline as q28/q151), the IVF side reuses q47's literal-centroid
+    * cell assignment, and recall is the exact overlap of the two top-5
+    * cid sets — integer counts, one division.
+    */
+  val q203IvfRecall = GraftQuery(
+    "q203_ivf_recall",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val vecAvg = udaf(new graft.functions.VectorAvg(DIM))
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("nrm", norm(col("v")))
+        .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+        .persist()
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      val wq = Window.partitionBy("qid").orderBy(desc("sim"), col("cid"))
+      val truth = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+        .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= 5)
+        .select("qid", "cid")
+      val centsLit = array(
+        e.groupBy("label").agg(vecAvg(col("v")).as("cvec")).collect().map { r =>
+          val cvec = r.getSeq[Double](1)
+          val cnrm = math.sqrt(cvec.foldLeft(0.0)((a, x) => a + x * x))
+          struct(lit(r.getInt(0)).as("cell"),
+            typedLit(cvec).as("cvec"), lit(cnrm).as("cnrm"))
+        }.toIndexedSeq: _*)
+      val rankedCells = sort_array(transform(centsLit, c =>
+        struct((-(dot(col("v"), c("cvec")) / (col("nrm") * c("cnrm")))).as("neg"),
+          c("cell").as("cell"))))
+      val withCells = e.withColumn("cells", rankedCells)
+      val assigned = withCells.select(
+        col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"),
+        element_at(col("cells"), 1).getField("cell").as("cell"))
+      val probes = withCells.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+          explode(slice(col("cells"), 1, 2)).as("pc"))
+        .select(col("qid"), col("qv"), col("qn"), col("pc.cell").as("cell"))
+      val approx = assigned.join(broadcast(probes),
+          assigned("cell") === probes("cell") && col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+        .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= 5)
+        .select("qid", "cid")
+      val hits = truth.join(approx, Seq("qid", "cid"))
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+      val out = truth.groupBy("qid").agg(count(lit(1)).as("n_truth"))
+        .join(hits, Seq("qid"), "left")
+        .na.fill(0, Seq("n_hit"))
+        .select(col("qid"), col("n_truth"), col("n_hit"),
+          round(col("n_hit") / lit(5.0), 6).as("recall"))
+        .orderBy("qid")
+      out.count() // materialize before releasing the cached embeddings
+      e.unpersist()
+      out
+    },
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v,
+           |  sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) nrm FROM embeddings),
+           |q AS (SELECT vec_id qid, v qv, nrm qn FROM e WHERE vec_id < 10),
+           |tp AS (SELECT qid, e.vec_id cid,
+           |  list_sum(list_transform(range(1, 65), i -> qv[i]*e.v[i])) / (qn*e.nrm) sim
+           |  FROM q, e WHERE e.vec_id <> qid),
+           |tr AS (SELECT qid, cid FROM (SELECT qid, cid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rnk
+           |  FROM tp) WHERE rnk <= 5),
+           |cd AS (SELECT label AS cell, d.d AS dim, avg(v[d.d + 1]) AS c
+           |  FROM e, range(0, 64) d(d) GROUP BY 1, 2),
+           |cents AS (SELECT cell, list(c ORDER BY dim) cvec,
+           |  sqrt(list_sum(list_transform(list(c ORDER BY dim), x -> x*x))) cnrm
+           |  FROM cd GROUP BY cell),
+           |ranked AS (SELECT e.vec_id, e.v, e.nrm, cents.cell,
+           |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |    list_sum(list_transform(range(1, 65), i -> e.v[i]*cents.cvec[i]))
+           |      / (e.nrm*cents.cnrm) DESC, cents.cell) crn
+           |  FROM e, cents),
+           |assigned AS (SELECT vec_id cid, v cv, nrm cn, cell FROM ranked WHERE crn = 1),
+           |probes AS (SELECT vec_id qid, v qv, nrm qn, cell FROM ranked
+           |  WHERE vec_id < 10 AND crn <= 2),
+           |ip AS (SELECT qid, cid,
+           |  list_sum(list_transform(range(1, 65), i -> qv[i]*cv[i])) / (qn*cn) sim
+           |  FROM probes JOIN assigned USING (cell) WHERE cid <> qid),
+           |ap AS (SELECT qid, cid FROM (SELECT qid, cid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rnk
+           |  FROM ip) WHERE rnk <= 5),
+           |hits AS (SELECT tr.qid, CAST(count(*) AS BIGINT) h
+           |  FROM tr JOIN ap USING (qid, cid) GROUP BY 1)
+           |SELECT t.qid, CAST(count(*) AS BIGINT) AS n_truth,
+           |  CAST(COALESCE(any_value(h), 0) AS BIGINT) AS n_hit,
+           |  round(COALESCE(any_value(h), 0) / 5.0, 6) AS recall
+           |FROM tr t LEFT JOIN hits ON hits.qid = t.qid
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q29AnnTopk, q30Centroids, q31AnnLsh, q47AnnIvf,
     q70Int8Quantize, q137Kmeans, q141SemanticDedupKmeans, q147PqAdc,
     q155JlProjection, q157IvfAdc, q161IvfAdcResidual, q178AlsStep,
-    q190Silhouette, q192PcaPower, q195NcmConfusion)
+    q190Silhouette, q192PcaPower, q195NcmConfusion, q203IvfRecall)
 }
