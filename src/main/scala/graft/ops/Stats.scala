@@ -449,7 +449,55 @@ object Stats {
            |FROM events e JOIN ci USING (event_type)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Exact weighted median (price weighted by quantity) per return flag —
+    * the order statistic `percentile()` can't express (every unit of
+    * quantity counts as one observation of its price): sort each group by
+    * price with a unique tie-break, run a windowed cumulative weight, and
+    * take the first price whose doubled cumulative weight reaches the
+    * group total. Both engines fold the cumulative sum in the SAME
+    * explicit window order and the weights are integral-valued doubles,
+    * so every cumw is fp-exact — the ≥ comparison has no noise to flip
+    * on (no rounding needed before the threshold).
+    *
+    * Scale: one window shuffle keyed by the group column plus a tiny
+    * grouped total joined back broadcast — the same shape as any ranked
+    * selection; nothing is collected.
+    */
+  val q205WeightedMedian = GraftQuery(
+    "q205_weighted_median",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_returnflag"), col("l_extendedprice").as("v"),
+        col("l_quantity").as("wt"),
+        col("l_orderkey"), col("l_linenumber"))
+      val wc = Window.partitionBy("l_returnflag")
+        .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
+      val cum = li.withColumn("cumw", sum("wt").over(wc))
+      val tot = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("wt").as("w_total"))
+      cum.join(tot, "l_returnflag")
+        .filter(col("cumw") * 2 >= col("w_total"))
+        .groupBy("l_returnflag")
+        .agg(first(col("n")).as("n"), round(first(col("w_total")), 2).as("w_total"),
+          min(col("v")).as("wmedian"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH li AS (SELECT l_returnflag, l_extendedprice AS v,
+           |    l_quantity AS wt, l_orderkey, l_linenumber FROM lineitem),
+           |cum AS (SELECT l_returnflag, v,
+           |    sum(wt) OVER (PARTITION BY l_returnflag
+           |      ORDER BY v, l_orderkey, l_linenumber) AS cumw
+           |  FROM li),
+           |tot AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           |    sum(wt) AS w_total FROM li GROUP BY 1)
+           |SELECT cum.l_returnflag, any_value(tot.n) AS n,
+           |  round(any_value(tot.w_total), 2) AS w_total,
+           |  min(v) AS wmedian
+           |FROM cum JOIN tot USING (l_returnflag)
+           |WHERE cumw * 2 >= w_total
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q42Pivot, q43Percentiles, q44Moments, q45WindowExtras,
     q66Histogram, q75MathFuncs, q87Regression, q88DistShape, q89Bitwise,
-    q201PoissonBootstrap)
+    q201PoissonBootstrap, q205WeightedMedian)
 }

@@ -711,9 +711,67 @@ object Text {
            |JOIN ns nb ON nb.source = source_b
            |ORDER BY source_a, source_b""".stripMargin))
 
+  /** Heaps'-law vocabulary-growth fit — q191's companion diagnostic: as
+    * the corpus grows, distinct vocabulary should grow as V(n) ≈ K·n^β
+    * (β ≈ 0.4–0.6 for natural language); a β near 0 means the corpus has
+    * stopped contributing new tokens (saturated/templated — more data
+    * won't help a tokenizer or LM), β near 1 means unbounded junk vocab
+    * (mangled encodings, random ids). Docs are swept in 25-doc buckets;
+    * each checkpoint's cumulative token count is a windowed running sum
+    * over per-bucket totals, and cumulative vocabulary counts terms by
+    * their FIRST bucket of appearance (min-doc partial agg — no per-prefix
+    * distinct, the trick that keeps the sweep one pass). The log-log OLS
+    * over checkpoints gives (β, ln K, r²).
+    *
+    * Scale: two token-stream partial aggs (per-doc counts, per-term first
+    * doc), then everything runs on bucket-cardinality rows; the windows
+    * order by bucket index only. 3-digit rounding on the regr_* outputs.
+    */
+  val q204HeapsFit = GraftQuery(
+    "q204_heaps_fit",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .persist()
+      val perb = toks.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+        .groupBy(floor(col("doc_id") / 25).as("b")).agg(sum("ntok").as("btok"))
+      val newv = toks.groupBy("t").agg(min("doc_id").as("fd"))
+        .groupBy(floor(col("fd") / 25).as("b")).agg(count(lit(1)).as("bvoc"))
+      val wb = Window.orderBy("b")
+      val pts = perb.join(newv, Seq("b"), "left")
+        .na.fill(0, Seq("bvoc"))
+        .select(col("b"), sum("btok").over(wb).as("cumtok"),
+          sum("bvoc").over(wb).as("cumvoc"))
+      val out = pts.agg(
+        count(lit(1)).as("n_points"),
+        round(expr("regr_slope(ln(cumvoc), ln(cumtok))"), 3).as("heaps_beta"),
+        round(expr("regr_intercept(ln(cumvoc), ln(cumtok))"), 3).as("heaps_lnk"),
+        round(expr("regr_r2(ln(cumvoc), ln(cumtok))"), 3).as("r2"))
+      out.count() // materialize before releasing the cached token stream
+      toks.unpersist()
+      out
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+           |perb AS (SELECT b, sum(ntok) AS btok FROM (
+           |  SELECT doc_id // 25 AS b, count(*) AS ntok FROM toks GROUP BY doc_id)
+           |  GROUP BY 1),
+           |newv AS (SELECT fd // 25 AS b, count(*) AS bvoc FROM (
+           |  SELECT t, min(doc_id) AS fd FROM toks GROUP BY 1) GROUP BY 1),
+           |pts AS (SELECT perb.b,
+           |    sum(btok) OVER (ORDER BY perb.b) AS cumtok,
+           |    sum(COALESCE(bvoc, 0)) OVER (ORDER BY perb.b) AS cumvoc
+           |  FROM perb LEFT JOIN newv ON perb.b = newv.b)
+           |SELECT CAST(count(*) AS BIGINT) AS n_points,
+           |  round(regr_slope(ln(cumvoc), ln(cumtok)), 3) AS heaps_beta,
+           |  round(regr_intercept(ln(cumvoc), ln(cumtok)), 3) AS heaps_lnk,
+           |  round(regr_r2(ln(cumvoc), ln(cumtok)), 3) AS r2
+           |FROM pts""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q19TextStats, q20TokenCounts, q21QualityScore, q22LangId, q23Fingerprints,
     q60Perplexity, q61Bigrams, q64TopTrigramUdtf, q130BpePairs, q132BpeTrain,
     q133BpeEncode, q139BpeEncodeDocs, q149BigramLm, q163KneserNey, q191ZipfFit,
-    q198SourceOverlap)
+    q198SourceOverlap, q204HeapsFit)
 }
