@@ -181,6 +181,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Window"), p.take(2000))
   }
 
+  test("round-7 pair/postings generators are keyed, never cartesian") {
+    // q198 joins source shingle sets on the shingle, q200 runs three
+    // inverted-postings joins on term — both lose their scale story if
+    // the equi-key stops reaching the planner
+    for (q <- Seq("q198_source_overlap", "q200_rocchio_prf")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q\n${p.take(2000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q\n${p.take(2000)}")
+    }
+    // q203's IVF side must stay a cell equi-join; its ground-truth side is
+    // a DELIBERATE broadcast NLJ (bounded 10-query brute force), so only
+    // cartesian is banned there
+    assert(!plan("q203_ivf_recall").contains("CartesianProduct"))
+  }
+
+  test("q189: heavy-hitter exact phase joins the candidate set broadcast") {
+    // the MG candidates are O(parts * k) rows; if this ever becomes a
+    // shuffle join the full token stream reshuffles by term — exactly what
+    // the sketch exists to avoid
+    val p = plan("q189_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q138: batch aggregation reuses the stream window's partitioning") {
     val p = plan("q138_length_batches")
     // one (bucket, shard) exchange feeds BOTH the window and the batch
