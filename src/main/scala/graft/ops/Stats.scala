@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -497,7 +498,121 @@ object Stats {
            |WHERE cumw * 2 >= w_total
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Benford's-law first-digit audit of a monetary column — the classic
+    * synthetic-data / fabrication screen: organically-generated amounts
+    * follow P(d) = log10(1 + 1/d) on their leading digit, and a corpus
+    * whose numbers were templated or uniformly drawn fails it loudly (the
+    * fixture's synthetic prices SHOULD fail — the query reports the
+    * deviation, it doesn't assert conformance). One partial-agg scan to 9
+    * digit rows; the per-digit chi-square contribution ((obs−exp)²/exp)
+    * folds from integer counts and a literal expectation table.
+    */
+  val q206Benford = GraftQuery(
+    "q206_benford",
+    (s, dir) => {
+      val p = Map(1 -> 0.301029995663981, 2 -> 0.176091259055681,
+        3 -> 0.124938736608300, 4 -> 0.096910013008056,
+        5 -> 0.079181246047625, 6 -> 0.066946789630613,
+        7 -> 0.057991946977687, 8 -> 0.051152522447381,
+        9 -> 0.045757490560675)
+      val expLit = map(p.toSeq.sortBy(_._1)
+        .flatMap { case (d, v) => Seq(lit(d), lit(v)) }: _*)
+      val digits = Tables.lineitem(s, dir)
+        .select(substring(col("l_extendedprice").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      digits
+        .withColumn("total", sum("n").over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .withColumn("share", col("n").cast("double") / col("total"))
+        .withColumn("benford_p", element_at(expLit, col("digit")))
+        .select(col("digit"), col("n"), round(col("share"), 6).as("share"),
+          round(col("benford_p"), 6).as("benford_p"),
+          round(pow(col("share") - col("benford_p"), 2) / col("benford_p") * col("total"), 3)
+            .as("chi2_term"))
+        .orderBy("digit")
+    },
+    Some("""WITH ben(digit, p) AS (VALUES
+           |  (1, 0.301029995663981), (2, 0.176091259055681),
+           |  (3, 0.124938736608300), (4, 0.096910013008056),
+           |  (5, 0.079181246047625), (6, 0.066946789630613),
+           |  (7, 0.057991946977687), (8, 0.051152522447381),
+           |  (9, 0.045757490560675)),
+           |d AS (SELECT CAST(substr(l_extendedprice::VARCHAR, 1, 1) AS INT) AS digit,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM lineitem GROUP BY 1),
+           |t AS (SELECT d.digit, d.n, sum(d.n) OVER () AS total FROM d)
+           |SELECT t.digit, t.n, round(t.n::DOUBLE / total, 6) AS share,
+           |  round(ben.p::DOUBLE, 6) AS benford_p,
+           |  round(pow(t.n::DOUBLE / total - ben.p, 2) / ben.p * total, 3) AS chi2_term
+           |FROM t JOIN ben ON ben.digit = t.digit
+           |ORDER BY t.digit""".stripMargin))
+
+  /** Holt linear-trend exponential smoothing (α = 0.5, β = 0.3) over the
+    * per-type daily event series, plus the 3-step-ahead forecast — the
+    * capacity-planning / drift-projection primitive a monitoring pipeline
+    * runs on its own metrics. The recurrence l_t = αx_t + (1−α)(l+b),
+    * b_t = β(l_t−l) + (1−β)b is inherently sequential, so each key's
+    * series folds ONCE in event-time order: Spark sorts the per-key day
+    * array and folds with the `aggregate` higher-order function (per-key
+    * state is 2 doubles; series length is bounded by the day span — the
+    * honest per-key-fits-in-memory contract every stateful time-series op
+    * carries), and the oracle replays the identical recurrence with a
+    * recursive CTE stepping the day index. Both engines execute the SAME
+    * operation order, so the fold is bit-identical before the final
+    * 3-digit rounding.
+    */
+  val q207HoltTrend = GraftQuery(
+    "q207_holt_trend",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      val series = daily.groupBy("event_type")
+        .agg(transform(sort_array(collect_list(struct(col("d"), col("x")))),
+          e => e("x")).as("xs"))
+      def holtStep(acc: Column, x: Column) = {
+        val l2 = lit(0.5) * x + lit(0.5) * (acc("l") + acc("b"))
+        struct(l2.as("l"),
+          (lit(0.3) * (l2 - acc("l")) + lit(0.7) * acc("b")).as("b"))
+      }
+      series
+        .withColumn("fin", aggregate(
+          slice(col("xs"), lit(3), greatest(size(col("xs")) - 2, lit(0))),
+          struct(element_at(col("xs"), 1).as("l"),
+            (element_at(col("xs"), 2) - element_at(col("xs"), 1)).as("b")),
+          holtStep))
+        .select(col("event_type"), size(col("xs")).as("n_points"),
+          round(col("fin.l"), 3).as("level"),
+          round(col("fin.b"), 3).as("trend"),
+          round(col("fin.l") + lit(3.0) * col("fin.b"), 3).as("forecast_3"))
+        .orderBy("event_type")
+    },
+    Some("""WITH RECURSIVE daily AS (
+           |  SELECT event_type, date_trunc('day', ts) AS d,
+           |    CAST(count(*) AS DOUBLE) AS x
+           |  FROM events GROUP BY 1, 2),
+           |idx AS (SELECT event_type, x,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+           |  FROM daily),
+           |nn AS (SELECT event_type, max(i) AS n FROM idx GROUP BY 1),
+           |rec(event_type, i, l, b) AS (
+           |  SELECT a.event_type, 2, a.x, b2.x - a.x
+           |  FROM idx a JOIN idx b2 ON b2.event_type = a.event_type
+           |  WHERE a.i = 1 AND b2.i = 2
+           |  UNION ALL
+           |  SELECT r.event_type, r.i + 1,
+           |    0.5 * x.x + 0.5 * (r.l + r.b),
+           |    0.3 * ((0.5 * x.x + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b
+           |  FROM rec r JOIN idx x ON x.event_type = r.event_type
+           |    AND x.i = r.i + 1)
+           |SELECT r.event_type, CAST(nn.n AS INT) AS n_points,
+           |  round(r.l, 3) AS level, round(r.b, 3) AS trend,
+           |  round(r.l + 3.0 * r.b, 3) AS forecast_3
+           |FROM rec r JOIN nn ON nn.event_type = r.event_type AND r.i = nn.n
+           |ORDER BY r.event_type""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q42Pivot, q43Percentiles, q44Moments, q45WindowExtras,
     q66Histogram, q75MathFuncs, q87Regression, q88DistShape, q89Bitwise,
-    q201PoissonBootstrap, q205WeightedMedian)
+    q201PoissonBootstrap, q205WeightedMedian, q206Benford, q207HoltTrend)
 }
