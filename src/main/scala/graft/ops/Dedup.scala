@@ -992,8 +992,65 @@ object Dedup {
            |FROM st LEFT JOIN rec ON st.doc_id = rec.doc_id
            |ORDER BY st.doc_id""".stripMargin))
 
+  /** Golden-record consolidation over the q59 near-dup clusters — the
+    * master-data-management step AFTER dedup finds the clusters: each
+    * cluster collapses to one merged record whose attributes are resolved
+    * by explicit per-attribute rules (lang = most frequent value with a
+    * lexicographic tie-break, n_chars = max over members, provenance =
+    * distinct source count) rather than blindly keeping the survivor's
+    * row — conflict resolution is the part entity resolution actually
+    * gets judged on. Cluster labels come from the same MinHash→CC
+    * pipeline as q59; the merge itself is one grouped agg plus a per-
+    * cluster mode window over (cluster, attribute-value) counts — both
+    * cluster-cardinality-sized, nothing corpus-wide reshuffles twice.
+    */
+  val q209GoldenRecord = GraftQuery(
+    "q209_golden_record",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = minhashPairs(s, dir).select(col("i"), col("j"))
+      val lbl = connectedComponents(pairs)
+      val mem = lbl.join(Tables.documents(s, dir),
+        lbl("v") === col("doc_id"))
+      val langMode = mem.groupBy(col("lbl"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lbl").orderBy(desc("c"), col("lang"))))
+        .filter(col("rn") === 1)
+        .select(col("lbl").as("lm"), col("lang").as("lang_mode"))
+      mem.groupBy("lbl")
+        .agg(count(lit(1)).as("n_members"), max("n_chars").as("max_chars"),
+          countDistinct("source").as("n_sources"))
+        .join(langMode, col("lbl") === col("lm"))
+        .select(col("lbl").as("cluster_id"), col("n_members"),
+          col("lang_mode"), col("max_chars"), col("n_sources"))
+        .orderBy("cluster_id")
+    },
+    Some(s"""WITH RECURSIVE pairs AS (SELECT i, j FROM (
+            |${q25DedupMinhash.oracle.get}) q25),
+            |edges AS (SELECT i a, j b FROM pairs UNION SELECT j, i FROM pairs),
+            |reach(a, b) AS (
+            |  SELECT a, b FROM edges
+            |  UNION
+            |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND e.b <> r.a),
+            |lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+            |mem AS (SELECT l.cluster_id, d.lang, d.source, d.n_chars
+            |  FROM lbl l JOIN documents d USING (doc_id)),
+            |lc AS (SELECT cluster_id, lang, count(*) c FROM mem GROUP BY 1, 2),
+            |lm AS (SELECT cluster_id, lang AS lang_mode FROM (
+            |  SELECT cluster_id, lang, row_number() OVER (
+            |    PARTITION BY cluster_id ORDER BY c DESC, lang) rn FROM lc)
+            |  WHERE rn = 1),
+            |agg AS (SELECT cluster_id, CAST(count(*) AS BIGINT) n_members,
+            |    CAST(max(n_chars) AS BIGINT) max_chars,
+            |    CAST(count(DISTINCT source) AS BIGINT) n_sources
+            |  FROM mem GROUP BY 1)
+            |SELECT agg.cluster_id, n_members, lm.lang_mode, max_chars, n_sources
+            |FROM agg JOIN lm USING (cluster_id) ORDER BY cluster_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q24DedupExact, q25DedupMinhash, q26DedupNgram, q27DedupSimhash, q28EmbeddingNn,
     q59DedupClusters, q127DedupClustersStar, q135SubstringWinnow, q144SpanRemoval,
-    q150PrefixJaccardJoin, q173ContainmentJoin, q174SortedNeighborhood, q183LineDedup)
+    q150PrefixJaccardJoin, q173ContainmentJoin, q174SortedNeighborhood, q183LineDedup,
+    q209GoldenRecord)
 }

@@ -769,9 +769,67 @@ object Text {
            |  round(regr_r2(ln(cumvoc), ln(cumtok)), 3) AS r2
            |FROM pts""".stripMargin))
 
+  /** Pointwise-mutual-information collocations (Church & Hanks 1990) —
+    * the statistical phrase detector behind "New York"-style token-merge
+    * preprocessing: PMI = ln(p(ab) / (p(a)·p(b))) over word bigrams with
+    * a min-support floor (count ≥ 5: bare PMI over-ranks hapax pairs).
+    * Probabilities come from two partial-agg count tables (bigrams over
+    * total bigrams, unigrams over total tokens); the two corpus totals are
+    * single-row aggregates cross-joined in (broadcast literals at plan
+    * time, never a driver round-trip). Top-20 selects on the 3-digit
+    * ROUNDED score (the round-before-rank discipline), ties on the words.
+    */
+  val q208PmiCollocations = GraftQuery(
+    "q208_pmi_collocations",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val uni = toks.groupBy("t").agg(count(lit(1)).as("cu")).persist()
+      val nt = uni.agg(sum("cu").cast("double").as("ntok"))
+      val bg = Tables.documents(s, dir)
+        .select(explode(
+          graft.functions.GraftFunctions.wordGrams(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cb"))
+        .filter(col("cb") >= 5)
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      val nb = Tables.documents(s, dir)
+        .select((size(split(col("text"), " ")) - 1).as("k"))
+        .filter(col("k") > 0).agg(sum("k").cast("double").as("nbig"))
+      val out = bg
+        .join(uni.select(col("t").as("w1"), col("cu").as("c1")), "w1")
+        .join(uni.select(col("t").as("w2"), col("cu").as("c2")), "w2")
+        .crossJoin(nt).crossJoin(nb)
+        .select(col("w1"), col("w2"), col("cb"),
+          round(log((col("cb") / col("nbig")) /
+            ((col("c1") / col("ntok")) * (col("c2") / col("ntok")))), 3).as("pmi"))
+        .orderBy(desc("pmi"), col("w1"), col("w2"))
+        .limit(20)
+      out.count() // materialize before releasing the cached unigram table
+      uni.unpersist()
+      out
+    },
+    Some("""WITH toks AS (
+           |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+           |uni AS (SELECT t, CAST(count(*) AS BIGINT) cu FROM toks GROUP BY 1),
+           |nt AS (SELECT CAST(sum(cu) AS DOUBLE) ntok FROM uni),
+           |bg AS (SELECT bigram, CAST(count(*) AS BIGINT) cb FROM (
+           |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+           |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) bigram
+           |  FROM documents) b GROUP BY 1 HAVING count(*) >= 5),
+           |nb AS (SELECT CAST(sum(len(string_split(text, ' ')) - 1) AS DOUBLE) nbig
+           |  FROM documents WHERE len(string_split(text, ' ')) > 1),
+           |sp AS (SELECT string_split(bigram, ' ')[1] w1,
+           |    string_split(bigram, ' ')[2] w2, cb FROM bg)
+           |SELECT sp.w1, sp.w2, sp.cb,
+           |  round(ln((cb / nbig) / ((u1.cu / ntok) * (u2.cu / ntok))), 3) AS pmi
+           |FROM sp JOIN uni u1 ON u1.t = sp.w1 JOIN uni u2 ON u2.t = sp.w2, nt, nb
+           |ORDER BY pmi DESC, sp.w1, sp.w2 LIMIT 20""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q19TextStats, q20TokenCounts, q21QualityScore, q22LangId, q23Fingerprints,
     q60Perplexity, q61Bigrams, q64TopTrigramUdtf, q130BpePairs, q132BpeTrain,
     q133BpeEncode, q139BpeEncodeDocs, q149BigramLm, q163KneserNey, q191ZipfFit,
-    q198SourceOverlap, q204HeapsFit)
+    q198SourceOverlap, q204HeapsFit, q208PmiCollocations)
 }
