@@ -1149,12 +1149,16 @@ object Vectors {
     * primitive an embedding pipeline runs before quantization (and the
     * standard first look at "is this embedding space collapsed?"). The
     * corpus-sized work is exactly two aggregations: the mean vector, then
-    * the d×d covariance as ONE VectorAvg over per-row flattened outer
-    * products (map-side combined; shuffle state is d² doubles per task,
-    * never row-proportional — the Gram-matrix trick). The 64×64 eigen
-    * problem is then driver math on a collected 4096-double matrix (the
-    * lloyd k-row-collect discipline): 6 power-iteration rounds from the
-    * uniform unit vector, L2-normalized each round.
+    * the d×d covariance accumulated per partition in ONE primitive
+    * double[d²] array inside mapPartitions (tight index loops, no boxing,
+    * no per-row aggregation-buffer ser/de — a typed 4096-dim Aggregator
+    * measured 150 s at sf0.1 for exactly that reason; this form is
+    * sub-second) — each partition emits one (count, partial-sum) row, so
+    * what leaves the executors is ≤ #partitions rows of d² doubles: the
+    * Gram-matrix trick. The 64×64 eigen problem is then driver math on
+    * the merged 4096-double matrix (the lloyd k-row-collect discipline):
+    * 6 power-iteration rounds from the uniform unit vector, L2-normalized
+    * each round.
     *
     * Determinism: both engines accumulate the covariance in their own
     * order (~1e-15 relative noise), which propagates linearly through the
@@ -1165,18 +1169,40 @@ object Vectors {
   val q192PcaPower = GraftQuery(
     "q192_pca_power",
     (s, dir) => {
+      import s.implicits._
       val dim = DIM
       val vecAvgD = udaf(new graft.functions.VectorAvg(dim))
-      val vecAvgD2 = udaf(new graft.functions.VectorAvg(dim * dim))
       val e = Tables.embeddings(s, dir)
         .select(col("embedding").cast("array<double>").as("v"))
         .persist()
-      val mu = e.agg(vecAvgD(col("v"))).head().getSeq[Double](0)
-      val vc = zip_with(col("v"), typedLit(mu), (x, y) => x - y)
-      val outer = flatten(transform(vc, x => transform(vc, y => x * y)))
-      val cov = e.select(outer.as("o")).agg(vecAvgD2(col("o")))
-        .head().getSeq[Double](0)
+      val muArr = e.agg(vecAvgD(col("v"))).head().getSeq[Double](0).toArray
+      val partials = e.as[Seq[Double]].mapPartitions { it =>
+        val acc = new Array[Double](dim * dim)
+        val c = new Array[Double](dim)
+        var n = 0L
+        it.foreach { v =>
+          var i = 0
+          while (i < dim) { c(i) = v(i) - muArr(i); i += 1 }
+          var a = 0
+          while (a < dim) {
+            val ca = c(a); val row = a * dim
+            var b = 0
+            while (b < dim) { acc(row + b) += ca * c(b); b += 1 }
+            a += 1
+          }
+          n += 1
+        }
+        if (n == 0) Iterator.empty else Iterator((n, acc.toSeq))
+      }.collect() // bounded: one (count, d^2 partial) row per partition
       e.unpersist()
+      val nTotal = partials.map(_._1).sum.toDouble
+      val cov = new Array[Double](dim * dim)
+      partials.foreach { case (_, p) =>
+        var i = 0
+        while (i < dim * dim) { cov(i) += p(i); i += 1 }
+      }
+      var ci = 0
+      while (ci < dim * dim) { cov(ci) /= nTotal; ci += 1 }
       var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
       var lambda = 0.0
       for (_ <- 1 to 6) {
