@@ -431,9 +431,60 @@ object Extras6 {
            |  round(sum(value * pow(2.0, -age_d / 7.0)), 3) AS decayed_value
            |FROM d GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Skyline (Pareto frontier) query — minimize per-part best price while
+    * maximizing per-part total quantity sold: the multi-criteria shortlist
+    * operator (Börzsönyi et al. 2001) relational engines bolt on as
+    * SKYLINE OF. Distributed shape is the classic two-phase: each
+    * partition sweeps its points sorted by (price asc, qty desc) keeping
+    * strict running-max-qty risers — a LOCAL skyline, provably a superset
+    * of the global one (2D skylines rise monotonically; equal-(x,y)
+    * duplicates of the frontier point are kept, since dominance needs a
+    * strict inequality) — and only the union of local frontiers (tiny)
+    * enters the exact dominance anti-join. The corpus never self-joins:
+    * the O(n²) test runs on the pruned candidate set alone, the q189
+    * candidates-then-verify discipline.
+    */
+  val q211Skyline = GraftQuery(
+    "q211_skyline",
+    (s, dir) => {
+      import s.implicits._
+      val pts = Tables.lineitem(s, dir)
+        .groupBy("l_partkey")
+        .agg(min("l_extendedprice").as("min_price"),
+          sum("l_quantity").cast("long").as("total_qty"))
+      val cand = pts.select(col("l_partkey"), col("min_price"),
+          col("total_qty").cast("double"))
+        .as[(Long, Double, Double)]
+        .mapPartitions { it =>
+          val sorted = it.toArray.sortBy { case (id, x, y) => (x, -y, id) }
+          var bestY = Double.NegativeInfinity
+          var bestX = Double.NaN
+          sorted.iterator.filter { case (_, x, y) =>
+            if (y > bestY) { bestY = y; bestX = x; true }
+            else y == bestY && x == bestX // exact duplicate of the frontier point
+          }
+        }.toDF("l_partkey", "min_price", "total_qty")
+      val dominated = col("b.min_price") <= col("a.min_price") &&
+        col("b.total_qty") >= col("a.total_qty") &&
+        (col("b.min_price") < col("a.min_price") ||
+          col("b.total_qty") > col("a.total_qty"))
+      cand.alias("a").join(cand.alias("b"), dominated, "left_anti")
+        .select(col("l_partkey"), col("min_price"),
+          col("total_qty").cast("long").as("total_qty"))
+        .orderBy("l_partkey")
+    },
+    Some("""WITH pts AS (SELECT l_partkey, min(l_extendedprice) AS min_price,
+           |    CAST(sum(l_quantity) AS BIGINT) AS total_qty
+           |  FROM lineitem GROUP BY 1)
+           |SELECT p.l_partkey, p.min_price, p.total_qty FROM pts p
+           |WHERE NOT EXISTS (SELECT 1 FROM pts q
+           |  WHERE q.min_price <= p.min_price AND q.total_qty >= p.total_qty
+           |    AND (q.min_price < p.min_price OR q.total_qty > p.total_qty))
+           |ORDER BY p.l_partkey""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q115ArgExtremes, q116ArrayFuncs, q117Funnel, q118Retention,
       q119Transitions, q120Rfm, q121SessionPaths, q122Listagg,
       q123ApproxPercentile, q124MapFuncs, q125UnionByName, q126GroupingId,
-      q177DecayedEngagement)
+      q177DecayedEngagement, q211Skyline)
 }

@@ -434,6 +434,60 @@ object Quality {
            |FROM dev d JOIN mad USING (event_type)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Weight-of-evidence / information-value feature diagnostics — the
+    * credit-scoring-lineage screen for "does this feature separate the
+    * classes, monotonically, and where": score deciles (q196's integer-
+    * ordered binning) each report WOE = ln((pos_share)/(neg_share)) with
+    * Laplace 0.5 smoothing (a pure-one-class bin would be ±∞), and the
+    * per-bin IV term (pos% − neg%)·WOE sums to the feature's information
+    * value (rule of thumb: <0.02 useless, >0.3 strong). Everything after
+    * the decile window is integer counts and one ln of an exact rational
+    * — bit-identical cross-engine, rounded only for display.
+    */
+  val q210WoeIv = GraftQuery(
+    "q210_woe_iv",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (datediff(col("l_shipdate"), col("o_orderdate")) - lit(60)).as("dd"),
+          (col("l_returnflag") === "R").cast("long").as("pos"))
+      val binned = li.withColumn("bin", ntile(10).over(
+        Window.orderBy(col("dd"), col("l_orderkey"), col("l_linenumber"))))
+      val per = binned.groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("pos").as("pos"))
+        .withColumn("neg", col("n") - col("pos"))
+      val tot = per.agg(sum("pos").as("p_all"), sum("neg").as("n_all"))
+      per.crossJoin(tot)
+        .withColumn("woe", log(((col("pos") + 0.5) / col("p_all")) /
+          ((col("neg") + 0.5) / col("n_all"))))
+        .select(col("bin"), col("n"), col("pos"), col("neg"),
+          round(col("woe"), 6).as("woe"),
+          round(((col("pos") / col("p_all")) - (col("neg") / col("n_all")))
+            * col("woe"), 6).as("iv_term"))
+        .orderBy("bin")
+    },
+    Some("""WITH li AS (SELECT l_orderkey, l_linenumber,
+           |    datediff('day', o_orderdate, l_shipdate) - 60 AS dd,
+           |    CAST(l_returnflag = 'R' AS BIGINT) AS pos
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |b AS (SELECT pos, ntile(10) OVER (
+           |    ORDER BY dd, l_orderkey, l_linenumber) AS bin FROM li),
+           |per AS (SELECT bin, CAST(count(*) AS BIGINT) n,
+           |    CAST(sum(pos) AS BIGINT) pos,
+           |    CAST(count(*) - sum(pos) AS BIGINT) neg
+           |  FROM b GROUP BY 1),
+           |tot AS (SELECT CAST(sum(pos) AS BIGINT) p_all,
+           |    CAST(sum(neg) AS BIGINT) n_all FROM per),
+           |w AS (SELECT per.*, p_all, n_all,
+           |    ln(((pos + 0.5)::DOUBLE / p_all) / ((neg + 0.5)::DOUBLE / n_all)) AS woe
+           |  FROM per, tot)
+           |SELECT bin, n, pos, neg, round(woe, 6) AS woe,
+           |  round((pos::DOUBLE / p_all - neg::DOUBLE / n_all) * woe, 6) AS iv_term
+           |FROM w ORDER BY bin""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q96DqChecks, q113PsiDrift, q153Auc, q168DsirSelect,
-    q182ColumnProfile, q193QuantileNorm, q196Calibration, q199MadOutliers)
+    q182ColumnProfile, q193QuantileNorm, q196Calibration, q199MadOutliers,
+    q210WoeIv)
 }
