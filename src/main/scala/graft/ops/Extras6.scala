@@ -482,9 +482,57 @@ object Extras6 {
            |    AND (q.min_price < p.min_price OR q.total_qty > p.total_qty))
            |ORDER BY p.l_partkey""".stripMargin))
 
+  /** Association-rule mining over order baskets (Agrawal & Srikant's
+    * support/confidence/lift, restricted to 2-itemsets — the market-basket
+    * co-occurrence report): candidate pairs come from a self-join KEYED ON
+    * THE ORDER (baskets are small, so per-key fan-out is the squared
+    * basket size — bounded, never a hot key), pair support prunes at ≥ 3
+    * before any per-item join, and confidence/lift derive from integer
+    * support counts (the one division rounds at 6). Top-20 ranks the
+    * 3-digit-ROUNDED lift (round-before-rank) with item-id ties.
+    */
+  val q212AssociationRules = GraftQuery(
+    "q212_association_rules",
+    (s, dir) => {
+      val b = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct().persist()
+      val nOrders = b.select("o").distinct().count().toDouble
+      val itemSupp = b.groupBy("p").agg(count(lit(1)).as("supp_i"))
+      val pairs = b.select(col("o"), col("p").as("pa"))
+        .join(b.select(col("o"), col("p").as("pb")), Seq("o"))
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("supp"))
+        .filter(col("supp") >= 3)
+      val out = pairs
+        .join(itemSupp.select(col("p").as("pa"), col("supp_i").as("sa")), "pa")
+        .join(itemSupp.select(col("p").as("pb"), col("supp_i").as("sb")), "pb")
+        .select(col("pa"), col("pb"), col("supp"),
+          round(col("supp") / col("sa").cast("double"), 6).as("confidence"),
+          round(lit(nOrders) * col("supp") / (col("sa") * col("sb")).cast("double"), 3)
+            .as("lift"))
+        .orderBy(desc("lift"), col("pa"), col("pb"))
+        .limit(20)
+      out.count() // materialize before releasing the cached basket table
+      b.unpersist()
+      out
+    },
+    Some("""WITH b AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+           |n AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) n FROM b),
+           |si AS (SELECT p, CAST(count(*) AS BIGINT) supp_i FROM b GROUP BY 1),
+           |pairs AS (SELECT a.p pa, b2.p pb, CAST(count(*) AS BIGINT) supp
+           |  FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+           |  GROUP BY 1, 2 HAVING count(*) >= 3)
+           |SELECT pa, pb, supp,
+           |  round(supp / sa.supp_i::DOUBLE, 6) AS confidence,
+           |  round(n.n * supp / (sa.supp_i * sb.supp_i)::DOUBLE, 3) AS lift
+           |FROM pairs
+           |JOIN si sa ON sa.p = pa JOIN si sb ON sb.p = pb, n
+           |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q115ArgExtremes, q116ArrayFuncs, q117Funnel, q118Retention,
       q119Transitions, q120Rfm, q121SessionPaths, q122Listagg,
       q123ApproxPercentile, q124MapFuncs, q125UnionByName, q126GroupingId,
-      q177DecayedEngagement, q211Skyline)
+      q177DecayedEngagement, q211Skyline, q212AssociationRules)
 }

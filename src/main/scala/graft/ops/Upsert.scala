@@ -76,5 +76,42 @@ object Upsert {
            |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
            |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q108Upsert)
+  /** Incremental view maintenance for a distributive/algebraic aggregate
+    * view — the delta-rule discipline behind every materialized-view
+    * refresh that does NOT rescan history: the base partition of orders
+    * (keys with o_orderkey % 97 ≠ 0) aggregates once into per-priority
+    * partial states (count, sum, min, max), the "newly arrived" delta
+    * partition aggregates separately, and the maintained view is the
+    * STATE MERGE (counts and sums add, min/max fold, avg derives from the
+    * merged sum/count — never averaged averages). The oracle computes the
+    * view directly over ALL orders, so the hash gate proves
+    * V(base ⊎ Δ) = merge(V(base), V(Δ)) exactly — the algebraic property
+    * incremental pipelines rely on. Both aggregations are partial-agg
+    * scans; the merge touches 2×|keys| rows.
+    */
+  val q213IvmMerge = GraftQuery(
+    "q213_ivm_merge",
+    (s, dir) => {
+      def state(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("sm"),
+          min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+      val o = Tables.orders(s, dir)
+      val base = state(o.filter(col("o_orderkey") % 97 =!= 0))
+      val delta = state(o.filter(col("o_orderkey") % 97 === 0))
+      base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(sum("cnt").as("n_orders"), round(sum("sm"), 2).as("total"),
+          round(sum("sm") / sum("cnt"), 2).as("avg_price"),
+          round(min("mn"), 2).as("min_price"), round(max("mx"), 2).as("max_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           |  round(sum(o_totalprice), 2) AS total,
+           |  round(sum(o_totalprice) / count(*), 2) AS avg_price,
+           |  round(min(o_totalprice), 2) AS min_price,
+           |  round(max(o_totalprice), 2) AS max_price
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q108Upsert, q213IvmMerge)
 }
