@@ -111,5 +111,50 @@ object Extras5 {
            |    event_id) AS rank_nf
            |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q109OuterJoins, q110WindowNulls, q114NullOrdering)
+  /** Join-cardinality estimation by correlated key-universe sampling — the
+    * query-planner diagnostic done the only way that works for joins:
+    * sampling ROWS independently on each side underestimates the join
+    * quadratically, but hashing the JOIN KEY into 1/16 of its universe and
+    * keeping whole key-groups on BOTH sides (the same md5 bucket, so the
+    * samples are correlated) makes the sampled join an unbiased 1/16
+    * miniature whose count scales back by exactly 16. The query reports
+    * the estimate next to the true count and the relative error — the
+    * audit loop for sampling-based cost models. Both sampled scans push
+    * the bucket predicate into the scan; the sampled join is 1/16 the
+    * work of the true one.
+    */
+  val q216JoinCardEstimate = GraftQuery(
+    "q216_join_card_estimate",
+    (s, dir) => {
+      def bucket(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 16
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val actual = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("actual"))
+      val est = li.filter(bucket(col("l_orderkey")) === 0)
+        .join(o.filter(bucket(col("o_orderkey")) === 0),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg((count(lit(1)) * 16).as("estimate"))
+      actual.crossJoin(est)
+        .select(col("actual"), col("estimate"),
+          round(abs(col("estimate") - col("actual")) / col("actual").cast("double"), 6)
+            .as("rel_error"))
+    },
+    Some("""WITH li AS (SELECT l_orderkey FROM lineitem),
+           |o AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+           |act AS (SELECT CAST(count(*) AS BIGINT) actual
+           |  FROM li JOIN o ON l_orderkey = o_orderkey),
+           |est AS (SELECT CAST(count(*) * 16 AS BIGINT) estimate
+           |  FROM li JOIN o ON l_orderkey = o_orderkey
+           |  WHERE CAST(concat('0x', substr(md5(l_orderkey::VARCHAR), 1, 8)) AS BIGINT) % 16 = 0
+           |    AND CAST(concat('0x', substr(md5(o_orderkey::VARCHAR), 1, 8)) AS BIGINT) % 16 = 0)
+           |SELECT actual, estimate,
+           |  round(abs(estimate - actual) / actual::DOUBLE, 6) AS rel_error
+           |FROM act, est""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q109OuterJoins, q110WindowNulls, q114NullOrdering,
+    q216JoinCardEstimate)
 }

@@ -433,6 +433,58 @@ object Graph {
          |FROM d4 WHERE node <= 60 ORDER BY supp""".stripMargin
     })
 
+  /** Degree assortativity of the part co-purchase graph (Newman 2002):
+    * the Pearson correlation of endpoint degrees over the symmetrized edge
+    * list — positive means hubs attach to hubs (social-network shape),
+    * negative means hub-and-spoke (infrastructure shape); it's the one-
+    * number structure summary that tells a graph pipeline whether
+    * degree-based partitioning (q148's orientation trick) will pay off.
+    * One distinct-edge build, one degree partial agg, two keyed joins to
+    * decorate edge endpoints, one corr fold — nothing beyond q148's
+    * dataflow, and corr rounds at 3 (accumulation-order discipline).
+    */
+  val q215Assortativity = GraftQuery(
+    "q215_assortativity",
+    (s, dir) => {
+      // parts co-ordered in the same order: sparse (small baskets), so
+      // degrees VARY — the supplier graph is near-complete at fixture SF
+      // (constant degree ⇒ zero variance ⇒ corr undefined)
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      val und = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct().persist()
+      val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      val deg = sym.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
+        .persist()
+      val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+        round(avg("deg"), 3).as("avg_deg"))
+      val dd = sym
+        .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      val out = dd.agg((count(lit(1)) / 2).cast("long").as("n_edges"),
+          round(corr("du", "dv"), 3).as("assortativity"))
+        .crossJoin(nodeStats)
+        .select(col("n_nodes"), col("n_edges"), col("avg_deg"),
+          col("assortativity"))
+      out.count() // materialize before releasing the cached edge/degree frames
+      und.unpersist(); deg.unpersist()
+      out
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey pk FROM lineitem),
+           |und AS (SELECT DISTINCT a.pk u, b.pk v
+           |  FROM li a JOIN li b ON a.o = b.o AND a.pk < b.pk),
+           |sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+           |deg AS (SELECT u AS n, CAST(count(*) AS BIGINT) deg FROM sym GROUP BY 1),
+           |ns AS (SELECT CAST(count(*) AS BIGINT) n_nodes,
+           |    round(avg(deg), 3) avg_deg FROM deg),
+           |dd AS (SELECT du.deg du, dv.deg dv FROM sym
+           |  JOIN deg du ON du.n = sym.u JOIN deg dv ON dv.n = sym.v)
+           |SELECT ns.n_nodes, CAST(count(*) / 2 AS BIGINT) AS n_edges,
+           |  ns.avg_deg, round(corr(du, dv), 3) AS assortativity
+           |FROM dd, ns GROUP BY ns.n_nodes, ns.avg_deg""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q98PageRank, q148TriangleCount, q171KcoreSemantic,
-    q184Sssp, q186LabelProp)
+    q184Sssp, q186LabelProp, q215Assortativity)
 }

@@ -348,9 +348,72 @@ object Relational {
            |  round(sum(value), 2) AS session_value
            |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Period-over-period mix-shift decomposition of regional revenue — the
+    * BI staple behind every "why did the number move" review: each
+    * region's revenue share in 1995 vs 1996 and the share delta, so the
+    * total change splits into per-region mix movement. Plan shape is the
+    * TPC-H star: lineitem⋈orders filtered to the two years at the scan
+    * (pushdown), then broadcast dims customer→nation→region, one partial
+    * agg to (region, year), and a window total over the 10-row result —
+    * the heavy tables shuffle once. Sums round at 2 (float accumulation);
+    * shares are divisions of those sums (6).
+    */
+  val q214MixShift = GraftQuery(
+    "q214_mix_shift",
+    (s, dir) => {
+      val yr = year(col("o_orderdate"))
+      val rev = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .filter(yr.isin(1995, 1996))
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"))
+        .agg(
+          sum(when(yr === 1995,
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .otherwise(0.0)).as("r95"),
+          sum(when(yr === 1996,
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .otherwise(0.0)).as("r96"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      rev
+        .withColumn("t95", sum("r95").over(w))
+        .withColumn("t96", sum("r96").over(w))
+        .select(col("region"),
+          round(col("r95"), 2).as("rev_1995"),
+          round(col("r96"), 2).as("rev_1996"),
+          round(col("r95") / col("t95"), 6).as("share_1995"),
+          round(col("r96") / col("t96"), 6).as("share_1996"),
+          round(col("r96") / col("t96") - col("r95") / col("t95"), 6)
+            .as("share_delta"))
+        .orderBy("region")
+    },
+    Some("""WITH rev AS (
+           |  SELECT r_name AS region,
+           |    sum(CASE WHEN year(o_orderdate) = 1995
+           |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) AS r95,
+           |    sum(CASE WHEN year(o_orderdate) = 1996
+           |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) AS r96
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN nation ON c_nationkey = n_nationkey
+           |  JOIN region ON n_regionkey = r_regionkey
+           |  WHERE year(o_orderdate) IN (1995, 1996)
+           |  GROUP BY 1),
+           |t AS (SELECT *, sum(r95) OVER () t95, sum(r96) OVER () t96 FROM rev)
+           |SELECT region, round(r95, 2) AS rev_1995, round(r96, 2) AS rev_1996,
+           |  round(r95 / t95, 6) AS share_1995, round(r96 / t96, 6) AS share_1996,
+           |  round(r96 / t96 - r95 / t95, 6) AS share_delta
+           |FROM t ORDER BY region""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q1PricingSummary, q2TopRevenueOrders, q3SegmentRevenue, q4SemiJoin,
     q5AntiJoin, q6WindowTopPerSupplier, q7RunningTotals, q8SetOps, q9Rollup,
     q10StringFuncs, q11MonthlyOrders, q12DistinctCounts, q13ConditionalAgg,
-    q14JsonProps, q15HourlyEvents, q16Sessions)
+    q14JsonProps, q15HourlyEvents, q16Sessions, q214MixShift)
 }
