@@ -100,7 +100,7 @@ object Bench {
     // are the newest per-query times and the total.
     val newest = results
       .map { case (k, v) => ("""\d+""".r.findFirstIn(k).fold(0)(_.toInt), k, v) }
-      .sortBy(-_._1).take(24).sortBy(_._1)
+      .sortBy(-_._1).take(32).sortBy(_._1)
       .map { case (_, k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"queries_newest","queries":$newest}""")

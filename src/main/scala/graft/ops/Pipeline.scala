@@ -424,7 +424,80 @@ object Pipeline {
             |FROM sp JOIN gg USING (grp), lk
             |GROUP BY sp.split ORDER BY sp.split""".stripMargin))
 
+  /** The end-to-end curation funnel — the composition a training-data
+    * pipeline actually ships, reported as the per-stage retention table
+    * every data card publishes: raw corpus → exact text dedup (keep the
+    * lowest doc_id per text) → near-dup removal (MinHash→CC clusters from
+    * the q59 pipeline, corpus-wide; only each cluster's minimum doc
+    * survives) → quality floor (n_chars ≥ 120) → script filter (drop zh
+    * for a latin-script tokenizer run). Each stage row carries surviving
+    * docs AND surviving token mass, so the cost of every rule is visible
+    * in both units. Set algebra over the full corpus with each stage a
+    * semi/anti-join against a keyed survivor set — the funnel adds no
+    * shuffle beyond the dedup machinery it audits.
+    */
+  val q217CurationFunnel = GraftQuery(
+    "q217_curation_funnel",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+        .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+        .persist()
+      val s1 = docs.withColumn("rn", row_number().over(
+          Window.partitionBy("text").orderBy("doc_id")))
+        .filter(col("rn") === 1).drop("rn")
+      val nonSurvivors = Dedup.connectedComponents(
+          Dedup.minhashPairs(s, dir).select(col("i"), col("j")))
+        .filter(col("v") =!= col("lbl"))
+        .select(col("v").as("doc_id"))
+      val s2 = s1.join(nonSurvivors, Seq("doc_id"), "left_anti")
+      val s3 = s2.filter(col("n_chars") >= 120)
+      val s4 = s3.filter(col("lang") =!= "zh")
+      def stage(tag: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(lit(tag).as("stage"), count(lit(1)).as("docs"),
+          sum("toks").as("tokens"))
+      val out = stage("0_raw", docs)
+        .unionByName(stage("1_exact_dedup", s1))
+        .unionByName(stage("2_near_dedup", s2))
+        .unionByName(stage("3_quality", s3))
+        .unionByName(stage("4_lang", s4))
+        .orderBy("stage")
+      out.count() // materialize before releasing the cached corpus
+      docs.unpersist()
+      out
+    },
+    Some(s"""WITH RECURSIVE pairs AS (SELECT i, j FROM (
+            |${graft.ops.Dedup.q25DedupMinhash.oracle.get}) q25),
+            |edges AS (SELECT i a, j b FROM pairs UNION SELECT j, i FROM pairs),
+            |reach(a, b) AS (
+            |  SELECT a, b FROM edges
+            |  UNION
+            |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND e.b <> r.a),
+            |lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            |  FROM reach GROUP BY a),
+            |drops AS (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id),
+            |d0 AS (SELECT doc_id, text, lang, n_chars,
+            |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+            |  FROM documents),
+            |s1 AS (SELECT * FROM (SELECT *, row_number() OVER (
+            |    PARTITION BY text ORDER BY doc_id) rn FROM d0) WHERE rn = 1),
+            |s2 AS (SELECT s1.* FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+            |s3 AS (SELECT * FROM s2 WHERE n_chars >= 120),
+            |s4 AS (SELECT * FROM s3 WHERE lang <> 'zh')
+            |SELECT stage, docs, tokens FROM (
+            |  SELECT '0_raw' stage, CAST(count(*) AS BIGINT) docs,
+            |    CAST(sum(toks) AS BIGINT) tokens FROM d0
+            |  UNION ALL SELECT '1_exact_dedup', CAST(count(*) AS BIGINT),
+            |    CAST(sum(toks) AS BIGINT) FROM s1
+            |  UNION ALL SELECT '2_near_dedup', CAST(count(*) AS BIGINT),
+            |    CAST(sum(toks) AS BIGINT) FROM s2
+            |  UNION ALL SELECT '3_quality', CAST(count(*) AS BIGINT),
+            |    CAST(sum(toks) AS BIGINT) FROM s3
+            |  UNION ALL SELECT '4_lang', CAST(count(*) AS BIGINT),
+            |    CAST(sum(toks) AS BIGINT) FROM s4)
+            |ORDER BY stage""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q52HashSample, q53IncrementalDedup, q54OutlierFilter,
     q65StratifiedSample, q97WeightedSample, q129MixtureSample, q136EpochShuffle,
-    q181SnapshotDiff, q188GroupSplit)
+    q181SnapshotDiff, q188GroupSplit, q217CurationFunnel)
 }
