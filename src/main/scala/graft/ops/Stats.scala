@@ -612,7 +612,141 @@ object Stats {
            |FROM rec r JOIN nn ON nn.event_type = r.event_type AND r.i = nn.n
            |ORDER BY r.event_type""".stripMargin))
 
+  /** Daily P50/P95 bands per event type with day-over-day P95 drift — the
+    * SLO dashboard reduction: exact grouped percentiles per (type, day)
+    * then one lag window over the tiny per-day result for the drift
+    * column. Percentiles are per-group order statistics (the q54-proven
+    * Spark `percentile` / DuckDB `quantile_cont` pairing — selection +
+    * one interpolation, no accumulation), so 6-digit rounding holds; the
+    * drift subtracts two such values.
+    */
+  val q218PercentileBands = GraftQuery(
+    "q218_percentile_bands",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(value, 0.5)").as("p50u"),
+          expr("percentile(value, 0.95)").as("p95u"))
+        .withColumn("p95_prev", lag("p95u", 1).over(w))
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), round(col("p50u"), 6).as("p50"), round(col("p95u"), 6).as("p95"),
+          round(col("p95u") - col("p95_prev"), 6).as("p95_drift"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH b AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) n,
+           |    quantile_cont(value, 0.5) p50u, quantile_cont(value, 0.95) p95u
+           |  FROM events GROUP BY 1, 2)
+           |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+           |  round(p50u, 6) AS p50, round(p95u, 6) AS p95,
+           |  round(p95u - lag(p95u, 1) OVER (
+           |    PARTITION BY event_type ORDER BY day), 6) AS p95_drift
+           |FROM b ORDER BY event_type, day""".stripMargin))
+
+  /** Time-constrained conversion funnel — q117's ordered funnel with the
+    * product-analytics clock attached: a click only converts if it lands
+    * within 24 h of the user's first signup, a purchase within 72 h. One
+    * shuffle computes each user's first-signup time; the constrained
+    * stage times are conditional mins over a second keyed pass joined on
+    * user (the two-scan shape — no window over the raw event stream).
+    * All comparisons are on exact microsecond timestamps.
+    */
+  val q219WindowedFunnel = GraftQuery(
+    "q219_windowed_funnel",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts")).persist()
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t0"))
+      val joined = ev.join(signup, "user_id")
+      val per = joined.groupBy("user_id")
+        .agg(first("t0").as("t0"),
+          min(when(col("event_type") === "click" &&
+            col("ts") > col("t0") &&
+            col("ts") <= col("t0") + expr("INTERVAL 24 HOURS"), col("ts")))
+            .as("t_click"),
+          min(when(col("event_type") === "purchase" &&
+            col("ts") > col("t0") &&
+            col("ts") <= col("t0") + expr("INTERVAL 72 HOURS"), col("ts")))
+            .as("t_buy"))
+      val out = per.agg(count(lit(1)).as("n_signup"),
+        count(col("t_click")).as("n_click_24h"),
+        sum((col("t_buy") > col("t_click")).cast("long")).as("n_buy_after_click"),
+        count(col("t_buy")).as("n_buy_72h"))
+      out.count() // materialize before releasing the cached events
+      ev.unpersist()
+      out
+    },
+    Some("""WITH s0 AS (SELECT user_id, min(ts) t0 FROM events
+           |  WHERE event_type = 'signup' GROUP BY 1),
+           |per AS (SELECT e.user_id, any_value(s0.t0) t0,
+           |    min(CASE WHEN e.event_type = 'click' AND e.ts > s0.t0
+           |      AND e.ts <= s0.t0 + INTERVAL 24 HOUR THEN e.ts END) t_click,
+           |    min(CASE WHEN e.event_type = 'purchase' AND e.ts > s0.t0
+           |      AND e.ts <= s0.t0 + INTERVAL 72 HOUR THEN e.ts END) t_buy
+           |  FROM events e JOIN s0 USING (user_id) GROUP BY 1)
+           |SELECT CAST(count(*) AS BIGINT) n_signup,
+           |  CAST(count(t_click) AS BIGINT) n_click_24h,
+           |  CAST(sum(CASE WHEN t_buy > t_click THEN 1 ELSE 0 END) AS BIGINT)
+           |    n_buy_after_click,
+           |  CAST(count(t_buy) AS BIGINT) n_buy_72h
+           |FROM per""".stripMargin))
+
+  /** Theil-T inequality index of customer revenue — the decomposable
+    * entropy-based concentration measure (complementing q194's Gini):
+    * T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ) over per-customer revenue, 0 = equal,
+    * ln(n) = one customer holds everything. Per-customer revenue is a
+    * partial agg; the index folds in one pass (xlogx accumulation →
+    * 3-digit rounding discipline).
+    */
+  val q220Theil = GraftQuery(
+    "q220_theil",
+    (s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .groupBy("o_custkey").agg(sum("o_totalprice").as("x"))
+      val mu = rev.agg(avg("x").as("mu"), count(lit(1)).as("n"))
+      rev.crossJoin(mu)
+        .agg(first("n").as("n_customers"),
+          round(first("mu"), 2).as("mean_revenue"),
+          round(sum((col("x") / col("mu")) * log(col("x") / col("mu"))) /
+            first("n"), 3).as("theil_t"))
+    },
+    Some("""WITH rev AS (SELECT o_custkey, sum(o_totalprice) x FROM orders GROUP BY 1),
+           |mu AS (SELECT avg(x) mu, CAST(count(*) AS BIGINT) n FROM rev)
+           |SELECT any_value(mu.n) AS n_customers,
+           |  round(any_value(mu.mu), 2) AS mean_revenue,
+           |  round(sum((x / mu.mu) * ln(x / mu.mu)) / any_value(mu.n), 3) AS theil_t
+           |FROM rev, mu""".stripMargin))
+
+  /** Equi-depth (equal-frequency) histogram of l_extendedprice — the
+    * planner-statistics form of q66's equal-width histogram: 10 ntile
+    * buckets (unique tie-break keys, so the bucketing is total), each
+    * reporting its [lo, hi] boundary and exact count — the structure a
+    * cost model reads for selectivity. One window shuffle, 10-row output.
+    */
+  val q221EquidepthHist = GraftQuery(
+    "q221_equidepth_hist",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.lineitem(s, dir)
+        .select(col("l_extendedprice").as("v"), col("l_orderkey"),
+          col("l_linenumber"))
+        .withColumn("bucket", ntile(10).over(
+          Window.orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+        .orderBy("bucket")
+    },
+    Some("""SELECT bucket, CAST(count(*) AS BIGINT) n, min(v) lo, max(v) hi
+           |FROM (SELECT l_extendedprice v, ntile(10) OVER (
+           |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) bucket
+           |  FROM lineitem)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q42Pivot, q43Percentiles, q44Moments, q45WindowExtras,
     q66Histogram, q75MathFuncs, q87Regression, q88DistShape, q89Bitwise,
-    q201PoissonBootstrap, q205WeightedMedian, q206Benford, q207HoltTrend)
+    q201PoissonBootstrap, q205WeightedMedian, q206Benford, q207HoltTrend,
+    q218PercentileBands, q219WindowedFunnel, q220Theil, q221EquidepthHist)
 }
