@@ -450,6 +450,7 @@ object Graph {
       // degrees VARY — the supplier graph is near-complete at fixture SF
       // (constant degree ⇒ zero variance ⇒ corr undefined)
       val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+        .distinct() // dedupe (order, part) BEFORE the self-join, like the oracle
       val und = li.as("a")
         .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))

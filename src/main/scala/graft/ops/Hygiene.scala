@@ -270,6 +270,62 @@ object Hygiene {
            |  CAST(class_size < 5 AS INT) AS at_risk
            |FROM classes GROUP BY class_size ORDER BY class_size""".stripMargin))
 
+  /** k-anonymity generalization ladder (the Samarati lattice walk, one
+    * dimension at a time) — q202 AUDITS the re-identification risk; this
+    * op FIXES it: climb a predefined generalization ladder — L0 raw
+    * (lang, source, 100-char bucket), L1 coarsen length to 500-char
+    * buckets, L2 drop source, L3 drop length — and publish at the FIRST
+    * level whose smallest quasi-identifier class reaches k = 5 (the
+    * minimal-information-loss release). Each level is one partial-agg
+    * over the corpus; the ladder is 4 fixed aggs and a scalar pick — no
+    * iteration over data, so the walk costs the same at any scale.
+    * Output: one row per level with its min/avg class size and a flag on
+    * the chosen level.
+    */
+  val q224GeneralizationLadder = GraftQuery(
+    "q224_generalization_ladder",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      def classes(level: Int, cols: Seq[org.apache.spark.sql.Column]) =
+        d.groupBy(cols: _*).agg(count(lit(1)).as("cs"))
+          .agg(lit(level).as("level"), count(lit(1)).as("n_classes"),
+            min("cs").as("min_class"), round(avg("cs"), 3).as("avg_class"))
+      val b100 = (col("n_chars") - pmod(col("n_chars"), lit(100)))
+      val b500 = (col("n_chars") - pmod(col("n_chars"), lit(500)))
+      val ladder = classes(0, Seq(col("lang"), col("source"), b100))
+        .unionByName(classes(1, Seq(col("lang"), col("source"), b500)))
+        .unionByName(classes(2, Seq(col("lang"), b500)))
+        .unionByName(classes(3, Seq(col("lang"))))
+      val chosen = ladder.filter(col("min_class") >= 5)
+        .agg(coalesce(min("level"), lit(99)).as("pick"))
+      ladder.crossJoin(chosen)
+        .select(col("level"), col("n_classes"), col("min_class"),
+          col("avg_class"), (col("level") === col("pick")).cast("int").as("published"))
+        .orderBy("level")
+    },
+    Some("""WITH l0 AS (SELECT 0 AS level, CAST(count(*) AS BIGINT) n_classes,
+           |    CAST(min(cs) AS BIGINT) min_class, round(avg(cs), 3) avg_class
+           |  FROM (SELECT count(*) cs FROM documents
+           |    GROUP BY lang, source, n_chars - (n_chars % 100))),
+           |l1 AS (SELECT 1, CAST(count(*) AS BIGINT), CAST(min(cs) AS BIGINT),
+           |    round(avg(cs), 3)
+           |  FROM (SELECT count(*) cs FROM documents
+           |    GROUP BY lang, source, n_chars - (n_chars % 500))),
+           |l2 AS (SELECT 2, CAST(count(*) AS BIGINT), CAST(min(cs) AS BIGINT),
+           |    round(avg(cs), 3)
+           |  FROM (SELECT count(*) cs FROM documents
+           |    GROUP BY lang, n_chars - (n_chars % 500))),
+           |l3 AS (SELECT 3, CAST(count(*) AS BIGINT), CAST(min(cs) AS BIGINT),
+           |    round(avg(cs), 3)
+           |  FROM (SELECT count(*) cs FROM documents GROUP BY lang)),
+           |ladder AS (SELECT * FROM l0 UNION ALL SELECT * FROM l1
+           |  UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3),
+           |pick AS (SELECT coalesce(min(level), 99) p FROM ladder
+           |  WHERE min_class >= 5)
+           |SELECT level, n_classes, min_class, avg_class,
+           |  CAST(level = pick.p AS INT) AS published
+           |FROM ladder, pick ORDER BY level""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q99PiiRedact, q100Contamination, q101Repetition,
-    q185UrlCanonical, q202KAnonymity)
+    q185UrlCanonical, q202KAnonymity, q224GeneralizationLadder)
 }

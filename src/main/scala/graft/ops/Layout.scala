@@ -409,7 +409,60 @@ object Layout {
            |  CAST(sum(bytes) AS BIGINT) AS bin_bytes
            |FROM plan GROUP BY part, bin ORDER BY part, bin""".stripMargin))
 
+  /** Write-audit-publish (the WAP release gate): the cleaned orders slice
+    * writes to a STAGING directory, three audits run against the staged
+    * files as read back from disk (null-key scan, minimum-volume floor,
+    * date-domain bounds 1990–2005 — the q96 constraint classes applied at the
+    * release boundary), and only a full pass promotes staging to the
+    * published location with one atomic filesystem rename (the same
+    * swap primitive the rebalancer's shadow tables use); any failure
+    * deletes staging and publishes nothing. The oracle recomputes the
+    * expected staged set and audit verdicts relationally, so the hash
+    * gate proves the files that landed in `published/` are exactly the
+    * rows the contract promised.
+    */
+  val q225WriteAuditPublish = GraftQuery(
+    "q225_write_audit_publish",
+    (s, dir) => {
+      val base = workDir(s, dir, "wap")
+      val staging = s"$base/staging"
+      val published = s"$base/published"
+      val conf = s.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+      for (d <- Seq(staging, published))
+        fs.delete(new org.apache.hadoop.fs.Path(d), true)
+      Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 0 && col("o_custkey").isNotNull)
+        .write.mode("overwrite").parquet(staging)
+      val staged = s.read.parquet(staging).persist()
+      val stagedRows = staged.count()
+      val nullKeys = staged.filter(col("o_orderkey").isNull).count()
+      val dateRow = staged
+        .agg(min(year(col("o_orderdate"))), max(year(col("o_orderdate")))).head()
+      val audits = Seq(
+        nullKeys == 0L,
+        stagedRows >= 100L,
+        dateRow.getInt(0) >= 1990 && dateRow.getInt(1) <= 2005)
+      staged.unpersist()
+      val passed = audits.count(identity)
+      val ok = passed == audits.size
+      if (ok)
+        fs.rename(new org.apache.hadoop.fs.Path(staging),
+          new org.apache.hadoop.fs.Path(published))
+      else fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      val pubRows = if (ok) s.read.parquet(published).count() else 0L
+      import s.implicits._
+      Seq((stagedRows, passed, if (ok) 1 else 0, pubRows))
+        .toDF("staged_rows", "audits_passed", "published", "published_rows")
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS staged_rows,
+           |  CAST(3 AS INT) AS audits_passed, CAST(1 AS INT) AS published,
+           |  CAST(count(*) AS BIGINT) AS published_rows
+           |FROM orders
+           |WHERE o_totalprice > 0 AND o_custkey IS NOT NULL""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q83TextSource, q84PartitionedWrite,
     q85BucketedJoin, q86SchemaEvolution, q93ZOrder, q102NumbersSource,
-    q105V2SinkRoundtrip, q180HilbertLayout, q187CompactionPlan)
+    q105V2SinkRoundtrip, q180HilbertLayout, q187CompactionPlan,
+    q225WriteAuditPublish)
 }

@@ -497,7 +497,78 @@ object Pipeline {
             |    CAST(sum(toks) AS BIGINT) FROM s4)
             |ORDER BY stage""".stripMargin))
 
+  /** Incremental sessionization — q53's incremental discipline applied to
+    * a NON-trivially-mergeable operator: day-20 splits the event log into
+    * processed history and a new arrival batch; sessions (30-minute
+    * inactivity gap) are counted independently on each side, and the only
+    * cross-boundary state needed is ONE row per user (last historical
+    * event time vs first new event time): a boundary gap ≤ 30 min means
+    * the user's first new session EXTENDS their last historical session,
+    * so the merged total subtracts one per such user. The oracle counts
+    * sessions by full-batch gap logic over the whole log, so the hash
+    * gate proves incremental-merge ≡ full-recompute — the property that
+    * lets a 100 TB event log sessionize one day at a time. Both sides
+    * compare integer epoch-second gaps (no interval-type semantics in
+    * play).
+    */
+  val q226IncrementalSessions = GraftQuery(
+    "q226_incremental_sessions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id")).persist()
+      val cut = ev.agg(date_add(to_date(min("ts")), 20).as("c"))
+      val tagged = ev.crossJoin(cut)
+        .withColumn("is_new", (to_date(col("ts")) >= col("c")).cast("int"))
+      def sessionCount(df: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        df.withColumn("gap_s",
+            col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+          .withColumn("ns",
+            when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+          .groupBy("user_id").agg(sum("ns").as("n_sessions"),
+            min("ts").as("first_ts"), max("ts").as("last_ts"))
+      }
+      val base = sessionCount(tagged.filter(col("is_new") === 0))
+      val delta = sessionCount(tagged.filter(col("is_new") === 1))
+      val joinedUsers = base.select(col("user_id"), col("last_ts"))
+        .join(delta.select(col("user_id"), col("first_ts")), "user_id")
+        .filter(col("first_ts").cast("long") - col("last_ts").cast("long") <= 1800)
+      val m = joinedUsers.agg(count(lit(1)).as("boundary_merges"))
+      val totals = base.select(col("user_id"), col("n_sessions"))
+        .unionByName(delta.select(col("user_id"), col("n_sessions")))
+        .agg(countDistinct("user_id").as("n_users"),
+          sum("n_sessions").as("raw_sessions"))
+      val out = totals.crossJoin(m)
+        .select(col("n_users"),
+          (col("raw_sessions") - col("boundary_merges")).as("total_sessions"),
+          col("boundary_merges"))
+      out.count() // materialize before releasing the cached events
+      ev.unpersist()
+      out
+    },
+    Some("""WITH cut AS (SELECT CAST(min(ts) AS DATE) + 20 AS c FROM events),
+           |g AS (SELECT user_id, ts,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |      OR date_diff('second', lag(ts) OVER w, ts) > 1800
+           |      THEN 1 ELSE 0 END AS ns
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |per AS (SELECT user_id, CAST(sum(ns) AS BIGINT) n_sessions
+           |  FROM g GROUP BY 1),
+           |lb AS (SELECT user_id, max(ts) lt FROM events, cut
+           |  WHERE CAST(ts AS DATE) < c GROUP BY 1),
+           |fd AS (SELECT user_id, min(ts) ft FROM events, cut
+           |  WHERE CAST(ts AS DATE) >= c GROUP BY 1),
+           |m AS (SELECT CAST(count(*) AS BIGINT) boundary_merges
+           |  FROM lb JOIN fd USING (user_id)
+           |  WHERE date_diff('second', lt, ft) <= 1800)
+           |SELECT CAST(count(*) AS BIGINT) AS n_users,
+           |  CAST(sum(n_sessions) AS BIGINT) AS total_sessions,
+           |  any_value(m.boundary_merges) AS boundary_merges
+           |FROM per, m""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q52HashSample, q53IncrementalDedup, q54OutlierFilter,
     q65StratifiedSample, q97WeightedSample, q129MixtureSample, q136EpochShuffle,
-    q181SnapshotDiff, q188GroupSplit, q217CurationFunnel)
+    q181SnapshotDiff, q188GroupSplit, q217CurationFunnel, q226IncrementalSessions)
 }

@@ -487,7 +487,58 @@ object Quality {
            |  round((pos::DOUBLE / p_all - neg::DOUBLE / n_all) * woe, 6) AS iv_term
            |FROM w ORDER BY bin""".stripMargin))
 
+  /** Mutual information between corpus facets (lang × source) — the
+    * dependence screen a mixture designer runs before treating facets as
+    * independent sampling axes: MI = Σ p(l,s)·ln(p(l,s)/(p(l)p(s))),
+    * reported with both marginal entropies and the normalized
+    * MI/√(H_l·H_s) ∈ [0,1]. High NMI means the facets are redundant (e.g.
+    * each source is monolingual) and stratifying on both double-counts.
+    * Counts are three stacked partial aggs over ≤ |langs|·|sources|
+    * cells; every probability is an exact integer ratio, so the few-cell
+    * float fold rounds safely at 6.
+    */
+  val q223MutualInfo = GraftQuery(
+    "q223_mutual_info",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val joint = d.groupBy("lang", "source").agg(count(lit(1)).as("c"))
+        .persist()
+      val n = joint.agg(sum("c").cast("double").as("n"))
+      val pl = joint.groupBy("lang").agg(sum("c").as("cl"))
+      val ps = joint.groupBy("source").agg(sum("c").as("cs"))
+      val cells = joint.join(pl, "lang").join(ps, "source").crossJoin(n)
+      val out = cells.agg(
+        round(sum((col("c") / col("n")) *
+          log((col("c") * col("n")) / (col("cl") * col("cs")))), 6).as("mi"))
+      val hl = d.groupBy("lang").agg(count(lit(1)).as("c")).crossJoin(n)
+        .agg(round(-sum((col("c") / col("n")) * log(col("c") / col("n"))), 6)
+          .as("h_lang"))
+      val hs = d.groupBy("source").agg(count(lit(1)).as("c")).crossJoin(n)
+        .agg(round(-sum((col("c") / col("n")) * log(col("c") / col("n"))), 6)
+          .as("h_source"))
+      val res = hl.crossJoin(hs).crossJoin(out.select("mi"))
+        .select(col("h_lang"), col("h_source"), col("mi"),
+          round(col("mi") / sqrt(col("h_lang") * col("h_source")), 6).as("nmi"))
+      res.count() // materialize before releasing the cached joint counts
+      joint.unpersist()
+      res
+    },
+    Some("""WITH j AS (SELECT lang, source, CAST(count(*) AS BIGINT) c
+           |  FROM documents GROUP BY 1, 2),
+           |n AS (SELECT CAST(sum(c) AS DOUBLE) n FROM j),
+           |pl AS (SELECT lang, CAST(sum(c) AS BIGINT) cl FROM j GROUP BY 1),
+           |ps AS (SELECT source, CAST(sum(c) AS BIGINT) cs FROM j GROUP BY 1),
+           |mi AS (SELECT round(sum((c / n.n) * ln((c * n.n) / (cl * cs))), 6) mi
+           |  FROM j JOIN pl USING (lang) JOIN ps USING (source), n),
+           |hl AS (SELECT round(-sum((cl / n.n) * ln(cl / n.n)), 6) h_lang
+           |  FROM pl, n),
+           |hs AS (SELECT round(-sum((cs / n.n) * ln(cs / n.n)), 6) h_source
+           |  FROM ps, n)
+           |SELECT h_lang, h_source, mi,
+           |  round(mi / sqrt(h_lang * h_source), 6) AS nmi
+           |FROM hl, hs, mi""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q96DqChecks, q113PsiDrift, q153Auc, q168DsirSelect,
     q182ColumnProfile, q193QuantileNorm, q196Calibration, q199MadOutliers,
-    q210WoeIv)
+    q210WoeIv, q223MutualInfo)
 }

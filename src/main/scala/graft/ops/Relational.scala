@@ -411,9 +411,102 @@ object Relational {
            |  round(r96 / t96 - r95 / t95, 6) AS share_delta
            |FROM t ORDER BY region""".stripMargin))
 
+  /** TPC-H Q5 analogue (local supplier volume): revenue per nation for
+    * 1995 orders where the customer and the line's supplier sit in the
+    * SAME nation — the classic snowflake with a co-location predicate.
+    * The two fact tables shuffle once on orderkey; every dimension hop
+    * (customer, supplier, nation, region) broadcasts; the co-location
+    * filter lands after the supplier join as a column equality. Sums
+    * round at 2.
+    */
+  val q227LocalSupplierVolume = GraftQuery(
+    "q227_local_supplier_volume",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir).filter(year(col("o_orderdate")) === 1995)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_lines"))
+        .orderBy(desc("revenue"), col("nation"))
+    },
+    Some("""SELECT n_name AS nation,
+           |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           |  CAST(count(*) AS BIGINT) AS n_lines
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |WHERE year(o_orderdate) = 1995
+           |GROUP BY 1 ORDER BY revenue DESC, nation""".stripMargin))
+
+  /** TPC-H Q8 analogue (market share): a target region's share of revenue
+    * supplied by one nation's suppliers, per order year — the conditional
+    * share-of-aggregate shape (sum(CASE)·/·sum) with a two-hop dimension
+    * path on BOTH fact sides. Fact tables shuffle once; all dims
+    * broadcast; the share is a division of two same-group sums (round 6).
+    */
+  val q228MarketShare = GraftQuery(
+    "q228_market_share",
+    (s, dir) => {
+      val nat = Tables.nation(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val vol = li
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
+          col("n_regionkey").as("crk"))), col("c_nationkey") === col("cnk"))
+        .join(broadcast(Tables.region(s, dir)), col("crk") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+        .select(year(col("o_orderdate")).as("o_year"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"),
+          col("supp_nation"))
+      vol.groupBy("o_year")
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_5", col("volume"))
+            .otherwise(0.0)), 2).as("nation_volume"),
+          round(sum("volume"), 2).as("total_volume"),
+          round(sum(when(col("supp_nation") === "NATION_5", col("volume"))
+            .otherwise(0.0)) / sum("volume"), 6).as("mkt_share"))
+        .orderBy("o_year")
+    },
+    Some("""WITH vol AS (
+           |  SELECT year(o_orderdate) AS o_year,
+           |    l_extendedprice * (1.0 - l_discount) AS volume,
+           |    sn.n_name AS supp_nation
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |  JOIN region ON cn.n_regionkey = r_regionkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+           |  WHERE r_name = 'ASIA')
+           |SELECT o_year,
+           |  round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0.0 END), 2)
+           |    AS nation_volume,
+           |  round(sum(volume), 2) AS total_volume,
+           |  round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0.0 END)
+           |    / sum(volume), 6) AS mkt_share
+           |FROM vol GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q1PricingSummary, q2TopRevenueOrders, q3SegmentRevenue, q4SemiJoin,
     q5AntiJoin, q6WindowTopPerSupplier, q7RunningTotals, q8SetOps, q9Rollup,
     q10StringFuncs, q11MonthlyOrders, q12DistinctCounts, q13ConditionalAgg,
-    q14JsonProps, q15HourlyEvents, q16Sessions, q214MixShift)
+    q14JsonProps, q15HourlyEvents, q16Sessions, q214MixShift,
+    q227LocalSupplierVolume, q228MarketShare)
 }

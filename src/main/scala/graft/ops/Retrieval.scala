@@ -360,7 +360,72 @@ object Retrieval {
            |    ORDER BY score DESC, cid) rank FROM s1)
            |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
 
+  /** MRR + NDCG@5 evaluation of the q167 BM25 ranking — the judged-run
+    * scoring loop that closes retrieval's evaluation gap the way q203
+    * closes ANN's: relevance labels are "candidate shares the query
+    * doc's source" (a deterministic pseudo-qrel the fixture supports),
+    * reciprocal rank takes the first relevant hit, and NDCG@5 normalizes
+    * the log-discounted gain by the ideal prefix. Discounts use natural
+    * log on BOTH sides — NDCG is ratio-of-same-base, so the base cancels
+    * and no cross-engine log2 pairing is needed; the ideal DCG folds a
+    * closed-form list of min(R,5) discounts. Ranks come from q167's
+    * round-before-rank scores, so the rank column itself is
+    * deterministic; everything downstream is per-row arithmetic.
+    */
+  val q222RetrievalEval = GraftQuery(
+    "q222_retrieval_eval",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val ranked = q167Bm25TopK.fn(s, dir) // (qid, rank, cid, score)
+      val qsrc = docs.select(col("doc_id").as("qid"), col("source").as("qs"))
+      val csrc = docs.select(col("doc_id").as("cid"), col("source").as("cs"))
+      val rel = ranked.join(qsrc, "qid").join(csrc, "cid")
+        .withColumn("rel", (col("qs") === col("cs")).cast("int"))
+      val nRel = docs.join(qsrc, docs("source") === qsrc("qs"))
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy("qid").agg(count(lit(1)).as("n_rel"))
+      val idcg = aggregate(
+        sequence(lit(1), least(col("n_rel"), lit(5L)).cast("int")),
+        lit(0.0), (acc, i) => acc + lit(1.0) / log(i.cast("double") + 1.0))
+      rel.groupBy("qid")
+        .agg(
+          coalesce(max(when(col("rel") === 1, lit(1.0) / col("rank"))), lit(0.0))
+            .as("rr"),
+          sum(when(col("rel") === 1,
+            lit(1.0) / log(col("rank").cast("double") + 1.0)).otherwise(0.0))
+            .as("dcg"))
+        .join(nRel, Seq("qid"), "left").na.fill(0, Seq("n_rel"))
+        .withColumn("idcg", idcg)
+        .select(col("qid"), col("n_rel"), round(col("rr"), 6).as("rr"),
+          round(when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(0.0), 6)
+            .as("ndcg5"))
+        .orderBy("qid")
+    },
+    Some {
+      val bm25 = q167Bm25TopK.oracle.get
+      s"""WITH base AS ($bm25),
+         |qs AS (SELECT doc_id qid, source qsrc FROM documents WHERE doc_id < 5),
+         |rel AS (SELECT b.qid, b.rank,
+         |    CAST(d.source = qs.qsrc AS INT) AS rel
+         |  FROM base b JOIN documents d ON d.doc_id = b.cid
+         |  JOIN qs ON qs.qid = b.qid),
+         |nr AS (SELECT qs.qid, CAST(count(*) AS BIGINT) n_rel
+         |  FROM documents d JOIN qs ON d.source = qs.qsrc
+         |  WHERE d.doc_id <> qs.qid GROUP BY 1),
+         |m AS (SELECT qid,
+         |    coalesce(max(CASE WHEN rel = 1 THEN 1.0 / rank END), 0.0) rr,
+         |    sum(CASE WHEN rel = 1 THEN 1.0 / ln(rank + 1.0) ELSE 0.0 END) dcg
+         |  FROM rel GROUP BY 1)
+         |SELECT m.qid, coalesce(nr.n_rel, 0) AS n_rel, round(m.rr, 6) AS rr,
+         |  round(CASE WHEN li > 0 THEN dcg / li ELSE 0.0 END, 6) AS ndcg5
+         |FROM m LEFT JOIN nr ON nr.qid = m.qid,
+         |  LATERAL (SELECT coalesce(list_sum(list_transform(
+         |    range(1, CAST(least(coalesce(nr.n_rel, 0), 5) AS INT) + 1),
+         |    i -> 1.0 / ln(i + 1.0))), 0.0) AS li) l
+         |ORDER BY m.qid""".stripMargin
+    })
+
   val all: Seq[GraftQuery] =
     Seq(q112HybridRrf, q152TfidfCosinePairs, q167Bm25TopK, q176FeatureHashing,
-      q200RocchioPrf)
+      q200RocchioPrf, q222RetrievalEval)
 }

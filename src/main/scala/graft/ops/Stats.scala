@@ -745,8 +745,51 @@ object Stats {
            |  FROM lineitem)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Lorenz-curve concentration deciles of customer revenue — the curve
+    * whose area complements q194's Gini and q220's Theil scalar: sort
+    * customers by revenue ascending into deciles (unique tie-breaks),
+    * report each decile's cumulative share of customers vs cumulative
+    * share of revenue ("the top 10% hold X%"). Revenue sums are exact
+    * per-customer partial aggs; the cumulative window runs over 10
+    * decile rows, and shares divide two windowed sums — per-row math at
+    * 6 digits.
+    */
+  val q229LorenzCurve = GraftQuery(
+    "q229_lorenz_curve",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.orders(s, dir)
+        .groupBy("o_custkey").agg(sum("o_totalprice").as("x"))
+      val binned = rev.withColumn("decile", ntile(10).over(
+        Window.orderBy(col("x"), col("o_custkey"))))
+      val per = binned.groupBy("decile")
+        .agg(count(lit(1)).as("n"), sum("x").as("rev"))
+      val w = Window.orderBy("decile")
+      val tot = Window.partitionBy()
+      per
+        .withColumn("cum_n", sum("n").over(w))
+        .withColumn("cum_rev", sum("rev").over(w))
+        .withColumn("tot_n", sum("n").over(tot))
+        .withColumn("tot_rev", sum("rev").over(tot))
+        .select(col("decile"), col("n"),
+          round(col("cum_n") / col("tot_n"), 6).as("cum_pop_share"),
+          round(col("cum_rev") / col("tot_rev"), 6).as("cum_rev_share"))
+        .orderBy("decile")
+    },
+    Some("""WITH rev AS (SELECT o_custkey, sum(o_totalprice) x FROM orders GROUP BY 1),
+           |b AS (SELECT x, ntile(10) OVER (ORDER BY x, o_custkey) decile FROM rev),
+           |per AS (SELECT decile, CAST(count(*) AS BIGINT) n, sum(x) rev
+           |  FROM b GROUP BY 1)
+           |SELECT decile, n,
+           |  round(sum(n) OVER (ORDER BY decile)
+           |    / (sum(n) OVER ())::DOUBLE, 6) AS cum_pop_share,
+           |  round(sum(rev) OVER (ORDER BY decile)
+           |    / sum(rev) OVER (), 6) AS cum_rev_share
+           |FROM per ORDER BY decile""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q42Pivot, q43Percentiles, q44Moments, q45WindowExtras,
     q66Histogram, q75MathFuncs, q87Regression, q88DistShape, q89Bitwise,
     q201PoissonBootstrap, q205WeightedMedian, q206Benford, q207HoltTrend,
-    q218PercentileBands, q219WindowedFunnel, q220Theil, q221EquidepthHist)
+    q218PercentileBands, q219WindowedFunnel, q220Theil, q221EquidepthHist,
+    q229LorenzCurve)
 }
