@@ -787,9 +787,84 @@ object Stats {
            |    / sum(rev) OVER (), 6) AS cum_rev_share
            |FROM per ORDER BY decile""".stripMargin))
 
+  /** Day-of-week seasonality profile + deseasonalized outliers — the
+    * monitoring reduction that stops weekly rhythm from drowning real
+    * anomalies: per (event_type, weekday) mean daily volume is the
+    * profile; each actual day scores volume / its weekday mean, and days
+    * outside [0.5, 1.5]× flag. Ratios are integer-count divisions (the
+    * weekday mean is an exact rational of two integers — computed as
+    * sum/count, not averaged averages), so 6-digit rounding holds. The
+    * fixture's events are near-uniform, so the band is ±15% (production
+    * uses ±50%); output is flagged days with ratio and profile mean.
+    */
+  val q231SeasonalOutliers = GraftQuery(
+    "q231_seasonal_outliers",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")).persist()
+      val prof = daily
+        .withColumn("dow", dayofweek(col("day")))
+        .groupBy("event_type", "dow")
+        .agg(sum("n").as("tot"), count(lit(1)).as("nd"))
+        .select(col("event_type"), col("dow"),
+          (col("tot").cast("double") / col("nd")).as("dow_mean"))
+      val out = daily.withColumn("dow", dayofweek(col("day")))
+        .join(prof, Seq("event_type", "dow"))
+        .withColumn("ratio", col("n") / col("dow_mean"))
+        .filter(col("ratio") > 1.15 || col("ratio") < 0.85)
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), round(col("dow_mean"), 6).as("dow_mean"),
+          round(col("ratio"), 6).as("ratio"))
+        .orderBy("event_type", "day")
+      out.count() // materialize before releasing the cached daily counts
+      daily.unpersist()
+      out
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           |    CAST(count(*) AS BIGINT) n
+           |  FROM events GROUP BY 1, 2),
+           |prof AS (SELECT event_type, dayofweek(day) AS dow,
+           |    sum(n)::DOUBLE / count(*) dow_mean
+           |  FROM daily GROUP BY 1, 2)
+           |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.n,
+           |  round(p.dow_mean, 6) AS dow_mean,
+           |  round(d.n / p.dow_mean, 6) AS ratio
+           |FROM daily d JOIN prof p
+           |  ON p.event_type = d.event_type AND p.dow = dayofweek(d.day)
+           |WHERE d.n / p.dow_mean > 1.15 OR d.n / p.dow_mean < 0.85
+           |ORDER BY d.event_type, day""".stripMargin))
+
+  /** Join fan-out audit — the multiplicity histogram a planner (or a
+    * wary engineer) reads before a fact-fact join: per orders key, how
+    * many lineitem rows match; reported as the fan-out distribution
+    * (matches → key count) plus unmatched keys at fan-out 0 via a left
+    * join. Two stacked partial aggs; the histogram is at most
+    * max-fan-out rows. A long tail here predicts shuffle amplification
+    * BEFORE the join runs.
+    */
+  val q232JoinFanout = GraftQuery(
+    "q232_join_fanout",
+    (s, dir) => {
+      val per = Tables.orders(s, dir).select(col("o_orderkey"))
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy("o_orderkey")
+        .agg(sum(when(col("l_orderkey").isNotNull, 1).otherwise(0)).as("fanout"))
+      per.groupBy("fanout").agg(count(lit(1)).as("n_keys"))
+        .orderBy("fanout")
+    },
+    Some("""WITH per AS (SELECT o_orderkey,
+           |    CAST(sum(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS fanout
+           |  FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+           |  GROUP BY 1)
+           |SELECT fanout, CAST(count(*) AS BIGINT) n_keys
+           |FROM per GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q42Pivot, q43Percentiles, q44Moments, q45WindowExtras,
     q66Histogram, q75MathFuncs, q87Regression, q88DistShape, q89Bitwise,
     q201PoissonBootstrap, q205WeightedMedian, q206Benford, q207HoltTrend,
     q218PercentileBands, q219WindowedFunnel, q220Theil, q221EquidepthHist,
-    q229LorenzCurve)
+    q229LorenzCurve, q231SeasonalOutliers, q232JoinFanout)
 }

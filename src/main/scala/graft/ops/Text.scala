@@ -827,9 +827,53 @@ object Text {
            |FROM sp JOIN uni u1 ON u1.t = sp.w1 JOIN uni u2 ON u2.t = sp.w2, nt, nb
            |ORDER BY pmi DESC, sp.w1, sp.w2 LIMIT 20""".stripMargin))
 
+  /** Per-source signature terms — the cluster-labeling reduction (q50 is
+    * corpus-global; this is the grouped form a corpus card prints per
+    * source): tf-idf where the "documents" are whole SOURCES (tf = term
+    * count within source, idf over sources), top-5 per source on the
+    * ROUNDED weight (round-before-rank) with term ties. Source-level tf
+    * collapses the token stream in one partial agg; idf is a tiny
+    * per-term source count; ranking windows over the source-term table.
+    */
+  val q230SourceSignatureTerms = GraftQuery(
+    "q230_source_signature_terms",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("tf"))
+        .persist()
+      val nSrc = tf.select("source").distinct().count().toDouble
+      val idf = tf.groupBy("t").agg(count(lit(1)).as("sf"))
+        .filter(col("sf") < nSrc)
+        .select(col("t"), log(lit(nSrc) / col("sf")).as("idf"))
+      val w = Window.partitionBy("source").orderBy(desc("wt"), col("t"))
+      val out = tf.join(idf, "t")
+        .withColumn("wt", round(col("tf") * col("idf"), 3))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("source"), col("rnk"), col("t").as("term"), col("wt"))
+        .orderBy("source", "rnk")
+      out.count() // materialize before releasing the cached tf table
+      tf.unpersist()
+      out
+    },
+    Some("""WITH tf AS (SELECT source, t, CAST(count(*) AS BIGINT) tf FROM (
+           |    SELECT source, unnest(string_split(text, ' ')) t FROM documents)
+           |  GROUP BY 1, 2),
+           |ns AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) n FROM tf),
+           |idf AS (SELECT t, ln(n / sf) idf FROM (
+           |    SELECT t, count(*) sf FROM tf GROUP BY 1), ns WHERE sf < n),
+           |wts AS (SELECT source, t, round(tf * idf, 3) wt
+           |  FROM tf JOIN idf USING (t)),
+           |r AS (SELECT source, t, wt, row_number() OVER (
+           |    PARTITION BY source ORDER BY wt DESC, t) rnk FROM wts)
+           |SELECT source, CAST(rnk AS INT) AS rnk, t AS term, wt
+           |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q19TextStats, q20TokenCounts, q21QualityScore, q22LangId, q23Fingerprints,
     q60Perplexity, q61Bigrams, q64TopTrigramUdtf, q130BpePairs, q132BpeTrain,
     q133BpeEncode, q139BpeEncodeDocs, q149BigramLm, q163KneserNey, q191ZipfFit,
-    q198SourceOverlap, q204HeapsFit, q208PmiCollocations)
+    q198SourceOverlap, q204HeapsFit, q208PmiCollocations, q230SourceSignatureTerms)
 }
