@@ -862,9 +862,81 @@ object Stats {
            |SELECT fanout, CAST(count(*) AS BIGINT) n_keys
            |FROM per GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Longest daily-activity streak per user — the gaps-and-islands SQL
+    * pattern (consecutive days collapse to one island because
+    * day − row_number() is constant inside a run): distinct active days
+    * per user, one window for the island key, one grouped count for
+    * island lengths, one max per user. Top-20 by (streak desc, user) —
+    * all integer arithmetic. Every window partitions by user, so no
+    * global sort touches the event log.
+    */
+  val q234ActivityStreaks = GraftQuery(
+    "q234_activity_streaks",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("d")
+      val islands = days
+        .withColumn("k", datediff(col("d"), lit("1970-01-01").cast("date"))
+          - row_number().over(w))
+        .groupBy("user_id", "k").agg(count(lit(1)).as("len"))
+      islands.groupBy("user_id")
+        .agg(max("len").as("max_streak"), count(lit(1)).as("n_streaks"))
+        .orderBy(desc("max_streak"), col("user_id"))
+        .limit(20)
+    },
+    Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+           |isl AS (SELECT user_id,
+           |    datediff('day', DATE '1970-01-01', d) - row_number() OVER (
+           |      PARTITION BY user_id ORDER BY d) AS k
+           |  FROM days),
+           |runs AS (SELECT user_id, k, CAST(count(*) AS BIGINT) len
+           |  FROM isl GROUP BY 1, 2)
+           |SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak,
+           |  CAST(count(*) AS BIGINT) AS n_streaks
+           |FROM runs GROUP BY 1
+           |ORDER BY max_streak DESC, user_id LIMIT 20""".stripMargin))
+
+  /** Proportional (fractional) revenue attribution — the many-to-many
+    * allocation pattern: each order's total price is split across its
+    * line suppliers in proportion to line revenue, so every supplier's
+    * attributed total sums order-consistently (no double counting — the
+    * per-order shares sum to 1 by construction). Per-order revenue is a
+    * partial agg joined back on the key; shares are per-row divisions;
+    * only the final per-supplier sum accumulates floats (round 2).
+    * Top-20 suppliers by rounded attributed revenue.
+    */
+  val q235FractionalAttribution = GraftQuery(
+    "q235_fractional_attribution",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("lr"))
+      val orev = li.groupBy("l_orderkey").agg(sum("lr").as("orev"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      li.join(orev, "l_orderkey")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey"),
+          (col("o_totalprice") * col("lr") / col("orev")).as("attr"))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_lines"), round(sum("attr"), 2).as("attributed"))
+        .orderBy(desc("attributed"), col("l_suppkey"))
+        .limit(20)
+    },
+    Some("""WITH li AS (SELECT l_orderkey, l_suppkey,
+           |    l_extendedprice * (1.0 - l_discount) AS lr FROM lineitem),
+           |orev AS (SELECT l_orderkey, sum(lr) AS orev FROM li GROUP BY 1)
+           |SELECT l_suppkey, CAST(count(*) AS BIGINT) n_lines,
+           |  round(sum(o_totalprice * lr / orev), 2) AS attributed
+           |FROM li JOIN orev USING (l_orderkey)
+           |JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY 1 ORDER BY attributed DESC, l_suppkey LIMIT 20""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q42Pivot, q43Percentiles, q44Moments, q45WindowExtras,
     q66Histogram, q75MathFuncs, q87Regression, q88DistShape, q89Bitwise,
     q201PoissonBootstrap, q205WeightedMedian, q206Benford, q207HoltTrend,
     q218PercentileBands, q219WindowedFunnel, q220Theil, q221EquidepthHist,
-    q229LorenzCurve, q231SeasonalOutliers, q232JoinFanout)
+    q229LorenzCurve, q231SeasonalOutliers, q232JoinFanout, q234ActivityStreaks,
+    q235FractionalAttribution)
 }

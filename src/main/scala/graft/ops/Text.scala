@@ -871,9 +871,47 @@ object Text {
            |SELECT source, CAST(rnk AS INT) AS rnk, t AS term, wt
            |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin))
 
+  /** Per-source character entropy — the compressibility proxy (Shannon's
+    * source-coding bound: H bits/char lower-bounds any character-level
+    * compressor) that separates organic prose (~4 bits) from templated or
+    * binary-ish noise: explode to characters, count per (source, char),
+    * fold −Σ p·log₂p from exact integer ratios. The character alphabet is
+    * bounded, so the per-source distribution is ≤ |alphabet| cells — the
+    * entropy fold is tiny regardless of corpus size; only the char
+    * counting scans (one explode + partial agg).
+    */
+  val q233CharEntropy = GraftQuery(
+    "q233_char_entropy",
+    (s, dir) => {
+      val chars = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+        .groupBy("source", "ch").agg(count(lit(1)).as("c"))
+      val tot = chars.groupBy("source").agg(sum("c").as("n"))
+      chars.join(tot, "source")
+        .groupBy("source")
+        .agg(first("n").as("n_chars"),
+          count(lit(1)).as("alphabet"),
+          round(-sum((col("c") / col("n")) *
+            log(col("c") / col("n"))) / math.log(2.0), 3).as("entropy_bits"))
+        .orderBy("source")
+    },
+    Some(s"""WITH chars AS (
+            |  SELECT source, unnest(string_split_regex(text, '')) ch FROM documents),
+            |cc AS (SELECT source, ch, CAST(count(*) AS BIGINT) c
+            |  FROM chars WHERE ch <> '' GROUP BY 1, 2),
+            |tot AS (SELECT source, CAST(sum(c) AS BIGINT) n FROM cc GROUP BY 1)
+            |SELECT cc.source, any_value(tot.n) AS n_chars,
+            |  CAST(count(*) AS BIGINT) AS alphabet,
+            |  round(-sum((c::DOUBLE / n) * ln(c::DOUBLE / n)) / ln(2), 3)
+            |    AS entropy_bits
+            |FROM cc JOIN tot USING (source)
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q19TextStats, q20TokenCounts, q21QualityScore, q22LangId, q23Fingerprints,
     q60Perplexity, q61Bigrams, q64TopTrigramUdtf, q130BpePairs, q132BpeTrain,
     q133BpeEncode, q139BpeEncodeDocs, q149BigramLm, q163KneserNey, q191ZipfFit,
-    q198SourceOverlap, q204HeapsFit, q208PmiCollocations, q230SourceSignatureTerms)
+    q198SourceOverlap, q204HeapsFit, q208PmiCollocations, q230SourceSignatureTerms,
+    q233CharEntropy)
 }
