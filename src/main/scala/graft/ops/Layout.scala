@@ -421,36 +421,58 @@ object Layout {
     * gate proves the files that landed in `published/` are exactly the
     * rows the contract promised.
     */
+  /** The WAP engine behind q225, reusable so the FAILURE path is
+    * spec-testable (WapSpec): write `data` to `<base>/staging`, run every
+    * audit against the re-read staged files, and either atomically rename
+    * staging → `<base>/published` (all pass) or delete staging (any
+    * fail — nothing half-published survives). Returns
+    * (stagedRows, auditsPassed, published?, publishedRows).
+    */
+  private[ops] def wapPublish(
+      s: org.apache.spark.sql.SparkSession,
+      base: String,
+      data: org.apache.spark.sql.DataFrame,
+      audits: Seq[org.apache.spark.sql.DataFrame => Boolean])
+      : (Long, Int, Boolean, Long) = {
+    val staging = s"$base/staging"
+    val published = s"$base/published"
+    val conf = s.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+    for (d <- Seq(staging, published))
+      fs.delete(new org.apache.hadoop.fs.Path(d), true)
+    data.write.mode("overwrite").parquet(staging)
+    val staged = s.read.parquet(staging).persist()
+    val stagedRows = staged.count()
+    val passed = audits.count(_(staged))
+    staged.unpersist()
+    val ok = passed == audits.size
+    if (ok)
+      fs.rename(new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(published))
+    else fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val pubRows = if (ok) s.read.parquet(published).count() else 0L
+    (stagedRows, passed, ok, pubRows)
+  }
+
+  /** Standard q225/WapSpec audit set: null-key scan, minimum-volume
+    * floor, date-domain bounds 1990–2005 (the q96 constraint classes at
+    * the release boundary). */
+  private[ops] def wapAudits: Seq[org.apache.spark.sql.DataFrame => Boolean] = Seq(
+    df => df.filter(col("o_orderkey").isNull).count() == 0L,
+    df => df.count() >= 100L,
+    df => {
+      val r = df.agg(min(year(col("o_orderdate"))),
+        max(year(col("o_orderdate")))).head()
+      r.getInt(0) >= 1990 && r.getInt(1) <= 2005
+    })
+
   val q225WriteAuditPublish = GraftQuery(
     "q225_write_audit_publish",
     (s, dir) => {
-      val base = workDir(s, dir, "wap")
-      val staging = s"$base/staging"
-      val published = s"$base/published"
-      val conf = s.sessionState.newHadoopConf()
-      val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
-      for (d <- Seq(staging, published))
-        fs.delete(new org.apache.hadoop.fs.Path(d), true)
-      Tables.orders(s, dir)
+      val cleaned = Tables.orders(s, dir)
         .filter(col("o_totalprice") > 0 && col("o_custkey").isNotNull)
-        .write.mode("overwrite").parquet(staging)
-      val staged = s.read.parquet(staging).persist()
-      val stagedRows = staged.count()
-      val nullKeys = staged.filter(col("o_orderkey").isNull).count()
-      val dateRow = staged
-        .agg(min(year(col("o_orderdate"))), max(year(col("o_orderdate")))).head()
-      val audits = Seq(
-        nullKeys == 0L,
-        stagedRows >= 100L,
-        dateRow.getInt(0) >= 1990 && dateRow.getInt(1) <= 2005)
-      staged.unpersist()
-      val passed = audits.count(identity)
-      val ok = passed == audits.size
-      if (ok)
-        fs.rename(new org.apache.hadoop.fs.Path(staging),
-          new org.apache.hadoop.fs.Path(published))
-      else fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-      val pubRows = if (ok) s.read.parquet(published).count() else 0L
+      val (stagedRows, passed, ok, pubRows) =
+        wapPublish(s, workDir(s, dir, "wap"), cleaned, wapAudits)
       import s.implicits._
       Seq((stagedRows, passed, if (ok) 1 else 0, pubRows))
         .toDF("staged_rows", "audits_passed", "published", "published_rows")
