@@ -597,8 +597,84 @@ object StreamingQueries {
            |FROM est JOIN ex ON est.event_type = ex.event_type
            |ORDER BY est.event_type""".stripMargin))
 
+  /** Streaming seasonal-anomaly alerting — q231's monitor fed by the
+    * stream instead of a batch scan: the event replay (4 files → 4
+    * micro-batches) MAINTAINS the (day, type) count MV through upserts,
+    * and the alert evaluation runs over the maintained MV — profile
+    * (day-of-week means, an O(types×7) broadcast frame) and band filter
+    * both derive from the maintained counts, NOT from mid-stream partial
+    * counts, which is the correctness point: a day that looks anomalous
+    * after two micro-batches but normalizes by the fourth must not stay
+    * flagged, and evaluating on the converged MV makes that automatic
+    * (an in-stream filtered join would strand stale alerts in the sink).
+    * The oracle recomputes the same alerts from the raw events in SQL, so
+    * the gate proves stream-maintained counts ≡ batch counts AND the
+    * alert algebra on top of them.
+    */
+  val q236StreamingAlerts = GraftQuery(
+    "q236_streaming_alerts",
+    (s, dir) => {
+      val base = graft.WorkDir.resolve(s, "alertq", dir)
+      val (src, ckpt) = (s"$base/src", s"$base/ckpt")
+      val conf = s.sessionState.newHadoopConf()
+      for (d <- Seq(src, ckpt)) {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(conf).delete(p, true)
+      }
+      val target = "graft_mv_q236"
+      freshManagedTable(s, target)
+      val ev = Tables.events(s, dir).select("event_id", "event_type", "ts")
+      ev.repartition(4).write.parquet(src)
+      val ss = streamSession(s, statePartitions = 8)
+      val schema = ss.read.parquet(src).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("w.start")).as("day_us"), col("event_type"),
+          col("n"))
+      graft.streaming.MaterializedView
+        .materialize(stream, Seq("day_us", "event_type"), target, ckpt,
+          snapshotPartitions = 1)
+        .awaitTermination()
+      val daily = s.table(target)
+        .select(col("day_us"), col("event_type"), col("n"),
+          dayofweek(to_date(timestamp_micros(col("day_us")))).as("dow"))
+      val prof = daily.groupBy("event_type", "dow")
+        .agg(sum("n").as("tot"), count(lit(1)).as("nd"))
+        .select(col("event_type"), col("dow"),
+          (col("tot").cast("double") / col("nd")).as("dow_mean"))
+      daily.join(broadcast(prof), Seq("event_type", "dow"))
+        .withColumn("ratio", col("n") / col("dow_mean"))
+        .filter(col("ratio") > 1.15 || col("ratio") < 0.85)
+        .select(col("event_type"),
+          date_format(to_date(timestamp_micros(col("day_us"))), "yyyy-MM-dd")
+            .as("day"),
+          col("n"), round(col("dow_mean"), 6).as("dow_mean"),
+          round(col("ratio"), 6).as("ratio"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (SELECT event_type,
+           |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) * 86400000000
+           |      AS day_us,
+           |    CAST(count(*) AS BIGINT) n
+           |  FROM events GROUP BY 1, 2),
+           |d2 AS (SELECT event_type, day_us, n,
+           |    dayofweek(CAST(to_timestamp(day_us / 1000000) AS DATE)) AS dow
+           |  FROM daily),
+           |prof AS (SELECT event_type, dow, sum(n)::DOUBLE / count(*) dow_mean
+           |  FROM d2 GROUP BY 1, 2)
+           |SELECT d.event_type,
+           |  strftime(CAST(to_timestamp(d.day_us / 1000000) AS DATE), '%Y-%m-%d')
+           |    AS day,
+           |  d.n, round(p.dow_mean, 6) AS dow_mean,
+           |  round(d.n / p.dow_mean, 6) AS ratio
+           |FROM d2 d JOIN prof p ON p.event_type = d.event_type AND p.dow = d.dow
+           |WHERE d.n / p.dow_mean > 1.15 OR d.n / p.dow_mean < 0.85
+           |ORDER BY d.event_type, day""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q33SlidingWindows, q34SessionWindows,
     q63StreamingRebalance, q143StreamingMv, q145StreamingDedup,
     q146TransformWithState, q154StreamStreamJoin, q158WatermarkEviction,
-    q164StreamingSessions, q179StreamingKmv)
+    q164StreamingSessions, q179StreamingKmv, q236StreamingAlerts)
 }
