@@ -486,6 +486,73 @@ object Graph {
            |  ns.avg_deg, round(corr(du, dv), 3) AS assortativity
            |FROM dd, ns GROUP BY ns.n_nodes, ns.avg_deg""".stripMargin))
 
+  /** Personalized PageRank from a seed set (customers 1–20) over the
+    * bipartite trade graph — the seeded-relevance primitive behind
+    * graph-based label propagation and "expand this trusted set" curation
+    * (random walks restart INTO the seeds, so mass concentrates around
+    * them instead of spreading globally like q98): r ← 0.15·e_S + 0.85·Pᵀr
+    * for 3 unrolled iterations, e_S uniform on the seeds. Same join-agg
+    * Pregel dataflow and persisted edge list as q98; the output reports
+    * the supplier side (nodes −1..−60) so the gate reads how seed mass
+    * propagated across the bipartition — a fixed id range ordered by id,
+    * no float-ranked top-k to flip.
+    */
+  val q237PersonalizedPagerank = GraftQuery(
+    "q237_personalized_pagerank",
+    (s, dir) => {
+      val e = edges(s, dir).persist()
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val withDeg = e.join(deg, "src").persist()
+      val k = deg.filter(col("src") > 0 && col("src") <= 20).count().toDouble
+      def teleport(node: org.apache.spark.sql.Column) =
+        when(node > 0 && node <= 20, lit(1.0 / k)).otherwise(lit(0.0))
+      var ranks = deg.select(col("src").as("node"),
+        teleport(col("src")).as("rank"))
+      for (_ <- 1 to 3) {
+        val contrib = withDeg.join(ranks, withDeg("src") === ranks("node"))
+          .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
+          .groupBy("dst").agg(sum("c").as("inflow"))
+        ranks = deg.select(col("src").as("node"))
+          .join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(0.15) * teleport(col("node")) +
+              lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+      }
+      val out = ranks.filter(col("node") < 0 && col("node") >= -60)
+        .select((-col("node")).as("supp"), round(col("rank"), 6).as("ppr"))
+        .orderBy("supp")
+      out.count() // materialize before releasing the cached edge frames
+      e.unpersist(); withDeg.unpersist()
+      out
+    },
+    Some {
+      val iters = (1 to 3).map { i =>
+        s"""c$i AS (SELECT e.dst, sum(r${i - 1}.rank / deg.outdeg) AS inflow
+           |  FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.node = e.src
+           |  GROUP BY 1),
+           |r$i AS (SELECT deg.src AS node,
+           |    0.15 * (CASE WHEN deg.src > 0 AND deg.src <= 20
+           |      THEN 1.0 / (SELECT k FROM ks) ELSE 0.0 END)
+           |    + 0.85 * coalesce(c$i.inflow, 0) AS rank
+           |  FROM deg LEFT JOIN c$i ON c$i.dst = deg.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS cust, -l_suppkey AS supp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT cust AS src, supp AS dst FROM pairs
+         |      UNION ALL SELECT supp, cust FROM pairs),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |ks AS (SELECT CAST(count(*) AS DOUBLE) k FROM deg
+         |  WHERE src > 0 AND src <= 20),
+         |r0 AS (SELECT src AS node,
+         |    CASE WHEN src > 0 AND src <= 20
+         |      THEN 1.0 / (SELECT k FROM ks) ELSE 0.0 END AS rank
+         |  FROM deg),
+         |$iters
+         |SELECT -node AS supp, round(rank, 6) AS ppr
+         |FROM r3 WHERE node < 0 AND node >= -60 ORDER BY supp""".stripMargin
+    })
+
   val all: Seq[GraftQuery] = Seq(q98PageRank, q148TriangleCount, q171KcoreSemantic,
-    q184Sssp, q186LabelProp, q215Assortativity)
+    q184Sssp, q186LabelProp, q215Assortativity, q237PersonalizedPagerank)
 }
