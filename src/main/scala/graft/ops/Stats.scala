@@ -933,10 +933,107 @@ object Stats {
            |JOIN orders ON l_orderkey = o_orderkey
            |GROUP BY 1 ORDER BY attributed DESC, l_suppkey LIMIT 20""".stripMargin))
 
+  /** Inter-arrival time analysis per event type — the traffic-model
+    * reduction behind capacity planning and bot detection (a human
+    * stream's gaps are heavy-tailed; a scripted one's are near-constant):
+    * per-user consecutive gaps via one user-partitioned lag window, then
+    * per-type exact mean / median / P95 gap seconds and the
+    * coefficient-of-variation mean/median ratio (≈1.44 for exponential
+    * arrivals, →1 for clockwork). Gaps are integer epoch-second deltas;
+    * percentiles are the q54-proven exact pairing; only the mean
+    * accumulates (round 3).
+    */
+  val q238InterArrival = GraftQuery(
+    "q238_inter_arrival",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = Tables.events(s, dir)
+        .withColumn("gap_s",
+          col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+        .filter(col("gap_s").isNotNull)
+      gaps.groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          round(avg("gap_s"), 3).as("mean_gap_s"),
+          round(expr("percentile(gap_s, 0.5)"), 3).as("median_gap_s"),
+          round(expr("percentile(gap_s, 0.95)"), 3).as("p95_gap_s"),
+          round(avg("gap_s") / expr("percentile(gap_s, 0.5)"), 3)
+            .as("mean_over_median"))
+        .orderBy("event_type")
+    },
+    Some("""WITH g AS (SELECT event_type,
+           |    date_diff('second', lag(ts) OVER (
+           |      PARTITION BY user_id, event_type ORDER BY ts, event_id), ts)
+           |      AS gap_s
+           |  FROM events)
+           |SELECT event_type, CAST(count(*) AS BIGINT) n_gaps,
+           |  round(avg(gap_s), 3) AS mean_gap_s,
+           |  round(quantile_cont(gap_s, 0.5), 3) AS median_gap_s,
+           |  round(quantile_cont(gap_s, 0.95), 3) AS p95_gap_s,
+           |  round(avg(gap_s) / quantile_cont(gap_s, 0.5), 3) AS mean_over_median
+           |FROM g WHERE gap_s IS NOT NULL
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Cross-table referential-integrity audit — q96 checks constraints
+    * WITHIN a table; this walks the foreign-key edges of the star schema
+    * (lineitem→orders, lineitem→part, lineitem→supplier, orders→customer)
+    * and counts orphans on each, plus the reverse childless-parent counts
+    * for the fact edges. Every check is one left-anti-joinable aggregate
+    * (here as left-join + null count so all edges batch into one pass
+    * per pair); output is one row per FK edge — the first artifact any
+    * warehouse onboarding produces.
+    */
+  val q239RiAudit = GraftQuery(
+    "q239_ri_audit",
+    (s, dir) => {
+      import s.implicits._
+      def orphans(child: org.apache.spark.sql.DataFrame, ck: String,
+          parent: org.apache.spark.sql.DataFrame, pk: String): Long =
+        child.select(col(ck)).join(parent.select(col(pk)),
+          col(ck) === col(pk), "left_anti").count()
+      val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir); val p = Tables.part(s, dir)
+      val su = Tables.supplier(s, dir)
+      val rows = Seq(
+        ("lineitem->orders", orphans(li, "l_orderkey", o, "o_orderkey"),
+          orphans(o, "o_orderkey", li, "l_orderkey")),
+        ("lineitem->part", orphans(li, "l_partkey", p, "p_partkey"),
+          orphans(p, "p_partkey", li, "l_partkey")),
+        ("lineitem->supplier", orphans(li, "l_suppkey", su, "s_suppkey"),
+          orphans(su, "s_suppkey", li, "l_suppkey")),
+        ("orders->customer", orphans(o, "o_custkey", c, "c_custkey"),
+          orphans(c, "c_custkey", o, "o_custkey")))
+      rows.toDF("fk_edge", "orphan_children", "childless_parents")
+        .orderBy("fk_edge")
+    },
+    Some("""SELECT * FROM (
+           |SELECT 'lineitem->orders' AS fk_edge,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+           |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS orphan_children,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+           |   WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)) AS childless_parents
+           |UNION ALL SELECT 'lineitem->part',
+           |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+           |   WHERE l_partkey NOT IN (SELECT p_partkey FROM part)),
+           |  (SELECT CAST(count(*) AS BIGINT) FROM part
+           |   WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem))
+           |UNION ALL SELECT 'lineitem->supplier',
+           |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+           |   WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)),
+           |  (SELECT CAST(count(*) AS BIGINT) FROM supplier
+           |   WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem))
+           |UNION ALL SELECT 'orders->customer',
+           |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+           |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+           |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+           |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+           |) ORDER BY fk_edge""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q42Pivot, q43Percentiles, q44Moments, q45WindowExtras,
     q66Histogram, q75MathFuncs, q87Regression, q88DistShape, q89Bitwise,
     q201PoissonBootstrap, q205WeightedMedian, q206Benford, q207HoltTrend,
     q218PercentileBands, q219WindowedFunnel, q220Theil, q221EquidepthHist,
     q229LorenzCurve, q231SeasonalOutliers, q232JoinFanout, q234ActivityStreaks,
-    q235FractionalAttribution)
+    q235FractionalAttribution, q238InterArrival, q239RiAudit)
 }
