@@ -326,6 +326,49 @@ object Hygiene {
            |  CAST(level = pick.p AS INT) AS published
            |FROM ladder, pick ORDER BY level""".stripMargin))
 
+  /** Right-to-erasure (GDPR Art. 17) pass over the event log — the
+    * deletion discipline a data-subject request actually requires: the
+    * tombstone set (here users with user_id % 100 = 7) anti-joins the
+    * log, the SURVIVING rows are physically rewritten to an erased/
+    * directory (parquet can't delete in place — rewrite-and-swap is the
+    * real mechanics, same shadow discipline as the rebalancer), and the
+    * audit re-reads the rewritten files and semi-joins the tombstones to
+    * prove ZERO residue. Output: before/after row counts, tombstoned
+    * user count, and the residue count the re-read found (must be 0 —
+    * and it's measured, not assumed).
+    */
+  val q240RightToErasure = GraftQuery(
+    "q240_right_to_erasure",
+    (s, dir) => {
+      val base = graft.WorkDir.resolve(s, "erasure", dir)
+      val out = s"$base/erased"
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val ev = Tables.events(s, dir)
+      val victims = ev.select("user_id").distinct()
+        .filter(col("user_id") % 100 === 7)
+        .persist()
+      val before = ev.count()
+      val nVictims = victims.count()
+      ev.join(victims, Seq("user_id"), "left_anti")
+        .write.mode("overwrite").parquet(out)
+      val kept = s.read.parquet(out)
+      val after = kept.count()
+      val residue = kept.join(victims, Seq("user_id"), "left_semi").count()
+      victims.unpersist()
+      import s.implicits._
+      Seq((before, nVictims, after, residue))
+        .toDF("rows_before", "tombstoned_users", "rows_after", "residue")
+    },
+    Some("""SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS rows_before,
+           |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+           |   WHERE user_id % 100 = 7) AS tombstoned_users,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM events
+           |   WHERE user_id % 100 <> 7) AS rows_after,
+           |  CAST(0 AS BIGINT) AS residue""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q99PiiRedact, q100Contamination, q101Repetition,
-    q185UrlCanonical, q202KAnonymity, q224GeneralizationLadder)
+    q185UrlCanonical, q202KAnonymity, q224GeneralizationLadder,
+    q240RightToErasure)
 }
