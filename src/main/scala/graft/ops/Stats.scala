@@ -1035,5 +1035,34 @@ object Stats {
     q201PoissonBootstrap, q205WeightedMedian, q206Benford, q207HoltTrend,
     q218PercentileBands, q219WindowedFunnel, q220Theil, q221EquidepthHist,
     q229LorenzCurve, q231SeasonalOutliers, q232JoinFanout, q234ActivityStreaks,
-    q235FractionalAttribution, q238InterArrival, q239RiAudit)
+    q235FractionalAttribution, q238InterArrival, q239RiAudit,
+    q241WelfordVariance)
+
+  /** Grouped variance through the custom mergeable Welford/Chan Aggregator
+    * ([[graft.functions.WelfordVariance]]) — q44 solved cross-engine
+    * stddev by exact integer sums (possible because the fixture columns
+    * are cents-exact); this registers the GENERAL-case path for columns
+    * with no exact representation: conditioned (n, mean, M2) state,
+    * associative partition merges, constant per-group buffer. The oracle
+    * uses DuckDB's stddev_samp; both sides agree to well under the 4-digit
+    * rounding because neither formulation cancels catastrophically on
+    * this value range (WelfordSpec pins partitioning-invariance — the
+    * merge property the operator exists for).
+    */
+  lazy val q241WelfordVariance: GraftQuery = GraftQuery(
+    "q241_welford_variance",
+    (s, dir) => {
+      val wvar = udaf(new graft.functions.WelfordVariance)
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(wvar(col("value")).as("w"))
+        .select(col("event_type"), col("w._1").as("n"),
+          round(col("w._2"), 4).as("mean_value"),
+          round(col("w._3"), 4).as("stddev_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |  round(avg(value), 4) AS mean_value,
+           |  round(stddev_samp(value), 4) AS stddev_value
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 }
