@@ -538,7 +538,106 @@ object Quality {
            |  round(mi / sqrt(h_lang * h_source), 6) AS nmi
            |FROM hl, hs, mi""".stripMargin))
 
+  /** Split-conformal prediction intervals (Vovk; Lei et al.) — the
+    * distribution-free uncertainty wrapper modern pipelines put around
+    * ANY point predictor: hash-split lineitem three ways (train/cal/test
+    * on md5 buckets — leakage-free by construction, the q188 discipline),
+    * fit the point model on TRAIN (OLS of extendedprice on quantity via
+    * regr_slope/intercept), take the 90th-percentile absolute residual on
+    * CAL as the interval half-width q̂, and report the TEST coverage of
+    * prediction ± q̂ — the conformal guarantee says ≈90% regardless of
+    * the model being right. Fit parameters round to 6 BEFORE scoring
+    * (shared literals both sides, the round-before-use discipline), so
+    * residuals are per-row arithmetic on identical coefficients.
+    */
+  val q242Conformal = GraftQuery(
+    "q242_conformal",
+    (s, dir) => {
+      val bucket = conv(substring(md5(concat(col("l_orderkey").cast("string"),
+        lit("_"), col("l_linenumber").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 3
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+        .withColumn("b", bucket).persist()
+      val fit = li.filter(col("b") === 0).agg(
+        round(expr("regr_slope(y, x)"), 6).as("m"),
+        round(expr("regr_intercept(y, x)"), 6).as("c")).head()
+      val (m, c) = (fit.getDouble(0), fit.getDouble(1))
+      val resid = abs(col("y") - (lit(m) * col("x") + lit(c)))
+      val qhat = li.filter(col("b") === 1)
+        .agg(round(expr(s"percentile(abs(y - ($m * x + $c)), 0.9)"), 6))
+        .head().getDouble(0)
+      val out = li.filter(col("b") === 2)
+        .agg(count(lit(1)).as("n_test"),
+          sum((resid <= qhat).cast("long")).as("n_covered"))
+        .select(lit(m).as("slope"), lit(c).as("intercept"),
+          lit(qhat).as("q_hat"), col("n_test"),
+          round(col("n_covered") / col("n_test").cast("double"), 6)
+            .as("coverage"))
+      out.count() // materialize before releasing the cached split
+      li.unpersist()
+      out
+    },
+    Some("""WITH li AS (SELECT l_quantity x, l_extendedprice y,
+           |    CAST(concat('0x', substr(md5(l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR), 1, 8)) AS BIGINT) % 3 AS b
+           |  FROM lineitem),
+           |fit AS (SELECT round(regr_slope(y, x), 6) m,
+           |    round(regr_intercept(y, x), 6) c
+           |  FROM li WHERE b = 0),
+           |qh AS (SELECT round(quantile_cont(abs(y - (m * x + c)), 0.9), 6) q
+           |  FROM li, fit WHERE b = 1)
+           |SELECT any_value(fit.m) AS slope, any_value(fit.c) AS intercept,
+           |  any_value(qh.q) AS q_hat, CAST(count(*) AS BIGINT) AS n_test,
+           |  round(sum(CAST(abs(y - (fit.m * x + fit.c)) <= qh.q AS INT))
+           |    / count(*)::DOUBLE, 6) AS coverage
+           |FROM li, fit, qh WHERE b = 2""".stripMargin))
+
+  /** Two-sample Kolmogorov-Smirnov statistic between two sources' length
+    * distributions — the nonparametric drift test next to q113's binned
+    * PSI (KS needs no bin choice and is sensitive anywhere on the CDF):
+    * D = max |F_A(v) − F_B(v)| over the pooled values, computed with ONE
+    * RANGE-framed window per side over the pooled sort (ties collapse
+    * correctly because the frame is value-ranged, not row-ranged). The
+    * ECDFs are exact integer rationals; D is their max — deterministic
+    * bit-for-bit, rounded only for display.
+    */
+  val q243KsTest = GraftQuery(
+    "q243_ks_test",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), col("n_chars").cast("double").as("v"))
+      val w = Window.orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val counts = d.agg(
+        sum((col("source") === "src0").cast("long")).as("na"),
+        sum((col("source") === "src1").cast("long")).as("nb")).head()
+      val (na, nb) = (counts.getLong(0), counts.getLong(1))
+      d.withColumn("ca", sum((col("source") === "src0").cast("long")).over(w))
+        .withColumn("cb", sum((col("source") === "src1").cast("long")).over(w))
+        .agg(max(abs(col("ca") / lit(na.toDouble) - col("cb") / lit(nb.toDouble)))
+          .as("d"))
+        .select(lit(na).as("n_a"), lit(nb).as("n_b"),
+          round(col("d"), 6).as("ks_d"))
+    },
+    Some("""WITH d AS (SELECT source, n_chars::DOUBLE v FROM documents
+           |  WHERE source IN ('src0', 'src1')),
+           |n AS (SELECT CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) na,
+           |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) nb
+           |  FROM d),
+           |e AS (SELECT
+           |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) OVER (
+           |      ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ca,
+           |    sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) OVER (
+           |      ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cb
+           |  FROM d)
+           |SELECT n.na AS n_a, n.nb AS n_b,
+           |  round(max(abs(ca / n.na::DOUBLE - cb / n.nb::DOUBLE)), 6) AS ks_d
+           |FROM e, n GROUP BY 1, 2""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q96DqChecks, q113PsiDrift, q153Auc, q168DsirSelect,
     q182ColumnProfile, q193QuantileNorm, q196Calibration, q199MadOutliers,
-    q210WoeIv, q223MutualInfo)
+    q210WoeIv, q223MutualInfo, q242Conformal, q243KsTest)
 }
