@@ -100,5 +100,50 @@ object Aggregates {
            |JOIN region ON n_regionkey = r_regionkey
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q35Cube, q36GroupingSets, q37ApproxDistinct, q38RegionRevenue)
+  /** Prefix-sum range acceleration — the pre-aggregation structure that
+    * answers ANY day-range count in two lookups instead of a scan: build
+    * the per-type cumulative daily table once (one window over days —
+    * day-cardinality-sized), then each [lo, hi] range resolves as
+    * cum(hi) − cum(lo−1) via max_by as-of lookups. The query answers
+    * three ranges THROUGH the prefix table while the oracle counts them
+    * DIRECTLY with WHERE BETWEEN — hash equality proves the acceleration
+    * structure returns exactly what the scan would, which is the entire
+    * contract of a pre-agg. Ranges anchor to the fixture's min day so
+    * any regeneration shifts with the data.
+    */
+  val q244RangePrefix = GraftQuery(
+    "q244_range_prefix",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val prefix = daily.withColumn("cum", sum("n").over(w)).persist()
+      val d0 = prefix.agg(min("day")).head().getDate(0).toLocalDate
+      def cumAt(offset: Int) = prefix
+        .filter(col("day") <= lit(d0.plusDays(offset.toLong).toString).cast("date"))
+        .groupBy("event_type")
+        .agg(expr("max_by(cum, day)").as("cumv"))
+      val ranges = Seq((1, 3, 10), (2, 12, 20), (3, 0, 29))
+      val out = ranges.map { case (id, lo, hi) =>
+        val hiC = cumAt(hi).select(col("event_type"), col("cumv").as("chi"))
+        val loC = cumAt(lo - 1).select(col("event_type"), col("cumv").as("clo"))
+        hiC.join(loC, Seq("event_type"), "left")
+          .select(lit(id).as("range_id"), col("event_type"),
+            (col("chi") - coalesce(col("clo"), lit(0L))).as("n"))
+      }.reduce(_ unionByName _).orderBy("range_id", "event_type")
+      out.count() // materialize before releasing the cached prefix table
+      prefix.unpersist()
+      out
+    },
+    Some("""WITH d0 AS (SELECT CAST(min(ts) AS DATE) AS d FROM events),
+           |r(range_id, lo, hi) AS (VALUES (1, 3, 10), (2, 12, 20), (3, 0, 29))
+           |SELECT r.range_id, e.event_type, CAST(count(*) AS BIGINT) AS n
+           |FROM events e, d0, r
+           |WHERE CAST(e.ts AS DATE) BETWEEN d0.d + r.lo AND d0.d + r.hi
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q35Cube, q36GroupingSets, q37ApproxDistinct,
+    q38RegionRevenue, q244RangePrefix)
 }

@@ -1390,8 +1390,104 @@ object Vectors {
            |FROM tr t LEFT JOIN hits ON hits.qid = t.qid
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Count-based word embedding via PPMI + dominant eigenvector (Levy &
+    * Goldberg 2014's "neural word embedding as implicit matrix
+    * factorization" — SGNS ≈ factorizing the shifted PMI matrix, so the
+    * PPMI spectrum IS the count-based embedding): vocabulary = top-32
+    * terms by frequency (integer-ranked, term ties), co-occurrence within
+    * a ±2-token window restricted to the vocabulary, PPMI = max(0, PMI)
+    * over matrix-marginal probabilities, and the principal direction from
+    * 6 power-iteration rounds — each term's loading is its 1-d embedding
+    * coordinate. Corpus-sized work: one positional token explode + one
+    * doc-keyed self-join with bounded window fan-out (≤4 partners/token);
+    * the 32×32 matrix collects bounded to the driver (the q192
+    * discipline), and the oracle replays the identical matvec chain.
+    */
+  val q245PpmiEmbedding = GraftQuery(
+    "q245_ppmi_embedding",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos").as("p"), col("col").as("w"))
+        .persist()
+      val vocab = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .withColumn("idx", row_number().over(
+          Window.orderBy(desc("cnt"), col("w"))) - 1)
+        .filter(col("idx") < 32)
+        .select(col("w"), col("idx")).persist()
+      val a = tok.join(broadcast(vocab), "w")
+        .select(col("doc_id"), col("p"), col("idx").as("i"))
+      // partners materialize at their ±{1,2} SHIFTED positions, so the
+      // pair generation is an equi-join on (doc, position) with fan-out
+      // exactly 4 — never a per-doc cartesian with a post-filter
+      val b = tok.join(broadcast(vocab), "w")
+        .withColumn("d", explode(array(lit(-2), lit(-1), lit(1), lit(2))))
+        .select(col("doc_id"), (col("p") + col("d")).as("p"),
+          col("idx").as("j"))
+      val cells = a.join(b, Seq("doc_id", "p"))
+        .groupBy("i", "j").agg(count(lit(1)).as("c"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+      val vocabArr = vocab.collect().map(r => (r.getInt(1), r.getString(0)))
+        .sortBy(_._1).map(_._2)
+      tok.unpersist(); vocab.unpersist()
+      val dim = vocabArr.length
+      val total = cells.values.sum.toDouble
+      val marg = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => cells.getOrElse((i, j), 0L)).sum.toDouble)
+      val ppmi = Array.tabulate(dim, dim) { (i, j) =>
+        val c = cells.getOrElse((i, j), 0L).toDouble
+        if (c == 0 || marg(i) == 0 || marg(j) == 0) 0.0
+        else math.max(0.0, math.log(c * total / (marg(i) * marg(j))))
+      }
+      var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+      for (_ <- 1 to 6) {
+        val nv = Array.tabulate(dim)(i =>
+          (0 until dim).foldLeft(0.0)((acc, j) => acc + ppmi(i)(j) * v(j)))
+        val nrm = math.sqrt(nv.map(x => x * x).sum)
+        v = nv.map(_ / nrm)
+      }
+      def r3(x: Double): Double =
+        BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      import s.implicits._
+      vocabArr.zipWithIndex.map { case (t, i) => (t, r3(v(i))) }
+        .toSeq.sortBy(_._1).toDF("term", "loading")
+    },
+    Some {
+      val rounds = (1 to 6).map { r =>
+        s"""w$r AS (SELECT m.i, sum(m.v * x${r - 1}.x) AS wv
+           |  FROM m JOIN x${r - 1} ON m.j = x${r - 1}.i GROUP BY 1),
+           |x$r AS MATERIALIZED (SELECT i, wv / sqrt((SELECT sum(wv*wv) FROM w$r)) AS x
+           |  FROM w$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+         |tok AS (SELECT doc_id, t.p AS p, t.w AS w FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+         |    i -> {'p': i, 'w': ws[i]})) t FROM ws)),
+         |vocab AS (SELECT w, row_number() OVER (ORDER BY cnt DESC, w) - 1 AS idx
+         |  FROM (SELECT w, count(*) cnt FROM tok GROUP BY 1)
+         |  QUALIFY idx < 32),
+         |cells AS (SELECT va.idx i, vb.idx j, CAST(count(*) AS BIGINT) c
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+         |    AND a.p <> b.p AND abs(a.p - b.p) <= 2
+         |  JOIN vocab va ON va.w = a.w JOIN vocab vb ON vb.w = b.w
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(c) AS DOUBLE) t FROM cells),
+         |mg AS (SELECT i, CAST(sum(c) AS DOUBLE) m FROM cells GROUP BY 1),
+         |m AS MATERIALIZED (SELECT cells.i, cells.j,
+         |    greatest(0.0, ln(c * tot.t / (mi.m * mj.m))) AS v
+         |  FROM cells JOIN mg mi ON mi.i = cells.i
+         |  JOIN mg mj ON mj.i = cells.j, tot),
+         |x0 AS (SELECT idx AS i, 1.0 / sqrt(32) AS x FROM vocab),
+         |$rounds
+         |SELECT vocab.w AS term, round(x6.x, 3) + 0.0 AS loading
+         |FROM x6 JOIN vocab ON vocab.idx = x6.i
+         |ORDER BY term""".stripMargin
+    })
+
   val all: Seq[GraftQuery] = Seq(q29AnnTopk, q30Centroids, q31AnnLsh, q47AnnIvf,
     q70Int8Quantize, q137Kmeans, q141SemanticDedupKmeans, q147PqAdc,
     q155JlProjection, q157IvfAdc, q161IvfAdcResidual, q178AlsStep,
-    q190Silhouette, q192PcaPower, q195NcmConfusion, q203IvfRecall)
+    q190Silhouette, q192PcaPower, q195NcmConfusion, q203IvfRecall,
+    q245PpmiEmbedding)
 }
