@@ -1036,7 +1036,154 @@ object Stats {
     q218PercentileBands, q219WindowedFunnel, q220Theil, q221EquidepthHist,
     q229LorenzCurve, q231SeasonalOutliers, q232JoinFanout, q234ActivityStreaks,
     q235FractionalAttribution, q238InterArrival, q239RiAudit,
-    q241WelfordVariance)
+    q241WelfordVariance, q246Cusum, q247AbTest, q248HorvitzThompson)
+
+  /** One-sided CUSUM change-point detection over per-type daily volumes
+    * (Page 1954): S⁺ ← max(0, S⁺ + (x − μ − κ)) accumulates only
+    * sustained upward drift (κ = slack absorbs noise; μ = the series'
+    * own mean so the fixture anchors itself), alarming when S⁺ crosses
+    * h = 3σ̂. Like q207's Holt fold, the recurrence is inherently
+    * sequential: Spark folds each type's day-ordered array once via the
+    * `aggregate` HOF (state = 2 doubles: running S⁺ and its max), the
+    * oracle replays the identical recurrence in a recursive CTE, and
+    * because both execute the same operation order the fold is
+    * bit-identical before the 3-digit display rounding. μ and σ̂ round
+    * to 6 BEFORE entering the recurrence (shared literals, the
+    * round-before-use discipline).
+    */
+  lazy val q246Cusum: GraftQuery = GraftQuery(
+    "q246_cusum",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).cast("double").as("x")).persist()
+      val stats = daily.groupBy("event_type")
+        .agg(round(avg("x"), 6).as("mu"), round(expr("stddev_samp(x)"), 6).as("sd"))
+      val series = daily.groupBy("event_type")
+        .agg(transform(sort_array(collect_list(struct(col("d"), col("x")))),
+          e => e("x")).as("xs"))
+        .join(stats, "event_type")
+      def step(acc: Column, x: Column) = {
+        val sPlus = greatest(lit(0.0),
+          acc("s") + (x - col("mu") - lit(0.5) * col("sd")))
+        struct(sPlus.as("s"), greatest(acc("mx"), sPlus).as("mx"))
+      }
+      val out = series
+        .withColumn("fin", aggregate(col("xs"),
+          struct(lit(0.0).as("s"), lit(0.0).as("mx")), step))
+        .select(col("event_type"), size(col("xs")).as("n_days"),
+          col("mu"), col("sd"),
+          round(col("fin.mx"), 3).as("max_cusum"),
+          (col("fin.mx") > lit(3.0) * col("sd")).cast("int").as("alarm"))
+        .orderBy("event_type")
+      out.count() // materialize before releasing the cached daily counts
+      daily.unpersist()
+      out
+    },
+    Some("""WITH RECURSIVE daily AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) x
+           |  FROM events GROUP BY 1, 2),
+           |st AS (SELECT event_type, round(avg(x), 6) mu,
+           |    round(stddev_samp(x), 6) sd FROM daily GROUP BY 1),
+           |idx AS (SELECT event_type, x, row_number() OVER (
+           |    PARTITION BY event_type ORDER BY d) i FROM daily),
+           |nn AS (SELECT event_type, max(i) n FROM idx GROUP BY 1),
+           |rec(event_type, i, s, mx) AS (
+           |  SELECT event_type, 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE) FROM st
+           |  UNION ALL
+           |  SELECT r.event_type, r.i + 1,
+           |    greatest(0.0, r.s + (x.x - st.mu - 0.5 * st.sd)),
+           |    greatest(r.mx, greatest(0.0, r.s + (x.x - st.mu - 0.5 * st.sd)))
+           |  FROM rec r JOIN idx x ON x.event_type = r.event_type AND x.i = r.i + 1
+           |  JOIN st ON st.event_type = r.event_type)
+           |SELECT r.event_type, CAST(nn.n AS INT) AS n_days, st.mu, st.sd,
+           |  round(r.mx, 3) AS max_cusum,
+           |  CAST(r.mx > 3.0 * st.sd AS INT) AS alarm
+           |FROM rec r JOIN nn ON nn.event_type = r.event_type AND r.i = nn.n
+           |JOIN st ON st.event_type = r.event_type
+           |ORDER BY r.event_type""".stripMargin))
+
+  /** A/B experiment summary — Welch's t statistic + Cohen's d between two
+    * deterministic hash arms over event values (the readout layer every
+    * experimentation platform reduces to): per-arm moments come from the
+    * q44 exact-integer discipline... except event values aren't
+    * cents-exact, so both engines compute sums of doubles — per-arm n is
+    * large and the values well-conditioned, and every derived statistic
+    * rounds at 3 (accumulation discipline). The hash arm assignment is
+    * md5-parity on user_id, so both engines split identically.
+    */
+  lazy val q247AbTest: GraftQuery = GraftQuery(
+    "q247_ab_test",
+    (s, dir) => {
+      val arm = conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2
+      val ev = Tables.events(s, dir)
+        .select(col("value"), arm.as("arm"))
+      val st = ev.groupBy("arm").agg(count(lit(1)).as("n"),
+        avg("value").as("m"), expr("var_samp(value)").as("v"))
+      val a = st.filter(col("arm") === 0).select(
+        col("n").as("na"), col("m").as("ma"), col("v").as("va"))
+      val b = st.filter(col("arm") === 1).select(
+        col("n").as("nb"), col("m").as("mb"), col("v").as("vb"))
+      a.crossJoin(b).select(
+        col("na"), col("nb"),
+        round(col("ma"), 3).as("mean_a"), round(col("mb"), 3).as("mean_b"),
+        round((col("ma") - col("mb")) /
+          sqrt(col("va") / col("na") + col("vb") / col("nb")), 3).as("welch_t"),
+        round((col("ma") - col("mb")) /
+          sqrt(((col("na") - 1) * col("va") + (col("nb") - 1) * col("vb")) /
+            (col("na") + col("nb") - 2)), 3).as("cohens_d"))
+    },
+    Some("""WITH ev AS (SELECT value,
+           |    CAST(concat('0x', substr(md5(user_id::VARCHAR), 1, 8)) AS BIGINT) % 2 AS arm
+           |  FROM events),
+           |st AS (SELECT arm, CAST(count(*) AS BIGINT) n, avg(value) m,
+           |    var_samp(value) v FROM ev GROUP BY 1)
+           |SELECT a.n AS na, b.n AS nb,
+           |  round(a.m, 3) AS mean_a, round(b.m, 3) AS mean_b,
+           |  round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 3) AS welch_t,
+           |  round((a.m - b.m) / sqrt(((a.n - 1) * a.v + (b.n - 1) * b.v)
+           |    / (a.n + b.n - 2)), 3) AS cohens_d
+           |FROM st a, st b WHERE a.arm = 0 AND b.arm = 1""".stripMargin))
+
+  /** Horvitz-Thompson estimation audit — the survey-sampling identity a
+    * sampled pipeline bills by: with deterministic md5 inclusion at rate
+    * π = 1/8, the HT estimator Σ x/π over the SAMPLE estimates the
+    * population total unbiasedly; the query reports true total, HT
+    * estimate, and relative error per event type. Sampling is the q52
+    * hash discipline (reproducible, engine-independent); the estimator is
+    * one scan of 1/8 the data — the audit quantifies exactly what that
+    * 8× cost cut pays in accuracy.
+    */
+  lazy val q248HorvitzThompson: GraftQuery = GraftQuery(
+    "q248_horvitz_thompson",
+    (s, dir) => {
+      val bucket = conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 8
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("value"), bucket.as("b"))
+      val truth = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("true_total"))
+      val est = ev.filter(col("b") === 0).groupBy("event_type")
+        .agg(count(lit(1)).as("n_sampled"),
+          round(sum("value") * 8, 3).as("ht_total"))
+      truth.join(est, "event_type")
+        .select(col("event_type"), col("n"), col("n_sampled"),
+          col("true_total"), col("ht_total"),
+          round(abs(col("ht_total") - col("true_total")) / col("true_total"), 6)
+            .as("rel_error"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_type, value,
+           |    CAST(concat('0x', substr(md5(event_id::VARCHAR), 1, 8)) AS BIGINT) % 8 AS b
+           |  FROM events),
+           |t AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+           |    round(sum(value), 3) true_total FROM ev GROUP BY 1),
+           |e AS (SELECT event_type, CAST(count(*) AS BIGINT) n_sampled,
+           |    round(sum(value) * 8, 3) ht_total FROM ev WHERE b = 0 GROUP BY 1)
+           |SELECT t.event_type, t.n, e.n_sampled, t.true_total, e.ht_total,
+           |  round(abs(e.ht_total - t.true_total) / t.true_total, 6) AS rel_error
+           |FROM t JOIN e USING (event_type) ORDER BY 1""".stripMargin))
 
   /** Grouped variance through the custom mergeable Welford/Chan Aggregator
     * ([[graft.functions.WelfordVariance]]) — q44 solved cross-engine
