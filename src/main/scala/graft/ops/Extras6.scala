@@ -530,9 +530,64 @@ object Extras6 {
            |JOIN si sa ON sa.p = pa JOIN si sb ON sb.p = pb, n
            |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin))
 
+  /** Top-k rank stability across weeks — "is this leaderboard signal or
+    * churn": each 7-day bucket ranks parts by shipped quantity, keeps its
+    * top 10 (integer counts, id ties), and consecutive weeks compare as
+    * exact set overlap + Jaccard. High churn on a supposedly stable
+    * dimension is the classic upstream-data-change tripwire. Weekly ranks
+    * are per-bucket WindowGroupLimit-shaped top-k; the comparison joins
+    * two 10-row sets per week pair.
+    */
+  val q250RankStability = GraftQuery(
+    "q250_rank_stability",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      val mn = li.agg(min(to_date(col("o_orderdate"))).as("d0"))
+      val weekly = li.crossJoin(mn)
+        .withColumn("wk",
+          floor(datediff(to_date(col("o_orderdate")), col("d0")) / 7))
+        .groupBy("wk", "l_partkey")
+        .agg(sum("l_quantity").cast("long").as("qty"))
+      val top = weekly.withColumn("rn", row_number().over(
+          Window.partitionBy("wk").orderBy(desc("qty"), col("l_partkey"))))
+        .filter(col("rn") <= 10)
+        .select(col("wk"), col("l_partkey")).persist()
+      val out = top.select(col("wk"), col("l_partkey"))
+        .join(top.select((col("wk") + 1).as("wk"), col("l_partkey")),
+          Seq("wk", "l_partkey"))
+        .groupBy("wk").agg(count(lit(1)).as("overlap"))
+        .withColumn("jaccard",
+          round(col("overlap") / (lit(20.0) - col("overlap")), 6))
+        .select(col("wk").cast("long").as("week"), col("overlap"),
+          col("jaccard"))
+        .orderBy("week")
+      out.count() // materialize before releasing the cached top sets
+      top.unpersist()
+      out
+    },
+    Some("""WITH li AS (SELECT l_partkey, l_quantity, o_orderdate
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |mn AS (SELECT CAST(min(o_orderdate) AS DATE) d0 FROM li),
+           |weekly AS (SELECT
+           |    datediff('day', d0, CAST(o_orderdate AS DATE)) // 7 AS wk,
+           |    l_partkey, CAST(sum(l_quantity) AS BIGINT) qty
+           |  FROM li, mn GROUP BY 1, 2),
+           |top AS (SELECT wk, l_partkey FROM (
+           |  SELECT wk, l_partkey, row_number() OVER (
+           |    PARTITION BY wk ORDER BY qty DESC, l_partkey) rn
+           |  FROM weekly) WHERE rn <= 10)
+           |SELECT CAST(a.wk AS BIGINT) AS week,
+           |  CAST(count(*) AS BIGINT) AS overlap,
+           |  round(count(*) / (20.0 - count(*)), 6) AS jaccard
+           |FROM top a JOIN top b ON b.wk = a.wk - 1 AND b.l_partkey = a.l_partkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q115ArgExtremes, q116ArrayFuncs, q117Funnel, q118Retention,
       q119Transitions, q120Rfm, q121SessionPaths, q122Listagg,
       q123ApproxPercentile, q124MapFuncs, q125UnionByName, q126GroupingId,
-      q177DecayedEngagement, q211Skyline, q212AssociationRules)
+      q177DecayedEngagement, q211Skyline, q212AssociationRules,
+      q250RankStability)
 }

@@ -483,8 +483,48 @@ object Layout {
            |FROM orders
            |WHERE o_totalprice > 0 AND o_custkey IS NOT NULL""".stripMargin))
 
+  /** Age-based storage-tiering plan — the lifecycle policy a lakehouse
+    * applies to event data (hot NVMe ≤ 7 days, warm object store ≤ 21,
+    * cold archive beyond): rows bucket by age relative to the log's max
+    * day, and the plan reports per-tier day span, row count, share, and
+    * an estimated byte footprint (rows × a fixed row-width constant —
+    * the sizing input a capacity planner actually consumes). One scan,
+    * partial aggs; the tier ladder is a CASE over an integer age.
+    */
+  val q249TieringPlan = GraftQuery(
+    "q249_tiering_plan",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(to_date(col("ts")).as("d"))
+      val mx = ev.agg(max("d").as("md"))
+      ev.crossJoin(mx)
+        .withColumn("age", datediff(col("md"), col("d")))
+        .withColumn("tier",
+          when(col("age") <= 7, "1_hot")
+            .when(col("age") <= 21, "2_warm").otherwise("3_cold"))
+        .groupBy("tier")
+        .agg(countDistinct("d").as("n_days"), count(lit(1)).as("n_rows"))
+        .withColumn("total", sum("n_rows").over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select(col("tier"), col("n_days"), col("n_rows"),
+          round(col("n_rows") / col("total").cast("double"), 6).as("row_share"),
+          (col("n_rows") * 64L).as("est_bytes"))
+        .orderBy("tier")
+    },
+    Some("""WITH ev AS (SELECT CAST(ts AS DATE) AS d FROM events),
+           |mx AS (SELECT max(d) md FROM ev),
+           |t AS (SELECT CASE WHEN datediff('day', d, md) <= 7 THEN '1_hot'
+           |    WHEN datediff('day', d, md) <= 21 THEN '2_warm'
+           |    ELSE '3_cold' END AS tier, d
+           |  FROM ev, mx),
+           |per AS (SELECT tier, CAST(count(DISTINCT d) AS BIGINT) n_days,
+           |    CAST(count(*) AS BIGINT) n_rows FROM t GROUP BY 1)
+           |SELECT tier, n_days, n_rows,
+           |  round(n_rows / (sum(n_rows) OVER ())::DOUBLE, 6) AS row_share,
+           |  CAST(n_rows * 64 AS BIGINT) AS est_bytes
+           |FROM per ORDER BY tier""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q83TextSource, q84PartitionedWrite,
     q85BucketedJoin, q86SchemaEvolution, q93ZOrder, q102NumbersSource,
     q105V2SinkRoundtrip, q180HilbertLayout, q187CompactionPlan,
-    q225WriteAuditPublish)
+    q225WriteAuditPublish, q249TieringPlan)
 }
