@@ -1048,9 +1048,59 @@ object Dedup {
             |SELECT agg.cluster_id, n_members, lm.lang_mode, max_chars, n_sources
             |FROM agg JOIN lm USING (cluster_id) ORDER BY cluster_id""".stripMargin))
 
+  /** Dedup savings report — the cluster-size distribution plus what
+    * removal actually buys, the number a dedup run is judged by before
+    * anyone inspects pairs: per near-dup cluster size (from the q59
+    * MinHash→CC pipeline), how many clusters, how many docs are
+    * removable (size − 1 keeps the survivor), and the token mass those
+    * removable docs carry. Cluster labels join the corpus once; the
+    * histogram is at most max-cluster-size rows.
+    */
+  val q252DedupSavings = GraftQuery(
+    "q252_dedup_savings",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lbl = connectedComponents(
+        minhashPairs(s, dir).select(col("i"), col("j")))
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("toks"))
+      val mem = lbl.join(toks, lbl("v") === col("doc_id"))
+        .withColumn("is_survivor", (col("v") === col("lbl")).cast("int"))
+      val perCluster = mem.groupBy("lbl")
+        .agg(count(lit(1)).as("cluster_size"),
+          sum(when(col("is_survivor") === 0, col("toks")).otherwise(0L))
+            .as("removable_toks"))
+      perCluster.groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          (count(lit(1)) * (col("cluster_size") - 1)).as("docs_removable"),
+          sum("removable_toks").as("tokens_removable"))
+        .orderBy("cluster_size")
+    },
+    Some(s"""WITH RECURSIVE pairs AS (SELECT i, j FROM (
+            |${q25DedupMinhash.oracle.get}) q25),
+            |edges AS (SELECT i a, j b FROM pairs UNION SELECT j, i FROM pairs),
+            |reach(a, b) AS (
+            |  SELECT a, b FROM edges
+            |  UNION
+            |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND e.b <> r.a),
+            |lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            |  FROM reach GROUP BY a),
+            |mem AS (SELECT l.cluster_id, l.doc_id,
+            |    CAST(len(string_split(d.text, ' ')) AS BIGINT) toks,
+            |    CAST(l.doc_id = l.cluster_id AS INT) surv
+            |  FROM lbl l JOIN documents d USING (doc_id)),
+            |pc AS (SELECT cluster_id, CAST(count(*) AS BIGINT) cluster_size,
+            |    CAST(sum(CASE WHEN surv = 0 THEN toks ELSE 0 END) AS BIGINT)
+            |      removable_toks
+            |  FROM mem GROUP BY 1)
+            |SELECT cluster_size, CAST(count(*) AS BIGINT) n_clusters,
+            |  CAST(count(*) * (cluster_size - 1) AS BIGINT) docs_removable,
+            |  CAST(sum(removable_toks) AS BIGINT) tokens_removable
+            |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q24DedupExact, q25DedupMinhash, q26DedupNgram, q27DedupSimhash, q28EmbeddingNn,
     q59DedupClusters, q127DedupClustersStar, q135SubstringWinnow, q144SpanRemoval,
     q150PrefixJaccardJoin, q173ContainmentJoin, q174SortedNeighborhood, q183LineDedup,
-    q209GoldenRecord)
+    q209GoldenRecord, q252DedupSavings)
 }

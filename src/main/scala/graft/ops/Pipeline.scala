@@ -568,7 +568,63 @@ object Pipeline {
            |  any_value(m.boundary_merges) AS boundary_merges
            |FROM per, m""".stripMargin))
 
+  /** Dataset card, per source — the one-table summary a corpus release
+    * publishes (and the first thing a consumer reads): docs, token mass,
+    * language spread (count + modal language with lexicographic ties),
+    * exact mean length, and the within-source exact-duplicate rate
+    * (docs − distinct texts, the q24 definition scoped per source).
+    * Everything is stacked partial aggs plus one modal-language window
+    * over (source, lang) cells; the only floats are exact integer ratios.
+    */
+  val q251DatasetCard = GraftQuery(
+    "q251_dataset_card",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+        .persist()
+      val base = d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("toks").as("n_tokens"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("text").as("n_distinct"),
+        sum("n_chars").as("sum_chars"))
+      val langMode = d.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(desc("c"), col("lang"))))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      val out = base.join(langMode, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+          col("top_lang"),
+          round(col("sum_chars") / col("n_docs").cast("double"), 3)
+            .as("mean_chars"),
+          (col("n_docs") - col("n_distinct")).as("exact_dups"))
+        .orderBy("source")
+      out.count() // materialize before releasing the cached corpus
+      d.unpersist()
+      out
+    },
+    Some("""WITH d AS (SELECT source, lang, text, n_chars,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) toks
+           |  FROM documents),
+           |base AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+           |    CAST(sum(toks) AS BIGINT) n_tokens,
+           |    CAST(count(DISTINCT lang) AS BIGINT) n_langs,
+           |    CAST(count(DISTINCT text) AS BIGINT) n_distinct,
+           |    CAST(sum(n_chars) AS BIGINT) sum_chars
+           |  FROM d GROUP BY 1),
+           |lm AS (SELECT source, lang AS top_lang FROM (
+           |  SELECT source, lang, row_number() OVER (PARTITION BY source
+           |    ORDER BY count(*) DESC, lang) rn
+           |  FROM d GROUP BY source, lang) WHERE rn = 1)
+           |SELECT base.source, n_docs, n_tokens, n_langs, lm.top_lang,
+           |  round(sum_chars / n_docs::DOUBLE, 3) AS mean_chars,
+           |  n_docs - n_distinct AS exact_dups
+           |FROM base JOIN lm USING (source) ORDER BY source""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q52HashSample, q53IncrementalDedup, q54OutlierFilter,
     q65StratifiedSample, q97WeightedSample, q129MixtureSample, q136EpochShuffle,
-    q181SnapshotDiff, q188GroupSplit, q217CurationFunnel, q226IncrementalSessions)
+    q181SnapshotDiff, q188GroupSplit, q217CurationFunnel, q226IncrementalSessions,
+    q251DatasetCard)
 }
