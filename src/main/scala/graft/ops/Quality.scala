@@ -637,7 +637,69 @@ object Quality {
            |  round(max(abs(ca / n.na::DOUBLE - cb / n.nb::DOUBLE)), 6) AS ks_d
            |FROM e, n GROUP BY 1, 2""".stripMargin))
 
+  /** ROC curve points at decile thresholds — the curve q153's AUC
+    * integrates and q196's calibration complements: nine exact decile
+    * thresholds of the ship-delay score, each reporting TPR/FPR for the
+    * "predict returned if delay ≥ t" rule. Thresholds are exact
+    * percentiles of the INTEGER delay (the q54-proven pairing, rounded
+    * to 6 before use so both engines compare against identical
+    * literals-by-construction); TPR/FPR are integer-count ratios.
+    * One base scan, one 9-row threshold frame, one crossJoin + partial
+    * agg per threshold group.
+    */
+  val q254RocPoints = GraftQuery(
+    "q254_roc_points",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(datediff(col("l_shipdate"), col("o_orderdate")).as("dd"),
+          (col("l_returnflag") === "R").cast("long").as("pos"))
+        .persist()
+      val thresholds = (1 to 9).map { k =>
+        round(expr(s"percentile(dd, ${k / 10.0})"), 6).as(s"t$k")
+      }
+      val tRow = li.agg(thresholds.head, thresholds.tail: _*).head()
+      import s.implicits._
+      val tDf = (1 to 9).map(k => (k, tRow.getDouble(k - 1))).toDF("k", "t")
+      val out = li.crossJoin(tDf)
+        .groupBy("k", "t")
+        .agg(
+          round(sum(when(col("dd") >= col("t"), col("pos")).otherwise(0L)) /
+            sum("pos").cast("double"), 6).as("tpr"),
+          round(sum(when(col("dd") >= col("t"), lit(1L) - col("pos")).otherwise(0L)) /
+            sum(lit(1L) - col("pos")).cast("double"), 6).as("fpr"))
+        .select(col("k"), round(col("t"), 6).as("threshold"),
+          col("tpr"), col("fpr"))
+        .orderBy("k")
+      out.count() // materialize before releasing the cached scores
+      li.unpersist()
+      out
+    },
+    Some("""WITH li AS (SELECT datediff('day', o_orderdate, l_shipdate) dd,
+           |    CAST(l_returnflag = 'R' AS BIGINT) pos
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |th0 AS (SELECT round(quantile_cont(dd, 0.1), 6) t1,
+           |    round(quantile_cont(dd, 0.2), 6) t2,
+           |    round(quantile_cont(dd, 0.3), 6) t3,
+           |    round(quantile_cont(dd, 0.4), 6) t4,
+           |    round(quantile_cont(dd, 0.5), 6) t5,
+           |    round(quantile_cont(dd, 0.6), 6) t6,
+           |    round(quantile_cont(dd, 0.7), 6) t7,
+           |    round(quantile_cont(dd, 0.8), 6) t8,
+           |    round(quantile_cont(dd, 0.9), 6) t9 FROM li),
+           |th AS (SELECT 1 k, t1 t FROM th0 UNION ALL SELECT 2, t2 FROM th0
+           |  UNION ALL SELECT 3, t3 FROM th0 UNION ALL SELECT 4, t4 FROM th0
+           |  UNION ALL SELECT 5, t5 FROM th0 UNION ALL SELECT 6, t6 FROM th0
+           |  UNION ALL SELECT 7, t7 FROM th0 UNION ALL SELECT 8, t8 FROM th0
+           |  UNION ALL SELECT 9, t9 FROM th0)
+           |SELECT CAST(th.k AS INT) AS k, round(th.t, 6) AS threshold,
+           |  round(sum(CASE WHEN dd >= th.t THEN pos ELSE 0 END)
+           |    / sum(pos)::DOUBLE, 6) AS tpr,
+           |  round(sum(CASE WHEN dd >= th.t THEN 1 - pos ELSE 0 END)
+           |    / sum(1 - pos)::DOUBLE, 6) AS fpr
+           |FROM li, th GROUP BY 1, 2 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q96DqChecks, q113PsiDrift, q153Auc, q168DsirSelect,
     q182ColumnProfile, q193QuantileNorm, q196Calibration, q199MadOutliers,
-    q210WoeIv, q223MutualInfo, q242Conformal, q243KsTest)
+    q210WoeIv, q223MutualInfo, q242Conformal, q243KsTest, q254RocPoints)
 }

@@ -1485,9 +1485,50 @@ object Vectors {
          |ORDER BY term""".stripMargin
     })
 
+  /** Embedding-norm quality control per label — the first screen an
+    * embedding batch gets before indexing (truncated inputs and encoder
+    * failures surface as norm anomalies; a collapsed model surfaces as
+    * near-zero variance): per label, exact mean/median/P95 of the L2
+    * norm plus a percentile-relative outlier count (norm > 1.5 × that
+    * label's P95 — percentile-based so the rule is exact on both
+    * engines, no stddev accumulation in the decision path). Norms are
+    * per-row left-fold arithmetic; the median/P95 are the q54-proven
+    * exact pairing, rounded to 6 before the comparison threshold.
+    */
+  val q253NormQc = GraftQuery(
+    "q253_norm_qc",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, dir)
+        .withColumn("nrm", norm(col("embedding").cast("array<double>")))
+        .select(col("vec_id"), col("label"), col("nrm"))
+      val stats = e.groupBy(col("label").as("lb"))
+        .agg(round(expr("percentile(nrm, 0.95)"), 6).as("p95"))
+      e.join(broadcast(stats), col("label") === col("lb"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg("nrm"), 3).as("mean_norm"),
+          round(expr("percentile(nrm, 0.5)"), 6).as("median_norm"),
+          first("p95").as("p95_norm"),
+          sum((col("nrm") > lit(1.5) * col("p95")).cast("long")).as("n_outliers"))
+        .orderBy("label")
+    },
+    Some("""WITH e AS (SELECT vec_id, label,
+           |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) nrm
+           |  FROM embeddings),
+           |st AS (SELECT label, round(quantile_cont(nrm, 0.95), 6) p95
+           |  FROM e GROUP BY 1)
+           |SELECT e.label, CAST(count(*) AS BIGINT) n,
+           |  round(avg(nrm), 3) AS mean_norm,
+           |  round(quantile_cont(nrm, 0.5), 6) AS median_norm,
+           |  any_value(st.p95) AS p95_norm,
+           |  CAST(sum(CAST(nrm > 1.5 * st.p95 AS INT)) AS BIGINT) AS n_outliers
+           |FROM e JOIN st USING (label)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q29AnnTopk, q30Centroids, q31AnnLsh, q47AnnIvf,
     q70Int8Quantize, q137Kmeans, q141SemanticDedupKmeans, q147PqAdc,
     q155JlProjection, q157IvfAdc, q161IvfAdcResidual, q178AlsStep,
     q190Silhouette, q192PcaPower, q195NcmConfusion, q203IvfRecall,
-    q245PpmiEmbedding)
+    q245PpmiEmbedding, q253NormQc)
 }
