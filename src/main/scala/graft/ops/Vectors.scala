@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -725,9 +725,33 @@ object Vectors {
     * Determinism: both quantizers argmin over (dist, idx) structs; ADC
     * folds left-to-right — the q47/q137/q147 float discipline throughout.
     */
+  /** q157 and q255 share [[ivfAdcSearch]]'s persisted lineage; under the
+    * verify harness's concurrent lanes the overlapping persist/clearCache
+    * produced a spurious analysis error, so the two executions serialize
+    * on this lock (a few seconds each — negligible, and only these two
+    * contend).
+    */
+  private val ivfAdcLock = new Object
+
   val q157IvfAdc = GraftQuery(
     "q157_ivfadc",
-    (s, dir) => {
+    (s, dir) => ivfAdcLock.synchronized {
+      // eager localCheckpoint: the result's 15 rows materialize INSIDE the
+      // lock and downstream consumers read checkpoint blocks, never the
+      // shared search lineage
+      ivfAdcSearch(s, dir, topk = 5)
+        .select(col("qid"), col("rnk"), col("cid"), col("cell"),
+          round(col("adc"), 5).as("adc"))
+        .orderBy("qid", "rnk")
+        .localCheckpoint()
+    },
+    q157OracleSql)
+
+  /** q157's IVFADC search with a parameterized candidate depth, shared
+    * with q255's exact-rerank second stage. Returns (qid, rnk, cid,
+    * cell, adc) with adc UNROUNDED — callers format.
+    */
+  private def ivfAdcSearch(s: SparkSession, dir: String, topk: Int): DataFrame = {
       GraftFunctions.register(s)
       val M = 4; val SUB = 16; val K = 4; val KC = 8
       val e = Tables.embeddings(s, dir)
@@ -781,12 +805,11 @@ object Vectors {
         .select(col("qid"), col("vec_id").as("cid"), col("cell"), adc.as("adc"))
       val w = Window.partitionBy("qid").orderBy(asc("adc"), col("cid"))
       sims.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("qid"), col("rnk"), col("cid"), col("cell"),
-          round(col("adc"), 5).as("adc"))
-        .orderBy("qid", "rnk")
-    },
-    Some {
+        .filter(col("rnk") <= topk)
+        .select(col("qid"), col("rnk"), col("cid"), col("cell"), col("adc"))
+  }
+
+  private lazy val q157OracleSql: Option[String] = Some {
       // per-subspace codebook blocks: q147's oracle training, verbatim
       def block(m: Int): String = {
         val lo = m * 16 + 1; val hi = m * 16 + 16
@@ -843,7 +866,7 @@ object Vectors {
          |  row_number() OVER (PARTITION BY qid ORDER BY adc, cid) rnk FROM p)
          |SELECT qid, rnk, cid, cell, round(adc, 5) AS adc FROM r WHERE rnk <= 5
          |ORDER BY qid, rnk""".stripMargin
-    })
+  }
 
   /** RESIDUAL IVFADC — the full Jégou et al. 2011 §IV.A recipe: q157
     * quantizes raw vectors, but the production encoding quantizes the
@@ -1526,9 +1549,61 @@ object Vectors {
            |FROM e JOIN st USING (label)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Two-stage IVFADC search: ADC shortlist → EXACT re-rank — the
+    * production retrieval shape (FAISS's refine step): the compressed
+    * index is only asked to produce a CANDIDATE set (top-10 by
+    * asymmetric distance through q157's probe pipeline), and the final
+    * order comes from exact L2 on the original vectors of just those
+    * candidates — 10 full-vector reads per query instead of a scan,
+    * which is the entire economics of quantized search. Rerank joins
+    * are keyed id lookups (candidates ⋈ vectors); output is the exact
+    * top-5 with true distances.
+    */
+  val q255IvfAdcRerank = GraftQuery(
+    "q255_ivfadc_rerank",
+    (s, dir) => ivfAdcLock.synchronized {
+      GraftFunctions.register(s)
+      val cand = ivfAdcSearch(s, dir, topk = 10)
+        .select(col("qid"), col("cid"), col("cell"))
+        .localCheckpoint() // 30 rows; frees the shared search lineage
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select(col("vec_id"), col("v"))
+      val rr = cand
+        .join(e.select(col("vec_id").as("q2"), col("v").as("qv")),
+          col("qid") === col("q2"))
+        .join(e.select(col("vec_id").as("c2"), col("v").as("cv")),
+          col("cid") === col("c2"))
+        .withColumn("exact2", aggregate(
+          zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d))
+      val w = Window.partitionBy("qid").orderBy(asc("exact2"), col("cid"))
+      rr.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("cid"), col("cell"),
+          round(sqrt(col("exact2")), 5).as("exact_dist"))
+        .orderBy("qid", "rnk")
+    },
+    Some {
+      val base = q157OracleSql.get
+      val tail = "SELECT qid, rnk, cid, cell, round(adc, 5) AS adc FROM r WHERE rnk <= 5\nORDER BY qid, rnk"
+      require(base.endsWith(tail), "q157 oracle tail changed; update q255 surgery")
+      base.dropRight(tail.length) + ", " +
+        """cand AS (SELECT qid, cid, cell FROM r WHERE rnk <= 10),
+          |rr AS (SELECT cand.qid, cand.cid, cand.cell,
+          |    list_sum(list_transform(range(1, 65),
+          |      i -> (eq.v[i]-ec.v[i])*(eq.v[i]-ec.v[i]))) AS exact2
+          |  FROM cand JOIN e eq ON eq.vec_id = cand.qid
+          |  JOIN e ec ON ec.vec_id = cand.cid),
+          |rk AS (SELECT qid, cid, cell, exact2, row_number() OVER (
+          |    PARTITION BY qid ORDER BY exact2, cid) rnk FROM rr)
+          |SELECT qid, rnk, cid, cell, round(sqrt(exact2), 5) AS exact_dist
+          |FROM rk WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+    })
+
   val all: Seq[GraftQuery] = Seq(q29AnnTopk, q30Centroids, q31AnnLsh, q47AnnIvf,
     q70Int8Quantize, q137Kmeans, q141SemanticDedupKmeans, q147PqAdc,
     q155JlProjection, q157IvfAdc, q161IvfAdcResidual, q178AlsStep,
     q190Silhouette, q192PcaPower, q195NcmConfusion, q203IvfRecall,
-    q245PpmiEmbedding, q253NormQc)
+    q245PpmiEmbedding, q253NormQc, q255IvfAdcRerank)
 }
