@@ -751,7 +751,7 @@ object Vectors {
     * with q255's exact-rerank second stage. Returns (qid, rnk, cid,
     * cell, adc) with adc UNROUNDED — callers format.
     */
-  private def ivfAdcSearch(s: SparkSession, dir: String, topk: Int): DataFrame = {
+  private[graft] def ivfAdcSearch(s: SparkSession, dir: String, topk: Int): DataFrame = {
       GraftFunctions.register(s)
       val M = 4; val SUB = 16; val K = 4; val KC = 8
       val e = Tables.embeddings(s, dir)

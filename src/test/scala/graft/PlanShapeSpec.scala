@@ -161,8 +161,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q157/q161: IVFADC search is a broadcast probe join, never cartesian") {
-    for (q <- Seq("q157_ivfadc", "q161_ivfadc_residual")) {
-      val p = plan(q)
+    // q157/q255 return a localCheckpoint (concurrency isolation), which
+    // hides the search plan behind an RDD scan — so q157's pin inspects
+    // the shared search builder directly; q161 still plans inline
+    val plans = Seq(
+      "q157_ivfadc(search)" ->
+        ops.Vectors.ivfAdcSearch(spark, sf, 5)
+          .queryExecution.executedPlan.toString,
+      "q161_ivfadc_residual" -> plan("q161_ivfadc_residual"))
+    for ((q, p) <- plans) {
       // the query batch must broadcast to the code table and join on cell
       // id; a cartesian/NLJ here means the cell equi-join stopped reaching
       // the planner and search degraded to scanning every code per query
