@@ -503,10 +503,51 @@ object Relational {
            |    / sum(volume), 6) AS mkt_share
            |FROM vol GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Pure-SQL surface with a calendar-interval RANGE frame — two things
+    * q56's numeric RANGE frame doesn't cover: the query is authored
+    * entirely in `spark.sql` over a registered temp view (the SQL-first
+    * entry path a reference user migrating from a SQL engine reaches
+    * for), and the rolling 7-day revenue window frames by INTERVAL '6'
+    * DAY over real DATEs — so calendar gaps are handled by the frame
+    * semantics, not by a synthetic day index. The frame-ordered
+    * accumulation is engine-order deterministic on both sides (same
+    * discipline as q7's running totals); the daily base is one partial
+    * agg and the window runs over day-cardinality rows.
+    */
+  val q257SqlRollingWindow = GraftQuery(
+    "q257_sql_rolling_window",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_q257")
+      s.sql("""
+        |WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(o_totalprice) AS rev, count(*) AS n
+        |  FROM orders_q257
+        |  WHERE year(o_orderdate) = 1995
+        |  GROUP BY 1)
+        |SELECT date_format(day, 'yyyy-MM-dd') AS day, n,
+        |  round(rev, 2) AS rev,
+        |  round(avg(rev) OVER (ORDER BY day
+        |    RANGE BETWEEN INTERVAL '6' DAY PRECEDING AND CURRENT ROW), 2)
+        |    AS rolling_7d_avg
+        |FROM daily ORDER BY day
+        |""".stripMargin)
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS day,
+           |    sum(o_totalprice) AS rev, CAST(count(*) AS BIGINT) AS n
+           |  FROM orders WHERE year(o_orderdate) = 1995
+           |  GROUP BY 1)
+           |SELECT strftime(day, '%Y-%m-%d') AS day, n, round(rev, 2) AS rev,
+           |  round(avg(rev) OVER (ORDER BY day
+           |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW), 2)
+           |    AS rolling_7d_avg
+           |FROM daily ORDER BY day""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q1PricingSummary, q2TopRevenueOrders, q3SegmentRevenue, q4SemiJoin,
     q5AntiJoin, q6WindowTopPerSupplier, q7RunningTotals, q8SetOps, q9Rollup,
     q10StringFuncs, q11MonthlyOrders, q12DistinctCounts, q13ConditionalAgg,
     q14JsonProps, q15HourlyEvents, q16Sessions, q214MixShift,
-    q227LocalSupplierVolume, q228MarketShare)
+    q227LocalSupplierVolume, q228MarketShare, q257SqlRollingWindow)
 }

@@ -673,8 +673,60 @@ object StreamingQueries {
            |WHERE d.n / p.dow_mean > 1.15 OR d.n / p.dow_mean < 0.85
            |ORDER BY d.event_type, day""".stripMargin))
 
+  /** Streaming right-to-erasure — q240's GDPR filter applied AT INGEST
+    * (the compliance posture that never lets a tombstoned subject's rows
+    * land in the lake): the tombstone set is a small STATIC frame
+    * broadcast into every micro-batch as a stream-static left-anti join
+    * (the one stream-static join shape the suite didn't yet gate; q154
+    * is stream-stream, q236 joins after maintenance), the event replay
+    * appends survivors to a parquet sink, and the gate aggregates the
+    * sink — which must equal the batch-filtered oracle AND, by
+    * construction, contain zero tombstoned rows (the zero is itself a
+    * checked output column). Static-side state is O(|tombstones|),
+    * stream side is stateless — nothing accumulates.
+    */
+  val q256StreamingErasure = GraftQuery(
+    "q256_streaming_erasure",
+    (s, dir) => {
+      val base = graft.WorkDir.resolve(s, "serasureq", dir)
+      val (src, dest, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+      val conf = s.sessionState.newHadoopConf()
+      for (d <- Seq(src, dest, ckpt)) {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(conf).delete(p, true)
+      }
+      val ev = Tables.events(s, dir)
+        .select("event_id", "event_type", "user_id", "value")
+      ev.coalesce(3).write.parquet(src) // 3 files → 3 micro-batches
+      val ss = streamSession(s, statePartitions = 8)
+      val tombstones = Tables.events(ss, dir).select("user_id").distinct()
+        .filter(col("user_id") % 100 === 7)
+      val schema = ss.read.parquet(src).schema
+      ss.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        .join(broadcast(tombstones), Seq("user_id"), "left_anti")
+        .writeStream
+        .format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      val sink = s.read.parquet(dest)
+      sink.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum((col("user_id") % 100 === 7).cast("long")).as("tombstoned_rows"),
+          round(sum("value"), 2).as("total_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(0 AS BIGINT) AS tombstoned_rows,
+           |  round(sum(value), 2) AS total_value
+           |FROM events WHERE user_id % 100 <> 7
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q33SlidingWindows, q34SessionWindows,
     q63StreamingRebalance, q143StreamingMv, q145StreamingDedup,
     q146TransformWithState, q154StreamStreamJoin, q158WatermarkEviction,
-    q164StreamingSessions, q179StreamingKmv, q236StreamingAlerts)
+    q164StreamingSessions, q179StreamingKmv, q236StreamingAlerts,
+    q256StreamingErasure)
 }
