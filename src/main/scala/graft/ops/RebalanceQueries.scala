@@ -123,7 +123,86 @@ object RebalanceQueries {
            |  CAST(ceil(max_cnt * n_keys::DOUBLE / total_rows) AS BIGINT) AS salt_factor
            |FROM a""".stripMargin))
 
+  /** Consistent-hashing vs modulo migration cost for a shard expansion —
+    * the quantitative argument BEHIND the reference's whole rebalance
+    * workflow: growing 8 → 10 shards under modulo placement remaps
+    * ~(1 − gcd-share) of all keys (every one of which the reference's
+    * INSERT…SELECT pass must physically move), while a hash ring with 64
+    * virtual nodes per shard remaps only ~2/10. Both placements compute
+    * per order key: modulo is one pmod; ring ownership scans a SORTED
+    * broadcast-literal vnode array (the ring is md5-derived in the driver
+    * — 512/640 bounded literals — and the first vnode hash ≥ the key hash
+    * owns it, wrapping to the ring's first entry). Output: key count,
+    * moved counts and rates for both strategies. One scan, no joins —
+    * the ring lookup is per-row array search against literals.
+    */
+  val q258ConsistentHashMigration = GraftQuery(
+    "q258_consistent_hash_migration",
+    (s, dir) => {
+      def md5Long(str: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(str.getBytes("UTF-8"))
+        java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+      }
+      // ring: 64 virtual nodes per shard, position = md5(shard:vnode)
+      def ring(nShards: Int): Seq[(Long, Int)] =
+        (for (sh <- 0 until nShards; vn <- 0 until 64)
+          yield (md5Long(s"${sh}_$vn"), sh)).sorted
+      def ownerCol(r: Seq[(Long, Int)], kh: org.apache.spark.sql.Column) = {
+        val arr = array(r.map { case (h, sh) =>
+          struct(lit(h).as("h"), lit(sh).as("sh"))
+        }: _*) // sorted ascending by hash
+        val ge = filter(arr, e => e("h") >= kh)
+        when(size(ge) > 0, element_at(ge, 1).getField("sh"))
+          .otherwise(element_at(arr, 1).getField("sh"))
+      }
+      val kh = conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+      val keys = Tables.orders(s, dir).select(col("o_orderkey"))
+        .withColumn("kh", kh)
+      keys
+        .withColumn("mod8", pmod(col("o_orderkey"), lit(8)))
+        .withColumn("mod10", pmod(col("o_orderkey"), lit(10)))
+        .withColumn("ring8", ownerCol(ring(8), col("kh")))
+        .withColumn("ring10", ownerCol(ring(10), col("kh")))
+        .agg(count(lit(1)).as("n_keys"),
+          sum((col("mod8") =!= col("mod10")).cast("long")).as("moved_modulo"),
+          sum((col("ring8") =!= col("ring10")).cast("long")).as("moved_ring"))
+        .select(col("n_keys"), col("moved_modulo"), col("moved_ring"),
+          round(col("moved_modulo") / col("n_keys").cast("double"), 6)
+            .as("modulo_rate"),
+          round(col("moved_ring") / col("n_keys").cast("double"), 6)
+            .as("ring_rate"))
+    },
+    Some("""WITH vn8 AS (SELECT s.s AS sh,
+           |    CAST(concat('0x', substr(md5(s.s::VARCHAR || '_' || v.v::VARCHAR), 1, 8)) AS BIGINT) AS h
+           |  FROM range(0, 8) s(s), range(0, 64) v(v)),
+           |vn10 AS (SELECT s.s AS sh,
+           |    CAST(concat('0x', substr(md5(s.s::VARCHAR || '_' || v.v::VARCHAR), 1, 8)) AS BIGINT) AS h
+           |  FROM range(0, 10) s(s), range(0, 64) v(v)),
+           |k AS (SELECT o_orderkey,
+           |    CAST(concat('0x', substr(md5(o_orderkey::VARCHAR), 1, 8)) AS BIGINT) AS kh
+           |  FROM orders),
+           |own8 AS (SELECT o_orderkey, coalesce(
+           |    (SELECT min_by(sh, h) FROM vn8 WHERE h >= kh),
+           |    (SELECT min_by(sh, h) FROM vn8)) AS ring8
+           |  FROM k),
+           |own10 AS (SELECT o_orderkey, coalesce(
+           |    (SELECT min_by(sh, h) FROM vn10 WHERE h >= kh),
+           |    (SELECT min_by(sh, h) FROM vn10)) AS ring10
+           |  FROM k)
+           |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(sum(CAST(k.o_orderkey % 8 <> k.o_orderkey % 10 AS INT)) AS BIGINT)
+           |    AS moved_modulo,
+           |  CAST(sum(CAST(own8.ring8 <> own10.ring10 AS INT)) AS BIGINT)
+           |    AS moved_ring,
+           |  round(sum(CAST(k.o_orderkey % 8 <> k.o_orderkey % 10 AS INT))
+           |    / count(*)::DOUBLE, 6) AS modulo_rate,
+           |  round(sum(CAST(own8.ring8 <> own10.ring10 AS INT))
+           |    / count(*)::DOUBLE, 6) AS ring_rate
+           |FROM k JOIN own8 USING (o_orderkey) JOIN own10 USING (o_orderkey)""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q17RebalanceHash, q18RebalanceRange, q51RebalanceRoundRobin,
-      q194SkewReport)
+      q194SkewReport, q258ConsistentHashMigration)
 }
