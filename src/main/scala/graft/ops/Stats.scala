@@ -1036,7 +1036,41 @@ object Stats {
     q218PercentileBands, q219WindowedFunnel, q220Theil, q221EquidepthHist,
     q229LorenzCurve, q231SeasonalOutliers, q232JoinFanout, q234ActivityStreaks,
     q235FractionalAttribution, q238InterArrival, q239RiAudit,
-    q241WelfordVariance, q246Cusum, q247AbTest, q248HorvitzThompson)
+    q241WelfordVariance, q246Cusum, q247AbTest, q248HorvitzThompson,
+    q259SampleSizePlanner)
+
+  /** Sample-size planning — the inverse of q248's audit: given each
+    * type's pilot mean and stddev, how many rows does a ±5%-relative
+    * 95% CI on the mean require (n = (1.96·σ / (0.05·μ))²), and does the
+    * current volume already suffice? The closed-form z-based planner is
+    * what a sampling pipeline sizes its rates from BEFORE collecting.
+    * μ and σ round to 6 before entering the formula (shared literals
+    * discipline), so the derived ceiling is identical on both engines.
+    */
+  lazy val q259SampleSizePlanner: GraftQuery = GraftQuery(
+    "q259_sample_size_planner",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_current"),
+          round(avg("value"), 6).as("mu"),
+          round(expr("stddev_samp(value)"), 6).as("sd"))
+        .withColumn("n_required",
+          ceil(pow(lit(1.96) * col("sd") / (lit(0.05) * col("mu")), 2))
+            .cast("long"))
+        .select(col("event_type"), col("n_current"), col("mu"), col("sd"),
+          col("n_required"),
+          (col("n_current") >= col("n_required")).cast("int").as("sufficient"))
+        .orderBy("event_type")
+    },
+    Some("""WITH st AS (SELECT event_type, CAST(count(*) AS BIGINT) n_current,
+           |    round(avg(value), 6) mu, round(stddev_samp(value), 6) sd
+           |  FROM events GROUP BY 1)
+           |SELECT event_type, n_current, mu, sd,
+           |  CAST(ceil(pow(1.96 * sd / (0.05 * mu), 2)) AS BIGINT) AS n_required,
+           |  CAST(n_current >= ceil(pow(1.96 * sd / (0.05 * mu), 2)) AS INT)
+           |    AS sufficient
+           |FROM st ORDER BY event_type""".stripMargin))
 
   /** One-sided CUSUM change-point detection over per-type daily volumes
     * (Page 1954): S⁺ ← max(0, S⁺ + (x − μ − κ)) accumulates only

@@ -1601,9 +1601,78 @@ object Vectors {
           |FROM rk WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
     })
 
+  /** Cluster purity against ground-truth labels — the EXTERNAL validity
+    * score next to q190's internal silhouette: each q137 cluster takes
+    * its majority label (lexicographic ties), contributes its majority
+    * count to Σmax/n purity, and reports its own local purity — the
+    * one-table answer to "did k-means rediscover the labels". Assignment
+    * is q137's exact pipeline; everything after is integer counts plus
+    * one mode window over (cluster, label) cells.
+    */
+  val q260ClusterPurity = GraftQuery(
+    "q260_cluster_purity",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select(col("vec_id"), col("label"), col("v"))
+        .persist()
+      val (_, assigned) = lloyd(e.select(col("vec_id"), col("v")), 6, 2)
+      val mem = assigned.select(col("vec_id"), col("j"))
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+      val cells = mem.groupBy("j", "label").agg(count(lit(1)).as("c"))
+      val top = cells.withColumn("rn", row_number().over(
+          Window.partitionBy("j").orderBy(desc("c"), col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("j"), col("label").as("top_label"), col("c").as("top_n"))
+      val sizes = mem.groupBy("j").agg(count(lit(1)).as("n_members"))
+      val out = sizes.join(top, "j")
+        .select(col("j").as("cluster"), col("n_members"), col("top_label"),
+          col("top_n"),
+          round(col("top_n") / col("n_members").cast("double"), 6)
+            .as("local_purity"))
+        .orderBy("cluster")
+      out.count() // materialize before releasing the cached embeddings
+      e.unpersist()
+      out
+    },
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+           |c0 AS (SELECT idx, cv FROM (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, v AS cv
+           |  FROM e ORDER BY vec_id LIMIT 6)),
+           |a1 AS (SELECT vec_id, v, idx, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))), idx) rn
+           |  FROM e, c0),
+           |g1 AS (SELECT vec_id, v, idx AS j FROM a1 WHERE rn = 1),
+           |c1 AS (SELECT j AS idx, list(c ORDER BY dim) AS cv FROM (
+           |  SELECT j, d.d AS dim, avg(v[d.d + 1]) AS c FROM g1, range(0, 64) d(d)
+           |  GROUP BY 1, 2) GROUP BY 1),
+           |a2 AS (SELECT vec_id, v, idx, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))), idx) rn
+           |  FROM e, c1),
+           |g2 AS (SELECT vec_id, v, idx AS j FROM a2 WHERE rn = 1),
+           |c2 AS (SELECT j AS idx, list(c ORDER BY dim) AS cv FROM (
+           |  SELECT j, d.d AS dim, avg(v[d.d + 1]) AS c FROM g2, range(0, 64) d(d)
+           |  GROUP BY 1, 2) GROUP BY 1),
+           |a3 AS (SELECT vec_id, idx, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))), idx) rn
+           |  FROM e, c2),
+           |mem AS (SELECT a3.vec_id, a3.idx AS j, e.label
+           |  FROM a3 JOIN e USING (vec_id) WHERE rn = 1),
+           |cells AS (SELECT j, label, CAST(count(*) AS BIGINT) c
+           |  FROM mem GROUP BY 1, 2),
+           |top AS (SELECT j, label AS top_label, c AS top_n FROM (
+           |  SELECT j, label, c, row_number() OVER (PARTITION BY j
+           |    ORDER BY c DESC, label) rn FROM cells) WHERE rn = 1),
+           |sz AS (SELECT j, CAST(count(*) AS BIGINT) n_members FROM mem GROUP BY 1)
+           |SELECT sz.j AS cluster, sz.n_members, top.top_label, top.top_n,
+           |  round(top.top_n / sz.n_members::DOUBLE, 6) AS local_purity
+           |FROM sz JOIN top USING (j) ORDER BY cluster""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q29AnnTopk, q30Centroids, q31AnnLsh, q47AnnIvf,
     q70Int8Quantize, q137Kmeans, q141SemanticDedupKmeans, q147PqAdc,
     q155JlProjection, q157IvfAdc, q161IvfAdcResidual, q178AlsStep,
     q190Silhouette, q192PcaPower, q195NcmConfusion, q203IvfRecall,
-    q245PpmiEmbedding, q253NormQc, q255IvfAdcRerank)
+    q245PpmiEmbedding, q253NormQc, q255IvfAdcRerank, q260ClusterPurity)
 }
