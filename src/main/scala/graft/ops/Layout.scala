@@ -523,8 +523,52 @@ object Layout {
            |  CAST(n_rows * 64 AS BIGINT) AS est_bytes
            |FROM per ORDER BY tier""".stripMargin))
 
+  /** Orphan-file garbage collection (the VACUUM half of table
+    * maintenance): a table directory accumulates files that no manifest
+    * references — crashed writers, abandoned speculative tasks — and a
+    * GC pass must remove exactly those WITHOUT touching live data. The
+    * query writes the table (4 fixed partitions), records the live file
+    * set as a manifest, plants an orphan (a copied part file under a
+    * non-manifest name — the realistic residue shape), then GCs by
+    * listing the directory against the manifest and deleting
+    * non-members. The output re-reads the table after GC, so the row
+    * count proves live data survived while the counted orphans died.
+    */
+  val q263OrphanGc = GraftQuery(
+    "q263_orphan_gc",
+    (s, dir) => {
+      val base = workDir(s, dir, "gc")
+      val table = s"$base/table"
+      val conf = s.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      Tables.nation(s, dir).repartition(4)
+        .write.mode("overwrite").parquet(table)
+      def partFiles = fs.listStatus(new org.apache.hadoop.fs.Path(table))
+        .map(_.getPath).filter(_.getName.startsWith("part-"))
+      val manifest = partFiles.map(_.getName).toSet
+      // plant an orphan: copy a live part file under an abandoned name
+      val src = partFiles.head
+      val orphan = new org.apache.hadoop.fs.Path(table,
+        "part-orphaned-attempt-000.snappy.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, orphan, false, conf)
+      val before = partFiles.length
+      val orphans = partFiles.filterNot(p => manifest.contains(p.getName))
+      orphans.foreach(p => fs.delete(p, false))
+      val after = partFiles.length
+      val rows = s.read.parquet(table).count()
+      import s.implicits._
+      Seq((manifest.size, before, orphans.length, after, rows))
+        .toDF("live_files", "files_before_gc", "orphans_removed",
+          "files_after_gc", "rows_intact")
+    },
+    Some("""SELECT CAST(4 AS INT) AS live_files, CAST(5 AS INT) AS files_before_gc,
+           |  CAST(1 AS INT) AS orphans_removed, CAST(4 AS INT) AS files_after_gc,
+           |  CAST(count(*) AS BIGINT) AS rows_intact
+           |FROM nation""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q83TextSource, q84PartitionedWrite,
     q85BucketedJoin, q86SchemaEvolution, q93ZOrder, q102NumbersSource,
     q105V2SinkRoundtrip, q180HilbertLayout, q187CompactionPlan,
-    q225WriteAuditPublish, q249TieringPlan)
+    q225WriteAuditPublish, q249TieringPlan, q263OrphanGc)
 }

@@ -699,7 +699,96 @@ object Quality {
            |    / sum(1 - pos)::DOUBLE, 6) AS fpr
            |FROM li, th GROUP BY 1, 2 ORDER BY 1""".stripMargin))
 
+  /** Cumulative gains (lift) chart — the targeting readout next to q254's
+    * ROC: rank by the score descending into deciles, report what share of
+    * all positives the top-k deciles capture and the lift over random
+    * (gain share / population share). The decile order key is the integer
+    * day delta with unique tie-breaks (no float sort); gains are integer
+    * ratios; cumulative sums run over 10 decile rows.
+    */
+  val q261CumulativeGains = GraftQuery(
+    "q261_cumulative_gains",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate"), col("o_orderdate")).as("dd"),
+          (col("l_returnflag") === "R").cast("long").as("pos"))
+      val binned = li.withColumn("decile", ntile(10).over(
+        Window.orderBy(desc("dd"), col("l_orderkey"), col("l_linenumber"))))
+      val per = binned.groupBy("decile")
+        .agg(count(lit(1)).as("n"), sum("pos").as("pos"))
+      val w = Window.orderBy("decile")
+      val tot = Window.partitionBy()
+      per
+        .withColumn("cum_pos", sum("pos").over(w))
+        .withColumn("cum_n", sum("n").over(w))
+        .withColumn("tot_pos", sum("pos").over(tot))
+        .withColumn("tot_n", sum("n").over(tot))
+        .select(col("decile"), col("n"), col("pos"),
+          round(col("cum_pos") / col("tot_pos").cast("double"), 6).as("gain"),
+          round((col("cum_pos") / col("tot_pos").cast("double")) /
+            (col("cum_n") / col("tot_n").cast("double")), 6).as("lift"))
+        .orderBy("decile")
+    },
+    Some("""WITH li AS (SELECT l_orderkey, l_linenumber,
+           |    datediff('day', o_orderdate, l_shipdate) dd,
+           |    CAST(l_returnflag = 'R' AS BIGINT) pos
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |b AS (SELECT pos, ntile(10) OVER (
+           |    ORDER BY dd DESC, l_orderkey, l_linenumber) decile FROM li),
+           |per AS (SELECT decile, CAST(count(*) AS BIGINT) n,
+           |    CAST(sum(pos) AS BIGINT) pos FROM b GROUP BY 1)
+           |SELECT decile, n, pos,
+           |  round(sum(pos) OVER (ORDER BY decile)
+           |    / (sum(pos) OVER ())::DOUBLE, 6) AS gain,
+           |  round((sum(pos) OVER (ORDER BY decile) / (sum(pos) OVER ())::DOUBLE)
+           |    / (sum(n) OVER (ORDER BY decile) / (sum(n) OVER ())::DOUBLE), 6)
+           |    AS lift
+           |FROM per ORDER BY decile""".stripMargin))
+
+  /** Dead-letter routing — the ingestion-robustness pattern every
+    * pipeline front door needs: rows whose JSON payload fails to parse
+    * (here every 50th event's props loses its closing brace before
+    * parsing, simulating upstream truncation) route to a quarantine
+    * aggregate WITH A REASON instead of poisoning the main flow;
+    * from_json returns null on malformed input (the try-parse
+    * discipline), so routing is one null test — no exceptions, no task
+    * retries. Output: rows landed per route with distinct reasons.
+    */
+  val q262DeadLetter = GraftQuery(
+    "q262_dead_letter",
+    (s, dir) => {
+      val damaged = Tables.events(s, dir)
+        .withColumn("raw",
+          when(col("event_id") % 50 === 0,
+            regexp_replace(col("props"), "\\}$", "")).otherwise(col("props")))
+        .withColumn("parsed",
+          from_json(col("raw"),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
+      damaged
+        .withColumn("route",
+          when(col("parsed").isNull, "dead_letter").otherwise("main"))
+        .withColumn("reason",
+          when(col("parsed").isNull, "malformed_json").otherwise("ok"))
+        .groupBy("route", "reason")
+        .agg(count(lit(1)).as("n"), countDistinct("event_type").as("n_types"))
+        .orderBy("route")
+    },
+    Some("""WITH d AS (SELECT event_type,
+           |    CASE WHEN event_id % 50 = 0 THEN regexp_replace(props, '}$', '') ELSE props END AS raw
+           |  FROM events),
+           |p AS (SELECT event_type,
+           |    CASE WHEN json_valid(raw) THEN 'main' ELSE 'dead_letter' END route,
+           |    CASE WHEN json_valid(raw) THEN 'ok' ELSE 'malformed_json' END reason
+           |  FROM d)
+           |SELECT route, reason, CAST(count(*) AS BIGINT) n,
+           |  CAST(count(DISTINCT event_type) AS BIGINT) n_types
+           |FROM p GROUP BY 1, 2 ORDER BY route""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q96DqChecks, q113PsiDrift, q153Auc, q168DsirSelect,
     q182ColumnProfile, q193QuantileNorm, q196Calibration, q199MadOutliers,
-    q210WoeIv, q223MutualInfo, q242Conformal, q243KsTest, q254RocPoints)
+    q210WoeIv, q223MutualInfo, q242Conformal, q243KsTest, q254RocPoints,
+    q261CumulativeGains, q262DeadLetter)
 }
