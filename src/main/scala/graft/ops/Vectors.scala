@@ -1430,15 +1430,19 @@ object Vectors {
     "q245_ppmi_embedding",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // localCheckpoint (not persist): the verify harness clearCache()s
+      // periodically, and a cleared lineage racing the collect below once
+      // produced an empty cell set (NaN downstream); checkpoint blocks are
+      // immune to catalog cache clearing
       val tok = Tables.documents(s, dir)
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
         .select(col("doc_id"), col("pos").as("p"), col("col").as("w"))
-        .persist()
+        .localCheckpoint()
       val vocab = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
         .withColumn("idx", row_number().over(
           Window.orderBy(desc("cnt"), col("w"))) - 1)
         .filter(col("idx") < 32)
-        .select(col("w"), col("idx")).persist()
+        .select(col("w"), col("idx")).localCheckpoint()
       val a = tok.join(broadcast(vocab), "w")
         .select(col("doc_id"), col("p"), col("idx").as("i"))
       // partners materialize at their ±{1,2} SHIFTED positions, so the
@@ -1453,9 +1457,10 @@ object Vectors {
         .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
       val vocabArr = vocab.collect().map(r => (r.getInt(1), r.getString(0)))
         .sortBy(_._1).map(_._2)
-      tok.unpersist(); vocab.unpersist()
       val dim = vocabArr.length
       val total = cells.values.sum.toDouble
+      require(dim > 0 && total > 0,
+        s"PPMI inputs degenerate: dim=$dim total=$total")
       val marg = Array.tabulate(dim)(i =>
         (0 until dim).map(j => cells.getOrElse((i, j), 0L)).sum.toDouble)
       val ppmi = Array.tabulate(dim, dim) { (i, j) =>
