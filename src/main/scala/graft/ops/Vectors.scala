@@ -1195,9 +1195,12 @@ object Vectors {
       import s.implicits._
       val dim = DIM
       val vecAvgD = udaf(new graft.functions.VectorAvg(dim))
+      // localCheckpoint, not persist: immune to the verify harness's
+      // periodic clearCache (the q245 race class — an emptied lineage
+      // during the partial collect would zero the covariance silently)
       val e = Tables.embeddings(s, dir)
         .select(col("embedding").cast("array<double>").as("v"))
-        .persist()
+        .localCheckpoint()
       val muArr = e.agg(vecAvgD(col("v"))).head().getSeq[Double](0).toArray
       val partials = e.as[Seq[Double]].mapPartitions { it =>
         val acc = new Array[Double](dim * dim)
@@ -1217,8 +1220,8 @@ object Vectors {
         }
         if (n == 0) Iterator.empty else Iterator((n, acc.toSeq))
       }.collect() // bounded: one (count, d^2 partial) row per partition
-      e.unpersist()
       val nTotal = partials.map(_._1).sum.toDouble
+      require(nTotal > 0, "covariance partials empty")
       val cov = new Array[Double](dim * dim)
       partials.foreach { case (_, p) =>
         var i = 0
