@@ -584,10 +584,83 @@ object Extras6 {
            |FROM top a JOIN top b ON b.wk = a.wk - 1 AND b.l_partkey = a.l_partkey
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Behavioral-diversity entropy per user, histogrammed — the
+    * bot-vs-human screen on event MIX (q238 screens timing): a user's
+    * event-type distribution has entropy 0 if they only ever do one
+    * thing (scripted) and ln(5) if perfectly mixed; the corpus-level
+    * histogram of per-user entropies is the population
+    * fingerprint a fraud review reads (0.05-nat bins — the fixture's
+    * synthetic users are all near-uniform, so the interesting structure
+    * is the narrow spread around ln(5)). Per-user entropy folds from
+    * exact integer ratios over ≤5 cells; the histogram is a second
+    * partial agg over user-cardinality rows.
+    */
+  val q265BehaviorEntropy = GraftQuery(
+    "q265_behavior_entropy",
+    (s, dir) => {
+      val cells = Tables.events(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      val tot = cells.groupBy("user_id").agg(sum("c").as("n"))
+      val ent = cells.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg((-sum((col("c") / col("n")) * log(col("c") / col("n"))))
+          .as("h"))
+      ent.groupBy(floor(col("h") / 0.05).cast("long").as("entropy_bin"))
+        .agg(count(lit(1)).as("n_users"), round(avg("h"), 3).as("mean_h"))
+        .orderBy("entropy_bin")
+    },
+    Some("""WITH cells AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) c
+           |  FROM events GROUP BY 1, 2),
+           |tot AS (SELECT user_id, CAST(sum(c) AS BIGINT) n FROM cells GROUP BY 1),
+           |ent AS (SELECT cells.user_id,
+           |    -sum((c / tot.n::DOUBLE) * ln(c / tot.n::DOUBLE)) AS h
+           |  FROM cells JOIN tot USING (user_id) GROUP BY 1)
+           |SELECT CAST(floor(h / 0.05) AS BIGINT) AS entropy_bin,
+           |  CAST(count(*) AS BIGINT) AS n_users, round(avg(h), 3) AS mean_h
+           |FROM ent GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Time-to-convert distribution — q219 counts WHO converts inside the
+    * window; this measures HOW FAST: seconds from first signup to first
+    * subsequent purchase per user, reduced to exact quartiles + P90 and
+    * the converter count. Gaps are integer epoch-second deltas; the
+    * percentiles are the q54-proven exact pairing.
+    */
+  val q266TimeToConvert = GraftQuery(
+    "q266_time_to_convert",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s0 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t0"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(s0, "user_id")
+        .filter(col("ts") > col("t0"))
+        .groupBy("user_id").agg(min("ts").as("t1"), first("t0").as("t0"))
+        .select((col("t1").cast("long") - col("t0").cast("long")).as("gap_s"))
+      conv.agg(count(lit(1)).as("n_converters"),
+        round(expr("percentile(gap_s, 0.25)"), 3).as("p25_s"),
+        round(expr("percentile(gap_s, 0.5)"), 3).as("p50_s"),
+        round(expr("percentile(gap_s, 0.75)"), 3).as("p75_s"),
+        round(expr("percentile(gap_s, 0.9)"), 3).as("p90_s"))
+    },
+    Some("""WITH s0 AS (SELECT user_id, min(ts) t0 FROM events
+           |  WHERE event_type = 'signup' GROUP BY 1),
+           |conv AS (SELECT e.user_id,
+           |    date_diff('second', any_value(s0.t0), min(e.ts)) AS gap_s
+           |  FROM events e JOIN s0 USING (user_id)
+           |  WHERE e.event_type = 'purchase' AND e.ts > s0.t0
+           |  GROUP BY 1)
+           |SELECT CAST(count(*) AS BIGINT) n_converters,
+           |  round(quantile_cont(gap_s, 0.25), 3) AS p25_s,
+           |  round(quantile_cont(gap_s, 0.5), 3) AS p50_s,
+           |  round(quantile_cont(gap_s, 0.75), 3) AS p75_s,
+           |  round(quantile_cont(gap_s, 0.9), 3) AS p90_s
+           |FROM conv""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q115ArgExtremes, q116ArrayFuncs, q117Funnel, q118Retention,
       q119Transitions, q120Rfm, q121SessionPaths, q122Listagg,
       q123ApproxPercentile, q124MapFuncs, q125UnionByName, q126GroupingId,
       q177DecayedEngagement, q211Skyline, q212AssociationRules,
-      q250RankStability)
+      q250RankStability, q265BehaviorEntropy, q266TimeToConvert)
 }

@@ -553,6 +553,54 @@ object Graph {
          |FROM r3 WHERE node < 0 AND node >= -60 ORDER BY supp""".stripMargin
     })
 
+  /** One round of neighbor feature propagation (the message-passing
+    * primitive GNN feature engineering reduces to at tabular scale):
+    * every supplier's raw feature is its shipped-quantity total, and the
+    * propagated feature is the mean over its co-purchase neighbors —
+    * smoothing node signals by graph structure before any model sees
+    * them. One distinct-edge build, one symmetrize, one keyed join to
+    * decorate neighbors, one partial-agg mean — the exact per-round
+    * dataflow of q98/q184 with features instead of ranks. Output:
+    * suppliers ≤ 60 with raw vs propagated feature and neighbor count
+    * (means are exact integer rationals: sum/count of long totals).
+    */
+  val q264FeaturePropagation = GraftQuery(
+    "q264_feature_propagation",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val feat = li.groupBy(col("l_suppkey").as("n"))
+        .agg(sum("l_quantity").cast("long").as("f"))
+      val ps = li.select("l_orderkey", "l_suppkey").distinct()
+      val und = ps.as("a")
+        .join(ps.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+        .distinct()
+      val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      sym.join(feat.select(col("n").as("v"), col("f").as("nf")), "v")
+        .groupBy("u")
+        .agg(count(lit(1)).as("n_neighbors"),
+          round(sum("nf") / count(lit(1)).cast("double"), 3).as("propagated_f"))
+        .join(feat.select(col("n").as("u"), col("f").as("raw_f")), "u")
+        .filter(col("u") <= 60)
+        .select(col("u").as("supp"), col("raw_f"), col("n_neighbors"),
+          col("propagated_f"))
+        .orderBy("supp")
+    },
+    Some("""WITH feat AS (SELECT l_suppkey n, CAST(sum(l_quantity) AS BIGINT) f
+           |  FROM lineitem GROUP BY 1),
+           |ps AS (SELECT DISTINCT l_orderkey o, l_suppkey sk FROM lineitem),
+           |und AS (SELECT DISTINCT a.sk u, b.sk v
+           |  FROM ps a JOIN ps b ON a.o = b.o AND a.sk < b.sk),
+           |sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+           |agg AS (SELECT sym.u, CAST(count(*) AS BIGINT) n_neighbors,
+           |    round(sum(nf.f) / count(*)::DOUBLE, 3) propagated_f
+           |  FROM sym JOIN feat nf ON nf.n = sym.v GROUP BY 1)
+           |SELECT agg.u AS supp, feat.f AS raw_f, n_neighbors, propagated_f
+           |FROM agg JOIN feat ON feat.n = agg.u
+           |WHERE agg.u <= 60 ORDER BY supp""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q98PageRank, q148TriangleCount, q171KcoreSemantic,
-    q184Sssp, q186LabelProp, q215Assortativity, q237PersonalizedPagerank)
+    q184Sssp, q186LabelProp, q215Assortativity, q237PersonalizedPagerank,
+    q264FeaturePropagation)
 }
