@@ -133,9 +133,11 @@ object Aggregates {
           .select(lit(id).as("range_id"), col("event_type"),
             (col("chi") - coalesce(col("clo"), lit(0L))).as("n"))
       }.reduce(_ unionByName _).orderBy("range_id", "event_type")
-      out.count() // materialize before releasing the cached prefix table
+      // localCheckpoint, not count()+recompute: the verify/bench action
+      // reads the materialized rows instead of re-executing the released plan
+      val ckpt = out.localCheckpoint()
       prefix.unpersist()
-      out
+      ckpt
     },
     Some("""WITH d0 AS (SELECT CAST(min(ts) AS DATE) AS d FROM events),
            |r(range_id, lo, hi) AS (VALUES (1, 3, 10), (2, 12, 20), (3, 0, 29))

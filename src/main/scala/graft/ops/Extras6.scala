@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
@@ -168,40 +169,73 @@ object Extras6 {
            |FROM seq WHERE next_type IS NOT NULL
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
-  /** RFM (recency / frequency / monetary) customer segmentation: per-customer
-    * order stats quartiled with ntile over a total order (metric + custkey
-    * tie-break). The global ntile is a single-partition window — fine for a
-    * customer dimension (cardinality ≪ fact table); at extreme scale the
-    * quartile boundaries would come from approx quantiles instead.
+  /** RFM (recency / frequency / monetary) customer segmentation:
+    * per-customer order stats quartiled against the three exact quartile
+    * thresholds of each metric (the ScaleFrames threshold frame — r_q 1 =
+    * most recent, f_q/m_q 1 = highest; equal metric values share a
+    * quartile). Monetary totals sum in INTEGER CENTS (the q103
+    * drift-proof discipline) so thresholds and comparisons are exact
+    * cross-engine; the displayed `monetary` divides back to dollars.
+    *
+    * Scale: the round-7 form ran three global ntile windows over the
+    * customer dimension through one task each; this form is one
+    * threshold-aggregate over the localCheckpointed per-customer table
+    * plus a map-side comparison chain — no global window, no
+    * `Exchange SinglePartition` at any customer cardinality.
     */
-  val q120Rfm = GraftQuery(
-    "q120_rfm",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val per = Tables.orders(s, dir)
+  private[graft] def q120Df(s: SparkSession, dir: String,
+      forPlan: Boolean = false): DataFrame = {
+      val per0 = Tables.orders(s, dir)
         .groupBy("o_custkey")
         .agg(
           datediff(to_date(lit("1999-01-01")), to_date(max(col("o_orderdate"))))
             .cast("long").as("recency_d"),
           count(lit(1)).as("frequency"),
-          round(sum("o_totalprice"), 2).as("monetary"))
+          sum(round(col("o_totalprice") * 100).cast("long")).as("m_cents"))
+      // customer-dimension cardinality
+      val per = if (forPlan) per0 else per0.localCheckpoint()
+      val fr = Seq(0.25, 0.5, 0.75)
+      val rT = ScaleFrames.thresholds(per, "recency_d", fr)
+      val fT = ScaleFrames.thresholds(per, "frequency", fr.reverse)
+      val mT = ScaleFrames.thresholds(per, "m_cents", fr.reverse)
       per.select(
-        col("o_custkey"), col("recency_d"), col("frequency"), col("monetary"),
-        ntile(4).over(Window.orderBy(col("recency_d"), col("o_custkey"))).as("r_q"),
-        ntile(4).over(Window.orderBy(col("frequency").desc, col("o_custkey"))).as("f_q"),
-        ntile(4).over(Window.orderBy(col("monetary").desc, col("o_custkey"))).as("m_q"))
+        col("o_custkey"), col("recency_d"), col("frequency"),
+        round(col("m_cents") / 100.0, 2).as("monetary"),
+        ScaleFrames.binAsc(col("recency_d"), rT).as("r_q"),
+        ScaleFrames.binDesc(col("frequency"), fT).as("f_q"),
+        ScaleFrames.binDesc(col("m_cents"), mT).as("m_q"))
         .orderBy("o_custkey")
-    },
-    Some("""WITH per AS (
+  }
+
+  val q120Rfm = GraftQuery(
+    "q120_rfm",
+    (s, dir) => q120Df(s, dir),
+    Some(s"""WITH per AS (
            |  SELECT o_custkey,
            |    datediff('day', CAST(max(o_orderdate) AS DATE), DATE '1999-01-01') AS recency_d,
-           |    count(*) AS frequency, round(sum(o_totalprice), 2) AS monetary
-           |  FROM orders GROUP BY 1)
-           |SELECT o_custkey, recency_d, frequency, monetary,
-           |  ntile(4) OVER (ORDER BY recency_d, o_custkey) AS r_q,
-           |  ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
-           |  ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
-           |FROM per ORDER BY o_custkey""".stripMargin))
+           |    count(*) AS frequency,
+           |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_cents
+           |  FROM orders GROUP BY 1),
+           |th AS (SELECT
+           |    round(quantile_cont(recency_d, 0.25), 6) r1,
+           |    round(quantile_cont(recency_d, 0.5), 6) r2,
+           |    round(quantile_cont(recency_d, 0.75), 6) r3,
+           |    round(quantile_cont(frequency, 0.75), 6) f1,
+           |    round(quantile_cont(frequency, 0.5), 6) f2,
+           |    round(quantile_cont(frequency, 0.25), 6) f3,
+           |    round(quantile_cont(m_cents, 0.75), 6) m1,
+           |    round(quantile_cont(m_cents, 0.5), 6) m2,
+           |    round(quantile_cont(m_cents, 0.25), 6) m3
+           |  FROM per)
+           |SELECT o_custkey, recency_d, frequency,
+           |  round(m_cents / 100.0, 2) AS monetary,
+           |  1 + CAST(recency_d > th.r1 AS INT) + CAST(recency_d > th.r2 AS INT)
+           |    + CAST(recency_d > th.r3 AS INT) AS r_q,
+           |  1 + CAST(frequency < th.f1 AS INT) + CAST(frequency < th.f2 AS INT)
+           |    + CAST(frequency < th.f3 AS INT) AS f_q,
+           |  1 + CAST(m_cents < th.m1 AS INT) + CAST(m_cents < th.m2 AS INT)
+           |    + CAST(m_cents < th.m3 AS INT) AS m_q
+           |FROM per, th ORDER BY o_custkey""".stripMargin))
 
   /** Top user journeys: each user's first five events in time order,
     * joined into a path string and ranked by popularity. Ordered
@@ -513,9 +547,11 @@ object Extras6 {
             .as("lift"))
         .orderBy(desc("lift"), col("pa"), col("pb"))
         .limit(20)
-      out.count() // materialize before releasing the cached basket table
+      // localCheckpoint, not count()+recompute: the verify/bench action
+      // reads the materialized rows instead of re-executing the released plan
+      val ckpt = out.localCheckpoint()
       b.unpersist()
-      out
+      ckpt
     },
     Some("""WITH b AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
            |n AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) n FROM b),
@@ -563,9 +599,11 @@ object Extras6 {
         .select(col("wk").cast("long").as("week"), col("overlap"),
           col("jaccard"))
         .orderBy("week")
-      out.count() // materialize before releasing the cached top sets
+      // localCheckpoint, not count()+recompute: the verify/bench action
+      // reads the materialized rows instead of re-executing the released plan
+      val ckpt = out.localCheckpoint()
       top.unpersist()
-      out
+      ckpt
     },
     Some("""WITH li AS (SELECT l_partkey, l_quantity, o_orderdate
            |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

@@ -212,10 +212,11 @@ object Graph {
       .select(col("i"), col("j"))
     val edges = pairs.select(col("i").as("u"), col("j").as("v"))
       .unionAll(pairs.select(col("j").as("u"), col("i").as("v")))
-      .persist()
-    edges.count() // materialize before releasing the upstream caches
+    // localCheckpoint, not persist+count: downstream rounds read the
+    // materialized edge blocks instead of re-executing the released plan
+    val ckpt = edges.localCheckpoint()
     tf.unpersist(); w.unpersist()
-    edges
+    ckpt
   }
 
   /** Iterative k-core peel to fixpoint over an undirected edge list (both
@@ -361,9 +362,11 @@ object Graph {
       }
       val out = lab.select(col("node").as("doc_id"), col("lbl").as("community"))
         .orderBy("doc_id")
-      out.count() // materialize before releasing the cached edge list
+      // localCheckpoint, not count()+recompute: the verify/bench action
+      // reads the materialized rows instead of re-executing the released plan
+      val ckpt = out.localCheckpoint()
       e.unpersist()
-      out
+      ckpt
     },
     Some {
       val rounds = (1 to 4).map { r =>
@@ -410,9 +413,11 @@ object Graph {
       val out = d.filter(col("node") <= 60)
         .select(col("node").as("supp"), col("dist").cast("long").as("dist"))
         .orderBy("supp")
-      out.count() // materialize before unpersisting the cached edge list
+      // localCheckpoint, not count()+recompute: the verify/bench action
+      // reads the materialized rows instead of re-executing the released plan
+      val ckpt = out.localCheckpoint()
       e.unpersist()
-      out
+      ckpt
     },
     Some {
       val rounds = (1 to 4).map { i =>
@@ -469,9 +474,11 @@ object Graph {
         .crossJoin(nodeStats)
         .select(col("n_nodes"), col("n_edges"), col("avg_deg"),
           col("assortativity"))
-      out.count() // materialize before releasing the cached edge/degree frames
+      // localCheckpoint, not count()+recompute: the verify/bench action
+      // reads the materialized rows instead of re-executing the released plan
+      val ckpt = out.localCheckpoint()
       und.unpersist(); deg.unpersist()
-      out
+      ckpt
     },
     Some("""WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey pk FROM lineitem),
            |und AS (SELECT DISTINCT a.pk u, b.pk v
@@ -521,9 +528,11 @@ object Graph {
       val out = ranks.filter(col("node") < 0 && col("node") >= -60)
         .select((-col("node")).as("supp"), round(col("rank"), 6).as("ppr"))
         .orderBy("supp")
-      out.count() // materialize before releasing the cached edge frames
+      // localCheckpoint, not count()+recompute: the verify/bench action
+      // reads the materialized rows instead of re-executing the released plan
+      val ckpt = out.localCheckpoint()
       e.unpersist(); withDeg.unpersist()
-      out
+      ckpt
     },
     Some {
       val iters = (1 to 3).map { i =>

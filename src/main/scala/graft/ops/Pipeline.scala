@@ -462,9 +462,11 @@ object Pipeline {
         .unionByName(stage("3_quality", s3))
         .unionByName(stage("4_lang", s4))
         .orderBy("stage")
-      out.count() // materialize before releasing the cached corpus
+      // localCheckpoint, not count()+recompute: the verify/bench action
+      // reads the materialized rows instead of re-executing the released plan
+      val ckpt = out.localCheckpoint()
       docs.unpersist()
-      out
+      ckpt
     },
     Some(s"""WITH RECURSIVE pairs AS (SELECT i, j FROM (
             |${graft.ops.Dedup.q25DedupMinhash.oracle.get}) q25),
@@ -543,9 +545,11 @@ object Pipeline {
         .select(col("n_users"),
           (col("raw_sessions") - col("boundary_merges")).as("total_sessions"),
           col("boundary_merges"))
-      out.count() // materialize before releasing the cached events
+      // localCheckpoint, not count()+recompute: the verify/bench action
+      // reads the materialized rows instead of re-executing the released plan
+      val ckpt = out.localCheckpoint()
       ev.unpersist()
-      out
+      ckpt
     },
     Some("""WITH cut AS (SELECT CAST(min(ts) AS DATE) + 20 AS c FROM events),
            |g AS (SELECT user_id, ts,
@@ -601,9 +605,11 @@ object Pipeline {
             .as("mean_chars"),
           (col("n_docs") - col("n_distinct")).as("exact_dups"))
         .orderBy("source")
-      out.count() // materialize before releasing the cached corpus
+      // localCheckpoint, not count()+recompute: the verify/bench action
+      // reads the materialized rows instead of re-executing the released plan
+      val ckpt = out.localCheckpoint()
       d.unpersist()
-      out
+      ckpt
     },
     Some("""WITH d AS (SELECT source, lang, text, n_chars,
            |    CAST(len(string_split(text, ' ')) AS BIGINT) toks

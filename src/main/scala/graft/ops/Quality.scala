@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
@@ -335,6 +336,88 @@ object Quality {
            |SELECT doc_id, source, n_chars, b.q, norm_score
            |FROM b JOIN ref USING (q) ORDER BY doc_id""".stripMargin))
 
+  /** Sketch-boundary quantile normalization — the production variant
+    * q193's scaladoc promises: the same bucket→reference-mean join shape,
+    * but the per-source decile boundaries come from `approx_percentile`
+    * (Greenwald-Khanna, accuracy 10000) whose state is FIXED-SIZE per
+    * source at any corpus volume — where q193's exact per-source window
+    * ranks every row. Because the GK sketch isn't cross-engine stable, the
+    * oracle-checkable output follows the q123 discipline: buckets and the
+    * reference distribution are computed from the EXACT value-decile
+    * boundaries (a value function — no window, just a grouped percentile
+    * frame of ≤9 boundaries per source broadcast back), and each row
+    * carries a `sketch_ok` boolean asserting the sketch boundary lies
+    * BETWEEN THE ADJACENT EXACT DECILES (min/max at the edges) — the
+    * value-domain shadow of GK's rank guarantee (error ≤ n/accuracy
+    * ranks, ≪ the n/10 decile width at any n; a value-percentage band
+    * would be meaningless on a 25-doc source where neighboring order
+    * statistics differ by 17%). A sketch regression flips the boolean
+    * and the hash; the oracle emits literal TRUE.
+    *
+    * Scale: two grouped aggregates + one broadcast join; boundary state is
+    * 2×9 doubles per source. QuantileNormSketchSpec pins the bounded
+    * frame and the broadcast, window-free plan.
+    */
+  val q267QuantileNormSketch = GraftQuery(
+    "q267_quantile_norm_sketch",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val bounds = quantileNormBounds(s, dir)
+      val withQ = d.join(broadcast(bounds), "source")
+        .withColumn("q",
+          (size(filter(col("eb"), x => col("n_chars") > x)) + 1).cast("int"))
+      val ref = withQ.groupBy("q")
+        .agg(round(avg("n_chars"), 3).as("norm_score"))
+      val lo = when(col("q") === 1, col("mn"))
+        .otherwise(element_at(col("eb"), col("q") - 1))
+      val hi = when(col("q") === 9, col("mx"))
+        .otherwise(element_at(col("eb"), col("q") + 1))
+      withQ.groupBy("source", "q")
+        .agg(count(lit(1)).as("n_docs"),
+          first(when(col("q") <= 9,
+            element_at(col("ab"), col("q")).between(lo, hi))
+            .otherwise(lit(true)))
+            .as("sketch_ok"))
+        .join(broadcast(ref), "q")
+        .select(col("source"), col("q"), col("n_docs"), col("norm_score"),
+          col("sketch_ok"))
+        .orderBy("source", "q")
+    },
+    Some("""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+           |b AS (SELECT source,
+           |    list_transform(quantile_cont(n_chars,
+           |      [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]), x -> round(x, 6)) eb
+           |  FROM d GROUP BY 1),
+           |q AS (SELECT d.source, n_chars,
+           |    len(list_filter(b.eb, x -> n_chars > x)) + 1 AS q
+           |  FROM d JOIN b USING (source)),
+           |ref AS (SELECT q, round(avg(n_chars), 3) norm_score
+           |  FROM q GROUP BY 1)
+           |SELECT q.source, CAST(q.q AS INT) AS q,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  any_value(ref.norm_score) AS norm_score, TRUE AS sketch_ok
+           |FROM q JOIN ref USING (q)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** The per-source boundary frame behind q267: exact decile boundaries
+    * (rounded 6 — the literal both engines compare against) next to the
+    * approx_percentile sketch boundaries. One grouped aggregate; ≤ 2×9
+    * doubles per source regardless of corpus size.
+    */
+  private[graft] def quantileNormBounds(s: SparkSession, dir: String): DataFrame = {
+    val fr = (1 to 9).map(_ / 10.0)
+    Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(
+        expr(s"transform(percentile(n_chars, array(${fr.mkString(",")})), " +
+          "x -> round(x, 6))").as("eb"),
+        approx_percentile(col("n_chars"),
+          array(fr.map(lit): _*), lit(10000)).as("ab"),
+        min("n_chars").cast("double").as("mn"),
+        max("n_chars").cast("double").as("mx"))
+  }
+
   /** Calibration curve (reliability diagram) of a probability-like score
     * against observed outcomes — the companion to q153's AUC: AUC says the
     * score RANKS well, calibration says its VALUES mean what they claim,
@@ -342,45 +425,58 @@ object Quality {
     * score is a logistic over ship-delay days (l_shipdate − o_orderdate,
     * centered at 60); the outcome is whether the line came back returned
     * (l_returnflag = 'R'). Rows bucket into
-    * global score deciles (ordered by the INTEGER day delta + unique keys,
-    * so the sort never compares cross-engine floats), then each bin
-    * reports mean predicted probability vs empirical positive rate and
-    * the gap — per-bin |gap| summed is ECE if the caller wants one number.
+    * value-decile bins of the INTEGER day delta (nine exact percentile
+    * thresholds as a literal frame — the q254 pattern, ScaleFrames — so
+    * binning is a map-side comparison chain and equal deltas always share
+    * a bin), then each bin reports mean predicted probability vs empirical
+    * positive rate and the gap — per-bin |gap| summed is ECE if the caller
+    * wants one number.
     *
-    * Scale: the global decile is a full sort (the exact form); at corpus
-    * scale the sort is replaced by approximate-quantile bin edges (q123's
-    * sketch) with identical downstream shape. Positive rates are integer
-    * ratios (safe at 6); avg(score) accumulates floats → 3 digits.
+    * Scale: one threshold-aggregate scan plus one partial-agg scan — no
+    * global window, no `Exchange SinglePartition` (the round-7 ntile form
+    * funneled every row through ONE sort task; this is its scale-safe
+    * replacement, hash-equivalent up to the documented tie discipline).
+    * Positive rates are integer ratios (safe at 6); avg(score)
+    * accumulates floats → 3 digits.
     */
-  val q196Calibration = GraftQuery(
-    "q196_calibration",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val li = Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(
-          col("l_orderkey"), col("l_linenumber"),
-          (datediff(col("l_shipdate"), col("o_orderdate")) - lit(60)).as("dd"),
-          (col("l_returnflag") === "R").cast("int").as("late"))
-      val scored = li
-        .withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("dd") / lit(30.0))))
-        .withColumn("bin", ntile(10).over(
-          Window.orderBy(col("dd"), col("l_orderkey"), col("l_linenumber"))))
-      scored.groupBy("bin").agg(
+  private[graft] def q196Df(s: SparkSession, dir: String,
+      forPlan: Boolean = false): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        (datediff(col("l_shipdate"), col("o_orderdate")) - lit(60)).as("dd"),
+        (col("l_returnflag") === "R").cast("int").as("late"))
+    val li = if (forPlan) base else base.persist()
+    val ts = ScaleFrames.thresholds(li, "dd", (1 to 9).map(_ / 10.0))
+    val out = li
+      .withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("dd") / lit(30.0))))
+      .withColumn("bin", ScaleFrames.binAsc(col("dd"), ts))
+      .groupBy("bin").agg(
         count(lit(1)).as("n"),
         round(avg("score"), 3).as("avg_score"),
         round(avg(col("late").cast("double")), 6).as("pos_rate"),
         round(avg("score") - avg(col("late").cast("double")), 3).as("gap"))
-        .orderBy("bin")
-    },
-    Some("""WITH li AS (SELECT l_orderkey, l_linenumber,
+      .orderBy("bin")
+    if (forPlan) out
+    else {
+      val r = out.localCheckpoint() // ≤10 rows; frees the cached base
+      li.unpersist()
+      r
+    }
+  }
+
+  val q196Calibration = GraftQuery(
+    "q196_calibration",
+    (s, dir) => q196Df(s, dir),
+    Some(s"""WITH li AS (SELECT
            |    datediff('day', o_orderdate, l_shipdate) - 60 AS dd,
            |    CAST(l_returnflag = 'R' AS INT) AS late
            |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-           |sc AS (SELECT *, 1.0 / (1.0 + exp(-dd / 30.0)) AS score,
-           |    ntile(10) OVER (ORDER BY dd, l_orderkey, l_linenumber) AS bin
-           |  FROM li)
+           |th AS (${ScaleFrames.thresholdCte("dd", (1 to 9).map(_ / 10.0), "li")}),
+           |sc AS (SELECT late, 1.0 / (1.0 + exp(-dd / 30.0)) AS score,
+           |    ${ScaleFrames.binSqlAsc("dd", 9)} AS bin
+           |  FROM li, th)
            |SELECT bin, CAST(count(*) AS BIGINT) AS n,
            |  round(avg(score), 3) AS avg_score,
            |  round(avg(late::DOUBLE), 6) AS pos_rate,
@@ -436,44 +532,60 @@ object Quality {
 
   /** Weight-of-evidence / information-value feature diagnostics — the
     * credit-scoring-lineage screen for "does this feature separate the
-    * classes, monotonically, and where": score deciles (q196's integer-
-    * ordered binning) each report WOE = ln((pos_share)/(neg_share)) with
+    * classes, monotonically, and where": score deciles (q196's
+    * threshold-frame value binning — no global window, ScaleFrames) each
+    * report WOE = ln((pos_share)/(neg_share)) with
     * Laplace 0.5 smoothing (a pure-one-class bin would be ±∞), and the
     * per-bin IV term (pos% − neg%)·WOE sums to the feature's information
     * value (rule of thumb: <0.02 useless, >0.3 strong). Everything after
-    * the decile window is integer counts and one ln of an exact rational
+    * the decile binning is integer counts and one ln of an exact rational
     * — bit-identical cross-engine, rounded only for display.
+    *
+    * Scale: threshold scan + partial-agg scan, zero single-partition
+    * exchanges; the ≤10-row bin table localCheckpoints so the totals
+    * crossJoin and the verify pass read materialized rows.
     */
+  private[graft] def q210Df(s: SparkSession, dir: String,
+      forPlan: Boolean = false): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(
+        (datediff(col("l_shipdate"), col("o_orderdate")) - lit(60)).as("dd"),
+        (col("l_returnflag") === "R").cast("long").as("pos"))
+    val li = if (forPlan) base else base.persist()
+    val ts = ScaleFrames.thresholds(li, "dd", (1 to 9).map(_ / 10.0))
+    val per0 = li.withColumn("bin", ScaleFrames.binAsc(col("dd"), ts))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("pos").as("pos"))
+      .withColumn("neg", col("n") - col("pos"))
+    val per =
+      if (forPlan) per0
+      else {
+        val p = per0.localCheckpoint() // ≤10 rows; frees the cached base
+        li.unpersist()
+        p
+      }
+    val tot = per.agg(sum("pos").as("p_all"), sum("neg").as("n_all"))
+    per.crossJoin(tot)
+      .withColumn("woe", log(((col("pos") + 0.5) / col("p_all")) /
+        ((col("neg") + 0.5) / col("n_all"))))
+      .select(col("bin"), col("n"), col("pos"), col("neg"),
+        round(col("woe"), 6).as("woe"),
+        round(((col("pos") / col("p_all")) - (col("neg") / col("n_all")))
+          * col("woe"), 6).as("iv_term"))
+      .orderBy("bin")
+  }
+
   val q210WoeIv = GraftQuery(
     "q210_woe_iv",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val li = Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey"), col("l_linenumber"),
-          (datediff(col("l_shipdate"), col("o_orderdate")) - lit(60)).as("dd"),
-          (col("l_returnflag") === "R").cast("long").as("pos"))
-      val binned = li.withColumn("bin", ntile(10).over(
-        Window.orderBy(col("dd"), col("l_orderkey"), col("l_linenumber"))))
-      val per = binned.groupBy("bin")
-        .agg(count(lit(1)).as("n"), sum("pos").as("pos"))
-        .withColumn("neg", col("n") - col("pos"))
-      val tot = per.agg(sum("pos").as("p_all"), sum("neg").as("n_all"))
-      per.crossJoin(tot)
-        .withColumn("woe", log(((col("pos") + 0.5) / col("p_all")) /
-          ((col("neg") + 0.5) / col("n_all"))))
-        .select(col("bin"), col("n"), col("pos"), col("neg"),
-          round(col("woe"), 6).as("woe"),
-          round(((col("pos") / col("p_all")) - (col("neg") / col("n_all")))
-            * col("woe"), 6).as("iv_term"))
-        .orderBy("bin")
-    },
-    Some("""WITH li AS (SELECT l_orderkey, l_linenumber,
+    (s, dir) => q210Df(s, dir),
+    Some(s"""WITH li AS (SELECT
            |    datediff('day', o_orderdate, l_shipdate) - 60 AS dd,
            |    CAST(l_returnflag = 'R' AS BIGINT) AS pos
            |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-           |b AS (SELECT pos, ntile(10) OVER (
-           |    ORDER BY dd, l_orderkey, l_linenumber) AS bin FROM li),
+           |th AS (${ScaleFrames.thresholdCte("dd", (1 to 9).map(_ / 10.0), "li")}),
+           |b AS (SELECT pos, ${ScaleFrames.binSqlAsc("dd", 9)} AS bin
+           |  FROM li, th),
            |per AS (SELECT bin, CAST(count(*) AS BIGINT) n,
            |    CAST(sum(pos) AS BIGINT) pos,
            |    CAST(count(*) - sum(pos) AS BIGINT) neg
@@ -519,9 +631,11 @@ object Quality {
       val res = hl.crossJoin(hs).crossJoin(out.select("mi"))
         .select(col("h_lang"), col("h_source"), col("mi"),
           round(col("mi") / sqrt(col("h_lang") * col("h_source")), 6).as("nmi"))
-      res.count() // materialize before releasing the cached joint counts
+      // localCheckpoint, not count()+recompute: the verify/bench action
+      // reads the materialized rows instead of re-executing the released plan
+      val ckpt = res.localCheckpoint()
       joint.unpersist()
-      res
+      ckpt
     },
     Some("""WITH j AS (SELECT lang, source, CAST(count(*) AS BIGINT) c
            |  FROM documents GROUP BY 1, 2),
@@ -575,9 +689,11 @@ object Quality {
           lit(qhat).as("q_hat"), col("n_test"),
           round(col("n_covered") / col("n_test").cast("double"), 6)
             .as("coverage"))
-      out.count() // materialize before releasing the cached split
+      // localCheckpoint, not count()+recompute: the verify/bench action
+      // reads the materialized rows instead of re-executing the released plan
+      val ckpt = out.localCheckpoint()
       li.unpersist()
-      out
+      ckpt
     },
     Some("""WITH li AS (SELECT l_quantity x, l_extendedprice y,
            |    CAST(concat('0x', substr(md5(l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR), 1, 8)) AS BIGINT) % 3 AS b
@@ -596,32 +712,59 @@ object Quality {
   /** Two-sample Kolmogorov-Smirnov statistic between two sources' length
     * distributions — the nonparametric drift test next to q113's binned
     * PSI (KS needs no bin choice and is sensitive anywhere on the CDF):
-    * D = max |F_A(v) − F_B(v)| over the pooled values, computed with ONE
-    * RANGE-framed window per side over the pooled sort (ties collapse
-    * correctly because the frame is value-ranged, not row-ranged). The
-    * ECDFs are exact integer rationals; D is their max — deterministic
-    * bit-for-bit, rounded only for display.
+    * D = max |F_A(v) − F_B(v)| over the pooled values. The ECDFs are
+    * exact integer rationals; D is their max — deterministic bit-for-bit,
+    * rounded only for display.
+    *
+    * Scale: the ECDF cumsum is TWO-LEVEL (the q174 twoLevelRank shape on
+    * a numeric axis) — rows first collapse to per-distinct-value counts
+    * (a partial agg; the value domain is bounded by the max document
+    * length at any corpus size), the cumulative sum runs inside
+    * fixed-width value buckets (a PARTITIONED window, parallel), and the
+    * bounded per-bucket totals cumulate through a triangle join instead
+    * of a global window — the plan carries no `Exchange SinglePartition`.
+    * Grouping by value first is exactly the round-7 RANGE frame's tie
+    * semantics (F(v) counts every row with value ≤ v), so the oracle is
+    * unchanged.
     */
-  val q243KsTest = GraftQuery(
-    "q243_ks_test",
-    (s, dir) => {
+  private[graft] def q243Df(s: SparkSession, dir: String,
+      forPlan: Boolean = false): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val d = Tables.documents(s, dir)
         .filter(col("source").isin("src0", "src1"))
         .select(col("source"), col("n_chars").cast("double").as("v"))
-      val w = Window.orderBy("v")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-      val counts = d.agg(
-        sum((col("source") === "src0").cast("long")).as("na"),
-        sum((col("source") === "src1").cast("long")).as("nb")).head()
+      val byV0 = d.groupBy("v").agg(
+        sum((col("source") === "src0").cast("long")).as("a"),
+        sum((col("source") === "src1").cast("long")).as("b"))
+        .withColumn("bkt", floor(col("v") / 256).cast("long"))
+      // ≤ distinct-lengths rows, bounded by max doc length
+      val byV = if (forPlan) byV0 else byV0.localCheckpoint()
+      val counts = byV.agg(sum("a").as("na"), sum("b").as("nb")).head()
       val (na, nb) = (counts.getLong(0), counts.getLong(1))
-      d.withColumn("ca", sum((col("source") === "src0").cast("long")).over(w))
-        .withColumn("cb", sum((col("source") === "src1").cast("long")).over(w))
+      val wb = Window.partitionBy("bkt").orderBy("v")
+      val within = byV
+        .withColumn("ca_in", sum("a").over(wb))
+        .withColumn("cb_in", sum("b").over(wb))
+      val offs = byV.groupBy("bkt")
+        .agg(sum("a").as("ta"), sum("b").as("tb"))
+      val prior = offs.select(col("bkt").as("bkt2"),
+        col("ta").as("ta2"), col("tb").as("tb2"))
+      val off = offs.join(prior, col("bkt2") < col("bkt"), "left")
+        .groupBy("bkt")
+        .agg(coalesce(sum("ta2"), lit(0L)).as("off_a"),
+          coalesce(sum("tb2"), lit(0L)).as("off_b"))
+      within.join(broadcast(off), "bkt")
+        .withColumn("ca", col("ca_in") + col("off_a"))
+        .withColumn("cb", col("cb_in") + col("off_b"))
         .agg(max(abs(col("ca") / lit(na.toDouble) - col("cb") / lit(nb.toDouble)))
           .as("d"))
         .select(lit(na).as("n_a"), lit(nb).as("n_b"),
           round(col("d"), 6).as("ks_d"))
-    },
+  }
+
+  val q243KsTest = GraftQuery(
+    "q243_ks_test",
+    (s, dir) => q243Df(s, dir),
     Some("""WITH d AS (SELECT source, n_chars::DOUBLE v FROM documents
            |  WHERE source IN ('src0', 'src1')),
            |n AS (SELECT CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) na,
@@ -671,9 +814,11 @@ object Quality {
         .select(col("k"), round(col("t"), 6).as("threshold"),
           col("tpr"), col("fpr"))
         .orderBy("k")
-      out.count() // materialize before releasing the cached scores
+      // localCheckpoint, not count()+recompute: the verify/bench action
+      // reads the materialized rows instead of re-executing the released plan
+      val ckpt = out.localCheckpoint()
       li.unpersist()
-      out
+      ckpt
     },
     Some("""WITH li AS (SELECT datediff('day', o_orderdate, l_shipdate) dd,
            |    CAST(l_returnflag = 'R' AS BIGINT) pos
@@ -700,44 +845,63 @@ object Quality {
            |FROM li, th GROUP BY 1, 2 ORDER BY 1""".stripMargin))
 
   /** Cumulative gains (lift) chart — the targeting readout next to q254's
-    * ROC: rank by the score descending into deciles, report what share of
-    * all positives the top-k deciles capture and the lift over random
-    * (gain share / population share). The decile order key is the integer
-    * day delta with unique tie-breaks (no float sort); gains are integer
-    * ratios; cumulative sums run over 10 decile rows.
+    * ROC: bin by the score descending into value deciles (nine exact
+    * percentile thresholds at descending fractions — the ScaleFrames
+    * threshold frame, decile 1 = highest scores, equal scores share a
+    * decile), report what share of all positives the top-k deciles
+    * capture and the lift over random (gain share / population share).
+    * Gains are integer ratios rounded at 6.
+    *
+    * Scale: threshold scan + partial-agg scan, then the cumulative sums
+    * run through a 10×10 triangle join over the localCheckpointed decile
+    * table — no global window anywhere, no `Exchange SinglePartition`.
     */
-  val q261CumulativeGains = GraftQuery(
-    "q261_cumulative_gains",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val li = Tables.lineitem(s, dir)
+  private[graft] def q261Df(s: SparkSession, dir: String,
+      forPlan: Boolean = false): DataFrame = {
+      val base = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey"), col("l_linenumber"),
+        .select(
           datediff(col("l_shipdate"), col("o_orderdate")).as("dd"),
           (col("l_returnflag") === "R").cast("long").as("pos"))
-      val binned = li.withColumn("decile", ntile(10).over(
-        Window.orderBy(desc("dd"), col("l_orderkey"), col("l_linenumber"))))
-      val per = binned.groupBy("decile")
+      val li = if (forPlan) base else base.persist()
+      val ts = ScaleFrames.thresholds(li, "dd", (1 to 9).map(k => (10 - k) / 10.0))
+      val per0 = li.withColumn("decile", ScaleFrames.binDesc(col("dd"), ts))
+        .groupBy("decile")
         .agg(count(lit(1)).as("n"), sum("pos").as("pos"))
-      val w = Window.orderBy("decile")
-      val tot = Window.partitionBy()
-      per
-        .withColumn("cum_pos", sum("pos").over(w))
-        .withColumn("cum_n", sum("n").over(w))
-        .withColumn("tot_pos", sum("pos").over(tot))
-        .withColumn("tot_n", sum("n").over(tot))
+      val per =
+        if (forPlan) per0
+        else {
+          val p = per0.localCheckpoint() // ≤10 rows; frees the cached base
+          li.unpersist()
+          p
+        }
+      val prior = per.select(col("decile").as("d2"), col("n").as("n2"),
+        col("pos").as("p2"))
+      per.crossJoin(prior)
+        .groupBy("decile", "n", "pos")
+        .agg(sum(when(col("d2") <= col("decile"), col("p2")).otherwise(0L))
+            .as("cum_pos"),
+          sum(when(col("d2") <= col("decile"), col("n2")).otherwise(0L))
+            .as("cum_n"),
+          sum("p2").as("tot_pos"), sum("n2").as("tot_n"))
         .select(col("decile"), col("n"), col("pos"),
           round(col("cum_pos") / col("tot_pos").cast("double"), 6).as("gain"),
           round((col("cum_pos") / col("tot_pos").cast("double")) /
             (col("cum_n") / col("tot_n").cast("double")), 6).as("lift"))
         .orderBy("decile")
-    },
-    Some("""WITH li AS (SELECT l_orderkey, l_linenumber,
+  }
+
+  val q261CumulativeGains = GraftQuery(
+    "q261_cumulative_gains",
+    (s, dir) => q261Df(s, dir),
+    Some(s"""WITH li AS (SELECT
            |    datediff('day', o_orderdate, l_shipdate) dd,
            |    CAST(l_returnflag = 'R' AS BIGINT) pos
            |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-           |b AS (SELECT pos, ntile(10) OVER (
-           |    ORDER BY dd DESC, l_orderkey, l_linenumber) decile FROM li),
+           |th AS (${ScaleFrames.thresholdCte("dd",
+             (1 to 9).map(k => (10 - k) / 10.0), "li")}),
+           |b AS (SELECT pos, ${ScaleFrames.binSqlDesc("dd", 9)} decile
+           |  FROM li, th),
            |per AS (SELECT decile, CAST(count(*) AS BIGINT) n,
            |    CAST(sum(pos) AS BIGINT) pos FROM b GROUP BY 1)
            |SELECT decile, n, pos,
@@ -790,5 +954,5 @@ object Quality {
   val all: Seq[GraftQuery] = Seq(q96DqChecks, q113PsiDrift, q153Auc, q168DsirSelect,
     q182ColumnProfile, q193QuantileNorm, q196Calibration, q199MadOutliers,
     q210WoeIv, q223MutualInfo, q242Conformal, q243KsTest, q254RocPoints,
-    q261CumulativeGains, q262DeadLetter)
+    q261CumulativeGains, q262DeadLetter, q267QuantileNormSketch)
 }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -293,18 +294,18 @@ object Retrieval {
     * docs, expansion terms) is constant-bounded. Nothing joins
     * unkeyed; the corpus-sized tf/w tables shuffle once each on term.
     */
-  val q200RocchioPrf = GraftQuery(
-    "q200_rocchio_prf",
-    (s, dir) => {
+  private[graft] def q200Df(s: SparkSession, dir: String,
+      forPlan: Boolean = false): DataFrame = {
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf")).persist()
+      val tf0 = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val tf = if (forPlan) tf0 else tf0.persist()
       val n = tf.select("doc_id").distinct().count().toDouble
-      val w = tf.join(tf.groupBy("t").agg(count(lit(1)).as("df")), "t")
+      val w0 = tf.join(tf.groupBy("t").agg(count(lit(1)).as("df")), "t")
         .filter(col("df") < n)
         .select(col("doc_id"), col("t"),
           (col("tf") * log(lit(n) / col("df"))).as("w"))
-        .persist()
+      val w = if (forPlan) w0 else w0.persist()
       val qt = tf.filter(col("doc_id") < 5)
         .select(col("doc_id").as("qid"), col("t")).distinct()
       val rnk0 = Window.partitionBy("qid").orderBy(desc("s0"), col("cid"))
@@ -329,10 +330,19 @@ object Retrieval {
         .withColumn("rank", row_number().over(rnk1)).filter(col("rank") <= 5)
         .select(col("qid"), col("rank"), col("cid"), col("score"))
         .orderBy("qid", "rank")
-      out.count() // materialize before releasing tf/w caches
-      tf.unpersist(); w.unpersist()
-      out
-    },
+      if (forPlan) out
+      else {
+        // localCheckpoint, not count()+recompute: the verify/bench action
+        // reads the materialized rows instead of re-executing the released plan
+        val ckpt = out.localCheckpoint()
+        tf.unpersist(); w.unpersist()
+        ckpt
+      }
+  }
+
+  val q200RocchioPrf = GraftQuery(
+    "q200_rocchio_prf",
+    (s, dir) => q200Df(s, dir),
     Some("""WITH toks AS (
            |  SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents),
            |tf AS MATERIALIZED (SELECT doc_id, t, count(*) tf FROM toks GROUP BY 1, 2),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
@@ -243,12 +243,11 @@ object Sketches {
     * partitioning-dependent sketch. HeavyHittersSpec pins the superset
     * property and the candidate-volume bound separately.
     */
-  val q189HeavyHitters = GraftQuery(
-    "q189_heavy_hitters",
-    (s, dir) => {
-      val toks = Tables.documents(s, dir)
+  private[graft] def q189Df(s: SparkSession, dir: String,
+      forPlan: Boolean = false): DataFrame = {
+      val toks0 = Tables.documents(s, dir)
         .select(explode(split(col("text"), " ")).as("term"))
-        .persist()
+      val toks = if (forPlan) toks0 else toks0.persist()
       val cands = misraGriesCandidates(toks, k = 512)
       val total = toks.agg(count(lit(1)).as("n"))
       val out = toks.join(broadcast(cands), Seq("term"))
@@ -257,10 +256,19 @@ object Sketches {
         .filter(col("cnt") * 200 > col("n"))
         .select(col("term"), col("cnt"))
         .orderBy(desc("cnt"), col("term"))
-      out.count() // materialize before releasing the cached token stream
-      toks.unpersist()
-      out
-    },
+      if (forPlan) out
+      else {
+        // localCheckpoint, not count()+recompute: the verify/bench action
+        // reads the materialized rows instead of re-executing the released plan
+        val ckpt = out.localCheckpoint()
+        toks.unpersist()
+        ckpt
+      }
+  }
+
+  val q189HeavyHitters = GraftQuery(
+    "q189_heavy_hitters",
+    (s, dir) => q189Df(s, dir),
     Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
            |n AS (SELECT count(*) AS n FROM t)
            |SELECT term, count(*) AS cnt FROM t, n

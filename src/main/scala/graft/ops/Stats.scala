@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -455,34 +455,54 @@ object Stats {
     * quantity counts as one observation of its price): sort each group by
     * price with a unique tie-break, run a windowed cumulative weight, and
     * take the first price whose doubled cumulative weight reaches the
-    * group total. Both engines fold the cumulative sum in the SAME
-    * explicit window order and the weights are integral-valued doubles,
-    * so every cumw is fp-exact — the ≥ comparison has no noise to flip
-    * on (no rounding needed before the threshold).
+    * group total. The weights are integral-valued doubles, so every cumw
+    * is fp-exact — the ≥ comparison has no noise to flip on (no rounding
+    * needed before the threshold).
     *
-    * Scale: one window shuffle keyed by the group column plus a tiny
-    * grouped total joined back broadcast — the same shape as any ranked
-    * selection; nothing is collected.
+    * Scale: because weights are positive, the crossing VALUE depends only
+    * on per-distinct-value weight totals — so rows first collapse to
+    * (flag, price) partials (a parallel agg; the price domain is bounded
+    * at cents granularity), the cumulative weight runs inside fixed-width
+    * price buckets (a PARTITIONED window — the round-7 form partitioned
+    * by the 3-value flag alone, ~n/3 rows through one task), and the
+    * bounded per-(flag, bucket) totals cumulate through a triangle join.
+    * No single-partition exchange anywhere; the oracle's row-level window
+    * form is unchanged (it selects the same crossing value).
     */
-  val q205WeightedMedian = GraftQuery(
-    "q205_weighted_median",
-    (s, dir) => {
-      val li = Tables.lineitem(s, dir).select(
-        col("l_returnflag"), col("l_extendedprice").as("v"),
-        col("l_quantity").as("wt"),
-        col("l_orderkey"), col("l_linenumber"))
-      val wc = Window.partitionBy("l_returnflag")
-        .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
-      val cum = li.withColumn("cumw", sum("wt").over(wc))
-      val tot = li.groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"), sum("wt").as("w_total"))
-      cum.join(tot, "l_returnflag")
+  private[graft] def q205Df(s: SparkSession, dir: String,
+      forPlan: Boolean = false): DataFrame = {
+      val byV0 = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+          col("l_quantity").as("wt"))
+        .groupBy("l_returnflag", "v")
+        .agg(sum("wt").as("w"), count(lit(1)).as("c"))
+        .withColumn("bkt", floor(col("v") / 1000).cast("long"))
+      // ≤ price-domain × |flags| rows
+      val byV = if (forPlan) byV0 else byV0.localCheckpoint()
+      val tot = byV.groupBy("l_returnflag")
+        .agg(sum("c").as("n"), sum("w").as("w_total"))
+      val wb = Window.partitionBy("l_returnflag", "bkt").orderBy("v")
+      val within = byV.withColumn("cw_in", sum("w").over(wb))
+      val offs = byV.groupBy("l_returnflag", "bkt").agg(sum("w").as("tw"))
+      val prior = offs.select(col("l_returnflag").as("f2"),
+        col("bkt").as("b2"), col("tw").as("tw2"))
+      val off = offs.join(prior,
+          col("f2") === col("l_returnflag") && col("b2") < col("bkt"), "left")
+        .groupBy("l_returnflag", "bkt")
+        .agg(coalesce(sum("tw2"), lit(0.0)).as("off_w"))
+      within.join(broadcast(off), Seq("l_returnflag", "bkt"))
+        .withColumn("cumw", col("cw_in") + col("off_w"))
+        .join(tot, "l_returnflag")
         .filter(col("cumw") * 2 >= col("w_total"))
         .groupBy("l_returnflag")
         .agg(first(col("n")).as("n"), round(first(col("w_total")), 2).as("w_total"),
           min(col("v")).as("wmedian"))
         .orderBy("l_returnflag")
-    },
+  }
+
+  val q205WeightedMedian = GraftQuery(
+    "q205_weighted_median",
+    (s, dir) => q205Df(s, dir),
     Some("""WITH li AS (SELECT l_returnflag, l_extendedprice AS v,
            |    l_quantity AS wt, l_orderkey, l_linenumber FROM lineitem),
            |cum AS (SELECT l_returnflag, v,
@@ -675,9 +695,11 @@ object Stats {
         count(col("t_click")).as("n_click_24h"),
         sum((col("t_buy") > col("t_click")).cast("long")).as("n_buy_after_click"),
         count(col("t_buy")).as("n_buy_72h"))
-      out.count() // materialize before releasing the cached events
+      // localCheckpoint, not count()+recompute: the verify/bench action
+      // reads the materialized rows instead of re-executing the released plan
+      val ckpt = out.localCheckpoint()
       ev.unpersist()
-      out
+      ckpt
     },
     Some("""WITH s0 AS (SELECT user_id, min(ts) t0 FROM events
            |  WHERE event_type = 'signup' GROUP BY 1),
@@ -721,70 +743,105 @@ object Stats {
            |FROM rev, mu""".stripMargin))
 
   /** Equi-depth (equal-frequency) histogram of l_extendedprice — the
-    * planner-statistics form of q66's equal-width histogram: 10 ntile
-    * buckets (unique tie-break keys, so the bucketing is total), each
-    * reporting its [lo, hi] boundary and exact count — the structure a
-    * cost model reads for selectivity. One window shuffle, 10-row output.
+    * planner-statistics form of q66's equal-width histogram: 10 value
+    * buckets at the nine exact price deciles (ScaleFrames threshold
+    * frame — equal prices share a bucket, the tie discipline a real
+    * equi-depth histogram has anyway), each reporting its [lo, hi]
+    * boundary and exact count — the structure a cost model reads for
+    * selectivity.
+    *
+    * Scale: one percentile-aggregate scan + one partial-agg scan — the
+    * round-7 ntile form sorted the whole table through one task; this
+    * form has no global window and no `Exchange SinglePartition`.
     */
+  private[graft] def q221Df(s: SparkSession, dir: String,
+      forPlan: Boolean = false): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_extendedprice").as("v"))
+    val li = if (forPlan) base else base.persist()
+    val ts = ScaleFrames.thresholds(li, "v", (1 to 9).map(_ / 10.0))
+    val out = li
+      .withColumn("bucket", ScaleFrames.binAsc(col("v"), ts))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+      .orderBy("bucket")
+    if (forPlan) out
+    else {
+      val r = out.localCheckpoint() // ≤10 rows; frees the cached projection
+      li.unpersist()
+      r
+    }
+  }
+
   val q221EquidepthHist = GraftQuery(
     "q221_equidepth_hist",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      Tables.lineitem(s, dir)
-        .select(col("l_extendedprice").as("v"), col("l_orderkey"),
-          col("l_linenumber"))
-        .withColumn("bucket", ntile(10).over(
-          Window.orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
-        .orderBy("bucket")
-    },
-    Some("""SELECT bucket, CAST(count(*) AS BIGINT) n, min(v) lo, max(v) hi
-           |FROM (SELECT l_extendedprice v, ntile(10) OVER (
-           |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) bucket
-           |  FROM lineitem)
+    (s, dir) => q221Df(s, dir),
+    Some(s"""WITH li AS (SELECT l_extendedprice v FROM lineitem),
+           |th AS (${ScaleFrames.thresholdCte("v", (1 to 9).map(_ / 10.0), "li")})
+           |SELECT ${ScaleFrames.binSqlAsc("v", 9)} AS bucket,
+           |  CAST(count(*) AS BIGINT) n, min(v) lo, max(v) hi
+           |FROM li, th
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Lorenz-curve concentration deciles of customer revenue — the curve
-    * whose area complements q194's Gini and q220's Theil scalar: sort
-    * customers by revenue ascending into deciles (unique tie-breaks),
+    * whose area complements q194's Gini and q220's Theil scalar: bin
+    * customers into revenue-value deciles (nine exact percentile
+    * thresholds — the ScaleFrames frame; equal revenues share a decile),
     * report each decile's cumulative share of customers vs cumulative
-    * share of revenue ("the top 10% hold X%"). Revenue sums are exact
-    * per-customer partial aggs; the cumulative window runs over 10
-    * decile rows, and shares divide two windowed sums — per-row math at
-    * 6 digits.
+    * share of revenue ("the top 10% hold X%"). Revenue is summed in
+    * INTEGER CENTS (the q103 drift-proof discipline) so the percentile
+    * interpolation and every comparison are exact cross-engine; shares
+    * are integer ratios rounded at 6.
+    *
+    * Scale: per-customer partial agg → threshold scan over the bounded
+    * customer dimension → 10-row decile table localCheckpointed →
+    * triangle-join cumulation. No global window, no
+    * `Exchange SinglePartition`.
     */
+  private[graft] def q229Df(s: SparkSession, dir: String,
+      forPlan: Boolean = false): DataFrame = {
+      val rev0 = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+      // customer-dimension cardinality
+      val rev = if (forPlan) rev0 else rev0.localCheckpoint()
+      val ts = ScaleFrames.thresholds(rev, "x", (1 to 9).map(_ / 10.0))
+      val per = rev.withColumn("decile", ScaleFrames.binAsc(col("x"), ts))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"), sum("x").as("rev"))
+      val prior = per.select(col("decile").as("d2"), col("n").as("n2"),
+        col("rev").as("r2"))
+      per.crossJoin(prior)
+        .groupBy("decile", "n")
+        .agg(sum(when(col("d2") <= col("decile"), col("n2")).otherwise(0L))
+            .as("cum_n"),
+          sum(when(col("d2") <= col("decile"), col("r2")).otherwise(0L))
+            .as("cum_rev"),
+          sum("n2").as("tot_n"), sum("r2").as("tot_rev"))
+        .select(col("decile"), col("n"),
+          round(col("cum_n").cast("double") / col("tot_n"), 6)
+            .as("cum_pop_share"),
+          round(col("cum_rev").cast("double") / col("tot_rev"), 6)
+            .as("cum_rev_share"))
+        .orderBy("decile")
+  }
+
   val q229LorenzCurve = GraftQuery(
     "q229_lorenz_curve",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val rev = Tables.orders(s, dir)
-        .groupBy("o_custkey").agg(sum("o_totalprice").as("x"))
-      val binned = rev.withColumn("decile", ntile(10).over(
-        Window.orderBy(col("x"), col("o_custkey"))))
-      val per = binned.groupBy("decile")
-        .agg(count(lit(1)).as("n"), sum("x").as("rev"))
-      val w = Window.orderBy("decile")
-      val tot = Window.partitionBy()
-      per
-        .withColumn("cum_n", sum("n").over(w))
-        .withColumn("cum_rev", sum("rev").over(w))
-        .withColumn("tot_n", sum("n").over(tot))
-        .withColumn("tot_rev", sum("rev").over(tot))
-        .select(col("decile"), col("n"),
-          round(col("cum_n") / col("tot_n"), 6).as("cum_pop_share"),
-          round(col("cum_rev") / col("tot_rev"), 6).as("cum_rev_share"))
-        .orderBy("decile")
-    },
-    Some("""WITH rev AS (SELECT o_custkey, sum(o_totalprice) x FROM orders GROUP BY 1),
-           |b AS (SELECT x, ntile(10) OVER (ORDER BY x, o_custkey) decile FROM rev),
+    (s, dir) => q229Df(s, dir),
+    Some(s"""WITH rev AS (SELECT o_custkey,
+           |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) x
+           |  FROM orders GROUP BY 1),
+           |th AS (${ScaleFrames.thresholdCte("x", (1 to 9).map(_ / 10.0), "rev")}),
+           |b AS (SELECT x, ${ScaleFrames.binSqlAsc("x", 9)} decile
+           |  FROM rev, th),
            |per AS (SELECT decile, CAST(count(*) AS BIGINT) n, sum(x) rev
            |  FROM b GROUP BY 1)
            |SELECT decile, n,
-           |  round(sum(n) OVER (ORDER BY decile)
-           |    / (sum(n) OVER ())::DOUBLE, 6) AS cum_pop_share,
-           |  round(sum(rev) OVER (ORDER BY decile)
-           |    / sum(rev) OVER (), 6) AS cum_rev_share
+           |  round((sum(n) OVER (ORDER BY decile))::DOUBLE
+           |    / (sum(n) OVER ()), 6) AS cum_pop_share,
+           |  round((sum(rev) OVER (ORDER BY decile))::DOUBLE
+           |    / (sum(rev) OVER ()), 6) AS cum_rev_share
            |FROM per ORDER BY decile""".stripMargin))
 
   /** Day-of-week seasonality profile + deseasonalized outliers — the
@@ -817,9 +874,11 @@ object Stats {
           col("n"), round(col("dow_mean"), 6).as("dow_mean"),
           round(col("ratio"), 6).as("ratio"))
         .orderBy("event_type", "day")
-      out.count() // materialize before releasing the cached daily counts
+      // localCheckpoint, not count()+recompute: the verify/bench action
+      // reads the materialized rows instead of re-executing the released plan
+      val ckpt = out.localCheckpoint()
       daily.unpersist()
-      out
+      ckpt
     },
     Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
            |    CAST(count(*) AS BIGINT) n
@@ -1110,9 +1169,11 @@ object Stats {
           round(col("fin.mx"), 3).as("max_cusum"),
           (col("fin.mx") > lit(3.0) * col("sd")).cast("int").as("alarm"))
         .orderBy("event_type")
-      out.count() // materialize before releasing the cached daily counts
+      // localCheckpoint, not count()+recompute: the verify/bench action
+      // reads the materialized rows instead of re-executing the released plan
+      val ckpt = out.localCheckpoint()
       daily.unpersist()
-      out
+      ckpt
     },
     Some("""WITH RECURSIVE daily AS (
            |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) x

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
@@ -665,16 +665,16 @@ object Text {
     * doc-level postings, no df cap is even needed. Counts are integers;
     * the two ratios are single divisions (6-digit safe).
     */
-  val q198SourceOverlap = GraftQuery(
-    "q198_source_overlap",
-    (s, dir) => {
-      val sh = Tables.documents(s, dir)
+  private[graft] def q198Df(s: SparkSession, dir: String,
+      forPlan: Boolean = false): DataFrame = {
+      val sh0 = Tables.documents(s, dir)
         .select(col("source"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 5)
         .select(col("source"), explode(expr(
           "transform(sequence(0, size(w)-5), i -> concat_ws(' ', slice(w, i+1, 5)))"))
           .as("sh"))
-        .distinct().persist()
+        .distinct()
+      val sh = if (forPlan) sh0 else sh0.persist()
       val nsrc = sh.groupBy("source").agg(count(lit(1)).as("n"))
       val shared = sh.select(col("source").as("source_a"), col("sh"))
         .join(sh.select(col("source").as("source_b"), col("sh")), Seq("sh"))
@@ -689,10 +689,19 @@ object Text {
           round(col("shared") / (col("na") + col("nb") - col("shared")).cast("double"), 6)
             .as("jaccard"))
         .orderBy("source_a", "source_b")
-      out.count() // materialize before releasing the cached shingle set
-      sh.unpersist()
-      out
-    },
+      if (forPlan) out
+      else {
+        // localCheckpoint, not count()+recompute: the verify/bench action
+        // reads the materialized rows instead of re-executing the released plan
+        val ckpt = out.localCheckpoint()
+        sh.unpersist()
+        ckpt
+      }
+  }
+
+  val q198SourceOverlap = GraftQuery(
+    "q198_source_overlap",
+    (s, dir) => q198Df(s, dir),
     Some("""WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents),
            |sh AS MATERIALIZED (SELECT DISTINCT source, sh FROM (
            |  SELECT source, unnest(list_transform(range(0, len(w) - 4),
@@ -748,9 +757,11 @@ object Text {
         round(expr("regr_slope(ln(cumvoc), ln(cumtok))"), 3).as("heaps_beta"),
         round(expr("regr_intercept(ln(cumvoc), ln(cumtok))"), 3).as("heaps_lnk"),
         round(expr("regr_r2(ln(cumvoc), ln(cumtok))"), 3).as("r2"))
-      out.count() // materialize before releasing the cached token stream
+      // localCheckpoint, not count()+recompute: the verify/bench action
+      // reads the materialized rows instead of re-executing the released plan
+      val ckpt = out.localCheckpoint()
       toks.unpersist()
-      out
+      ckpt
     },
     Some("""WITH toks AS (
            |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
@@ -806,9 +817,11 @@ object Text {
             ((col("c1") / col("ntok")) * (col("c2") / col("ntok")))), 3).as("pmi"))
         .orderBy(desc("pmi"), col("w1"), col("w2"))
         .limit(20)
-      out.count() // materialize before releasing the cached unigram table
+      // localCheckpoint, not count()+recompute: the verify/bench action
+      // reads the materialized rows instead of re-executing the released plan
+      val ckpt = out.localCheckpoint()
       uni.unpersist()
-      out
+      ckpt
     },
     Some("""WITH toks AS (
            |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
@@ -854,9 +867,11 @@ object Text {
         .filter(col("rnk") <= 5)
         .select(col("source"), col("rnk"), col("t").as("term"), col("wt"))
         .orderBy("source", "rnk")
-      out.count() // materialize before releasing the cached tf table
+      // localCheckpoint, not count()+recompute: the verify/bench action
+      // reads the materialized rows instead of re-executing the released plan
+      val ckpt = out.localCheckpoint()
       tf.unpersist()
-      out
+      ckpt
     },
     Some("""WITH tf AS (SELECT source, t, CAST(count(*) AS BIGINT) tf FROM (
            |    SELECT source, unnest(string_split(text, ' ')) t FROM documents)

@@ -1133,9 +1133,11 @@ object Vectors {
           round(avg("sil"), 3).as("avg_sil"))
         .select(col("j").as("cluster"), col("n_members"), col("avg_sil"))
         .orderBy("cluster")
-      out.count() // materialize before releasing the cached embeddings
+      // localCheckpoint, not count()+recompute: the verify/bench action
+      // reads the materialized rows instead of re-executing the released plan
+      val ckpt = out.localCheckpoint()
       e.unpersist()
-      out
+      ckpt
     },
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
            |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, v AS cv
@@ -1300,9 +1302,11 @@ object Vectors {
       val out = e.withColumn("pred", best("plabel"))
         .groupBy("label", "pred").agg(count(lit(1)).as("n"))
         .orderBy("label", "pred")
-      out.count() // materialize before releasing the cached embeddings
+      // localCheckpoint, not count()+recompute: the verify/bench action
+      // reads the materialized rows instead of re-executing the released plan
+      val ckpt = out.localCheckpoint()
       e.unpersist()
-      out
+      ckpt
     },
     Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
            |c AS (SELECT label AS plabel, d.d AS dim, avg(v[d.d + 1]) AS c
@@ -1326,16 +1330,15 @@ object Vectors {
     * cell assignment, and recall is the exact overlap of the two top-5
     * cid sets — integer counts, one division.
     */
-  val q203IvfRecall = GraftQuery(
-    "q203_ivf_recall",
-    (s, dir) => {
+  private[graft] def q203Df(s: SparkSession, dir: String,
+      forPlan: Boolean = false): DataFrame = {
       GraftFunctions.register(s)
       val vecAvg = udaf(new graft.functions.VectorAvg(DIM))
-      val e = Tables.embeddings(s, dir)
+      val e0 = Tables.embeddings(s, dir)
         .withColumn("v", col("embedding").cast("array<double>"))
         .withColumn("nrm", norm(col("v")))
         .select(col("vec_id"), col("label"), col("v"), col("nrm"))
-        .persist()
+      val e = if (forPlan) e0 else e0.persist()
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
       val wq = Window.partitionBy("qid").orderBy(desc("sim"), col("cid"))
@@ -1376,10 +1379,19 @@ object Vectors {
         .select(col("qid"), col("n_truth"), col("n_hit"),
           round(col("n_hit") / lit(5.0), 6).as("recall"))
         .orderBy("qid")
-      out.count() // materialize before releasing the cached embeddings
-      e.unpersist()
-      out
-    },
+      if (forPlan) out
+      else {
+        // localCheckpoint, not count()+recompute: the verify/bench action
+        // reads the materialized rows instead of re-executing the released plan
+        val ckpt = out.localCheckpoint()
+        e.unpersist()
+        ckpt
+      }
+  }
+
+  val q203IvfRecall = GraftQuery(
+    "q203_ivf_recall",
+    (s, dir) => q203Df(s, dir),
     Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v,
            |  sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) nrm FROM embeddings),
            |q AS (SELECT vec_id qid, v qv, nrm qn FROM e WHERE vec_id < 10),
@@ -1641,9 +1653,11 @@ object Vectors {
           round(col("top_n") / col("n_members").cast("double"), 6)
             .as("local_purity"))
         .orderBy("cluster")
-      out.count() // materialize before releasing the cached embeddings
+      // localCheckpoint, not count()+recompute: the verify/bench action
+      // reads the materialized rows instead of re-executing the released plan
+      val ckpt = out.localCheckpoint()
       e.unpersist()
-      out
+      ckpt
     },
     Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
            |c0 AS (SELECT idx, cv FROM (

@@ -191,23 +191,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
   test("round-7 pair/postings generators are keyed, never cartesian") {
     // q198 joins source shingle sets on the shingle, q200 runs three
     // inverted-postings joins on term — both lose their scale story if
-    // the equi-key stops reaching the planner
-    for (q <- Seq("q198_source_overlap", "q200_rocchio_prf")) {
-      val p = plan(q)
+    // the equi-key stops reaching the planner. These queries return a
+    // localCheckpoint (verify-pass isolation), so the pins inspect the
+    // pre-checkpoint builders (forPlan = true), not the RDD scan.
+    val builders = Seq(
+      "q198_source_overlap" -> (() => ops.Text.q198Df(spark, sf, forPlan = true)),
+      "q200_rocchio_prf" -> (() => ops.Retrieval.q200Df(spark, sf, forPlan = true)))
+    for ((q, build) <- builders) {
+      val p = build().queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$q\n${p.take(2000)}")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q\n${p.take(2000)}")
     }
     // q203's IVF side must stay a cell equi-join; its ground-truth side is
     // a DELIBERATE broadcast NLJ (bounded 10-query brute force), so only
     // cartesian is banned there
-    assert(!plan("q203_ivf_recall").contains("CartesianProduct"))
+    assert(!ops.Vectors.q203Df(spark, sf, forPlan = true)
+      .queryExecution.executedPlan.toString.contains("CartesianProduct"))
   }
 
   test("q189: heavy-hitter exact phase joins the candidate set broadcast") {
     // the MG candidates are O(parts * k) rows; if this ever becomes a
     // shuffle join the full token stream reshuffles by term — exactly what
-    // the sketch exists to avoid
-    val p = plan("q189_heavy_hitters")
+    // the sketch exists to avoid. Pin reads the pre-checkpoint builder.
+    val p = ops.Sketches.q189Df(spark, sf, forPlan = true)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
