@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Multi-executor smoke: runs the most shuffle-heavy registered queries
+  * under `local-cluster[2,16,…]` — two real executor JVMs with separate
+  * heaps, real serialization, and real broadcast transport — to catch the
+  * assumptions single-JVM `local[n]` hides (closure serializability,
+  * broadcast-literal sizes, executor-side class resolution, block fetch
+  * across processes). The round-7 verdict's stretch item.
+  *
+  * Emits one BENCH-style JSON line:
+  * `{"metric":"cluster_smoke","executors":2,"queries":{...},"value":N}`.
+  *
+  * Needs the application jar on the executor classpath: pass it via
+  * `-Dgraft.jar=<path>` (workers are separate JVMs — unlike local mode
+  * they do not inherit the launcher's classpath for user classes).
+  */
+object ClusterSmoke {
+
+  /** Shuffle-heavy / serialization-sensitive picks across families:
+    * graph Pregel rounds, fact⋈fact joins, postings self-joins, ANN
+    * probe pipelines, k-means training loops, windowed funnels, the
+    * rebalance path, and the heaviest aggregation shapes.
+    */
+  private val picks = Seq(
+    "q3_segment_revenue", "q17_rebalance_hash", "q59_dedup_clusters",
+    "q98_pagerank", "q103_tpch_q3", "q104_tpch_q10", "q118_retention",
+    "q128_sequence_packing", "q137_kmeans", "q141_semantic_dedup_kmeans",
+    "q148_triangle_count", "q152_tfidf_cosine_pairs", "q157_ivfadc",
+    "q167_bm25_topk", "q184_sssp", "q186_label_prop", "q194_skew_report",
+    "q198_source_overlap", "q212_association_rules", "q214_mix_shift",
+    "q215_assortativity", "q227_local_supplier_volume")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val jar = sys.props.get("graft.jar")
+    val builder = SparkSession.builder()
+      .master("local-cluster[2,16,8192]")
+      .appName("graft-cluster-smoke")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.executor.memory", "8g")
+    val spark = jar.fold(builder)(j => builder.config("spark.jars", j))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+
+    val results = picks.map { name =>
+      val t0 = System.nanoTime()
+      val n =
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[cluster-smoke] $name FAILED: ${e.getMessage}")
+            -1L
+        }
+      spark.catalog.clearCache()
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[cluster-smoke] $name%-28s rows=$n%6d ${sec}%8.2f s")
+      (name, n, if (n < 0) -1.0 else math.round(sec * 1000) / 1000.0)
+    }
+    val nFail = results.count(_._2 < 0)
+    val total = math.round(results.filter(_._2 >= 0).map(_._3).sum * 1000) / 1000.0
+    val qs = results.map { case (k, _, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    println(s"""{"metric":"cluster_smoke","executors":2,"cores_per_executor":16,""" +
+      s""""sf_dir":"$sfDir","failures":$nFail,"queries":$qs,""" +
+      s""""value":$total,"unit":"sec"}""")
+    spark.stop()
+    if (nFail > 0) sys.exit(1)
+  }
+}
