@@ -192,23 +192,26 @@ object Pipeline {
     *     same reproducible hash-gate as q52, so samples are join-stable
     *     across runs and engines.
     *
-    * Scale: one scan; the per-source token total comes from a window over
-    * `source`, and the final groupBy reuses that hash partitioning — one
-    * shuffle total, no driver-side state, no rand().
+    * Scale: the per-source token total is a PARTIAL AGGREGATE broadcast
+    * back into the doc stream — not a window partitioned by `source`
+    * (r8 fix: with a handful of sources, a per-source window funnels
+    * ~n/|sources| rows through one task each — the q205 defect class;
+    * the tiny totals table joins map-side instead), then one groupBy.
     */
   val q129MixtureSample = GraftQuery(
     "q129_mixture_sampling",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("source")
       val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("long") % 1000
-      Tables.documents(s, dir)
+      val docs = Tables.documents(s, dir)
         .select(col("source"), col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("tok"))
+      val totals = docs.groupBy("source")
+        .agg(sum("tok").as("tokens_total"))
+      docs
         .withColumn("weight_pm",
           lit(25L) + lit(25L) * (expr("CAST(substr(source, 4) AS LONG)") % 4))
-        .withColumn("tokens_total", sum("tok").over(w))
+        .join(broadcast(totals), "source")
         .withColumn("thr",
           least(lit(1000L),
             expr("((15000 * weight_pm) div 1000) * 1000 div tokens_total")))

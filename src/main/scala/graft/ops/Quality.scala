@@ -108,30 +108,35 @@ object Quality {
     * — AUC = (Σ_pos 2r − P(P+1)) / (2PN) — until one final division. No
     * float accumulation, no rounding drift.
     *
-    * Scale: two window passes partitioned by source (cnt_leq via a RANGE
-    * frame, peers via a score partition) and one partial agg — the same
-    * one-shuffle shape as the q118 retention matrix.
+    * Scale (r8): rows first collapse to per-(source, score) counts — a
+    * partial agg whose output is bounded by the score domain (doc-length
+    * values), not the corpus — and the rank algebra runs over THAT table:
+    * for every row at score v, 2·avg_rank = 2·cumc(v) − c(v) + 1, so
+    * Σ_pos 2r = Σ_v p(v)·(2·cumc(v) − c(v) + 1). The round-7 form ran
+    * the RANGE window over the raw rows partitioned by the handful of
+    * sources — ~n/|sources| rows through one task each, the q205 defect
+    * class; the collapsed window input is value-domain-bounded. Identical
+    * integer arithmetic, oracle unchanged.
     */
   val q153Auc = GraftQuery(
     "q153_auc",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, dir)
+      val byV = Tables.documents(s, dir)
         .select(col("source"),
           (col("lang") === "en").cast("long").as("y"),
           length(col("text")).cast("long").as("score"))
+        .groupBy("source", "score")
+        .agg(count(lit(1)).as("c"), sum("y").as("p"))
       val wLeq = Window.partitionBy("source").orderBy("score")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-      val wPeer = Window.partitionBy("source", "score")
-      val ranked = docs
-        .withColumn("cnt_leq", count(lit(1)).over(wLeq))
-        .withColumn("peers", count(lit(1)).over(wPeer))
-        .withColumn("r2", col("cnt_leq") - col("peers") + col("cnt_leq") + 1)
-      ranked.groupBy("source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byV
+        .withColumn("cumc", sum("c").over(wLeq))
+        .groupBy("source")
         .agg(
-          sum("y").as("n_pos"),
-          (count(lit(1)) - sum("y")).as("n_neg"),
-          sum(col("y") * col("r2")).as("s2"))
+          sum("p").as("n_pos"),
+          (sum("c") - sum("p")).as("n_neg"),
+          sum(col("p") * (col("cumc") - col("c") + col("cumc") + 1)).as("s2"))
         .filter(col("n_pos") > 0 && col("n_neg") > 0)
         .withColumn("auc",
           round((col("s2") - col("n_pos") * (col("n_pos") + 1))
@@ -310,10 +315,10 @@ object Quality {
     *
     * Scale: one window shuffle partitioned by source plus a 10-row
     * broadcast join back. With few giant sources the per-source window is
-    * the hot spot at 100 TB — the production variant swaps the exact
-    * ntile for per-source approximate quantile boundaries (the q123
-    * sketch) and keeps this query's join shape; this is the exact form
-    * the sketch variant is validated against.
+    * the hot spot at 100 TB — the production variant is REGISTERED as
+    * q267 (per-source approx_percentile boundary frame, same join shape,
+    * no window); this exact-ntile form is the bounded sibling q267's
+    * buckets and reference distribution are validated against.
     */
   val q193QuantileNorm = GraftQuery(
     "q193_quantile_norm",

@@ -32,6 +32,63 @@ object ScaleFrames {
     fracs.indices.map(r.getDouble)
   }
 
+  /** Exact percentile thresholds for a WIDE-domain numeric column — the
+    * scale path where [[thresholds]]' `percentile()` aggregate breaks
+    * down: Spark's exact percentile merges a value→count map on ONE
+    * reducer, so a near-unique fact-table column (e.g. 6M distinct
+    * prices at sf0.1 — 15 s in the r8 bench; the whole domain at 100 TB)
+    * funnels through a single task. Here the rows collapse to
+    * per-distinct-value counts (parallel partial agg), cumulative ranks
+    * come from the two-level shape (bucket-partitioned windows +
+    * triangle-join offsets — the q243 machinery), and each threshold is
+    * the same linear interpolation `percentile()` defines —
+    * lo + (pos − ⌊pos⌋)·(hi − lo) at pos = f·(n−1) — evaluated from the
+    * two bracketing order statistics, which are min-aggregates over the
+    * cum table against a ≤18-row broadcast rank frame. Identical doubles
+    * to `percentile`/`quantile_cont`, so oracles keep their
+    * `quantile_cont` CTEs unchanged.
+    */
+  def thresholdsWideDomain(df: DataFrame, value: String, bucketWidth: Double,
+      fracs: Seq[Double]): Seq[Double] = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = df.groupBy(col(value).cast("double").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("bkt", floor(col("v") / bucketWidth).cast("long"))
+      .localCheckpoint() // ≤ distinct-value-domain rows
+    val n = byV.agg(sum("c")).head().getLong(0)
+    val within = byV.withColumn("cw",
+      sum("c").over(Window.partitionBy("bkt").orderBy("v")))
+    val offs = byV.groupBy("bkt").agg(sum("c").as("tc"))
+    val prior = offs.select(col("bkt").as("b2"), col("tc").as("tc2"))
+    val off = offs.join(prior, col("b2") < col("bkt"), "left")
+      .groupBy("bkt").agg(coalesce(sum("tc2"), lit(0L)).as("off"))
+    val cum = within.join(broadcast(off), "bkt")
+      .select(col("v"), (col("cw") + col("off")).as("cum"))
+    // bracketing 1-based ranks for every fraction (driver math on n only)
+    val targets = fracs.map { f =>
+      val pos = f * (n - 1) // 0-based fractional index, percentile()'s def
+      (f, math.floor(pos).toLong + 1, math.ceil(pos).toLong + 1, pos - math.floor(pos))
+    }
+    val ranks = targets.flatMap(t => Seq(t._2, t._3)).distinct
+    val s = df.sparkSession
+    import s.implicits._
+    val rankDf = ranks.toDF("r")
+    // order statistic at rank r = min v with cum ≥ r (partial-agg min per r)
+    val at = cum.crossJoin(broadcast(rankDf))
+      .filter(col("cum") >= col("r"))
+      .groupBy("r").agg(min("v").as("v"))
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    targets.map { case (_, rlo, rhi, frac) =>
+      val lo = at(rlo); val hi = at(rhi)
+      val t = lo + frac * (hi - lo)
+      // Spark's round(_, 6) semantics exactly (BigDecimal HALF_UP on the
+      // decimal string value) so the literal matches what the one-shot
+      // percentile() path would have produced
+      java.math.BigDecimal.valueOf(t)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+  }
+
   /** Ascending bucket id: 1 + Σ [v > t_k] — bucket 1 holds the smallest
     * values. Pure map-side arithmetic against literal thresholds.
     */

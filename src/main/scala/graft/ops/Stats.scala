@@ -750,16 +750,22 @@ object Stats {
     * boundary and exact count — the structure a cost model reads for
     * selectivity.
     *
-    * Scale: one percentile-aggregate scan + one partial-agg scan — the
-    * round-7 ntile form sorted the whole table through one task; this
-    * form has no global window and no `Exchange SinglePartition`.
+    * Scale: the price column is near-unique, so the one-shot exact
+    * `percentile()` aggregate would merge the whole distinct-value map on
+    * one reducer (15 s at sf0.1, the whole domain at 100×) — the
+    * thresholds instead come from [[ScaleFrames.thresholdsWideDomain]]:
+    * per-distinct-value counts, two-level cumulative ranks, interpolation
+    * between the two bracketing order statistics. Then one partial-agg
+    * scan bins against the 9 literals — no global window, no
+    * `Exchange SinglePartition`, no O(distinct) single-task state.
     */
   private[graft] def q221Df(s: SparkSession, dir: String,
       forPlan: Boolean = false): DataFrame = {
     val base = Tables.lineitem(s, dir)
       .select(col("l_extendedprice").as("v"))
     val li = if (forPlan) base else base.persist()
-    val ts = ScaleFrames.thresholds(li, "v", (1 to 9).map(_ / 10.0))
+    val ts = ScaleFrames.thresholdsWideDomain(li, "v", 1000.0,
+      (1 to 9).map(_ / 10.0))
     val out = li
       .withColumn("bucket", ScaleFrames.binAsc(col("v"), ts))
       .groupBy("bucket")
