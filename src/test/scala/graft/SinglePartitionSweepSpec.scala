@@ -144,14 +144,27 @@ class SinglePartitionSweepSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  /** Queries whose plan legitimately contains a CartesianProduct — each a
+    * documented bounded ground-truth form (the oracle itself must
+    * brute-force, so the cartesian IS the semantics, on a fixed slice).
+    * Broadcast nested-loop joins are NOT flagged: the inventory's small
+    * crossJoined frames (1-row totals, ≤10-row threshold/decile tables)
+    * plan as BNLJ with a broadcast side by design — the scale-killer is
+    * a shuffle cartesian of two unbounded sides.
+    */
+  private val cartesianWhitelist: Map[String, String] = Map.empty
+
   test("inventory sweep: every registered batch query is free of unbounded " +
-    "single-partition exchanges (explicit whitelist)") {
+    "single-partition exchanges and shuffle cartesians (explicit whitelists)") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
-        if !streaming(name) && !whitelist.contains(name)) {
+        if !streaming(name)) {
       try {
         val p = fn(spark, sf).queryExecution.executedPlan.toString
-        stringOffenders(p).foreach(o => failures += s"$name: $o")
+        if (!whitelist.contains(name))
+          stringOffenders(p).foreach(o => failures += s"$name: $o")
+        if (!cartesianWhitelist.contains(name) && p.contains("CartesianProduct"))
+          failures += s"$name: CartesianProduct in plan"
       } catch {
         case e: Throwable => failures += s"$name: construction failed: ${e.getMessage}"
       }
