@@ -493,24 +493,28 @@ object Quality {
     * heavy-tail-safe sibling of q54's percentile clip: mean/stddev bounds
     * are themselves dragged by the outliers they're hunting, while the
     * double-median breaks down only past 50% contamination. Two grouped
-    * exact percentiles (one for the median, one for the MAD over the
-    * broadcast-joined residuals) and a final count — both percentile
-    * passes are per-group selection (no cross-row float accumulation:
-    * Spark `percentile` and DuckDB `quantile_cont` interpolate the same
-    * two order statistics, the q54-proven pairing), so 6-digit rounding
+    * exact medians (one for the median, one for the MAD over the
+    * broadcast-joined residuals) and a final count. The values are
+    * CONTINUOUS (near-unique), so the one-shot grouped `percentile`
+    * would merge ~n/|types| distinct-value entries on each group's
+    * reducer — the medians instead come from
+    * [[ScaleFrames.groupedQuantileWideDomain]] (r8: per-(type, value)
+    * counts, two-level cumulative ranks, the same two-order-statistic
+    * interpolation bit-for-bit — no cross-row float accumulation, the
+    * q54-proven `percentile`/`quantile_cont` pairing), so 6-digit rounding
     * holds.
     */
   val q199MadOutliers = GraftQuery(
     "q199_mad_outliers",
     (s, dir) => {
       val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
-      val med = ev.groupBy(col("event_type").as("mt"))
-        .agg(expr("percentile(value, 0.5)").as("med"))
+      val med = ScaleFrames
+        .groupedQuantileWideDomain(ev, "event_type", "value", 32.0, 0.5, "med")
+        .withColumnRenamed("event_type", "mt")
       val dev = ev.join(broadcast(med), col("event_type") === col("mt"))
         .withColumn("adev", abs(col("value") - col("med")))
-      val mad = dev.groupBy("event_type")
-        .agg(count(lit(1)).as("n"), first("med").as("med2"),
-          expr("percentile(adev, 0.5)").as("mad"))
+      val mad = ScaleFrames
+        .groupedQuantileWideDomain(dev, "event_type", "adev", 32.0, 0.5, "mad")
       dev.join(broadcast(mad.select(col("event_type").as("kt"),
           col("mad"))), col("event_type") === col("kt"))
         .withColumn("out",
@@ -684,9 +688,13 @@ object Quality {
         round(expr("regr_intercept(y, x)"), 6).as("c")).head()
       val (m, c) = (fit.getDouble(0), fit.getDouble(1))
       val resid = abs(col("y") - (lit(m) * col("x") + lit(c)))
-      val qhat = li.filter(col("b") === 1)
-        .agg(round(expr(s"percentile(abs(y - ($m * x + $c)), 0.9)"), 6))
-        .head().getDouble(0)
+      // r8: the calibration residuals are continuous (near-unique), so the
+      // one-shot exact percentile would buffer ~n/3 values on one reducer —
+      // the 0.9 quantile comes from the two-level wide-domain path instead
+      // (same interpolation + HALF_UP rounding, bit-identical)
+      val qhat = ScaleFrames.thresholdsWideDomain(
+        li.filter(col("b") === 1).select(resid.as("resid")),
+        "resid", 1000.0, Seq(0.9)).head
       val out = li.filter(col("b") === 2)
         .agg(count(lit(1)).as("n_test"),
           sum((resid <= qhat).cast("long")).as("n_covered"))

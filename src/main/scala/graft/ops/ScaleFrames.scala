@@ -89,6 +89,55 @@ object ScaleFrames {
     }
   }
 
+  /** Grouped exact quantile over a wide-domain (near-unique) numeric
+    * column, fully distributed — the grouped sibling of
+    * [[thresholdsWideDomain]]: Spark's exact grouped `percentile` merges
+    * each group's distinct-value map on that group's reducer, so with a
+    * handful of groups over an unbounded column (q199's per-event-type
+    * median over continuous values) one task holds ~n/|groups| entries.
+    * Same two-level machinery, carried per group: per-(group, value)
+    * counts → bucket-partitioned cumsums + per-(group, bucket) triangle
+    * offsets → the two bracketing order statistics per group → the exact
+    * `percentile` interpolation lo + (pos − ⌊pos⌋)·(hi − lo) at
+    * pos = f·(n_g − 1). Returns (group, `out`) with the UNROUNDED double
+    * — bit-identical to `percentile(value, f)` / `quantile_cont`, so
+    * downstream arithmetic and oracles are unchanged.
+    */
+  def groupedQuantileWideDomain(df: DataFrame, group: String, value: String,
+      bucketWidth: Double, frac: Double, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = df.groupBy(col(group).as("g"), col(value).cast("double").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("bkt", floor(col("v") / bucketWidth).cast("long"))
+      .localCheckpoint() // ≤ |groups| × distinct-value-domain rows
+    val within = byV.withColumn("cw",
+      sum("c").over(Window.partitionBy("g", "bkt").orderBy("v")))
+    val offs = byV.groupBy("g", "bkt").agg(sum("c").as("tc"))
+    val prior = offs.select(col("g").as("g2"), col("bkt").as("b2"),
+      col("tc").as("tc2"))
+    val off = offs.join(prior, col("g2") === col("g") && col("b2") < col("bkt"),
+        "left")
+      .groupBy("g", "bkt").agg(coalesce(sum("tc2"), lit(0L)).as("off"))
+    val cum = within.join(broadcast(off), Seq("g", "bkt"))
+      .select(col("g"), col("v"), (col("cw") + col("off")).as("cum"))
+    val ranks = byV.groupBy("g").agg(sum("c").as("n"))
+      .withColumn("pos", lit(frac) * (col("n") - 1).cast("double"))
+      .withColumn("rlo", floor(col("pos")).cast("long") + 1)
+      .withColumn("rhi", ceil(col("pos")).cast("long") + 1)
+      .select(col("g").as("gr"), col("pos"), col("rlo"), col("rhi"))
+    val lo = cum.join(broadcast(ranks), col("gr") === col("g") &&
+        col("cum") >= col("rlo"))
+      .groupBy("g").agg(min("v").as("vlo"))
+    val hi = cum.join(broadcast(ranks), col("gr") === col("g") &&
+        col("cum") >= col("rhi"))
+      .groupBy("g").agg(min("v").as("vhi"))
+    lo.join(hi, "g")
+      .join(broadcast(ranks), col("gr") === col("g"))
+      .select(col("g").as(group),
+        (col("vlo") + (col("pos") - floor(col("pos"))) *
+          (col("vhi") - col("vlo"))).as(out))
+  }
+
   /** Ascending bucket id: 1 + Σ [v > t_k] — bucket 1 holds the smallest
     * values. Pure map-side arithmetic against literal thresholds.
     */
