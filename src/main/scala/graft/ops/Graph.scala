@@ -527,12 +527,16 @@ object Graph {
       }
       val out = ranks.filter(col("node") < 0 && col("node") >= -60)
         .select((-col("node")).as("supp"), round(col("rank"), 6).as("ppr"))
-        .orderBy("supp")
-      // localCheckpoint, not count()+recompute: the verify/bench action
-      // reads the materialized rows instead of re-executing the released plan
-      val ckpt = out.localCheckpoint()
+      // materialize via collect into a LocalRelation: the plain adaptive
+      // path runs the 3-round rank chain with runtime broadcast of the
+      // small ranks side, while BOTH persist() and localCheckpoint()
+      // materializations execute the same chain ~3× slower (cached/
+      // checkpointed plans skip AQE's join-strategy re-planning — measured
+      // at sf0.1). The 60-row result is driver-bounded by construction
+      // (suppliers ≤ 60), and a LocalRelation is immune to cache clears.
+      val rows = out.collect()
       e.unpersist(); withDeg.unpersist()
-      ckpt
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     },
     Some {
       val iters = (1 to 3).map { i =>
