@@ -34,21 +34,32 @@ object Verify {
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     // a handful of queries persist() intermediates; without periodic cleanup
-    // all 126 queries' blocks accumulate in the driver JVM for the whole run.
-    // Every ~20 completions, clear the cache: a concurrently-running query
-    // that loses its cached blocks just recomputes them (correctness
-    // unaffected, and at verify scale the recompute is milliseconds).
+    // all queries' blocks accumulate in the driver JVM for the whole run.
+    // Every ~20 completions, clear the cache — but NEVER concurrently with
+    // a running query: clearing a cached frame in the middle of another
+    // lane's self-join can make the two join branches observe different
+    // data (seen once as a 0-row q156 — the banded self-join through a
+    // persisted hash frame), which is silent wrong results, not just a
+    // recompute. A FAIR read-write lock serializes the clear against the
+    // lanes: queries hold the read lock, the clear takes the write lock,
+    // and fairness keeps the writer from starving behind a busy pool.
     val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    val cacheLock = new java.util.concurrent.locks.ReentrantReadWriteLock(true)
     val runs = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       Future {
+        cacheLock.readLock().lock()
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        } finally cacheLock.readLock().unlock()
+        if (done.incrementAndGet() % 20 == 0) {
+          cacheLock.writeLock().lock()
+          try spark.catalog.clearCache()
+          finally cacheLock.writeLock().unlock()
         }
-        if (done.incrementAndGet() % 20 == 0) spark.catalog.clearCache()
       }
     }
     Await.result(Future.sequence(runs), Duration.Inf)

@@ -52,9 +52,19 @@ class CodecFuzzSpec extends AnyFunSuite {
     fuzz("adpcm", AdpcmCodec.encode(payload), AdpcmCodec.decodeSamples)
   }
 
+  test("FLAC decode survives every one-byte flip and truncation") {
+    fuzz("flac", FlacCodec.encode(payload), FlacCodec.decodeSamples)
+  }
+
   test("color JPEG decode survives every one-byte flip and truncation") {
     fuzz("jpeg-color", JpegCodec.encodeColor(payload), JpegCodec.decodeColorPixels)
     fuzz("jpeg-420", JpegCodec.encode420(payload), JpegCodec.decodeColorPixels)
+  }
+
+  test("arithmetic JPEG decode survives every one-byte flip and truncation") {
+    fuzz("jpeg-arith", JpegCodec.encodeArith(payload), JpegCodec.decodeArithPixels)
+    fuzz("jpeg-arith-rst", JpegCodec.encodeArith(payload, restartInterval = 3),
+      JpegCodec.decodeArithPixels)
   }
 
   test("progressive JPEG decode survives every one-byte flip and truncation") {

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Multimodal.FlacCodec
+
+/** The FLAC lossless codec: bit-exact round-trip across every subframe
+  * type (CONSTANT / VERBATIM / FIXED 0–4), multi-frame streams with a short
+  * last block, CRC enforcement, and the closed-form payload mapping q269's
+  * oracle relies on.
+  */
+class FlacCodecSpec extends AnyFunSuite {
+
+  private val payload =
+    (0 until 100).map(i => ((i * 37 + 11) % 256).toByte).toArray
+
+  test("payload encode decodes bit-exactly to the (b-128)*256 PCM mapping") {
+    val flac = FlacCodec.encode(payload)
+    assert(new String(flac.take(4)) == "fLaC")
+    val Some(samples) = FlacCodec.decodeSamples(flac)
+    assert(samples.length == payload.length)
+    for (i <- payload.indices)
+      assert(samples(i) == ((payload(i) & 0xff) - 128) * 256, s"sample $i")
+  }
+
+  test("multi-frame streams round-trip, including a short last block") {
+    // 700 samples = 2 full 256-blocks + a 188-sample last frame
+    for (n <- Seq(1, 255, 256, 257, 700)) {
+      val pcm = Array.tabulate(n)(i => ((i * 7919 + 13) % 65536) - 32768)
+      val Some(back) = FlacCodec.decodeSamples(FlacCodec.encodePcm(pcm))
+      assert(back.length == n, s"n=$n length")
+      assert(back.map(_.toInt).sameElements(pcm), s"n=$n samples")
+    }
+  }
+
+  test("every fixed predictor order round-trips exactly") {
+    // smooth polynomial-ish content where each order is exercised
+    val ramps = Seq(
+      Array.fill(300)(1234), // constant → order 0 residuals all equal
+      Array.tabulate(300)(i => i * 11 - 1500), // linear → order 2 zeros
+      Array.tabulate(300)(i => (i * i) / 8 - 5000), // quadratic → order 3
+      Array.tabulate(300)(i => ((i * i * i) / 2000) - 6000)) // cubic → order 4
+    for ((pcm, idx) <- ramps.zipWithIndex; order <- 0 to 4) {
+      val Some(back) = FlacCodec.decodeSamples(FlacCodec.encodePcm(pcm, forceOrder = order))
+      assert(back.map(_.toInt).sameElements(pcm), s"ramp $idx order $order")
+    }
+  }
+
+  test("constant and verbatim subframes round-trip exactly") {
+    val flat = Array.fill(600)(-12345)
+    val Some(c) = FlacCodec.decodeSamples(FlacCodec.encodePcm(flat))
+    assert(c.map(_.toInt).sameElements(flat))
+    val noisy = Array.tabulate(300)(i => ((i * 48271 + 7) % 65536) - 32768)
+    val Some(v) = FlacCodec.decodeSamples(FlacCodec.encodePcm(noisy, forceVerbatim = true))
+    assert(v.map(_.toInt).sameElements(noisy))
+  }
+
+  test("best-order selection beats verbatim on smooth content") {
+    val smooth = Array.tabulate(2048)(i => i * 3 - 3000)
+    val fixed = FlacCodec.encodePcm(smooth).length
+    val verbatim = FlacCodec.encodePcm(smooth, forceVerbatim = true).length
+    assert(fixed < verbatim, s"fixed $fixed >= verbatim $verbatim")
+  }
+
+  test("corrupt CRCs and truncation are rejected, not thrown") {
+    val flac = FlacCodec.encode(payload)
+    // every byte past the metadata is CRC-covered (header CRC-8, whole
+    // frame CRC-16), and a CRC always detects a single-bit error — so any
+    // one-bit flip in frame data MUST yield None, never a throw
+    for (i <- 42 until flac.length) {
+      val mut = flac.clone()
+      mut(i) = (mut(i) ^ 0x10).toByte
+      assert(FlacCodec.decodeSamples(mut).isEmpty, s"flip at byte $i slipped through")
+    }
+    assert(FlacCodec.decodeSamples(flac.take(20)).isEmpty)
+    assert(FlacCodec.decodeSamples(Array[Byte]()).isEmpty)
+    // flipping a residual bit MUST be caught by the frame CRC-16: find the
+    // first entropy byte after the headers and corrupt it
+    val mut = flac.clone()
+    mut(flac.length - 3) = (mut(flac.length - 3) ^ 0x40).toByte
+    assert(FlacCodec.decodeSamples(mut).isEmpty, "CRC-16 missed a corrupt byte")
+  }
+}

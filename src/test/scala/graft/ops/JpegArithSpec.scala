@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Multimodal.JpegCodec
+
+/** The arithmetic-coded (SOF9) JPEG path: QM-coder round-trip through the
+  * full container, general-content entropy-layer round-trip (all magnitude
+  * categories, zero runs, EOB shapes, conditioning contexts), carry/stuffing
+  * byte-discipline edge cases, restart resync, Table D.3 sanity invariants,
+  * and the headline T.81 claim that adaptive arithmetic coding beats the
+  * fixed Huffman tables on the same content.
+  */
+class JpegArithSpec extends AnyFunSuite {
+
+  private val payload =
+    (0 until 100).map(i => ((i * 37 + 11) % 256).toByte).toArray
+
+  test("flat-block arithmetic encode decodes bit-exactly to the payload grid") {
+    val jpg = JpegCodec.encodeArith(payload)
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
+    val Some((w, h, px)) = JpegCodec.decodeArithPixels(jpg)
+    assert(w == 32 && h == 8 * 25)
+    for (i <- 0 until 25 * 4) {
+      val expected = if (i < payload.length) payload(i) & 0xff else 0
+      val bx = i % 4; val by = i / 4
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val got = px((by * 8 + y) * w + bx * 8 + x) & 0xff
+        assert(got == expected, s"block $i pixel ($x,$y): $got != $expected")
+      }
+    }
+  }
+
+  test("arithmetic decode equals baseline Huffman decode on varied payloads") {
+    for (n <- Seq(0, 1, 3, 4, 5, 64, 257)) {
+      val p = (0 until n).map(i => ((i * 73 + n * 19) % 256).toByte).toArray
+      val a = JpegCodec.decodeArithPixels(JpegCodec.encodeArith(p)).get
+      val b = JpegCodec.decodePixels(JpegCodec.encode(p)).get
+      assert(a._1 == b._1 && a._2 == b._2, s"dims differ at n=$n")
+      assert(a._3.sameElements(b._3), s"pixels differ at n=$n")
+    }
+  }
+
+  test("entropy layer round-trips arbitrary coefficient blocks exactly") {
+    // deterministic pseudo-random blocks covering: zero blocks, DC-only,
+    // dense AC, isolated high-k AC (the Kx>5 high-magnitude area), large
+    // magnitudes (deep X walks + magnitude bits), long zero runs, ke = 63
+    var seed = 0x2545F4914F6CDD1DL
+    def next(bound: Int): Int = {
+      seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    val blocks = Array.tabulate(200) { b =>
+      val c = new Array[Int](64)
+      b % 5 match {
+        case 0 => // flat / DC-only, varied magnitudes incl. negatives
+          c(0) = next(4001) - 2000
+        case 1 => // dense small AC
+          c(0) = next(255) - 127
+          for (k <- 1 to 63) if (next(3) == 0) c(k) = next(7) - 3
+          c(63) = 1 // force the ke = 63 no-EOB path sometimes
+        case 2 => // sparse large AC across the Kx split
+          c(0) = next(1001) - 500
+          c(3) = next(2001) - 1000
+          c(40) = next(2001) - 1000
+        case 3 => // single trailing coefficient after a 62-zero run
+          c(0) = 0
+          c(next(63) + 1) = next(31) - 15 match { case 0 => 1; case v => v }
+        case _ => // empty block (EOB at k=1, zero DC diff)
+          ()
+      }
+      c
+    }
+    val data = JpegCodec.arithEncodeBlocks(blocks)
+    val back = JpegCodec.arithDecodeBlocks(data, blocks.length)
+    for (b <- blocks.indices)
+      assert(back(b).sameElements(blocks(b)), s"block $b mismatched")
+  }
+
+  test("restart markers resync the coder, statistics, and DC prediction") {
+    val plain = JpegCodec.decodeArithPixels(JpegCodec.encodeArith(payload)).get
+    for (ri <- Seq(1, 2, 7)) {
+      val rst = JpegCodec.decodeArithPixels(
+        JpegCodec.encodeArith(payload, restartInterval = ri)).get
+      assert(plain._3.sameElements(rst._3), s"restartInterval=$ri differs")
+    }
+  }
+
+  test("adaptive arithmetic coding beats the fixed Huffman tables (T.81 claim)") {
+    // skewed content (constant bytes) is where adaptation shines: the DC
+    // zero-diff + EOB decisions converge to near-zero cost per block,
+    // while Huffman pays >= 6 whole bits per block forever
+    val skewed = Array.fill(4096)(42.toByte)
+    val huff = JpegCodec.encode(skewed).length
+    val arith = JpegCodec.encodeArith(skewed).length
+    assert(arith < huff, s"arith $arith >= huffman $huff on skewed content")
+    // and on the mixed fixture payload it should still not be worse
+    val h2 = JpegCodec.encode(payload).length
+    val a2 = JpegCodec.encodeArith(payload).length
+    assert(a2 <= h2 + 8, s"arith $a2 far above huffman $h2 on mixed content")
+  }
+
+  test("Table D.3 transcription satisfies the spec's structural invariants") {
+    val n = JpegCodec.QmQe.length
+    assert(n == 114) // 113 adaptive states + the fixed ~0.5 bin
+    for (i <- 0 until n) {
+      assert(JpegCodec.QmQe(i) > 0 && JpegCodec.QmQe(i) < 0x8000, s"Qe($i)")
+      assert(JpegCodec.QmNmps(i) >= 0 && JpegCodec.QmNmps(i) < n, s"NMPS($i)")
+      assert(JpegCodec.QmNlps(i) >= 0 && JpegCodec.QmNlps(i) < n, s"NLPS($i)")
+      // switch only on MPS/LPS-boundary states (Qe near 0.5)
+      if (JpegCodec.QmSwitch(i) == 1)
+        assert(JpegCodec.QmQe(i) >= 0x5000, s"switch on low-Qe state $i")
+    }
+    // the fixed bin never adapts
+    assert(JpegCodec.QmNmps(113) == 113 && JpegCodec.QmNlps(113) == 113 &&
+      JpegCodec.QmSwitch(113) == 0)
+    // MPS success must lower Qe (or stay at the boundary): the estimator
+    // converges toward certainty along NMPS chains
+    for (i <- 0 until 113)
+      assert(JpegCodec.QmQe(JpegCodec.QmNmps(i)) <= JpegCodec.QmQe(i) ||
+        JpegCodec.QmSwitch(i) == 1, s"NMPS($i) raises Qe")
+  }
+
+  test("non-SOF9 containers and hostile headers are rejected, not thrown") {
+    assert(JpegCodec.decodeArithPixels(JpegCodec.encode(payload)).isEmpty)
+    assert(JpegCodec.decodeArithPixels(Array[Byte]()).isEmpty)
+    assert(JpegCodec.decodeArithPixels(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+  }
+}
