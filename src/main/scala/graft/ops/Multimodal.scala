@@ -882,9 +882,12 @@ object Multimodal {
     * (the oracle recomputes the input samples in closed form; no codec
     * state replay needed, unlike q169's ADPCM recursion). The encoder
     * picks the best fixed order per frame like a real encoder (min sum
-    * |residual|) and emits CONSTANT frames for flat stretches; LPC
-    * subframes (encoder-side Levinson-Durbin) are the one unimplemented
-    * subframe type — decoder returns None for them, documented boundary.
+    * |residual|), emits CONSTANT frames for flat stretches, and can emit
+    * genuine LPC subframes (Levinson-Durbin on the frame autocorrelation,
+    * 15-bit quantized coefficients, residuals computed with the decoder's
+    * exact integer predictor so the round-trip stays lossless); the
+    * decoder handles all four subframe types including arbitrary-order
+    * LPC with the 64-bit-accumulator arithmetic-shift reconstruction.
     * Mono 16-bit; multi-channel decorrelation is out of scope.
     */
   object FlacCodec {
@@ -1009,6 +1012,61 @@ object Multimodal {
       case _ => s(i) - 4 * s(i - 1) + 6 * s(i - 2) - 4 * s(i - 3) + s(i - 4)
     }
 
+    /** Residual section shared by FIXED and LPC subframes: 2-bit method,
+      * partition order, per-partition Rice parameter (with the raw-escape
+      * decode path), zigzag-folded unary/remainder codes.
+      */
+    private def readResiduals(br: BitReader, blockSize: Int, order: Int): Array[Int] = {
+      val res = new Array[Int](blockSize - order)
+      val method = br.bits(2).toInt
+      if (method > 1) throw new FlacFail
+      val pbits = if (method == 0) 4 else 5
+      val escape = (1 << pbits) - 1
+      val po = br.bits(4).toInt
+      val parts = 1 << po
+      if (blockSize % parts != 0 || (blockSize / parts <= order && parts > 1))
+        throw new FlacFail
+      var r = 0
+      var part = 0
+      while (part < parts) {
+        val cnt = (if (parts == 1) blockSize - order
+                   else if (part == 0) blockSize / parts - order
+                   else blockSize / parts)
+        val k = br.bits(pbits).toInt
+        if (k == escape) {
+          val raw = br.bits(5).toInt
+          var j = 0
+          while (j < cnt) {
+            val x = br.bits(raw)
+            res(r) = if (raw == 0) 0 else (x.toInt << (32 - raw)) >> (32 - raw)
+            r += 1; j += 1
+          }
+        } else {
+          var j = 0
+          while (j < cnt) {
+            val q = br.unary().toLong
+            val folded = (q << k) | (if (k > 0) br.bits(k) else 0L)
+            res(r) = (if ((folded & 1) == 0) folded >> 1 else -((folded >> 1) + 1)).toInt
+            r += 1; j += 1
+          }
+        }
+        part += 1
+      }
+      res
+    }
+
+    private def writeResiduals(body: BitWriter, res: Array[Int]): Unit = {
+      body.put(0, 2) // residual method: 4-bit Rice
+      body.put(0, 4) // partition order 0
+      val k = riceParam(res, 0, res.length)
+      body.put(k, 4)
+      res.foreach { v =>
+        val folded = if (v >= 0) v.toLong << 1 else ((-v).toLong << 1) - 1
+        body.putUnary((folded >> k).toInt)
+        if (k > 0) body.put(folded & ((1L << k) - 1), k)
+      }
+    }
+
     private def riceParam(res: Array[Int], from: Int, until: Int): Int = {
       var sum = 0L
       var i = from
@@ -1024,11 +1082,12 @@ object Multimodal {
     }
 
     /** Encode mono 16-bit PCM to a conforming FLAC stream. `forceOrder`
-      * (0..4) / `forceVerbatim` pin a subframe type for spec coverage;
-      * default behavior is best-fixed-order with CONSTANT for flat frames.
+      * (0..4) / `forceVerbatim` / `lpcOrder` pin a subframe type for spec
+      * coverage; default behavior is best-fixed-order with CONSTANT for
+      * flat frames.
       */
     def encodePcm(samples: Array[Int], forceOrder: Int = -1,
-        forceVerbatim: Boolean = false): Array[Byte] = {
+        forceVerbatim: Boolean = false, lpcOrder: Int = -1): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
       "fLaC".foreach(c => out.write(c))
       out.write(0x80) // last metadata block, type 0 = STREAMINFO
@@ -1066,9 +1125,67 @@ object Multimodal {
         if (forceVerbatim) {
           body.put(0, 1); body.put(1, 6); body.put(0, 1) // VERBATIM
           s.foreach(v => body.put(v & 0xffffL, 16))
-        } else if (const && forceOrder < 0) {
+        } else if (const && forceOrder < 0 && lpcOrder < 1) {
           body.put(0, 1); body.put(0, 6); body.put(0, 1) // CONSTANT
           body.put(s(0) & 0xffffL, 16)
+        } else if (lpcOrder >= 1 && n > lpcOrder) {
+          // LPC subframe: Levinson-Durbin on the frame autocorrelation,
+          // coefficients quantized to 15-bit precision with a shift chosen
+          // so the largest fits; residuals computed with the DECODER's
+          // exact integer predictor (64-bit accumulator, arithmetic shift)
+          // so the round-trip is lossless regardless of model quality
+          val order = math.min(lpcOrder, 32)
+          // Welch-windowed autocorrelation (standard encoder practice —
+          // unwindowed finite-frame estimates bias the model; windowing
+          // only affects model QUALITY, never losslessness)
+          val win = Array.tabulate(n) { i =>
+            val t = (i - (n - 1) / 2.0) / ((n + 1) / 2.0)
+            s(i) * (1.0 - t * t)
+          }
+          val ac = Array.tabulate(order + 1) { lag =>
+            var sum = 0.0
+            var i = lag
+            while (i < n) { sum += win(i) * win(i - lag); i += 1 }
+            sum
+          }
+          val a = new Array[Double](order)
+          var err = ac(0)
+          var i = 0
+          while (i < order && err > 0) {
+            var acc = ac(i + 1)
+            var j = 0
+            while (j < i) { acc -= a(j) * ac(i - j); j += 1 }
+            val kref = acc / err
+            val prev = java.util.Arrays.copyOf(a, i)
+            a(i) = kref
+            j = 0
+            while (j < i) { a(j) = prev(j) - kref * prev(i - 1 - j); j += 1 }
+            err *= 1 - kref * kref
+            i += 1
+          }
+          val maxc = a.map(math.abs).foldLeft(0.0)(math.max)
+          val prec = 15
+          var shift = 14
+          while (shift > 0 && maxc * (1L << shift) > (1 << (prec - 1)) - 1)
+            shift -= 1
+          val qc = a.map { c =>
+            math.max(-(1 << (prec - 1)),
+              math.min((1 << (prec - 1)) - 1, math.round(c * (1L << shift)).toInt))
+          }
+          body.put(0, 1); body.put(0x20 | (order - 1), 6); body.put(0, 1)
+          var w = 0
+          while (w < order) { body.put(s(w) & 0xffffL, 16); w += 1 } // warmup
+          body.put(prec - 1, 4)
+          body.put(shift, 5)
+          qc.foreach(c => body.put(c & ((1L << prec) - 1), prec))
+          val res = Array.tabulate(n - order) { ri =>
+            val idx = ri + order
+            var acc = 0L
+            var c = 0
+            while (c < order) { acc += qc(c).toLong * s(idx - 1 - c); c += 1 }
+            s(idx) - (acc >> shift).toInt
+          }
+          writeResiduals(body, res)
         } else {
           val maxOrder = math.min(4, n)
           val order =
@@ -1082,16 +1199,7 @@ object Multimodal {
           body.put(0, 1); body.put(8 + order, 6); body.put(0, 1) // FIXED
           var i = 0
           while (i < order) { body.put(s(i) & 0xffffL, 16); i += 1 } // warmup
-          val res = Array.tabulate(n - order)(i => residual(s, i + order, order))
-          body.put(0, 2) // residual method: 4-bit Rice
-          body.put(0, 4) // partition order 0
-          val k = riceParam(res, 0, res.length)
-          body.put(k, 4)
-          res.foreach { v =>
-            val folded = if (v >= 0) v.toLong << 1 else ((-v).toLong << 1) - 1
-            body.putUnary((folded >> k).toInt)
-            if (k > 0) body.put(folded & ((1L << k) - 1), k)
-          }
+          writeResiduals(body, Array.tabulate(n - order)(i => residual(s, i + order, order)))
         }
         body.align()
         val bodyBytes = body.bytes
@@ -1118,10 +1226,9 @@ object Multimodal {
         if (i < payload.length) ((payload(i) & 0xff) - 128) * 256 else 0))
     }
 
-    /** Decode any mono 16-bit FLAC stream this subset covers (CONSTANT /
-      * VERBATIM / FIXED subframes, Rice or escaped residuals, any
-      * partition order, both CRCs verified). None on LPC subframes,
-      * other geometries, or malformed/corrupt bytes.
+    /** Decode any mono 16-bit FLAC stream (CONSTANT / VERBATIM / FIXED /
+      * LPC subframes, Rice or escaped residuals, any partition order,
+      * both CRCs verified). None on other geometries or malformed bytes.
       */
     def decodeSamples(p: Array[Byte]): Option[Array[Short]] = {
       try decodeOrThrow(p) catch {
@@ -1208,41 +1315,7 @@ object Multimodal {
             if (order > blockSize) throw new FlacFail
             var j = 0
             while (j < order) { s(j) = signedW(br.bits(w)); j += 1 }
-            val res = new Array[Int](blockSize - order)
-            val method = br.bits(2).toInt
-            if (method > 1) throw new FlacFail
-            val pbits = if (method == 0) 4 else 5
-            val escape = (1 << pbits) - 1
-            val po = br.bits(4).toInt
-            val parts = 1 << po
-            if (blockSize % parts != 0 || blockSize / parts <= order && parts > 1)
-              throw new FlacFail
-            var r = 0
-            var part = 0
-            while (part < parts) {
-              val cnt = (if (parts == 1) blockSize - order
-                         else if (part == 0) blockSize / parts - order
-                         else blockSize / parts)
-              val k = br.bits(pbits).toInt
-              if (k == escape) {
-                val raw = br.bits(5).toInt
-                var j = 0
-                while (j < cnt) {
-                  val x = br.bits(raw)
-                  res(r) = if (raw == 0) 0 else (x.toInt << (32 - raw)) >> (32 - raw)
-                  r += 1; j += 1
-                }
-              } else {
-                var j = 0
-                while (j < cnt) {
-                  val q = br.unary().toLong
-                  val folded = (q << k) | (if (k > 0) br.bits(k) else 0L)
-                  res(r) = (if ((folded & 1) == 0) folded >> 1 else -((folded >> 1) + 1)).toInt
-                  r += 1; j += 1
-                }
-              }
-              part += 1
-            }
+            val res = readResiduals(br, blockSize, order)
             // reconstruct at reduced width, then restore wasted bits last
             var idx = order
             while (idx < blockSize) {
@@ -1260,7 +1333,30 @@ object Multimodal {
               idx = 0
               while (idx < blockSize) { s(idx) <<= wasted; idx += 1 }
             }
-          case t if t >= 32 => return None // LPC: documented boundary
+          case t if t >= 32 => // LPC order 1..32
+            val order = (t & 0x1f) + 1
+            if (order > blockSize) throw new FlacFail
+            var j = 0
+            while (j < order) { s(j) = signedW(br.bits(w)); j += 1 }
+            val precM1 = br.bits(4).toInt
+            if (precM1 == 15) throw new FlacFail // invalid per spec
+            val prec = precM1 + 1
+            val shift = (br.bits(5).toInt << 27) >> 27 // signed 5-bit
+            if (shift < 0) throw new FlacFail // negative shift not allowed
+            val coefs = Array.fill(order)((br.bits(prec).toInt << (32 - prec)) >> (32 - prec))
+            val res = readResiduals(br, blockSize, order)
+            var idx = order
+            while (idx < blockSize) {
+              var acc = 0L // 64-bit accumulator per spec
+              var c = 0
+              while (c < order) { acc += coefs(c).toLong * s(idx - 1 - c); c += 1 }
+              s(idx) = res(idx - order) + (acc >> shift).toInt
+              idx += 1
+            }
+            if (wasted > 0) {
+              idx = 0
+              while (idx < blockSize) { s(idx) <<= wasted; idx += 1 }
+            }
           case _ => throw new FlacFail
         }
         br.align()
@@ -1276,6 +1372,207 @@ object Multimodal {
         got += blockSize
       }
       Some(outSamples)
+    }
+  }
+
+  /** REAL video container: Motion-JPEG AVI — the RIFF 'AVI ' layout
+    * classic capture tools and IP cameras write: an 'hdrl' LIST with the
+    * avih main header and one 'vids'/'MJPG' stream (strh + a
+    * BITMAPINFOHEADER strf), a 'movi' LIST whose '00dc' chunks each hold
+    * a COMPLETE baseline JPEG, and an 'idx1' index whose entries are
+    * validated against the actual chunk walk. Frame extraction is the
+    * real thing the q62 stub stands in for: RIFF walk → per-frame
+    * [[JpegCodec]] pixel decode — one-to-many, each frame a full
+    * entropy-coded image. Every frame carries [[FrameBytes]] payload
+    * bytes as flat blocks (zero-padded), so all frames share one geometry
+    * (as video requires) and the per-frame oracle stays closed form.
+    * Decode validates: RIFF/AVI magic, stream type+handler, strf
+    * biCompression, per-frame JPEG decode success, frame dims ==
+    * avih/strf dims, frame count == avih totalFrames, and — when idx1 is
+    * present — index entry count/sizes/offsets against the walk (both
+    * public offset conventions: movi-relative and absolute). Fail-soft
+    * None on anything else (flip/truncation fuzz in CodecFuzzSpec).
+    */
+  object MjpegAviCodec {
+    val FrameBytes = 8 // payload bytes per frame → 8 blocks → 32×16 px
+
+    private def le16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    }
+    private def le32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      le16(out, v & 0xffff); le16(out, (v >>> 16) & 0xffff)
+    }
+    private def tag(out: java.io.ByteArrayOutputStream, s: String): Unit =
+      s.foreach(c => out.write(c))
+
+    def encode(payload: Array[Byte]): Array[Byte] = {
+      val nf = math.max(1, (payload.length + FrameBytes - 1) / FrameBytes)
+      val frames = Array.tabulate(nf) { f =>
+        val slice = new Array[Byte](FrameBytes) // zero-padded frame content
+        val from = f * FrameBytes
+        val n = math.min(FrameBytes, math.max(0, payload.length - from))
+        if (n > 0) System.arraycopy(payload, from, slice, 0, n)
+        JpegCodec.encode(slice)
+      }
+      val w = JpegCodec.BlocksPerRow * 8
+      val h = FrameBytes / JpegCodec.BlocksPerRow * 8
+      val maxFrame = frames.map(_.length).max
+      // movi LIST payload: 'movi' + per-frame '00dc' chunks (word-aligned)
+      val movi = new java.io.ByteArrayOutputStream()
+      tag(movi, "movi")
+      val offsets = new Array[Int](nf) // offset of each '00dc' within movi
+      for (f <- 0 until nf) {
+        offsets(f) = movi.size()
+        tag(movi, "00dc"); le32(movi, frames(f).length)
+        movi.write(frames(f))
+        if ((frames(f).length & 1) == 1) movi.write(0) // pad to word
+      }
+      val moviBytes = movi.toByteArray
+      // hdrl LIST: avih + strl(strh + strf)
+      val hdrl = new java.io.ByteArrayOutputStream()
+      tag(hdrl, "hdrl")
+      tag(hdrl, "avih"); le32(hdrl, 56)
+      le32(hdrl, 40000) // microseconds per frame (25 fps)
+      le32(hdrl, 0); le32(hdrl, 0)
+      le32(hdrl, 0x10) // AVIF_HASINDEX
+      le32(hdrl, nf) // total frames
+      le32(hdrl, 0); le32(hdrl, 1) // initial frames, stream count
+      le32(hdrl, maxFrame) // suggested buffer size
+      le32(hdrl, w); le32(hdrl, h)
+      (0 until 4).foreach(_ => le32(hdrl, 0)) // reserved
+      val strl = new java.io.ByteArrayOutputStream()
+      tag(strl, "strl")
+      tag(strl, "strh"); le32(strl, 56)
+      tag(strl, "vids"); tag(strl, "MJPG")
+      le32(strl, 0); le32(strl, 0); le32(strl, 0) // flags, prio/lang, initial
+      le32(strl, 1); le32(strl, 25) // scale, rate → 25 fps
+      le32(strl, 0); le32(strl, nf) // start, length (frames)
+      le32(strl, maxFrame); le32(strl, -1); le32(strl, 0) // buffer, quality, sampleSize
+      le16(strl, 0); le16(strl, 0); le16(strl, w); le16(strl, h) // rcFrame
+      tag(strl, "strf"); le32(strl, 40) // BITMAPINFOHEADER
+      le32(strl, 40); le32(strl, w); le32(strl, h)
+      le16(strl, 1); le16(strl, 24) // planes, bit count
+      tag(strl, "MJPG") // biCompression
+      le32(strl, w * h * 3)
+      le32(strl, 0); le32(strl, 0); le32(strl, 0); le32(strl, 0)
+      val strlBytes = strl.toByteArray
+      val hdrlFull = new java.io.ByteArrayOutputStream()
+      hdrlFull.write(hdrl.toByteArray)
+      tag(hdrlFull, "LIST"); le32(hdrlFull, strlBytes.length)
+      hdrlFull.write(strlBytes)
+      val hdrlBytes = hdrlFull.toByteArray
+      // idx1: one entry per frame, offsets relative to the 'movi' fourcc
+      val idx = new java.io.ByteArrayOutputStream()
+      for (f <- 0 until nf) {
+        tag(idx, "00dc"); le32(idx, 0x10) // AVIIF_KEYFRAME
+        le32(idx, offsets(f)); le32(idx, frames(f).length)
+      }
+      val idxBytes = idx.toByteArray
+      val riff = new java.io.ByteArrayOutputStream()
+      tag(riff, "AVI ")
+      tag(riff, "LIST"); le32(riff, hdrlBytes.length); riff.write(hdrlBytes)
+      tag(riff, "LIST"); le32(riff, moviBytes.length); riff.write(moviBytes)
+      tag(riff, "idx1"); le32(riff, idxBytes.length); riff.write(idxBytes)
+      val riffBytes = riff.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      tag(out, "RIFF"); le32(out, riffBytes.length)
+      out.write(riffBytes)
+      out.toByteArray
+    }
+
+    private def rd16(p: Array[Byte], i: Int): Int = {
+      if (i + 1 >= p.length) return -1
+      (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    }
+    private def rd32(p: Array[Byte], i: Int): Int = {
+      if (i + 3 >= p.length) return -1
+      rd16(p, i) | (rd16(p, i + 2) << 16)
+    }
+    private def isTag(p: Array[Byte], i: Int, s: String): Boolean =
+      i >= 0 && p.length >= i + 4 &&
+        s.indices.forall(k => (p(i + k) & 0xff) == s.charAt(k))
+
+    /** Decoded frames: (width, height, gray pixel planes in frame order),
+      * or None for non-MJPG/malformed containers.
+      */
+    def decodeFrames(p: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
+      if (!isTag(p, 0, "RIFF") || !isTag(p, 8, "AVI ")) return None
+      val riffEnd = math.min(p.length.toLong, 8L + rd32(p, 4)).toInt
+      if (riffEnd < 12) return None
+      var i = 12
+      var totalFrames = -1
+      var w = -1; var h = -1
+      var vidsOk = false; var strfOk = false
+      var moviStart = -1; var moviEnd = -1
+      var idxStart = -1; var idxLen = -1
+      while (i + 8 <= riffEnd) {
+        val sz = rd32(p, i + 4)
+        if (sz < 0) return None
+        if (isTag(p, i, "LIST") && isTag(p, i + 8, "hdrl")) {
+          // walk inside hdrl: avih, nested strl LIST
+          var j = i + 12
+          val end = math.min(riffEnd.toLong, i + 8L + sz).toInt
+          while (j + 8 <= end) {
+            val csz = rd32(p, j + 4)
+            if (csz < 0) return None
+            if (isTag(p, j, "avih") && csz >= 40) {
+              totalFrames = rd32(p, j + 8 + 16)
+              w = rd32(p, j + 8 + 32); h = rd32(p, j + 8 + 36)
+            } else if (isTag(p, j, "LIST") && isTag(p, j + 8, "strl")) {
+              var k = j + 12
+              val send = math.min(end.toLong, j + 8L + csz).toInt
+              while (k + 8 <= send) {
+                val ssz = rd32(p, k + 4)
+                if (ssz < 0) return None
+                if (isTag(p, k, "strh") && ssz >= 8)
+                  vidsOk = isTag(p, k + 8, "vids") && isTag(p, k + 12, "MJPG")
+                else if (isTag(p, k, "strf") && ssz >= 20)
+                  strfOk = isTag(p, k + 8 + 16, "MJPG") // biCompression
+                k += 8 + ssz + (ssz & 1)
+              }
+            }
+            j += 8 + csz + (csz & 1)
+          }
+        } else if (isTag(p, i, "LIST") && isTag(p, i + 8, "movi")) {
+          moviStart = i + 8; moviEnd = math.min(riffEnd.toLong, i + 8L + sz).toInt
+        } else if (isTag(p, i, "idx1")) {
+          idxStart = i + 8; idxLen = sz
+        }
+        i += 8 + sz + (sz & 1)
+      }
+      if (totalFrames < 0 || !vidsOk || !strfOk || moviStart < 0) return None
+      if (w <= 0 || h <= 0 || w.toLong * h * totalFrames > MaxPixelBytes) return None
+      val frames = Seq.newBuilder[Array[Byte]]
+      val walk = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var j = moviStart + 4
+      var n = 0
+      while (j + 8 <= moviEnd) {
+        val csz = rd32(p, j + 4)
+        if (csz < 0 || j + 8L + csz > moviEnd) return None
+        if (isTag(p, j, "00dc")) {
+          val jpg = java.util.Arrays.copyOfRange(p, j + 8, j + 8 + csz)
+          val (fw, fh, px) = JpegCodec.decodePixels(jpg).getOrElse(return None)
+          if (fw != w || fh != h) return None
+          frames += px
+          walk += ((j - moviStart, csz)) // movi-relative offset of '00dc'
+          n += 1
+        }
+        j += 8 + csz + (csz & 1)
+      }
+      if (n != totalFrames) return None
+      if (idxStart >= 0) { // validate the index against the walk
+        if (idxLen != 16 * n) return None
+        for (f <- 0 until n) {
+          val e = idxStart + 16 * f
+          if (!isTag(p, e, "00dc")) return None
+          val off = rd32(p, e + 8); val sz = rd32(p, e + 12)
+          val (woff, wsz) = walk(f)
+          // movi-relative (to the 'movi' fourcc) or absolute convention
+          if (sz != wsz || (off != woff && off != moviStart + woff))
+            return None
+        }
+      }
+      Some((w, h, frames.result()))
     }
   }
 
@@ -3615,6 +3912,30 @@ object Multimodal {
     }
   }
 
+  final case class VideoFrame(doc_id: Long, frame_id: Int, frame_w: Int,
+      frame_h: Int, mean_pixel: Double, max_gray: Int)
+
+  /** One-to-many REAL video frame extraction: payload → MJPEG AVI →
+    * RIFF/hdrl/movi/idx1 walk → per-frame full JPEG decode → one row per
+    * frame. The real form of the q62 stub sampler: every row comes out of
+    * a complete entropy-coded image inside a validated container.
+    */
+  def decodeContentMjpegFrames(media: Dataset[MediaRow]): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (w, h, frames) = MjpegAviCodec.decodeFrames(MjpegAviCodec.encode(r.payload))
+          .getOrElse(throw new IllegalStateException("MJPEG AVI roundtrip failed"))
+        frames.iterator.zipWithIndex.map { case (px, f) =>
+          var psum = 0L
+          var mx = 0
+          px.foreach { b => val v = b & 0xff; psum += v; if (v > mx) mx = v }
+          VideoFrame(r.doc_id, f, w, h, psum.toDouble / px.length, mx)
+        }
+      }
+    }
+  }
+
   /** 4:2:0 sibling of [[decodeContentJpegColor]]: the subsampled-MCU
     * geometry (2×2 luma + 1 Cb + 1 Cr) with nearest-neighbor chroma
     * upsampling, exact under flat neutral chroma.
@@ -3745,6 +4066,48 @@ object Multimodal {
            |  round(bytesum::DOUBLE / (nrows * 4), 6) AS mean_pixel,
            |  CAST(mx AS INT) AS max_gray
            |FROM b ORDER BY doc_id""".stripMargin))
+
+  /** Video frame extraction end-to-end: payload → real Motion-JPEG AVI →
+    * container walk + per-frame JPEG decode → one row PER FRAME. The hash
+    * only matches if the RIFF/hdrl parsing, movi chunk walk, idx1
+    * validation, and every frame's full Huffman→dequant→IDCT are all
+    * byte-exact — per-frame means are closed-form over the 8-byte payload
+    * slices (zero-padded last frame included).
+    */
+  val q270MjpegFrames = GraftQuery(
+    "q270_mjpeg_frames",
+    (s, dir) => {
+      import s.implicits._
+      val media = attachBinary(Tables.documents(s, dir).filter(col("doc_id") < 50))
+        .as[MediaRow]
+      decodeContentMjpegFrames(media).toDF()
+        .select(col("doc_id"), col("frame_id"), col("frame_w"), col("frame_h"),
+          round(col("mean_pixel"), 6).as("mean_pixel"), col("max_gray"))
+        .orderBy("doc_id", "frame_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, text, CAST(length(text) AS INT) AS len
+           |  FROM documents WHERE doc_id < 50),
+           |f AS (
+           |  SELECT doc_id, text, len, greatest(1, (len + 7) // 8) AS nf
+           |  FROM t),
+           |x AS (
+           |  SELECT doc_id, text, len,
+           |    unnest(range(0, CAST(nf AS INT))) AS fid
+           |  FROM f),
+           |s AS (
+           |  SELECT doc_id, fid,
+           |    COALESCE(list_sum(list_transform(
+           |      range(CAST(fid * 8 + 1 AS INT), CAST(least(len, fid * 8 + 8) + 1 AS INT)),
+           |      i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS bsum,
+           |    COALESCE(list_max(list_transform(
+           |      range(CAST(fid * 8 + 1 AS INT), CAST(least(len, fid * 8 + 8) + 1 AS INT)),
+           |      i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS mx
+           |  FROM x)
+           |SELECT doc_id, CAST(fid AS INT) AS frame_id,
+           |  CAST(32 AS INT) AS frame_w, CAST(16 AS INT) AS frame_h,
+           |  round(bsum::DOUBLE / 8, 6) AS mean_pixel, CAST(mx AS INT) AS max_gray
+           |FROM s ORDER BY doc_id, frame_id""".stripMargin))
 
   final case class ResampledAudio(doc_id: Long, n_in: Int, n_out: Int,
       rms_amplitude: Double, max_abs: Int, checksum: Long)
@@ -4165,5 +4528,5 @@ object Multimodal {
     q156BandedPerceptualPairs, q159JpegDecode, q160MulawDecode, q162ImageResize,
     q165JpegColorDecode, q166Jpeg420Decode, q169AdpcmDecode,
     q170JpegProgressiveDecode, q175AudioResample, q197ImageHistogram,
-    q268JpegArithDecode, q269FlacDecode)
+    q268JpegArithDecode, q269FlacDecode, q270MjpegFrames)
 }

@@ -56,6 +56,10 @@ class CodecFuzzSpec extends AnyFunSuite {
     fuzz("flac", FlacCodec.encode(payload), FlacCodec.decodeSamples)
   }
 
+  test("MJPEG AVI decode survives every one-byte flip and truncation") {
+    fuzz("mjpeg-avi", MjpegAviCodec.encode(payload), MjpegAviCodec.decodeFrames)
+  }
+
   test("color JPEG decode survives every one-byte flip and truncation") {
     fuzz("jpeg-color", JpegCodec.encodeColor(payload), JpegCodec.decodeColorPixels)
     fuzz("jpeg-420", JpegCodec.encode420(payload), JpegCodec.decodeColorPixels)

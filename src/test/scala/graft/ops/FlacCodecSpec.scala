@@ -55,6 +55,41 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(v.map(_.toInt).sameElements(noisy))
   }
 
+  test("LPC subframes round-trip exactly at several orders") {
+    // correlated content (noisy sine-ish recurrence) where LPC is at home
+    val pcm = {
+      val out = new Array[Int](1000)
+      out(0) = 500; out(1) = 900
+      for (i <- 2 until 1000)
+        out(i) = math.max(-32768, math.min(32767,
+          (out(i - 1) * 19 / 10) - out(i - 2) + ((i * 37) % 23) - 11))
+      out
+    }
+    for (order <- Seq(1, 2, 4, 8, 12, 32)) {
+      val Some(back) = FlacCodec.decodeSamples(FlacCodec.encodePcm(pcm, lpcOrder = order))
+      assert(back.map(_.toInt).sameElements(pcm), s"lpc order $order")
+    }
+    // and LPC on random content still round-trips (model quality only
+    // affects size, never correctness)
+    val noisy = Array.tabulate(700)(i => ((i * 48271 + 7) % 65536) - 32768)
+    for (order <- Seq(2, 8)) {
+      val Some(back) = FlacCodec.decodeSamples(FlacCodec.encodePcm(noisy, lpcOrder = order))
+      assert(back.map(_.toInt).sameElements(noisy), s"noisy lpc order $order")
+    }
+  }
+
+  test("LPC beats fixed predictors on resonant content") {
+    // a HIGH-frequency tone: the fixed predictors are powers of (1 − B)
+    // with all roots at z = 1, so at θ = 2 rad every order ≥ 1 AMPLIFIES
+    // the signal ((2·sin(θ/2))^k > 1) and order 0 degenerates to verbatim
+    // — while the LPC recurrence [2·cos θ, −1] models any resonance
+    val pcm = Array.tabulate(4096)(i =>
+      math.round(20000 * math.sin(i * 2.0)).toInt + ((i * 37) % 5) - 2)
+    val lpc = FlacCodec.encodePcm(pcm, lpcOrder = 2).length
+    val fixed = FlacCodec.encodePcm(pcm).length
+    assert(lpc < fixed, s"lpc $lpc >= fixed $fixed on resonant content")
+  }
+
   test("best-order selection beats verbatim on smooth content") {
     val smooth = Array.tabulate(2048)(i => i * 3 - 3000)
     val fixed = FlacCodec.encodePcm(smooth).length
