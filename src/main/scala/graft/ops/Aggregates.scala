@@ -73,8 +73,10 @@ object Aggregates {
            |  TRUE AS approx_ok
            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  /** Snowflake dimension chain: supplier ⋈ nation ⋈ region, both dims
-    * broadcast, aggregated revenue per region.
+  /** Snowflake dimension chain: supplier ⋈ nation ⋈ region. The fixed
+    * dims (nation 25, region 5) broadcast by hint; supplier is SF-scaled
+    * so its join stays size-based (no hint — a forced broadcast would be
+    * ~1B rows at the 100 TB target).
     */
   val q38RegionRevenue = GraftQuery(
     "q38_region_revenue",
@@ -83,7 +85,7 @@ object Aggregates {
       val sup = Tables.supplier(s, dir)
       val nat = Tables.nation(s, dir)
       val reg = Tables.region(s, dir)
-      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      li.join(sup, col("l_suppkey") === col("s_suppkey")) // SF-scaled: no hint
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")

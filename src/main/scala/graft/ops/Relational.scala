@@ -68,7 +68,13 @@ object Relational {
            |FROM lineitem GROUP BY l_orderkey
            |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin))
 
-  /** Fact-fact shuffle join + broadcast dimension join. */
+  /** Fact-fact shuffle join + size-based customer join. The customer side
+    * carries NO broadcast hint: customer is SF-scaled (TPC-H SF·150k — a
+    * hint would force a multi-billion-row broadcast at the 100 TB target
+    * and OOM every executor), so the planner's size threshold decides —
+    * broadcast while it fits, shuffle join when it doesn't. Only the
+    * FIXED-cardinality dims (nation 25, region 5) ever get hints.
+    */
   val q3SegmentRevenue = GraftQuery(
     "q3_segment_revenue",
     (s, dir) => {
@@ -76,7 +82,7 @@ object Relational {
       val ord = Tables.orders(s, dir)
       val cust = Tables.customer(s, dir)
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
           round(sum(diskr(col("l_extendedprice"))), 2).as("revenue"),
@@ -353,7 +359,8 @@ object Relational {
     * region's revenue share in 1995 vs 1996 and the share delta, so the
     * total change splits into per-region mix movement. Plan shape is the
     * TPC-H star: lineitem⋈orders filtered to the two years at the scan
-    * (pushdown), then broadcast dims customer→nation→region, one partial
+    * (pushdown), a size-based customer join (SF-scaled — no hint), then
+    * broadcast fixed dims nation→region, one partial
     * agg to (region, year), and a window total over the 10-row result —
     * the heavy tables shuffle once. Sums round at 2 (float accumulation);
     * shares are divisions of those sums (6).
@@ -365,7 +372,7 @@ object Relational {
       val rev = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .filter(yr.isin(1995, 1996))
-        .join(broadcast(Tables.customer(s, dir)),
+        .join(Tables.customer(s, dir), // SF-scaled: size-based, no hint
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, dir)),
           col("c_nationkey") === col("n_nationkey"))
@@ -414,10 +421,11 @@ object Relational {
   /** TPC-H Q5 analogue (local supplier volume): revenue per nation for
     * 1995 orders where the customer and the line's supplier sit in the
     * SAME nation — the classic snowflake with a co-location predicate.
-    * The two fact tables shuffle once on orderkey; every dimension hop
-    * (customer, supplier, nation, region) broadcasts; the co-location
-    * filter lands after the supplier join as a column equality. Sums
-    * round at 2.
+    * The two fact tables shuffle once on orderkey; customer and supplier
+    * are SF-scaled so their joins stay size-based (no hints — a forced
+    * broadcast of either would OOM at the 100 TB target); the fixed
+    * 25-row nation broadcasts; the co-location filter lands after the
+    * supplier join as a column equality. Sums round at 2.
     */
   val q227LocalSupplierVolume = GraftQuery(
     "q227_local_supplier_volume",
@@ -425,9 +433,9 @@ object Relational {
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir).filter(year(col("o_orderdate")) === 1995)
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)),
+        .join(Tables.customer(s, dir), // SF-scaled: size-based, no hint
           col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.supplier(s, dir)),
+        .join(Tables.supplier(s, dir), // SF-scaled: size-based, no hint
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(Tables.nation(s, dir)),
@@ -451,8 +459,10 @@ object Relational {
   /** TPC-H Q8 analogue (market share): a target region's share of revenue
     * supplied by one nation's suppliers, per order year — the conditional
     * share-of-aggregate shape (sum(CASE)·/·sum) with a two-hop dimension
-    * path on BOTH fact sides. Fact tables shuffle once; all dims
-    * broadcast; the share is a division of two same-group sums (round 6).
+    * path on BOTH fact sides. Fact tables shuffle once; the fixed dims
+    * (nation, region) broadcast while SF-scaled customer/supplier joins
+    * stay size-based (no hints); the share is a division of two
+    * same-group sums (round 6).
     */
   val q228MarketShare = GraftQuery(
     "q228_market_share",
@@ -461,13 +471,13 @@ object Relational {
       val li = Tables.lineitem(s, dir)
       val vol = li
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)),
+        .join(Tables.customer(s, dir), // SF-scaled: size-based, no hint
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
           col("n_regionkey").as("crk"))), col("c_nationkey") === col("cnk"))
         .join(broadcast(Tables.region(s, dir)), col("crk") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA")
-        .join(broadcast(Tables.supplier(s, dir)),
+        .join(Tables.supplier(s, dir), // SF-scaled: size-based, no hint
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(nat.select(col("n_nationkey").as("snk"),
           col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))

@@ -172,4 +172,77 @@ class SinglePartitionSweepSpec extends AnyFunSuite with SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  // ---- broadcast-hint sweep ------------------------------------------
+
+  /** Tables whose row count grows with the scale factor. A `broadcast()`
+    * HINT whose subtree scans one of these without reduction is a
+    * scale-killer the size threshold can't save you from: hints override
+    * the planner's size check at ANY scale, so what broadcasts fine at
+    * sf0.1 ships billions of rows to every executor at the 100 TB target.
+    * (Un-hinted joins are exempt: size-based planning flips to shuffle
+    * join on its own when the side outgrows the threshold.)
+    */
+  private val sfScaled =
+    Set("lineitem", "orders", "events", "customer", "supplier", "part",
+      "documents", "embeddings")
+
+  /** Broadcast-hinted subtrees that scan an SF-scaled table but are
+    * provably bounded — every entry names the bound. The common shape is
+    * a fixed id-range slice (`vec_id < k` / `doc_id < k`): constant rows
+    * at any SF because ids are dense from 0.
+    */
+  private val broadcastWhitelist: Map[String, String] = Map(
+    "q29_ann_topk" -> "query batch = embeddings slice vec_id < 8 (fixed 8 rows at any SF)",
+    "q31_ann_lsh" -> "query batch = fixed vec_id slice",
+    "q47_ann_ivf" -> "probe batch = fixed vec_id slice",
+    "q147_pq_adc" -> "query batch = fixed vec_id slice",
+    "q157_ivfadc" -> "probe batch = fixed vec_id slice",
+    "q161_ivfadc_residual" -> "probe batch = fixed vec_id slice",
+    "q203_ivf_recall" -> "truth + probe batches = fixed vec_id slices",
+    "q255_ivfadc_rerank" -> "probe batch = fixed vec_id slice",
+    "q28_embedding_nn" -> "query batch = fixed vec_id slice",
+    "q178_als_step" -> "orders slice o_custkey < 200: TPC-H orders-per-customer is ~10 at EVERY SF, so the slice is ~2k rows at any scale",
+    "q100_contamination" -> "benchmark probe grams = fixed doc_id < 20 slice",
+    "q112_hybrid_rrf" -> "query batch = documents⋈embeddings slice doc_id < 5 (fixed 5 rows at any SF)")
+
+  test("inventory sweep: no broadcast HINT covers an unreduced SF-scaled " +
+    "table scan (explicit whitelist with the justifying bound)") {
+    import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan, ResolvedHint}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+    def scannedSfTables(p: LogicalPlan): Seq[String] = p.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.getName.stripSuffix(".parquet"))
+            .filter(sfScaled)
+        case _ => Seq.empty
+      }
+    }.flatten
+
+    def reduced(p: LogicalPlan): Boolean = p.collectFirst {
+      case _: Aggregate => ()
+      case _: GlobalLimit => ()
+    }.isDefined
+
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+        if !streaming(name) && !broadcastWhitelist.contains(name)) {
+      try {
+        val analyzed = fn(spark, sf).queryExecution.analyzed
+        analyzed.foreach {
+          case h: ResolvedHint if h.hints.strategy.isDefined =>
+            val tables = scannedSfTables(h.child).distinct
+            if (tables.nonEmpty && !reduced(h.child))
+              failures += s"$name: broadcast hint over unreduced ${tables.mkString("+")}"
+          case _ => ()
+        }
+      } catch {
+        case e: Throwable => failures += s"$name: construction failed: ${e.getMessage}"
+      }
+      spark.catalog.clearCache()
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
