@@ -21,16 +21,21 @@ object ClusterSmoke {
   /** Shuffle-heavy / serialization-sensitive picks across families:
     * graph Pregel rounds, fact⋈fact joins, postings self-joins, ANN
     * probe pipelines, k-means training loops, windowed funnels, the
-    * rebalance path, and the heaviest aggregation shapes.
+    * rebalance path, the heaviest aggregation shapes — plus two
+    * STREAMING pipelines (micro-batch state stores, watermark eviction,
+    * stream-stream join state) whose executor-side state machinery
+    * local[n] exercises only in-process, and the mapPartitions codec
+    * path (executor-side class resolution for the pure-JVM decoders).
     */
   private val picks = Seq(
     "q3_segment_revenue", "q17_rebalance_hash", "q59_dedup_clusters",
     "q98_pagerank", "q103_tpch_q3", "q104_tpch_q10", "q118_retention",
     "q128_sequence_packing", "q137_kmeans", "q141_semantic_dedup_kmeans",
-    "q148_triangle_count", "q152_tfidf_cosine_pairs", "q157_ivfadc",
-    "q167_bm25_topk", "q184_sssp", "q186_label_prop", "q194_skew_report",
-    "q198_source_overlap", "q212_association_rules", "q214_mix_shift",
-    "q215_assortativity", "q227_local_supplier_volume")
+    "q145_streaming_dedup", "q148_triangle_count", "q152_tfidf_cosine_pairs",
+    "q154_stream_stream_join", "q157_ivfadc", "q167_bm25_topk", "q184_sssp",
+    "q186_label_prop", "q194_skew_report", "q198_source_overlap",
+    "q212_association_rules", "q214_mix_shift", "q215_assortativity",
+    "q227_local_supplier_volume", "q270_mjpeg_frames")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -238,22 +238,30 @@ object Extras6 {
            |FROM per, th ORDER BY o_custkey""".stripMargin))
 
   /** Top user journeys: each user's first five events in time order,
-    * joined into a path string and ranked by popularity. Ordered
-    * aggregation without a window: sort_array over collected
-    * (ts, event_id, event_type) structs gives a deterministic sequence in
-    * the same user_id shuffle that collects it (collect_list alone has no
-    * order guarantee). DuckDB's ORDER BY-qualified list() is the oracle
+    * joined into a path string and ranked by popularity. The per-user
+    * prefix is taken BEFORE any collection: rank ≤ 5 over
+    * (user_id | ts, event_id) plans as a WindowGroupLimit — each task
+    * keeps at most 5 rows per user ahead of the shuffle — so the
+    * collect_list that follows is bounded at 5 structs per user at ANY
+    * per-user event volume (the unbounded-hot-user hazard of collecting
+    * whole histories). sort_array makes the ≤5-element sequence
+    * deterministic (collect_list alone has no order guarantee; event_id
+    * breaks ts ties). DuckDB's ORDER BY-qualified list() is the oracle
     * twin.
     */
   val q121SessionPaths = GraftQuery(
     "q121_session_paths",
     (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val per = Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
         .groupBy("user_id")
         .agg(sort_array(collect_list(
           struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
       per.select(concat_ws(">",
-          slice(transform(col("evs"), e => e.getField("event_type")), 1, 5))
+          transform(col("evs"), e => e.getField("event_type")))
           .as("path5"))
         .groupBy("path5")
         .agg(count(lit(1)).as("n_users"))

@@ -436,7 +436,11 @@ object Text {
     *
     * Scale: corpus side is one scan + explode + broadcast hash join +
     * partial agg; nothing corpus-sized shuffles except the final per-lang
-    * agg. tokens_per_word is one division over exact BIGINT sums — 6-digit
+    * agg. The vocabulary grows Heaps-sublinearly (~n^0.5) — at extreme
+    * corpus scale, prune it to a min-frequency vocab (what production BPE
+    * training does anyway) or drop the hint and let the word-keyed join
+    * go shuffle; the corpus-side dataflow is identical either way.
+    * tokens_per_word is one division over exact BIGINT sums — 6-digit
     * rounding is engine-stable.
     */
   val q139BpeEncodeDocs = GraftQuery(

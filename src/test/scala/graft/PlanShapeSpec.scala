@@ -40,6 +40,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("q121: the per-user 5-prefix is a WindowGroupLimit, so the path " +
+    "collect_list is bounded at 5 structs per user") {
+    val p = plan("q121_session_paths")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("q68: correlated scalar subqueries decorrelate into aggregate joins") {
     val p = plan("q68_correlated_scalar")
     assert(!p.contains("ScalarSubquery"), p.take(2000))
