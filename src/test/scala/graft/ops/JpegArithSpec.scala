@@ -121,6 +121,63 @@ class JpegArithSpec extends AnyFunSuite {
         JpegCodec.QmSwitch(i) == 1, s"NMPS($i) raises Qe")
   }
 
+  test("QM coder round-trips a 200k-decision adversarial stream exactly") {
+    // raw coder level, below the statistical models: three adaptive bins
+    // plus the fixed bin, with phases designed to stress the byte layer —
+    // long MPS runs drive Qe to the floor (deep renormalizations), skewed
+    // phases drive the code register through 0xFF output runs (deferred
+    // stuffing + carry resolution), alternation forces MPS/LPS exchange
+    // at the 0.5 boundary states
+    var seed = 0x9E3779B97F4A7C15L
+    def next(): Int = {
+      seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
+      (seed >>> 40).toInt & 0xff
+    }
+    val n = 200000
+    val bins = new Array[Int](3)
+    val fixed = Array(113)
+    val decisions = new Array[Int](n)
+    val binOf = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val phase = (i / 10000) % 4
+      binOf(i) = next() % 4 // 3 = fixed bin
+      decisions(i) = phase match {
+        case 0 => if (next() < 8) 1 else 0 // long MPS runs
+        case 1 => next() & 1 // coin flips at the boundary states
+        case 2 => if (next() < 240) 1 else 0 // inverted skew (MPS flips)
+        case _ => if ((i & 7) == 0) 1 else 0 // periodic
+      }
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = new JpegCodec.QmEncoder(out)
+    i = 0
+    while (i < n) {
+      if (binOf(i) == 3) enc.encodeBit(fixed, 0, decisions(i))
+      else enc.encodeBit(bins, binOf(i), decisions(i))
+      i += 1
+    }
+    enc.flush()
+    val data = out.toByteArray
+    // stuffing discipline: a 0xFF in the stream is always followed by 0x00
+    for (j <- 0 until data.length - 1)
+      assert((data(j) & 0xff) != 0xff || (data(j + 1) & 0xff) == 0x00,
+        s"unstuffed FF at $j")
+    java.util.Arrays.fill(bins, 0); fixed(0) = 113
+    val dec = new JpegCodec.QmDecoder(data, 0)
+    i = 0
+    while (i < n) {
+      val d =
+        if (binOf(i) == 3) dec.decodeBit(fixed, 0)
+        else dec.decodeBit(bins, binOf(i))
+      assert(d == decisions(i), s"decision $i diverged")
+      i += 1
+    }
+    // and the skewed stream should compress far below 1 bit/decision
+    assert(data.length < n / 4, s"${data.length} bytes for $n decisions")
+  }
+
   test("non-SOF9 containers and hostile headers are rejected, not thrown") {
     assert(JpegCodec.decodeArithPixels(JpegCodec.encode(payload)).isEmpty)
     assert(JpegCodec.decodeArithPixels(Array[Byte]()).isEmpty)
