@@ -2809,25 +2809,31 @@ object Multimodal {
       }
     }
 
-    /** Statistics areas + conditioning state for one scan component
-      * (Annex F.1.4.4 layout): DC = 5 conditioning categories × 4 bins
-      * {S0, SS, SP, SN} at 0/4/8/12/16 plus a shared X/M area from bin 20;
-      * AC = {SE, S0, X1} triple per k (bins 0..188) plus low/high X/M
-      * areas at 189/217 split at Kx; AC signs use the fixed bin. Defaults
-      * L = 0, U = 1, Kx = 5 per F.1.4.4.1.4 / F.1.4.4.2.1, spelled out in
-      * the DAC segment.
+    /** Statistics areas + conditioning state for a scan (Annex F.1.4.4
+      * layout): DC = 5 conditioning categories × 4 bins {S0, SS, SP, SN}
+      * at 0/4/8/12/16 plus a shared X/M area from bin 20; AC = {SE, S0,
+      * X1} triple per k (bins 0..188) plus low/high X/M areas at 189/217
+      * split at Kx; AC signs use the fixed bin. Components that select
+      * the same conditioning table share its ADAPTIVE STATISTICS (the
+      * spec's multi-component discipline — all three color components
+      * here use table 0), while DC prediction and the
+      * previous-difference conditioning class stay PER COMPONENT.
+      * Defaults L = 0, U = 1, Kx = 5 per F.1.4.4.1.4 / F.1.4.4.2.1,
+      * spelled out in the DAC segment.
       */
     private[ops] final class ArithModel(val dcL: Int = 0, val dcU: Int = 1,
-        val acKx: Int = 5) {
+        val acKx: Int = 5, nComp: Int = 1) {
       val dcStats = new Array[Int](64)
       val acStats = new Array[Int](256)
       val fixed = Array(113)
-      var dcContext = 0
-      var pred = 0
+      val dcContext = new Array[Int](nComp)
+      val pred = new Array[Int](nComp)
       def reset(): Unit = {
         java.util.Arrays.fill(dcStats, 0)
         java.util.Arrays.fill(acStats, 0)
-        fixed(0) = 113; dcContext = 0; pred = 0
+        java.util.Arrays.fill(dcContext, 0)
+        java.util.Arrays.fill(pred, 0)
+        fixed(0) = 113
       }
     }
 
@@ -2838,11 +2844,11 @@ object Multimodal {
       * the per-k bin then the Kx-split shared area).
       */
     private[ops] def arithEncodeBlock(enc: QmEncoder, m: ArithModel,
-        coefZz: Array[Int]): Unit = {
+        coefZz: Array[Int], comp: Int = 0): Unit = {
       val dc = coefZz(0)
-      var v = dc - m.pred; m.pred = dc
-      var st = m.dcContext
-      if (v == 0) { enc.encodeBit(m.dcStats, st, 0); m.dcContext = 0 }
+      var v = dc - m.pred(comp); m.pred(comp) = dc
+      var st = m.dcContext(comp)
+      if (v == 0) { enc.encodeBit(m.dcStats, st, 0); m.dcContext(comp) = 0 }
       else {
         enc.encodeBit(m.dcStats, st, 1)
         var sign = 0
@@ -2860,7 +2866,7 @@ object Multimodal {
           }
         }
         enc.encodeBit(m.dcStats, st, 0) // magnitude-category terminator
-        m.dcContext = // F.1.4.4.1.2 conditioning class for the NEXT block
+        m.dcContext(comp) = // F.1.4.4.1.2 conditioning class, NEXT block
           if (mag < ((1 << m.dcL) >> 1)) 0
           else if (mag > ((1 << m.dcU) >> 1)) 12 + sign * 4
           else 4 + sign * 4
@@ -2914,10 +2920,10 @@ object Multimodal {
       * decisions per block, so garbage input can never hang).
       */
     private[ops] def arithDecodeBlock(dec: QmDecoder, m: ArithModel,
-        coefZz: Array[Int]): Unit = {
+        coefZz: Array[Int], comp: Int = 0): Unit = {
       java.util.Arrays.fill(coefZz, 0)
-      var st = m.dcContext
-      if (dec.decodeBit(m.dcStats, st) == 0) m.dcContext = 0
+      var st = m.dcContext(comp)
+      if (dec.decodeBit(m.dcStats, st) == 0) m.dcContext(comp) = 0
       else {
         val sign = dec.decodeBit(m.dcStats, st + 1)
         st += 2 + sign
@@ -2937,13 +2943,13 @@ object Multimodal {
           while ({ mm >>= 1; mm != 0 })
             if (dec.decodeBit(m.dcStats, st) != 0) sz |= mm
         }
-        m.dcContext =
+        m.dcContext(comp) =
           if (mag < ((1 << m.dcL) >> 1)) 0
           else if (mag > ((1 << m.dcU) >> 1)) 12 + sign * 4
           else 4 + sign * 4
-        m.pred += (if (sign == 1) -(sz + 1) else sz + 1)
+        m.pred(comp) += (if (sign == 1) -(sz + 1) else sz + 1)
       }
-      coefZz(0) = m.pred
+      coefZz(0) = m.pred(comp)
       var k = 1
       var eob = false
       while (k <= 63 && !eob) {
@@ -3001,7 +3007,7 @@ object Multimodal {
     }
 
     private def writeArithHeaders(out: java.io.ByteArrayOutputStream, w: Int,
-        h: Int, qtab: Array[Int], restartInterval: Int): Unit = {
+        h: Int, qtab: Array[Int], restartInterval: Int, nc: Int = 1): Unit = {
       out.write(0xff); out.write(0xd8) // SOI
       out.write(0xff); out.write(0xe0) // APP0 JFIF
       w16(out, 16)
@@ -3014,9 +3020,9 @@ object Multimodal {
       out.write(0x00)
       Zigzag.indices.foreach(k => out.write(qtab(k)))
       out.write(0xff); out.write(0xc9) // SOF9: sequential DCT, arithmetic
-      w16(out, 8 + 3)
-      out.write(8); w16(out, h); w16(out, w); out.write(1)
-      out.write(1); out.write(0x11); out.write(0)
+      w16(out, 8 + 3 * nc)
+      out.write(8); w16(out, h); w16(out, w); out.write(nc)
+      for (c <- 1 to nc) { out.write(c); out.write(0x11); out.write(0) }
       out.write(0xff); out.write(0xcc) // DAC: DC 0 (L=0,U=1), AC 0 (Kx=5)
       w16(out, 6)
       out.write(0x00); out.write(0x10)
@@ -3024,9 +3030,10 @@ object Multimodal {
       if (restartInterval > 0) {
         out.write(0xff); out.write(0xdd); w16(out, 4); w16(out, restartInterval)
       }
-      out.write(0xff); out.write(0xda) // SOS
-      w16(out, 8)
-      out.write(1); out.write(1); out.write(0x00)
+      out.write(0xff); out.write(0xda) // SOS: every component, table 0
+      w16(out, 6 + 2 * nc)
+      out.write(nc)
+      for (c <- 1 to nc) { out.write(c); out.write(0x00) }
       out.write(0); out.write(63); out.write(0)
     }
 
@@ -3061,24 +3068,85 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** 3-component 4:4:4 ARITHMETIC-coded color variant of [[encodeArith]]
+      * — the q165 layout under the QM-coder: interleaved MCUs with one
+      * block per component, all three components on conditioning table 0
+      * (SHARED adaptive statistics, per-component DC prediction and
+      * conditioning class — the T.81 multi-component discipline), flat
+      * neutral chroma so decoded RGB equals the payload gray exactly.
+      */
+    def encodeColorArith(payload: Array[Byte], restartInterval: Int = 0): Array[Byte] = {
+      val nBlocks = math.max(1, (payload.length + BlocksPerRow - 1) / BlocksPerRow) * BlocksPerRow
+      val w = BlocksPerRow * 8; val h = nBlocks / BlocksPerRow * 8
+      val qtab = Array.tabulate(64)(k => if (k == 0) 8 else 16)
+      val out = new java.io.ByteArrayOutputStream()
+      writeArithHeaders(out, w, h, qtab, restartInterval, nc = 3)
+      val model = new ArithModel(nComp = 3)
+      var enc = new QmEncoder(out)
+      val coef = new Array[Int](64)
+      var rst = 0
+      for (i <- 0 until nBlocks) {
+        if (restartInterval > 0 && i > 0 && i % restartInterval == 0) {
+          enc.flush()
+          out.write(0xff); out.write(0xd0 + rst); rst = (rst + 1) % 8
+          enc = new QmEncoder(out); model.reset()
+        }
+        val v = if (i < payload.length) payload(i) & 0xff else 0
+        for (c <- 0 until 3) { // MCU: Y, Cb, Cr — chroma flat neutral
+          java.util.Arrays.fill(coef, 0)
+          coef(0) = if (c == 0) v - 128 else 0
+          arithEncodeBlock(enc, model, coef, c)
+        }
+      }
+      enc.flush()
+      out.write(0xff); out.write(0xd9)
+      out.toByteArray
+    }
+
     /** Header-driven decode of a single-component SEQUENTIAL ARITHMETIC
       * (SOF9) JPEG: DAC conditioning, DRI restarts, QM entropy decode,
       * then the same dequant + IDCT as baseline. None on any other frame
       * type or malformed bytes (fail-soft — runs inside mapPartitions).
       */
     def decodeArithPixels(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
-      try decodeArithOrThrow(p) catch {
+      try decodeArithOrThrow(p).collect {
+        case (w, h, planes) if planes.length == 1 => (w, h, planes(0))
+      } catch {
         case _: DecodeFail | _: ArrayIndexOutOfBoundsException => None
       }
     }
 
-    private def decodeArithOrThrow(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    /** 3-component 4:4:4 arithmetic color decode: same JFIF YCbCr → RGB
+      * conversion as the baseline color path.
+      */
+    def decodeArithColorPixels(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      try decodeArithOrThrow(p).collect {
+        case (w, h, pl) if pl.length == 3 =>
+          val rgb = new Array[Byte](w * h * 3)
+          def clamp(v: Long) = math.max(0L, math.min(255L, v)).toByte
+          var i = 0
+          while (i < w * h) {
+            val y = pl(0)(i) & 0xff
+            val cb = (pl(1)(i) & 0xff) - 128
+            val cr = (pl(2)(i) & 0xff) - 128
+            rgb(3 * i) = clamp(math.round(y + 1.402 * cr))
+            rgb(3 * i + 1) = clamp(math.round(y - 0.344136 * cb - 0.714136 * cr))
+            rgb(3 * i + 2) = clamp(math.round(y + 1.772 * cb))
+            i += 1
+          }
+          (w, h, rgb)
+      } catch {
+        case _: DecodeFail | _: ArrayIndexOutOfBoundsException => None
+      }
+    }
+
+    private def decodeArithOrThrow(p: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] = {
       if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
         return None
       val qtabs = new Array[Array[Int]](4)
       var dcL = 0; var dcU = 1; var acKx = 5 // DAC defaults
       var w = 0; var h = 0; var restartInterval = 0
-      var qid = -1
+      var qids: Array[Int] = null
       var sawSof = false
       var i = 2
       def u16(at: Int) = {
@@ -3106,13 +3174,16 @@ object Multimodal {
               qtabs(id) = t
               j += 1 + (if (pq == 0) 64 else 128)
             }
-          case 0xc9 => // SOF9; this decoder: single 1×1 component
+          case 0xc9 => // SOF9; this decoder: 1 or 3 components, all 1×1
             if ((p(i + 4) & 0xff) != 8) return None
             h = u16(i + 5); w = u16(i + 7)
-            if ((p(i + 9) & 0xff) != 1) return None
-            if ((p(i + 11) & 0xff) != 0x11) return None
-            qid = p(i + 12) & 0x0f
-            if (w <= 0 || h <= 0 || w.toLong * h > MaxPixelBytes) return None
+            val nc = p(i + 9) & 0xff
+            if (nc != 1 && nc != 3) return None
+            qids = Array.tabulate(nc) { c =>
+              if ((p(i + 11 + 3 * c) & 0xff) != 0x11) return None
+              p(i + 12 + 3 * c) & 0x0f
+            }
+            if (w <= 0 || h <= 0 || w.toLong * h * nc > MaxPixelBytes) return None
             sawSof = true
           case 0xc0 | 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xca | 0xcb |
                0xcd | 0xce | 0xcf =>
@@ -3132,25 +3203,26 @@ object Multimodal {
               j += 2
             }
           case 0xdd => restartInterval = u16(i + 4)
-          case 0xda =>
-            if (!sawSof || (p(i + 4) & 0xff) != 1) return None
+          case 0xda => // SOS: every SOF component in order, table 0
+            if (!sawSof || (p(i + 4) & 0xff) != qids.length) return None
             scanStart = i + 2 + len
           case _ => () // APPn / COM: skip
         }
         i += 2 + len
       }
-      if (!sawSof || qid < 0 || qtabs(qid) == null) return None
-      val q = qtabs(qid)
+      if (!sawSof) return None
+      val q = qids.map(id => if (qtabs(id) == null) return None else qtabs(id))
+      val nc = qids.length
       val bx = (w + 7) / 8; val by = (h + 7) / 8
-      val pixels = new Array[Byte](w * h)
-      val model = new ArithModel(dcL, dcU, acKx)
+      val planes = Array.fill(nc)(new Array[Byte](w * h))
+      val model = new ArithModel(dcL, dcU, acKx, nComp = nc)
       var dec = new QmDecoder(p, scanStart)
       val coefZz = new Array[Int](64)
       val coef = new Array[Int](64)
       val tmp = new Array[Double](64)
-      var blk = 0
+      var mcu = 0
       for (byi <- 0 until by; bxi <- 0 until bx) {
-        if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           // entropy bytes never contain FF D0..D7 (stuffing), so scan for
           // the marker from wherever the feeder stopped
           var j = dec.restartScanFrom
@@ -3160,28 +3232,30 @@ object Multimodal {
           dec = new QmDecoder(p, j + 2)
           model.reset()
         }
-        blk += 1
-        arithDecodeBlock(dec, model, coefZz)
-        java.util.Arrays.fill(coef, 0)
-        var k = 0
-        while (k < 64) { coef(Zigzag(k)) = coefZz(k) * q(k); k += 1 }
-        for (y <- 0 until 8; x <- 0 until 8) {
-          var acc = 0.0
-          var u = 0
-          while (u < 8) { acc += Cn(u) * coef(y * 8 + u) * Cos(u)(x); u += 1 }
-          tmp(y * 8 + x) = 0.5 * acc
-        }
-        val x0 = bxi * 8; val y0 = byi * 8
-        for (y <- 0 until 8; x <- 0 until 8) {
-          var acc = 0.0
-          var v = 0
-          while (v < 8) { acc += Cn(v) * tmp(v * 8 + x) * Cos(v)(y); v += 1 }
-          val o = math.round(0.5 * acc + 128.0)
-          val b = math.max(0L, math.min(255L, o)).toByte
-          if (x0 + x < w && y0 + y < h) pixels((y0 + y) * w + (x0 + x)) = b
+        mcu += 1
+        for (c <- 0 until nc) { // MCU: one 1x1 block per component (A.2.3)
+          arithDecodeBlock(dec, model, coefZz, c)
+          java.util.Arrays.fill(coef, 0)
+          var k = 0
+          while (k < 64) { coef(Zigzag(k)) = coefZz(k) * q(c)(k); k += 1 }
+          for (y <- 0 until 8; x <- 0 until 8) {
+            var acc = 0.0
+            var u = 0
+            while (u < 8) { acc += Cn(u) * coef(y * 8 + u) * Cos(u)(x); u += 1 }
+            tmp(y * 8 + x) = 0.5 * acc
+          }
+          val x0 = bxi * 8; val y0 = byi * 8
+          for (y <- 0 until 8; x <- 0 until 8) {
+            var acc = 0.0
+            var v = 0
+            while (v < 8) { acc += Cn(v) * tmp(v * 8 + x) * Cos(v)(y); v += 1 }
+            val o = math.round(0.5 * acc + 128.0)
+            val b = math.max(0L, math.min(255L, o)).toByte
+            if (x0 + x < w && y0 + y < h) planes(c)((y0 + y) * w + (x0 + x)) = b
+          }
         }
       }
-      Some((w, h, pixels))
+      Some((w, h, planes))
     }
   }
 

@@ -69,6 +69,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     fuzz("jpeg-arith", JpegCodec.encodeArith(payload), JpegCodec.decodeArithPixels)
     fuzz("jpeg-arith-rst", JpegCodec.encodeArith(payload, restartInterval = 3),
       JpegCodec.decodeArithPixels)
+    fuzz("jpeg-arith-color", JpegCodec.encodeColorArith(payload),
+      JpegCodec.decodeArithColorPixels)
   }
 
   test("progressive JPEG decode survives every one-byte flip and truncation") {

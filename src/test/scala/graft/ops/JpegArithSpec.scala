@@ -121,6 +121,25 @@ class JpegArithSpec extends AnyFunSuite {
         JpegCodec.QmSwitch(i) == 1, s"NMPS($i) raises Qe")
   }
 
+  test("color arithmetic decode equals color Huffman decode exactly") {
+    // the multi-component discipline: three components share table 0's
+    // adaptive statistics while DC prediction/conditioning stay per
+    // component — a state-separation bug would corrupt every chroma block
+    for (n <- Seq(0, 5, 100)) {
+      val p = (0 until n).map(i => ((i * 91 + 17) % 256).toByte).toArray
+      val a = JpegCodec.decodeArithColorPixels(JpegCodec.encodeColorArith(p)).get
+      val b = JpegCodec.decodeColorPixels(JpegCodec.encodeColor(p)).get
+      assert(a._1 == b._1 && a._2 == b._2, s"color dims differ at n=$n")
+      assert(a._3.sameElements(b._3), s"color pixels differ at n=$n")
+    }
+    val rst = JpegCodec.decodeArithColorPixels(
+      JpegCodec.encodeColorArith(payload, restartInterval = 3)).get
+    val plain = JpegCodec.decodeArithColorPixels(JpegCodec.encodeColorArith(payload)).get
+    assert(rst._3.sameElements(plain._3), "color restart resync differs")
+    // geometry separation: the color container is not a grayscale one
+    assert(JpegCodec.decodeArithPixels(JpegCodec.encodeColorArith(payload)).isEmpty)
+  }
+
   test("QM coder round-trips a 200k-decision adversarial stream exactly") {
     // raw coder level, below the statistical models: three adaptive bins
     // plus the fixed bin, with phases designed to stress the byte layer —
