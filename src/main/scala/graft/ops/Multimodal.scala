@@ -888,7 +888,11 @@ object Multimodal {
     * exact integer predictor so the round-trip stays lossless); the
     * decoder handles all four subframe types including arbitrary-order
     * LPC with the 64-bit-accumulator arithmetic-shift reconstruction.
-    * Mono 16-bit; multi-channel decorrelation is out of scope.
+    * STEREO streams support all four channel assignments — independent,
+    * left-side, right-side, and mid-side (the dropped sum LSB restored
+    * from the side channel's parity; side subframes carry bps + 1 bits)
+    * — the inter-channel decorrelation that makes stereo FLAC beat two
+    * mono streams on correlated audio (spec-proven).
     */
   object FlacCodec {
     private val BlockSize = 256
@@ -1010,6 +1014,77 @@ object Multimodal {
       case 2 => s(i) - 2 * s(i - 1) + s(i - 2)
       case 3 => s(i) - 3 * s(i - 1) + 3 * s(i - 2) - s(i - 3)
       case _ => s(i) - 4 * s(i - 1) + 6 * s(i - 2) - 4 * s(i - 3) + s(i - 4)
+    }
+
+    /** One subframe at sample width `w0` bits (a decorrelated stereo side
+      * channel carries bps + 1): CONSTANT / VERBATIM / FIXED / LPC with
+      * wasted-bits handling — reconstruction at reduced width, wasted
+      * bits restored last. Shared by the mono and stereo frame decoders.
+      */
+    private def readSubframe(br: BitReader, blockSize: Int, w0: Int): Array[Int] = {
+      if (br.bit() != 0) throw new FlacFail
+      val sfType = br.bits(6).toInt
+      val wasted = if (br.bit() == 1) br.unary() + 1 else 0
+      if (wasted >= w0) throw new FlacFail
+      val w = w0 - wasted // samples are stored at reduced width, shifted
+      def signedW(v: Long): Int = (v.toInt << (32 - w)) >> (32 - w)
+      val s = new Array[Int](blockSize)
+      sfType match {
+        case 0 => // CONSTANT
+          java.util.Arrays.fill(s, signedW(br.bits(w)) << wasted)
+        case 1 => // VERBATIM
+          var j = 0
+          while (j < blockSize) { s(j) = signedW(br.bits(w)) << wasted; j += 1 }
+        case t if t >= 8 && t <= 12 => // FIXED order 0..4
+          val order = t - 8
+          if (order > blockSize) throw new FlacFail
+          var j = 0
+          while (j < order) { s(j) = signedW(br.bits(w)); j += 1 }
+          val res = readResiduals(br, blockSize, order)
+          // reconstruct at reduced width, then restore wasted bits last
+          var idx = order
+          while (idx < blockSize) {
+            val rv = res(idx - order)
+            s(idx) = (order match {
+              case 0 => rv
+              case 1 => rv + s(idx - 1)
+              case 2 => rv + 2 * s(idx - 1) - s(idx - 2)
+              case 3 => rv + 3 * s(idx - 1) - 3 * s(idx - 2) + s(idx - 3)
+              case _ => rv + 4 * s(idx - 1) - 6 * s(idx - 2) + 4 * s(idx - 3) - s(idx - 4)
+            })
+            idx += 1
+          }
+          if (wasted > 0) {
+            idx = 0
+            while (idx < blockSize) { s(idx) <<= wasted; idx += 1 }
+          }
+        case t if t >= 32 => // LPC order 1..32
+          val order = (t & 0x1f) + 1
+          if (order > blockSize) throw new FlacFail
+          var j = 0
+          while (j < order) { s(j) = signedW(br.bits(w)); j += 1 }
+          val precM1 = br.bits(4).toInt
+          if (precM1 == 15) throw new FlacFail // invalid per spec
+          val prec = precM1 + 1
+          val shift = (br.bits(5).toInt << 27) >> 27 // signed 5-bit
+          if (shift < 0) throw new FlacFail // negative shift not allowed
+          val coefs = Array.fill(order)((br.bits(prec).toInt << (32 - prec)) >> (32 - prec))
+          val res = readResiduals(br, blockSize, order)
+          var idx = order
+          while (idx < blockSize) {
+            var acc = 0L // 64-bit accumulator per spec
+            var c = 0
+            while (c < order) { acc += coefs(c).toLong * s(idx - 1 - c); c += 1 }
+            s(idx) = res(idx - order) + (acc >> shift).toInt
+            idx += 1
+          }
+          if (wasted > 0) {
+            idx = 0
+            while (idx < blockSize) { s(idx) <<= wasted; idx += 1 }
+          }
+        case _ => throw new FlacFail
+      }
+      s
     }
 
     /** Residual section shared by FIXED and LPC subframes: 2-bit method,
@@ -1226,6 +1301,205 @@ object Multimodal {
         if (i < payload.length) ((payload(i) & 0xff) - 128) * 256 else 0))
     }
 
+    /** Write one subframe (CONSTANT when flat, else best FIXED order) at
+      * sample width `w0` bits — the stereo encoder's shared writer.
+      */
+    private def writeSubframe(body: BitWriter, sArr: Array[Int], w0: Int): Unit = {
+      val n = sArr.length
+      val mask = (1L << w0) - 1
+      if (n > 0 && sArr.forall(_ == sArr(0))) {
+        body.put(0, 1); body.put(0, 6); body.put(0, 1) // CONSTANT
+        body.put(sArr(0) & mask, w0)
+      } else {
+        val maxOrder = math.min(4, n)
+        val order = (0 to maxOrder).minBy { o =>
+          var sum = 0L
+          var i = o
+          while (i < n) { sum += math.abs(residual(sArr, i, o).toLong); i += 1 }
+          sum
+        }
+        body.put(0, 1); body.put(8 + order, 6); body.put(0, 1) // FIXED
+        var i = 0
+        while (i < order) { body.put(sArr(i) & mask, w0); i += 1 } // warmup
+        writeResiduals(body, Array.tabulate(n - order)(i => residual(sArr, i + order, order)))
+      }
+    }
+
+    /** Encode a STEREO 16-bit PCM pair with one of the spec's channel
+      * assignments: "independent" (L/R as-is), "left-side" (L, L−R),
+      * "right-side" (L−R, R), or "mid-side" ((L+R)>>1, L−R — the dropped
+      * sum LSB rides in the side channel's parity). Side channels carry
+      * bps + 1 = 17 bits. Inter-channel decorrelation is THE reason
+      * stereo FLAC beats two mono streams on correlated audio.
+      */
+    def encodePcmStereo(left: Array[Int], right: Array[Int],
+        assignment: String = "mid-side"): Array[Byte] = {
+      require(left.length == right.length)
+      val chanCode = assignment match {
+        case "independent" => 0x1 // 2 channels, no decorrelation
+        case "left-side" => 0x8
+        case "right-side" => 0x9
+        case "mid-side" => 0xa
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      "fLaC".foreach(c => out.write(c))
+      out.write(0x80); out.write(0); out.write(0); out.write(34)
+      val si = new BitWriter
+      si.put(BlockSize, 16); si.put(BlockSize, 16)
+      si.put(0, 24); si.put(0, 24)
+      si.put(8000, 20)
+      si.put(1, 3) // channels - 1 = 1
+      si.put(15, 5)
+      si.put(left.length.toLong, 36)
+      (0 until 16).foreach(_ => si.put(0, 8))
+      out.write(si.bytes)
+      var off = 0
+      var frame = 0
+      while (off < left.length) {
+        val n = math.min(BlockSize, left.length - off)
+        val hdr = new java.io.ByteArrayOutputStream()
+        val hb = new BitWriter
+        hb.put(0x3ffe, 14); hb.put(0, 1); hb.put(0, 1)
+        hb.put(if (n == BlockSize) 0x8 else 0x7, 4)
+        hb.put(0, 4)
+        hb.put(chanCode, 4)
+        hb.put(4, 3) // 16-bit
+        hb.put(0, 1)
+        hdr.write(hb.bytes)
+        utf8Encode(hdr, frame.toLong)
+        if (n != BlockSize) { hdr.write(((n - 1) >> 8) & 0xff); hdr.write((n - 1) & 0xff) }
+        val hdrBytes = hdr.toByteArray
+        val l = java.util.Arrays.copyOfRange(left, off, off + n)
+        val r = java.util.Arrays.copyOfRange(right, off, off + n)
+        val (s0, w0, s1, w1) = chanCode match {
+          case 0x1 => (l, 16, r, 16)
+          case 0x8 => (l, 16, Array.tabulate(n)(i => l(i) - r(i)), 17)
+          case 0x9 => (Array.tabulate(n)(i => l(i) - r(i)), 17, r, 16)
+          case _ => (Array.tabulate(n)(i => (l(i) + r(i)) >> 1), 16,
+            Array.tabulate(n)(i => l(i) - r(i)), 17)
+        }
+        val body = new BitWriter
+        writeSubframe(body, s0, w0)
+        writeSubframe(body, s1, w1)
+        body.align()
+        val frameBuf = new java.io.ByteArrayOutputStream()
+        frameBuf.write(hdrBytes)
+        frameBuf.write(crc8(hdrBytes, 0, hdrBytes.length))
+        frameBuf.write(body.bytes)
+        val fb = frameBuf.toByteArray
+        val c16 = crc16(fb, 0, fb.length)
+        out.write(fb)
+        out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+        off += n
+        frame += 1
+      }
+      out.toByteArray
+    }
+
+    /** Decode a STEREO 16-bit FLAC stream — all four channel assignments,
+      * per-frame (a conforming stream may switch assignment every frame).
+      * Returns (left, right) or None.
+      */
+    def decodeStereo(p: Array[Byte]): Option[(Array[Short], Array[Short])] = {
+      try decodeStereoOrThrow(p) catch {
+        case _: FlacFail | _: ArrayIndexOutOfBoundsException |
+             _: NegativeArraySizeException => None
+      }
+    }
+
+    private def decodeStereoOrThrow(p: Array[Byte]): Option[(Array[Short], Array[Short])] = {
+      if (p.length < 42 || p(0) != 'f' || p(1) != 'L' || p(2) != 'a' || p(3) != 'C')
+        return None
+      var i = 4
+      var last = false
+      var total = -1L
+      var bps = 0
+      var channels = 0
+      while (!last) {
+        if (i + 4 > p.length) return None
+        last = (p(i) & 0x80) != 0
+        val btype = p(i) & 0x7f
+        val len = ((p(i + 1) & 0xff) << 16) | ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+        if (btype == 0) {
+          if (len < 34 || i + 4 + 34 > p.length) return None
+          val br = new BitReader(p, i + 4)
+          br.bits(16); br.bits(16); br.bits(24); br.bits(24); br.bits(20)
+          channels = br.bits(3).toInt + 1
+          bps = br.bits(5).toInt + 1
+          total = br.bits(36)
+        }
+        i += 4 + len
+        if (i > p.length) return None
+      }
+      if (total < 0 || bps != 16 || channels != 2) return None
+      if (total > MaxPixelBytes / 4) return None
+      val outL = new Array[Short](total.toInt)
+      val outR = new Array[Short](total.toInt)
+      var got = 0
+      val br = new BitReader(p, i)
+      while (got < total) {
+        val frameStart = br.pos
+        if (!br.atByteBoundary) throw new FlacFail
+        if (br.bits(14).toInt != 0x3ffe) throw new FlacFail
+        br.bit(); br.bit()
+        val bsCode = br.bits(4).toInt
+        val srCode = br.bits(4).toInt
+        val chan = br.bits(4).toInt
+        val ssCode = br.bits(3).toInt
+        br.bit()
+        if (ssCode != 4) throw new FlacFail
+        if (chan != 0x1 && chan != 0x8 && chan != 0x9 && chan != 0xa)
+          throw new FlacFail
+        utf8Decode(br)
+        val blockSize = bsCode match {
+          case 0x1 => 192
+          case c if c >= 0x2 && c <= 0x5 => 576 << (c - 2)
+          case 0x6 => br.bits(8).toInt + 1
+          case 0x7 => br.bits(16).toInt + 1
+          case c if c >= 0x8 => 256 << (c - 8)
+          case _ => throw new FlacFail
+        }
+        srCode match {
+          case 0xc => br.bits(8)
+          case 0xd | 0xe => br.bits(16)
+          case 0xf => throw new FlacFail
+          case _ => ()
+        }
+        val hdrCrc = br.bits(8).toInt
+        if (crc8(p, frameStart, br.pos - 1) != hdrCrc) throw new FlacFail
+        if (got + blockSize > total) throw new FlacFail
+        val (w0, w1) = chan match {
+          case 0x8 => (16, 17) // left-side: side carries bps + 1
+          case 0x9 => (17, 16) // right-side
+          case 0xa => (16, 17) // mid-side
+          case _ => (16, 16)
+        }
+        val s0 = readSubframe(br, blockSize, w0)
+        val s1 = readSubframe(br, blockSize, w1)
+        br.align()
+        val fCrc = br.bits(16).toInt
+        if (crc16(p, frameStart, br.pos - 2) != fCrc) throw new FlacFail
+        var j = 0
+        while (j < blockSize) {
+          val (l, r) = chan match {
+            case 0x1 => (s0(j), s1(j))
+            case 0x8 => (s0(j), s0(j) - s1(j))
+            case 0x9 => (s1(j) + s0(j), s1(j))
+            case _ => // mid-side: restore the sum LSB from side parity
+              val mid2 = (s0(j) << 1) | (s1(j) & 1)
+              ((mid2 + s1(j)) >> 1, (mid2 - s1(j)) >> 1)
+          }
+          if (l < Short.MinValue || l > Short.MaxValue ||
+              r < Short.MinValue || r > Short.MaxValue) throw new FlacFail
+          outL(got + j) = l.toShort
+          outR(got + j) = r.toShort
+          j += 1
+        }
+        got += blockSize
+      }
+      Some((outL, outR))
+    }
+
     /** Decode any mono 16-bit FLAC stream (CONSTANT / VERBATIM / FIXED /
       * LPC subframes, Rice or escaped residuals, any partition order,
       * both CRCs verified). None on other geometries or malformed bytes.
@@ -1296,69 +1570,7 @@ object Multimodal {
         val hdrCrc = br.bits(8).toInt
         if (crc8(p, frameStart, br.pos - 1) != hdrCrc) throw new FlacFail
         if (got + blockSize > total) throw new FlacFail
-        // subframe (mono: exactly one)
-        if (br.bit() != 0) throw new FlacFail
-        val sfType = br.bits(6).toInt
-        val wasted = if (br.bit() == 1) br.unary() + 1 else 0
-        if (wasted >= 16) throw new FlacFail
-        val w = 16 - wasted // samples are stored at reduced width, shifted
-        def signedW(v: Long): Int = (v.toInt << (32 - w)) >> (32 - w)
-        val s = new Array[Int](blockSize)
-        sfType match {
-          case 0 => // CONSTANT
-            java.util.Arrays.fill(s, signedW(br.bits(w)) << wasted)
-          case 1 => // VERBATIM
-            var j = 0
-            while (j < blockSize) { s(j) = signedW(br.bits(w)) << wasted; j += 1 }
-          case t if t >= 8 && t <= 12 => // FIXED order 0..4
-            val order = t - 8
-            if (order > blockSize) throw new FlacFail
-            var j = 0
-            while (j < order) { s(j) = signedW(br.bits(w)); j += 1 }
-            val res = readResiduals(br, blockSize, order)
-            // reconstruct at reduced width, then restore wasted bits last
-            var idx = order
-            while (idx < blockSize) {
-              val rv = res(idx - order)
-              s(idx) = (order match {
-                case 0 => rv
-                case 1 => rv + s(idx - 1)
-                case 2 => rv + 2 * s(idx - 1) - s(idx - 2)
-                case 3 => rv + 3 * s(idx - 1) - 3 * s(idx - 2) + s(idx - 3)
-                case _ => rv + 4 * s(idx - 1) - 6 * s(idx - 2) + 4 * s(idx - 3) - s(idx - 4)
-              })
-              idx += 1
-            }
-            if (wasted > 0) {
-              idx = 0
-              while (idx < blockSize) { s(idx) <<= wasted; idx += 1 }
-            }
-          case t if t >= 32 => // LPC order 1..32
-            val order = (t & 0x1f) + 1
-            if (order > blockSize) throw new FlacFail
-            var j = 0
-            while (j < order) { s(j) = signedW(br.bits(w)); j += 1 }
-            val precM1 = br.bits(4).toInt
-            if (precM1 == 15) throw new FlacFail // invalid per spec
-            val prec = precM1 + 1
-            val shift = (br.bits(5).toInt << 27) >> 27 // signed 5-bit
-            if (shift < 0) throw new FlacFail // negative shift not allowed
-            val coefs = Array.fill(order)((br.bits(prec).toInt << (32 - prec)) >> (32 - prec))
-            val res = readResiduals(br, blockSize, order)
-            var idx = order
-            while (idx < blockSize) {
-              var acc = 0L // 64-bit accumulator per spec
-              var c = 0
-              while (c < order) { acc += coefs(c).toLong * s(idx - 1 - c); c += 1 }
-              s(idx) = res(idx - order) + (acc >> shift).toInt
-              idx += 1
-            }
-            if (wasted > 0) {
-              idx = 0
-              while (idx < blockSize) { s(idx) <<= wasted; idx += 1 }
-            }
-          case _ => throw new FlacFail
-        }
+        val s = readSubframe(br, blockSize, 16) // mono: exactly one
         br.align()
         val fCrc = br.bits(16).toInt
         if (crc16(p, frameStart, br.pos - 2) != fCrc) throw new FlacFail

@@ -54,6 +54,9 @@ class CodecFuzzSpec extends AnyFunSuite {
 
   test("FLAC decode survives every one-byte flip and truncation") {
     fuzz("flac", FlacCodec.encode(payload), FlacCodec.decodeSamples)
+    val l = payload.map(b => ((b & 0xff) - 128) * 200)
+    val r = l.map(_ + 3)
+    fuzz("flac-stereo", FlacCodec.encodePcmStereo(l, r), FlacCodec.decodeStereo)
   }
 
   test("MJPEG AVI decode survives every one-byte flip and truncation") {

@@ -97,6 +97,40 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(fixed < verbatim, s"fixed $fixed >= verbatim $verbatim")
   }
 
+  test("stereo round-trips exactly under all four channel assignments") {
+    // correlated stereo: R tracks L with small noise — the case inter-
+    // channel decorrelation exists for; includes odd L+R sums so the
+    // mid-side dropped-LSB/parity restoration is exercised
+    val n = 700
+    val left = Array.tabulate(n)(i => ((i * 7919 + 13) % 60000) - 30000)
+    val right = Array.tabulate(n)(i => left(i) + ((i * 31) % 9) - 4)
+    for (a <- Seq("independent", "left-side", "right-side", "mid-side")) {
+      val Some((l, r)) = FlacCodec.decodeStereo(FlacCodec.encodePcmStereo(left, right, a))
+      assert(l.map(_.toInt).sameElements(left), s"$a left")
+      assert(r.map(_.toInt).sameElements(right), s"$a right")
+    }
+    // extreme values: side channel needs the full 17-bit range
+    val lx = Array(32767, -32768, 32767, -32768, 0, 1)
+    val rx = Array(-32768, 32767, 32767, -32768, 1, 0)
+    for (a <- Seq("independent", "left-side", "right-side", "mid-side")) {
+      val Some((l, r)) = FlacCodec.decodeStereo(FlacCodec.encodePcmStereo(lx, rx, a))
+      assert(l.map(_.toInt).sameElements(lx) && r.map(_.toInt).sameElements(rx),
+        s"$a extremes")
+    }
+  }
+
+  test("mid-side decorrelation beats independent channels on correlated stereo") {
+    val n = 4096
+    val left = Array.tabulate(n)(i => math.round(18000 * math.sin(i * 0.07)).toInt)
+    val right = Array.tabulate(n)(i => left(i) + ((i * 37) % 7) - 3)
+    val ms = FlacCodec.encodePcmStereo(left, right, "mid-side").length
+    val ind = FlacCodec.encodePcmStereo(left, right, "independent").length
+    assert(ms < ind, s"mid-side $ms >= independent $ind")
+    // a mono stream is not a stereo stream and vice versa
+    assert(FlacCodec.decodeStereo(FlacCodec.encodePcm(left)).isEmpty)
+    assert(FlacCodec.decodeSamples(FlacCodec.encodePcmStereo(left, right)).isEmpty)
+  }
+
   test("corrupt CRCs and truncation are rejected, not thrown") {
     val flac = FlacCodec.encode(payload)
     // every byte past the metadata is CRC-covered (header CRC-8, whole
