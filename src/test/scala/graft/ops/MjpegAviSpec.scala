@@ -58,6 +58,42 @@ class MjpegAviSpec extends AnyFunSuite {
     assert(MjpegAviCodec.decodeFrames(avi.take(avi.length / 2)).isEmpty)
   }
 
+  test("idx1-absent and absolute-offset-idx1 containers both decode") {
+    val avi = MjpegAviCodec.encode(payload)
+    def u32(b: Array[Byte], i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    def w32(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
+      b(i + 2) = ((v >> 16) & 0xff).toByte; b(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    // locate movi LIST and idx1
+    var i = 12
+    var moviAt = -1; var idxAt = -1; var idxLen = -1
+    while (i + 8 <= avi.length) {
+      val tag = new String(avi.slice(i, i + 4))
+      val sz = u32(avi, i + 4)
+      if (tag == "LIST" && new String(avi.slice(i + 8, i + 12)) == "movi") moviAt = i + 8
+      if (tag == "idx1") { idxAt = i; idxLen = sz }
+      i += 8 + sz + (sz & 1)
+    }
+    assert(moviAt > 0 && idxAt > 0)
+    // 1) drop idx1 entirely (older writers): still decodes
+    val noIdx = avi.take(idxAt)
+    w32(noIdx, 4, noIdx.length - 8) // fix RIFF size
+    val Some((_, _, f1)) = MjpegAviCodec.decodeFrames(noIdx)
+    assert(f1.length == 13)
+    // 2) rewrite offsets to the ABSOLUTE file-offset convention
+    val abs = avi.clone()
+    for (e <- 0 until idxLen / 16)
+      w32(abs, idxAt + 8 + 16 * e + 8, u32(avi, idxAt + 8 + 16 * e + 8) + moviAt)
+    val Some((_, _, f2)) = MjpegAviCodec.decodeFrames(abs)
+    assert(f2.length == 13)
+    // a half-shifted (wrong-convention) offset is rejected
+    val bad = avi.clone()
+    w32(bad, idxAt + 8 + 8, u32(avi, idxAt + 8 + 8) + 2)
+    assert(MjpegAviCodec.decodeFrames(bad).isEmpty)
+  }
+
   test("non-MJPG containers are rejected") {
     assert(MjpegAviCodec.decodeFrames(Array[Byte]()).isEmpty)
     assert(MjpegAviCodec.decodeFrames("RIFFxxxxWAVE".getBytes).isEmpty)
