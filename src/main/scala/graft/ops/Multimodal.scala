@@ -4395,6 +4395,89 @@ object Multimodal {
            |  round(bsum::DOUBLE / 8, 6) AS mean_pixel, CAST(mx AS INT) AS max_gray
            |FROM s ORDER BY doc_id, frame_id""".stripMargin))
 
+  /** REAL media-file INGESTION through Spark's built-in `binaryFile`
+    * source — the canonical way a multimodal pipeline lands image/audio
+    * FILES (one row per file: path + length + binary content): one
+    * genuine FLAC file is written per document, the directory is
+    * ingested with `spark.read.format("binaryFile")`, and every file's
+    * bytes decode through [[FlacCodec]] inside mapPartitions — so the
+    * hash proves the WHOLE chain: file write → source scan (content
+    * fidelity, path→id parsing) → codec decode. The oracle is q269's
+    * closed form (losslessness again — no container state leaks into the
+    * metrics).
+    *
+    * The file planting is driver-side FIXTURE SETUP (50 bounded files
+    * under WorkDir — on a cluster the media files already sit on shared
+    * storage); the OPERATOR under test is the binaryFile scan plus
+    * executor-side decode. Scale note: binaryFile packs many small files
+    * per task (spark.sql.files.maxPartitionBytes) — the small-file cost
+    * is exactly why a pipeline converts landed media into the parquet
+    * payload tables every other multimodal query here reads.
+    */
+  val q271BinaryIngest = GraftQuery(
+    "q271_binary_ingest",
+    (s, dir) => {
+      import s.implicits._
+      val base = graft.WorkDir.resolve(s, "binary_ingest", dir)
+      val mediaDir = new java.io.File(s"$base/flac")
+      if (mediaDir.exists) mediaDir.listFiles.foreach(_.delete())
+      mediaDir.mkdirs()
+      Tables.documents(s, dir).filter(col("doc_id") < 50)
+        .select("doc_id", "text").collect() // bounded 50-row fixture write
+        .foreach { r =>
+          val id = r.getLong(0)
+          val payload = Option(r.getString(1)).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(mediaDir.getPath, f"doc_$id%05d.flac"),
+            FlacCodec.encode(payload))
+        }
+      s.read.format("binaryFile").load(mediaDir.getPath)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (path, content) =>
+            val stem = path.substring(path.lastIndexOf('/') + 1)
+            val id = stem.stripPrefix("doc_").stripSuffix(".flac").toLong
+            val samples = FlacCodec.decodeSamples(content).getOrElse(
+              throw new IllegalStateException(s"FLAC ingest decode failed: $path"))
+            var sq = 0L; var mx = 0; var ck = 0L
+            var i = 0
+            while (i < samples.length) {
+              val v = samples(i)
+              sq += v.toLong * v
+              if (math.abs(v.toInt) > mx) mx = math.abs(v.toInt)
+              ck += (i + 1).toLong * v
+              i += 1
+            }
+            (id, samples.length,
+              math.sqrt(sq.toDouble / samples.length), mx, ck)
+          }
+        }
+        .toDF("doc_id", "n_samples", "rms_amplitude", "max_abs", "checksum")
+        .select(col("doc_id"), col("n_samples"),
+          round(col("rms_amplitude"), 6).as("rms_amplitude"),
+          col("max_abs"), col("checksum"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, text, CAST(length(text) AS INT) AS len
+           |  FROM documents WHERE doc_id < 50),
+           |c AS (
+           |  SELECT doc_id, len, greatest(1, len) AS n,
+           |    CASE WHEN len = 0 THEN [0]
+           |         ELSE list_transform(range(1, len + 1),
+           |           i -> (ascii(substr(text, CAST(i AS INT), 1)) - 128) * 256)
+           |    END AS ss
+           |  FROM t)
+           |SELECT doc_id, CAST(n AS INT) AS n_samples,
+           |  round(sqrt(list_sum(list_transform(ss, x -> x * x))::DOUBLE / n), 6)
+           |    AS rms_amplitude,
+           |  CAST(list_max(list_transform(ss, x -> abs(x))) AS INT) AS max_abs,
+           |  CAST(list_sum(list_transform(range(1, CAST(n + 1 AS INT)),
+           |    j -> j * ss[CAST(j AS INT)])) AS BIGINT) AS checksum
+           |FROM c ORDER BY doc_id""".stripMargin))
+
   final case class ResampledAudio(doc_id: Long, n_in: Int, n_out: Int,
       rms_amplitude: Double, max_abs: Int, checksum: Long)
 
@@ -4814,5 +4897,5 @@ object Multimodal {
     q156BandedPerceptualPairs, q159JpegDecode, q160MulawDecode, q162ImageResize,
     q165JpegColorDecode, q166Jpeg420Decode, q169AdpcmDecode,
     q170JpegProgressiveDecode, q175AudioResample, q197ImageHistogram,
-    q268JpegArithDecode, q269FlacDecode, q270MjpegFrames)
+    q268JpegArithDecode, q269FlacDecode, q270MjpegFrames, q271BinaryIngest)
 }
