@@ -534,7 +534,10 @@ object Graph {
       // checkpointed plans skip AQE's join-strategy re-planning — measured
       // at sf0.1). The 60-row result is driver-bounded by construction
       // (suppliers ≤ 60), and a LocalRelation is immune to cache clears.
+      // driver-side sort of the 60 rows preserves the documented
+      // ordered-by-id contract without a SinglePartition exchange
       val rows = out.collect()
+        .sortBy(_.getAs[Number]("supp").longValue)
       e.unpersist(); withDeg.unpersist()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     },

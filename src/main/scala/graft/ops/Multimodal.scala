@@ -1707,7 +1707,15 @@ object Multimodal {
     /** Decoded frames: (width, height, gray pixel planes in frame order),
       * or None for non-MJPG/malformed containers.
       */
-    def decodeFrames(p: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
+    def decodeFrames(p: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] =
+      try decodeFramesImpl(p)
+      catch { // fail-soft on hostile bytes, like every other codec here
+        case _: ArrayIndexOutOfBoundsException |
+             _: NegativeArraySizeException => None
+      }
+
+    private def decodeFramesImpl(
+        p: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
       if (!isTag(p, 0, "RIFF") || !isTag(p, 8, "AVI ")) return None
       val riffEnd = math.min(p.length.toLong, 8L + rd32(p, 4)).toInt
       if (riffEnd < 12) return None
@@ -1740,17 +1748,17 @@ object Multimodal {
                   vidsOk = isTag(p, k + 8, "vids") && isTag(p, k + 12, "MJPG")
                 else if (isTag(p, k, "strf") && ssz >= 20)
                   strfOk = isTag(p, k + 8 + 16, "MJPG") // biCompression
-                k += 8 + ssz + (ssz & 1)
+                k = math.min(send.toLong, k + 8L + ssz + (ssz & 1)).toInt
               }
             }
-            j += 8 + csz + (csz & 1)
+            j = math.min(end.toLong, j + 8L + csz + (csz & 1)).toInt
           }
         } else if (isTag(p, i, "LIST") && isTag(p, i + 8, "movi")) {
           moviStart = i + 8; moviEnd = math.min(riffEnd.toLong, i + 8L + sz).toInt
         } else if (isTag(p, i, "idx1")) {
           idxStart = i + 8; idxLen = sz
         }
-        i += 8 + sz + (sz & 1)
+        i = math.min(riffEnd.toLong, i + 8L + sz + (sz & 1)).toInt
       }
       if (totalFrames < 0 || !vidsOk || !strfOk || moviStart < 0) return None
       if (w <= 0 || h <= 0 || w.toLong * h * totalFrames > MaxPixelBytes) return None
@@ -4420,7 +4428,11 @@ object Multimodal {
       import s.implicits._
       val base = graft.WorkDir.resolve(s, "binary_ingest", dir)
       val mediaDir = new java.io.File(s"$base/flac")
-      if (mediaDir.exists) mediaDir.listFiles.foreach(_.delete())
+      // listFiles is null when the path is a plain file or unreadable —
+      // delete whatever sits there and start from an empty directory
+      if (mediaDir.exists)
+        Option(mediaDir.listFiles).getOrElse(Array.empty).foreach(_.delete())
+      if (mediaDir.isFile) mediaDir.delete()
       mediaDir.mkdirs()
       Tables.documents(s, dir).filter(col("doc_id") < 50)
         .select("doc_id", "text").collect() // bounded 50-row fixture write

@@ -63,6 +63,29 @@ class CodecFuzzSpec extends AnyFunSuite {
     fuzz("mjpeg-avi", MjpegAviCodec.encode(payload), MjpegAviCodec.decodeFrames)
   }
 
+  test("MJPEG AVI walker survives crafted near-Int.MaxValue chunk sizes") {
+    // Single-byte flips of the small encoder output can never produce a
+    // size field near Int.MaxValue, so the three chunk walks (top-level,
+    // hdrl, strl) get dedicated crafted inputs whose `8 + sz` advance
+    // would wrap negative without the Long-clamped advance.
+    def le32(v: Int): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    def bytes(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    val big = le32(0x7ffffff4)
+    val top = bytes("RIFF".getBytes, le32(16), "AVI ".getBytes,
+      "JUNK".getBytes, big, Array.fill(4)(0.toByte))
+    assert(MjpegAviCodec.decodeFrames(top).isEmpty)
+    val hdrl = bytes("RIFF".getBytes, le32(32), "AVI ".getBytes,
+      "LIST".getBytes, le32(0x7ffffff0), "hdrl".getBytes,
+      "avih".getBytes, big, Array.fill(8)(0.toByte))
+    assert(MjpegAviCodec.decodeFrames(hdrl).isEmpty)
+    val strl = bytes("RIFF".getBytes, le32(44), "AVI ".getBytes,
+      "LIST".getBytes, le32(0x7ffffff0), "hdrl".getBytes,
+      "LIST".getBytes, le32(0x7fffffe0), "strl".getBytes,
+      "strh".getBytes, big, Array.fill(8)(0.toByte))
+    assert(MjpegAviCodec.decodeFrames(strl).isEmpty)
+  }
+
   test("color JPEG decode survives every one-byte flip and truncation") {
     fuzz("jpeg-color", JpegCodec.encodeColor(payload), JpegCodec.decodeColorPixels)
     fuzz("jpeg-420", JpegCodec.encode420(payload), JpegCodec.decodeColorPixels)
