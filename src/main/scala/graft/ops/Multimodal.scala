@@ -1156,6 +1156,62 @@ object Multimodal {
       k
     }
 
+    /** "fLaC" magic + the one mandatory STREAMINFO block — shared by the
+      * mono and stereo encoders (they differ only in channels − 1).
+      */
+    private def writeStreamPreamble(out: java.io.ByteArrayOutputStream,
+        channelsMinus1: Int, totalSamples: Long): Unit = {
+      "fLaC".foreach(c => out.write(c))
+      out.write(0x80) // last metadata block, type 0 = STREAMINFO
+      out.write(0); out.write(0); out.write(34)
+      val si = new BitWriter
+      si.put(BlockSize, 16); si.put(BlockSize, 16) // min/max blocksize
+      si.put(0, 24); si.put(0, 24) // min/max framesize unknown
+      si.put(8000, 20) // sample rate
+      si.put(channelsMinus1, 3)
+      si.put(15, 5) // bits per sample - 1
+      si.put(totalSamples, 36)
+      (0 until 16).foreach(_ => si.put(0, 8)) // MD5 unknown
+      out.write(si.bytes)
+    }
+
+    /** Frame header bytes (sync through the conditional 16-bit end-of-
+      * stream blocksize), CRC-8 excluded — `chanCode` 0 = mono, else a
+      * stereo channel-assignment code.
+      */
+    private def frameHeader(n: Int, chanCode: Int, frame: Int): Array[Byte] = {
+      val hdr = new java.io.ByteArrayOutputStream()
+      val hb = new BitWriter
+      hb.put(0x3ffe, 14) // sync
+      hb.put(0, 1) // reserved
+      hb.put(0, 1) // fixed blocking: frame number = frame index
+      hb.put(if (n == BlockSize) 0x8 else 0x7, 4) // 256 | 16-bit at end
+      hb.put(0, 4) // sample rate: from STREAMINFO
+      hb.put(chanCode, 4)
+      hb.put(4, 3) // 16-bit samples
+      hb.put(0, 1) // reserved
+      hdr.write(hb.bytes)
+      utf8Encode(hdr, frame.toLong)
+      if (n != BlockSize) { hdr.write(((n - 1) >> 8) & 0xff); hdr.write((n - 1) & 0xff) }
+      hdr.toByteArray
+    }
+
+    /** Assemble one frame: header + CRC-8(header) + aligned body +
+      * CRC-16(all of the above).
+      */
+    private def writeFrame(out: java.io.ByteArrayOutputStream,
+        hdrBytes: Array[Byte], body: BitWriter): Unit = {
+      body.align()
+      val frameBuf = new java.io.ByteArrayOutputStream()
+      frameBuf.write(hdrBytes)
+      frameBuf.write(crc8(hdrBytes, 0, hdrBytes.length))
+      frameBuf.write(body.bytes)
+      val fb = frameBuf.toByteArray
+      val c16 = crc16(fb, 0, fb.length)
+      out.write(fb)
+      out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+    }
+
     /** Encode mono 16-bit PCM to a conforming FLAC stream. `forceOrder`
       * (0..4) / `forceVerbatim` / `lpcOrder` pin a subframe type for spec
       * coverage; default behavior is best-fixed-order with CONSTANT for
@@ -1164,36 +1220,12 @@ object Multimodal {
     def encodePcm(samples: Array[Int], forceOrder: Int = -1,
         forceVerbatim: Boolean = false, lpcOrder: Int = -1): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
-      "fLaC".foreach(c => out.write(c))
-      out.write(0x80) // last metadata block, type 0 = STREAMINFO
-      out.write(0); out.write(0); out.write(34)
-      val si = new BitWriter
-      si.put(BlockSize, 16); si.put(BlockSize, 16) // min/max blocksize
-      si.put(0, 24); si.put(0, 24) // min/max framesize unknown
-      si.put(8000, 20) // sample rate
-      si.put(0, 3) // channels - 1
-      si.put(15, 5) // bits per sample - 1
-      si.put(samples.length.toLong, 36)
-      (0 until 16).foreach(_ => si.put(0, 8)) // MD5 unknown
-      out.write(si.bytes)
+      writeStreamPreamble(out, 0, samples.length.toLong)
       var off = 0
       var frame = 0
       while (off < samples.length) {
         val n = math.min(BlockSize, samples.length - off)
-        val hdr = new java.io.ByteArrayOutputStream()
-        val hb = new BitWriter
-        hb.put(0x3ffe, 14) // sync
-        hb.put(0, 1) // reserved
-        hb.put(0, 1) // fixed blocking: frame number = frame index
-        hb.put(if (n == BlockSize) 0x8 else 0x7, 4) // 256 | 16-bit at end
-        hb.put(0, 4) // sample rate: from STREAMINFO
-        hb.put(0, 4) // mono
-        hb.put(4, 3) // 16-bit samples
-        hb.put(0, 1) // reserved
-        hdr.write(hb.bytes)
-        utf8Encode(hdr, frame.toLong)
-        if (n != BlockSize) { hdr.write(((n - 1) >> 8) & 0xff); hdr.write((n - 1) & 0xff) }
-        val hdrBytes = hdr.toByteArray
+        val hdrBytes = frameHeader(n, 0, frame) // chanCode 0 = mono
         val body = new BitWriter
         val s = java.util.Arrays.copyOfRange(samples, off, off + n)
         val const = s.forall(_ == s(0))
@@ -1276,16 +1308,7 @@ object Multimodal {
           while (i < order) { body.put(s(i) & 0xffffL, 16); i += 1 } // warmup
           writeResiduals(body, Array.tabulate(n - order)(i => residual(s, i + order, order)))
         }
-        body.align()
-        val bodyBytes = body.bytes
-        val frameBuf = new java.io.ByteArrayOutputStream()
-        frameBuf.write(hdrBytes)
-        frameBuf.write(crc8(hdrBytes, 0, hdrBytes.length))
-        frameBuf.write(bodyBytes)
-        val fb = frameBuf.toByteArray
-        val c16 = crc16(fb, 0, fb.length)
-        out.write(fb)
-        out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+        writeFrame(out, hdrBytes, body)
         off += n
         frame += 1
       }
@@ -1342,33 +1365,12 @@ object Multimodal {
         case "mid-side" => 0xa
       }
       val out = new java.io.ByteArrayOutputStream()
-      "fLaC".foreach(c => out.write(c))
-      out.write(0x80); out.write(0); out.write(0); out.write(34)
-      val si = new BitWriter
-      si.put(BlockSize, 16); si.put(BlockSize, 16)
-      si.put(0, 24); si.put(0, 24)
-      si.put(8000, 20)
-      si.put(1, 3) // channels - 1 = 1
-      si.put(15, 5)
-      si.put(left.length.toLong, 36)
-      (0 until 16).foreach(_ => si.put(0, 8))
-      out.write(si.bytes)
+      writeStreamPreamble(out, 1, left.length.toLong)
       var off = 0
       var frame = 0
       while (off < left.length) {
         val n = math.min(BlockSize, left.length - off)
-        val hdr = new java.io.ByteArrayOutputStream()
-        val hb = new BitWriter
-        hb.put(0x3ffe, 14); hb.put(0, 1); hb.put(0, 1)
-        hb.put(if (n == BlockSize) 0x8 else 0x7, 4)
-        hb.put(0, 4)
-        hb.put(chanCode, 4)
-        hb.put(4, 3) // 16-bit
-        hb.put(0, 1)
-        hdr.write(hb.bytes)
-        utf8Encode(hdr, frame.toLong)
-        if (n != BlockSize) { hdr.write(((n - 1) >> 8) & 0xff); hdr.write((n - 1) & 0xff) }
-        val hdrBytes = hdr.toByteArray
+        val hdrBytes = frameHeader(n, chanCode, frame)
         val l = java.util.Arrays.copyOfRange(left, off, off + n)
         val r = java.util.Arrays.copyOfRange(right, off, off + n)
         val (s0, w0, s1, w1) = chanCode match {
@@ -1381,15 +1383,7 @@ object Multimodal {
         val body = new BitWriter
         writeSubframe(body, s0, w0)
         writeSubframe(body, s1, w1)
-        body.align()
-        val frameBuf = new java.io.ByteArrayOutputStream()
-        frameBuf.write(hdrBytes)
-        frameBuf.write(crc8(hdrBytes, 0, hdrBytes.length))
-        frameBuf.write(body.bytes)
-        val fb = frameBuf.toByteArray
-        val c16 = crc16(fb, 0, fb.length)
-        out.write(fb)
-        out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+        writeFrame(out, hdrBytes, body)
         off += n
         frame += 1
       }

@@ -742,7 +742,6 @@ object Quality {
     */
   private[graft] def q243Df(s: SparkSession, dir: String,
       forPlan: Boolean = false): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
       val d = Tables.documents(s, dir)
         .filter(col("source").isin("src0", "src1"))
         .select(col("source"), col("n_chars").cast("double").as("v"))
@@ -754,21 +753,8 @@ object Quality {
       val byV = if (forPlan) byV0 else byV0.localCheckpoint()
       val counts = byV.agg(sum("a").as("na"), sum("b").as("nb")).head()
       val (na, nb) = (counts.getLong(0), counts.getLong(1))
-      val wb = Window.partitionBy("bkt").orderBy("v")
-      val within = byV
-        .withColumn("ca_in", sum("a").over(wb))
-        .withColumn("cb_in", sum("b").over(wb))
-      val offs = byV.groupBy("bkt")
-        .agg(sum("a").as("ta"), sum("b").as("tb"))
-      val prior = offs.select(col("bkt").as("bkt2"),
-        col("ta").as("ta2"), col("tb").as("tb2"))
-      val off = offs.join(prior, col("bkt2") < col("bkt"), "left")
-        .groupBy("bkt")
-        .agg(coalesce(sum("ta2"), lit(0L)).as("off_a"),
-          coalesce(sum("tb2"), lit(0L)).as("off_b"))
-      within.join(broadcast(off), "bkt")
-        .withColumn("ca", col("ca_in") + col("off_a"))
-        .withColumn("cb", col("cb_in") + col("off_b"))
+      ScaleFrames.twoLevelCumsum(byV, Seq.empty, "bkt", "v",
+          Seq("a" -> "ca", "b" -> "cb"))
         .agg(max(abs(col("ca") / lit(na.toDouble) - col("cb") / lit(nb.toDouble)))
           .as("d"))
         .select(lit(na).as("n_a"), lit(nb).as("n_b"),

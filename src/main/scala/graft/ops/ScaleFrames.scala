@@ -20,6 +20,47 @@ import org.apache.spark.sql.functions._
   */
 object ScaleFrames {
 
+  /** Two-level cumulative sums — THE shared machinery behind every
+    * global-window replacement here (and q205/q243): `byV` holds one row
+    * per (group…, `value`) with a fixed-width bucket id `bucket`;
+    * for each (in → out) pair in `sums`, append `out` = the running total
+    * of `in` ordered by `value` within each group, WITHOUT a global
+    * window. Shape: a window partitioned by (group…, bucket) computes
+    * within-bucket cumsums in parallel; the bounded per-bucket totals
+    * cumulate through a triangle self-join; the ≤|buckets| offset frame
+    * broadcast-joins back. No `Exchange SinglePartition` anywhere —
+    * the plan the SinglePartitionSweepSpec enforces.
+    *
+    * Types: `coalesce(sum(x), lit(0))` promotes to the summed type
+    * (long counts stay long — exact ranks; double weights stay double).
+    */
+  def twoLevelCumsum(byV: DataFrame, group: Seq[String], bucket: String,
+      value: String, sums: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = group :+ bucket
+    val wb = Window.partitionBy(keys.map(col): _*).orderBy(value)
+    val within = sums.foldLeft(byV) { case (d, (in, _)) =>
+      d.withColumn(s"__cw_$in", sum(in).over(wb))
+    }
+    val totAggs = sums.map { case (in, _) => sum(in).as(s"__t_$in") }
+    val offs = byV.groupBy(keys.map(col): _*).agg(totAggs.head, totAggs.tail: _*)
+    val prior = offs.select(keys.map(k => col(k).as(s"__p_$k")) ++
+      sums.map { case (in, _) => col(s"__t_$in").as(s"__pt_$in") }: _*)
+    val cond = group.map(g => col(s"__p_$g") === col(g))
+      .foldLeft(col(s"__p_$bucket") < col(bucket))(_ && _)
+    val offAggs = sums.map { case (in, _) =>
+      coalesce(sum(s"__pt_$in"), lit(0)).as(s"__o_$in")
+    }
+    val off = offs.join(prior, cond, "left")
+      .groupBy(keys.map(col): _*).agg(offAggs.head, offAggs.tail: _*)
+    val joined = within.join(broadcast(off), keys)
+    sums.foldLeft(joined) { case (d, (in, out)) =>
+      d.withColumn(out, col(s"__cw_$in") + col(s"__o_$in"))
+    }.drop(sums.flatMap { case (in, _) =>
+      Seq(s"__cw_$in", s"__t_$in", s"__o_$in")
+    }: _*)
+  }
+
   /** Exact percentile thresholds of `value`, rounded to 6, as literals.
     * One aggregate scan of `df`; the frame itself is ≤ fracs.size values
     * regardless of input size.
@@ -50,20 +91,13 @@ object ScaleFrames {
     */
   def thresholdsWideDomain(df: DataFrame, value: String, bucketWidth: Double,
       fracs: Seq[Double]): Seq[Double] = {
-    import org.apache.spark.sql.expressions.Window
     val byV = df.groupBy(col(value).cast("double").as("v"))
       .agg(count(lit(1)).as("c"))
       .withColumn("bkt", floor(col("v") / bucketWidth).cast("long"))
       .localCheckpoint() // ≤ distinct-value-domain rows
     val n = byV.agg(sum("c")).head().getLong(0)
-    val within = byV.withColumn("cw",
-      sum("c").over(Window.partitionBy("bkt").orderBy("v")))
-    val offs = byV.groupBy("bkt").agg(sum("c").as("tc"))
-    val prior = offs.select(col("bkt").as("b2"), col("tc").as("tc2"))
-    val off = offs.join(prior, col("b2") < col("bkt"), "left")
-      .groupBy("bkt").agg(coalesce(sum("tc2"), lit(0L)).as("off"))
-    val cum = within.join(broadcast(off), "bkt")
-      .select(col("v"), (col("cw") + col("off")).as("cum"))
+    val cum = twoLevelCumsum(byV, Seq.empty, "bkt", "v", Seq("c" -> "cum"))
+      .select("v", "cum")
     // bracketing 1-based ranks for every fraction (driver math on n only)
     val targets = fracs.map { f =>
       val pos = f * (n - 1) // 0-based fractional index, percentile()'s def
@@ -105,21 +139,12 @@ object ScaleFrames {
     */
   def groupedQuantileWideDomain(df: DataFrame, group: String, value: String,
       bucketWidth: Double, frac: Double, out: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val byV = df.groupBy(col(group).as("g"), col(value).cast("double").as("v"))
       .agg(count(lit(1)).as("c"))
       .withColumn("bkt", floor(col("v") / bucketWidth).cast("long"))
       .localCheckpoint() // ≤ |groups| × distinct-value-domain rows
-    val within = byV.withColumn("cw",
-      sum("c").over(Window.partitionBy("g", "bkt").orderBy("v")))
-    val offs = byV.groupBy("g", "bkt").agg(sum("c").as("tc"))
-    val prior = offs.select(col("g").as("g2"), col("bkt").as("b2"),
-      col("tc").as("tc2"))
-    val off = offs.join(prior, col("g2") === col("g") && col("b2") < col("bkt"),
-        "left")
-      .groupBy("g", "bkt").agg(coalesce(sum("tc2"), lit(0L)).as("off"))
-    val cum = within.join(broadcast(off), Seq("g", "bkt"))
-      .select(col("g"), col("v"), (col("cw") + col("off")).as("cum"))
+    val cum = twoLevelCumsum(byV, Seq("g"), "bkt", "v", Seq("c" -> "cum"))
+      .select("g", "v", "cum")
     val ranks = byV.groupBy("g").agg(sum("c").as("n"))
       .withColumn("pos", lit(frac) * (col("n") - 1).cast("double"))
       .withColumn("rlo", floor(col("pos")).cast("long") + 1)

@@ -481,17 +481,8 @@ object Stats {
       val byV = if (forPlan) byV0 else byV0.localCheckpoint()
       val tot = byV.groupBy("l_returnflag")
         .agg(sum("c").as("n"), sum("w").as("w_total"))
-      val wb = Window.partitionBy("l_returnflag", "bkt").orderBy("v")
-      val within = byV.withColumn("cw_in", sum("w").over(wb))
-      val offs = byV.groupBy("l_returnflag", "bkt").agg(sum("w").as("tw"))
-      val prior = offs.select(col("l_returnflag").as("f2"),
-        col("bkt").as("b2"), col("tw").as("tw2"))
-      val off = offs.join(prior,
-          col("f2") === col("l_returnflag") && col("b2") < col("bkt"), "left")
-        .groupBy("l_returnflag", "bkt")
-        .agg(coalesce(sum("tw2"), lit(0.0)).as("off_w"))
-      within.join(broadcast(off), Seq("l_returnflag", "bkt"))
-        .withColumn("cumw", col("cw_in") + col("off_w"))
+      ScaleFrames.twoLevelCumsum(byV, Seq("l_returnflag"), "bkt", "v",
+          Seq("w" -> "cumw"))
         .join(tot, "l_returnflag")
         .filter(col("cumw") * 2 >= col("w_total"))
         .groupBy("l_returnflag")

@@ -64,6 +64,36 @@ class ScaleFramesSpec extends AnyFunSuite with SparkSpec {
     assert(got("only_one") == 42.125)
   }
 
+  test("twoLevelCumsum ≡ a global-window running sum (grouped, multi-column)") {
+    // The shared machinery behind thresholdsWideDomain / grouped quantiles /
+    // q205 / q243: pin it directly against the single-partition window form
+    // it replaces, over a grouped multi-sum shape with long AND double
+    // columns (coalesce(sum, 0) must preserve both types).
+    import org.apache.spark.sql.expressions.Window
+    val byV = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag").as("g"),
+        col("l_quantity").cast("double").as("v"))
+      // quarter-integral weights: every partial sum is fp-exact, so the
+      // two accumulation orders (sequential window vs bucket+offset) are
+      // bit-identical — the same discipline q205's integral weights rely on
+      .agg(count(lit(1)).as("c"), sum(col("l_quantity") * lit(0.25)).as("w"))
+      .withColumn("bkt", floor(col("v") / 8.0).cast("long"))
+    val got = ScaleFrames
+      .twoLevelCumsum(byV, Seq("g"), "bkt", "v", Seq("c" -> "cc", "w" -> "cw"))
+      .select("g", "v", "cc", "cw")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val wg = Window.partitionBy("g").orderBy("v")
+    val want = byV
+      .withColumn("cc", sum("c").over(wg)).withColumn("cw", sum("w").over(wg))
+      .select("g", "v", "cc", "cw")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == want.keySet)
+    for ((k, w) <- want)
+      assert(got(k) == w, s"key $k: got ${got(k)}, want $w")
+  }
+
   test("binAsc/binDesc: a value exactly equal to a threshold stays in the " +
     "lower/upper bucket respectively (the documented tie discipline)") {
     import spark.implicits._
