@@ -157,7 +157,7 @@ object Dedup {
       }
       return parent.keys.toSeq.map(v => (v, find(v))).toDF("v", "lbl")
     }
-    connectedComponentsStar(edges)
+    connectedComponentsStar(edges, maxRounds)
   }
 
   /** Min-label propagation variant: label(v) ← min(label(v), min over

@@ -127,9 +127,13 @@ object Retrieval {
       dots
         .join(nrm.select(col("doc_id").as("i"), col("nrm").as("na")), "i")
         .join(nrm.select(col("doc_id").as("j"), col("nrm").as("nb")), "j")
-        .withColumn("cosim", col("dot") / (col("na") * col("nb")))
+        // round BEFORE the threshold (the q167/q200 round-before-rank
+        // discipline): dot/nrm are order-dependent float partial aggs, so
+        // a knife-edge pair at 0.75 ± 1e-12 must not flip between runs or
+        // between engines — both sides compare the same 5-digit value
+        .withColumn("cosim", round(col("dot") / (col("na") * col("nb")), 5))
         .filter(col("cosim") >= 0.75)
-        .select(col("i"), col("j"), round(col("cosim"), 5).as("cosim"))
+        .select(col("i"), col("j"), col("cosim"))
         .orderBy("i", "j")
     },
     Some("""WITH tf AS (
@@ -146,7 +150,8 @@ object Retrieval {
            |  GROUP BY 1, 2),
            |cosv AS (SELECT i, j, dot / (x.nrm * y.nrm) cosim
            |  FROM dots JOIN nrm x ON x.doc_id = i JOIN nrm y ON y.doc_id = j)
-           |SELECT i, j, round(cosim, 5) AS cosim FROM cosv WHERE cosim >= 0.75
+           |SELECT i, j, round(cosim, 5) AS cosim FROM cosv
+           |WHERE round(cosim, 5) >= 0.75
            |ORDER BY i, j""".stripMargin))
 
   /** Okapi BM25 ranked retrieval through the inverted index — the lexical
@@ -175,7 +180,9 @@ object Retrieval {
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf")).persist()
-      val len = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      // per-doc length = Σ tf — derived from the PERSISTED tf frame so the
+      // corpus tokenize+explode runs once, not re-scanned for len
+      val len = tf.groupBy("doc_id").agg(sum("tf").as("len"))
       val nAvg = len.agg(count(lit(1)).cast("double").as("n"),
         avg(col("len")).as("avgdl")).first()
       val (n, avgdl) = (nAvg.getDouble(0), nAvg.getDouble(1))
@@ -387,16 +394,23 @@ object Retrieval {
     (s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
       val ranked = q167Bm25TopK.fn(s, dir) // (qid, rank, cid, score)
-      val qsrc = docs.select(col("doc_id").as("qid"), col("source").as("qs"))
+      // qids are q167's 5-doc query batch — restricting here keeps nRel a
+      // corpus × 5-row broadcast join instead of a whole-corpus self-join
+      // on source (near-quadratic in the per-source doc count at scale)
+      val qsrc = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("source").as("qs"))
       val csrc = docs.select(col("doc_id").as("cid"), col("source").as("cs"))
-      val rel = ranked.join(qsrc, "qid").join(csrc, "cid")
+      val rel = ranked.join(broadcast(qsrc), "qid").join(csrc, "cid")
         .withColumn("rel", (col("qs") === col("cs")).cast("int"))
-      val nRel = docs.join(qsrc, docs("source") === qsrc("qs"))
+      val nRel = docs.join(broadcast(qsrc), docs("source") === qsrc("qs"))
         .filter(col("doc_id") =!= col("qid"))
         .groupBy("qid").agg(count(lit(1)).as("n_rel"))
-      val idcg = aggregate(
+      // n_rel = 0 would make sequence(1, 0) the DESCENDING [1, 0] and the
+      // fold add 1/ln(1) = Inf — guard the empty-ideal case to exactly 0
+      val idcg = when(col("n_rel") > 0, aggregate(
         sequence(lit(1), least(col("n_rel"), lit(5L)).cast("int")),
-        lit(0.0), (acc, i) => acc + lit(1.0) / log(i.cast("double") + 1.0))
+        lit(0.0), (acc, i) => acc + lit(1.0) / log(i.cast("double") + 1.0)))
+        .otherwise(lit(0.0))
       rel.groupBy("qid")
         .agg(
           coalesce(max(when(col("rel") === 1, lit(1.0) / col("rank"))), lit(0.0))

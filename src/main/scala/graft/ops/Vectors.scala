@@ -132,8 +132,10 @@ object Vectors {
            |  FROM range(0,4) h(h), range(0,64) d(d)),
            |e AS (SELECT vec_id, embedding::DOUBLE[] v,
            |  sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) nrm FROM embeddings),
-           |dots AS (SELECT e.vec_id, pl.h, sum(e.v[pl.d + 1] * pl.w) dp
-           |  FROM e, pl GROUP BY 1, 2),
+           |pw AS (SELECT h, list(w ORDER BY d) ws FROM pl GROUP BY 1),
+           |dots AS (SELECT e.vec_id, pw.h,
+           |  list_sum(list_transform(range(1, 65), i -> e.v[i] * pw.ws[i])) dp
+           |  FROM e, pw),
            |bk AS (SELECT vec_id, sum(CASE WHEN dp > 0 THEN (1 << h) ELSE 0 END) bucket
            |  FROM dots GROUP BY 1),
            |eb AS (SELECT e.vec_id, e.v, e.nrm, bk.bucket FROM e JOIN bk USING (vec_id)),
