@@ -81,6 +81,26 @@ object Dedup {
         b => xxhash64(b, slice(col("sig"), b * 3 + 1, lit(3))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
 
+  /** Exact-Jaccard verification of candidate (i, j) pairs: decorate both
+    * sides with their sorted distinct int sets from `sets` (doc_id, ti),
+    * compute J = I/(a+b−I) with the codegen'd merge intersect, keep pairs
+    * with J ≥ tau. The shared tail of every keyed candidate generator
+    * here (MinHash bands, prefix-filter, sorted-neighborhood) — exact
+    * verification runs on CANDIDATES only, never the corpus cross join.
+    */
+  private[ops] def verifyJaccard(cand: DataFrame, sets: DataFrame,
+      tau: Double): DataFrame = {
+    val inter = graft.functions.GraftFunctions
+      .intersectCount(col("ti_i"), col("ti_j")).cast("int")
+    cand
+      .join(sets.select(col("doc_id").as("i"), col("ti").as("ti_i")), "i")
+      .join(sets.select(col("doc_id").as("j"), col("ti").as("ti_j")), "j")
+      .withColumn("jac",
+        inter.cast("double") / (size(col("ti_i")) + size(col("ti_j")) - inter))
+      .filter(col("jac") >= tau)
+      .select(col("i"), col("j"), col("jac"))
+  }
+
   private[ops] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // shingle+hash pipeline feeds signatures AND both sides of the verify
@@ -100,17 +120,8 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    val g = sh.select(col("doc_id"), col("ti"))
-    val inter = graft.functions.GraftFunctions
-      .intersectCount(col("ti_i"), col("ti_j")).cast("int")
     // (bands and both verify sides read the slim persisted table)
-    cand
-      .join(g.select(col("doc_id").as("i"), col("ti").as("ti_i")), "i")
-      .join(g.select(col("doc_id").as("j"), col("ti").as("ti_j")), "j")
-      .withColumn("jac",
-        inter.cast("double") / (size(col("ti_i")) + size(col("ti_j")) - inter))
-      .filter(col("jac") >= 0.5)
-      .select(col("i"), col("j"), col("jac"))
+    verifyJaccard(cand, sh.select(col("doc_id"), col("ti")), 0.5)
   }
 
   /** Connected components over an undirected (i, j) edge list. Returns
@@ -732,14 +743,7 @@ object Dedup {
       // candidate generation from verification
       val sets = prefixJoinSets(s, dir, 200).persist()
       val cand = prefixCandidates(sets, tau)
-      val inter = graft.functions.GraftFunctions
-        .intersectCount(col("ti_i"), col("ti_j")).cast("int")
-      cand
-        .join(sets.select(col("doc_id").as("i"), col("ti").as("ti_i")), "i")
-        .join(sets.select(col("doc_id").as("j"), col("ti").as("ti_j")), "j")
-        .withColumn("jac",
-          inter.cast("double") / (size(col("ti_i")) + size(col("ti_j")) - inter))
-        .filter(col("jac") >= tau)
+      verifyJaccard(cand, sets, tau)
         .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
         .orderBy("i", "j")
     },
@@ -895,14 +899,7 @@ object Dedup {
         .join(ranked.select(col("doc_id").as("j"), col("rn").as("rn_j")), "rn_j")
         .select("i", "j")
       val sets = prefixJoinSets(s, dir, 500).persist()
-      val inter = graft.functions.GraftFunctions
-        .intersectCount(col("ti_i"), col("ti_j")).cast("int")
-      cand
-        .join(sets.select(col("doc_id").as("i"), col("ti").as("ti_i")), "i")
-        .join(sets.select(col("doc_id").as("j"), col("ti").as("ti_j")), "j")
-        .withColumn("jac",
-          inter.cast("double") / (size(col("ti_i")) + size(col("ti_j")) - inter))
-        .filter(col("jac") >= 0.5)
+      verifyJaccard(cand, sets, 0.5)
         .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
         .orderBy("i", "j")
     },

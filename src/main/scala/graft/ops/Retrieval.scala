@@ -104,20 +104,34 @@ object Retrieval {
     * document count. Dot/norm sums are float partial aggs, so the output
     * rounds at 5 (the q29/q149 discipline).
     */
+  /** The (doc_id, t, w = tf·ln(n/df)) tf-idf postings pipeline with the
+    * q152 stopword-skew discipline enforced structurally: df = n terms
+    * weigh exactly ln(n/df) = 0, so they are dropped BEFORE any
+    * pair-generating or scoring join. Shared by q152/q176/q200 — one
+    * place owns the weighting, so a smoothing change can never desync
+    * the three queries. Returns (tf, n, w); `tf` is persisted when
+    * `persistTf` (it feeds both the df aggregate and the weight join).
+    */
+  private def tfidfWeights(docs: DataFrame, persistTf: Boolean)
+      : (DataFrame, Double, DataFrame) = {
+    val tf0 = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val tf = if (persistTf) tf0.persist() else tf0
+    val n = tf.select(countDistinct("doc_id")).first().getLong(0).toDouble
+    val w = tf.join(tf.groupBy("t").agg(count(lit(1)).as("df")), "t")
+      .filter(col("df") < n) // weight-zero (df = N) stopwords never join
+      .select(col("doc_id"), col("t"),
+        (col("tf") * log(lit(n) / col("df"))).as("w"))
+    (tf, n, w)
+  }
+
   val q152TfidfCosinePairs = GraftQuery(
     "q152_tfidf_cosine_pairs",
     (s, dir) => {
-      val tf = Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-        .persist()
-      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
-      val n = tf.select(countDistinct("doc_id")).first().getLong(0).toDouble
-      val w = tf.join(df, "t")
-        .filter(col("df") < n) // weight-zero (df = N) stopwords never join
-        .select(col("doc_id"), col("t"),
-          (col("tf") * log(lit(n) / col("df"))).as("w"))
-        .persist()
+      val (_, _, w0) = tfidfWeights(
+        Tables.documents(s, dir).filter(col("doc_id") < 150), persistTf = true)
+      val w = w0.persist()
       val nrm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
       val dots = w.select(col("doc_id").as("i"), col("t"), col("w").as("wa"))
         .join(w.select(col("doc_id").as("j"), col("t"), col("w").as("wb")),
@@ -250,16 +264,8 @@ object Retrieval {
   val q176FeatureHashing = GraftQuery(
     "q176_feature_hashing",
     (s, dir) => {
-      val tf = Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-        .persist()
-      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
-      val n = tf.select(countDistinct("doc_id")).first().getLong(0).toDouble
-      val w = tf.join(df, "t")
-        .filter(col("df") < n)
-        .select(col("doc_id"), col("t"),
-          (col("tf") * log(lit(n) / col("df"))).as("w"))
+      val (_, _, w) = tfidfWeights(
+        Tables.documents(s, dir).filter(col("doc_id") < 150), persistTf = true)
       def sign(d: Int) = lit(1) - lit(2) *
         (conv(substring(md5(concat(col("t"), lit(s"_d$d"))), 1, 8), 16, 10)
           .cast("long") % 2)
@@ -303,15 +309,8 @@ object Retrieval {
     */
   private[graft] def q200Df(s: SparkSession, dir: String,
       forPlan: Boolean = false): DataFrame = {
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      val tf0 = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-      val tf = if (forPlan) tf0 else tf0.persist()
-      val n = tf.select("doc_id").distinct().count().toDouble
-      val w0 = tf.join(tf.groupBy("t").agg(count(lit(1)).as("df")), "t")
-        .filter(col("df") < n)
-        .select(col("doc_id"), col("t"),
-          (col("tf") * log(lit(n) / col("df"))).as("w"))
+      val (tf, _, w0) =
+        tfidfWeights(Tables.documents(s, dir), persistTf = !forPlan)
       val w = if (forPlan) w0 else w0.persist()
       val qt = tf.filter(col("doc_id") < 5)
         .select(col("doc_id").as("qid"), col("t")).distinct()
@@ -395,14 +394,16 @@ object Retrieval {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
       val ranked = q167Bm25TopK.fn(s, dir) // (qid, rank, cid, score)
       // qids are q167's 5-doc query batch — restricting here keeps nRel a
-      // corpus × 5-row broadcast join instead of a whole-corpus self-join
-      // on source (near-quadratic in the per-source doc count at scale)
+      // corpus × 5-row join instead of a whole-corpus self-join on source
+      // (near-quadratic in the per-source doc count at scale). No hint:
+      // the ≤5-row side is under any broadcast threshold (the 893c2e1
+      // de-hint discipline — hints bypass the size check at every scale)
       val qsrc = docs.filter(col("doc_id") < 5)
         .select(col("doc_id").as("qid"), col("source").as("qs"))
       val csrc = docs.select(col("doc_id").as("cid"), col("source").as("cs"))
-      val rel = ranked.join(broadcast(qsrc), "qid").join(csrc, "cid")
+      val rel = ranked.join(qsrc, "qid").join(csrc, "cid")
         .withColumn("rel", (col("qs") === col("cs")).cast("int"))
-      val nRel = docs.join(broadcast(qsrc), docs("source") === qsrc("qs"))
+      val nRel = docs.join(qsrc, docs("source") === qsrc("qs"))
         .filter(col("doc_id") =!= col("qid"))
         .groupBy("qid").agg(count(lit(1)).as("n_rel"))
       // n_rel = 0 would make sequence(1, 0) the DESCENDING [1, 0] and the

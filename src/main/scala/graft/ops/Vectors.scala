@@ -156,11 +156,32 @@ object Vectors {
     * assign scan against driver-inlined centroids, and an equi-join on cell
     * id — the classic IVF-flat search shape.
     */
+  /** The IVF "train + assign" step shared by q47/q134/q203: per-label
+    * centroids reduce to L ≈ #labels rows — tiny at any SF — so collect
+    * them and inline as a literal; per-vector cell ranking is then a
+    * map-side argmax (sort_array over (-sim, cell) structs — identical
+    * tie discipline to a (desc sim, asc cell) window rank) with NO
+    * per-vector shuffle and no N×L window. Expects `e` to carry
+    * (label, v, nrm); returns the ranked-cells array column.
+    */
+  private def rankedCentroidCells(e: DataFrame): Column = {
+    val vecAvg = udaf(new graft.functions.VectorAvg(DIM))
+    val centsLit = array(
+      e.groupBy("label").agg(vecAvg(col("v")).as("cvec")).collect().map { r =>
+        val cvec = r.getSeq[Double](1)
+        val cnrm = math.sqrt(cvec.foldLeft(0.0)((a, x) => a + x * x))
+        struct(lit(r.getInt(0)).as("cell"),
+          typedLit(cvec).as("cvec"), lit(cnrm).as("cnrm"))
+      }.toIndexedSeq: _*)
+    sort_array(transform(centsLit, c =>
+      struct((-(dot(col("v"), c("cvec")) / (col("nrm") * c("cnrm")))).as("neg"),
+        c("cell").as("cell"))))
+  }
+
   val q47AnnIvf = GraftQuery(
     "q47_ann_ivf",
     (s, dir) => {
       GraftFunctions.register(s)
-      val vecAvg = udaf(new graft.functions.VectorAvg(DIM))
       // persisted: train (collect), assign and probe all read this frame —
       // without the cache the parquet scan + array cast + norm runs 3× (the
       // round-2 4.7× regression); callers (Bench/Verify) clear the cache
@@ -175,19 +196,7 @@ object Vectors {
       // becomes a per-row argmax over the literal (sort_array on
       // (-sim, cell) structs): NO per-vector shuffle, no N×L window — the
       // corpus side is two scans (train, assign+search) and one equi-join.
-      val centsLit = array(
-        e.groupBy("label").agg(vecAvg(col("v")).as("cvec")).collect().map { r =>
-          val cvec = r.getSeq[Double](1)
-          val cnrm = math.sqrt(cvec.foldLeft(0.0)((a, x) => a + x * x))
-          struct(lit(r.getInt(0)).as("cell"),
-            typedLit(cvec).as("cvec"), lit(cnrm).as("cnrm"))
-        }.toIndexedSeq: _*)
-      // lexicographic struct sort: neg asc == sim desc, then cell asc —
-      // identical tie-breaking to a (desc sim, asc cell) window rank
-      val rankedCells = sort_array(transform(centsLit, c =>
-        struct((-(dot(col("v"), c("cvec")) / (col("nrm") * c("cnrm")))).as("neg"),
-          c("cell").as("cell"))))
-      val withCells = e.withColumn("cells", rankedCells)
+      val withCells = e.withColumn("cells", rankedCentroidCells(e))
       val assigned = withCells.select(
         col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"),
         element_at(col("cells"), 1).getField("cell").as("cell"))
@@ -285,28 +294,34 @@ object Vectors {
     * ground-truth sibling, exercised by TrainingPipelineSpec; the one
     * registered SemDeDup scale path is q141.
     */
+  /** The q134/q141-shared collapse tail (the cell-decorated sibling of
+    * Dedup's collapseClusters): component labels → sized clusters with
+    * min-id survivor election, each member decorated with its cell.
+    */
+  private def collapseVecClusters(lbl: DataFrame,
+      assigned: DataFrame): DataFrame = {
+    val sz = lbl.groupBy(col("lbl").as("c2")).agg(count(lit(1)).as("n_members"))
+    lbl.join(sz, col("lbl") === col("c2"))
+      .join(assigned.select(col("vec_id"), col("cell")),
+        lbl("v") === col("vec_id"))
+      .select(col("vec_id"), col("cell"), col("lbl").as("cluster_id"),
+        col("n_members"),
+        (col("vec_id") === col("lbl")).cast("int").as("survivor"))
+      .orderBy("vec_id")
+  }
+
   val q134SemanticDedup = GraftQuery(
     "q134_semantic_dedup",
     (s, dir) => {
       GraftFunctions.register(s)
-      val vecAvg = udaf(new graft.functions.VectorAvg(DIM))
       val e = Tables.embeddings(s, dir)
         .withColumn("v", col("embedding").cast("array<double>"))
         .withColumn("nrm", norm(col("v")))
         .select(col("vec_id"), col("label"), col("v"), col("nrm"))
         .persist()
-      val centsLit = array(
-        e.groupBy("label").agg(vecAvg(col("v")).as("cvec")).collect().map { r =>
-          val cvec = r.getSeq[Double](1)
-          val cnrm = math.sqrt(cvec.foldLeft(0.0)((a, x) => a + x * x))
-          struct(lit(r.getInt(0)).as("cell"),
-            typedLit(cvec).as("cvec"), lit(cnrm).as("cnrm"))
-        }.toIndexedSeq: _*)
-      val rankedCells = sort_array(transform(centsLit, c =>
-        struct((-(dot(col("v"), c("cvec")) / (col("nrm") * c("cnrm")))).as("neg"),
-          c("cell").as("cell"))))
       val assigned = e
-        .withColumn("cell", element_at(rankedCells, 1).getField("cell"))
+        .withColumn("cell",
+          element_at(rankedCentroidCells(e), 1).getField("cell"))
         .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
         .persist()
       val pairs = assigned.as("a")
@@ -314,14 +329,7 @@ object Vectors {
           col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
         .filter(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")) >= 0.30)
         .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
-      val lbl = Dedup.connectedComponents(pairs)
-      val sz = lbl.groupBy(col("lbl").as("c2")).agg(count(lit(1)).as("n_members"))
-      lbl.join(sz, col("lbl") === col("c2"))
-        .join(assigned.select(col("vec_id"), col("cell")), lbl("v") === col("vec_id"))
-        .select(col("vec_id"), col("cell"), col("lbl").as("cluster_id"),
-          col("n_members"),
-          (col("vec_id") === col("lbl")).cast("int").as("survivor"))
-        .orderBy("vec_id")
+      collapseVecClusters(Dedup.connectedComponents(pairs), assigned)
     },
     Some("""WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] v,
            |  sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) nrm FROM embeddings),
@@ -441,14 +449,7 @@ object Vectors {
           col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
         .filter(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")) >= 0.30)
         .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
-      val lbl = Dedup.connectedComponents(pairs)
-      val sz = lbl.groupBy(col("lbl").as("c2")).agg(count(lit(1)).as("n_members"))
-      lbl.join(sz, col("lbl") === col("c2"))
-        .join(assigned.select(col("vec_id"), col("cell")), lbl("v") === col("vec_id"))
-        .select(col("vec_id"), col("cell"), col("lbl").as("cluster_id"),
-          col("n_members"),
-          (col("vec_id") === col("lbl")).cast("int").as("survivor"))
-        .orderBy("vec_id")
+      collapseVecClusters(Dedup.connectedComponents(pairs), assigned)
     },
     Some("""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] v,
            |  sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) nrm FROM embeddings),
@@ -1335,7 +1336,6 @@ object Vectors {
   private[graft] def q203Df(s: SparkSession, dir: String,
       forPlan: Boolean = false): DataFrame = {
       GraftFunctions.register(s)
-      val vecAvg = udaf(new graft.functions.VectorAvg(DIM))
       val e0 = Tables.embeddings(s, dir)
         .withColumn("v", col("embedding").cast("array<double>"))
         .withColumn("nrm", norm(col("v")))
@@ -1349,17 +1349,7 @@ object Vectors {
           (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
         .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= 5)
         .select("qid", "cid")
-      val centsLit = array(
-        e.groupBy("label").agg(vecAvg(col("v")).as("cvec")).collect().map { r =>
-          val cvec = r.getSeq[Double](1)
-          val cnrm = math.sqrt(cvec.foldLeft(0.0)((a, x) => a + x * x))
-          struct(lit(r.getInt(0)).as("cell"),
-            typedLit(cvec).as("cvec"), lit(cnrm).as("cnrm"))
-        }.toIndexedSeq: _*)
-      val rankedCells = sort_array(transform(centsLit, c =>
-        struct((-(dot(col("v"), c("cvec")) / (col("nrm") * c("cnrm")))).as("neg"),
-          c("cell").as("cell"))))
-      val withCells = e.withColumn("cells", rankedCells)
+      val withCells = e.withColumn("cells", rankedCentroidCells(e))
       val assigned = withCells.select(
         col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"),
         element_at(col("cells"), 1).getField("cell").as("cell"))
