@@ -54,6 +54,10 @@ object Graph {
         .groupBy("kind", "deg_bucket")
         .agg(count(lit(1)).as("n"), round(sum("rank"), 4).as("rank_mass"))
         .orderBy("kind", "deg_bucket")
+        // materialize the ≤20-row output BEFORE releasing the caches —
+        // unpersisting a lazy plan would rebuild the edge list ~7× when
+        // the caller finally executes it (the q184/q215 discipline)
+        .localCheckpoint()
       e.unpersist()
       withDeg.unpersist()
       out
@@ -98,16 +102,27 @@ object Graph {
     * / by edge endpoints); counts are exact integers, and the one float
     * (clustering coefficient = 2T / deg·(deg−1)) is per-row arithmetic.
     */
+  /** Distinct co-purchase edges {u < v}: two keys sharing an order. The
+    * (order, key) pairs are deduped BEFORE the self-join — raw lineitem
+    * fans out per line item, the distinct bounds the per-order basket —
+    * then pairs come from a join keyed on the order (fan-out = basket²,
+    * bounded). Shared by q148 (suppliers), q215 (parts), q264 (suppliers).
+    */
+  private def coPurchaseEdges(li: DataFrame, orderCol: String,
+      keyCol: String): DataFrame = {
+    val ps = li.select(orderCol, keyCol).distinct()
+    ps.as("a")
+      .join(ps.as("b"), col(s"a.$orderCol") === col(s"b.$orderCol") &&
+        col(s"a.$keyCol") < col(s"b.$keyCol"))
+      .select(col(s"a.$keyCol").as("u"), col(s"b.$keyCol").as("v"))
+      .distinct()
+  }
+
   val q148TriangleCount = GraftQuery(
     "q148_triangle_count",
     (s, dir) => {
-      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
-      val und = li.as("a")
-        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") < col("b.l_suppkey"))
-        .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
-        .distinct()
-        .persist()
+      val und = coPurchaseEdges(Tables.lineitem(s, dir),
+        "l_orderkey", "l_suppkey").persist()
       val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
       // orient {a, b} from lower (deg, id) to higher — a total order, so
@@ -143,7 +158,7 @@ object Graph {
         .unionAll(tris.select(col("y").as("n")))
         .unionAll(tris.select(col("z").as("n")))
         .groupBy("n").agg(count(lit(1)).as("n_tri"))
-      deg.join(perNode, Seq("n"), "left")
+      val out = deg.join(perNode, Seq("n"), "left")
         .select(col("n").as("suppkey"), col("deg"),
           coalesce(col("n_tri"), lit(0L)).as("n_tri"),
           when(col("deg") >= 2,
@@ -151,6 +166,12 @@ object Graph {
               (col("deg") * (col("deg") - 1)), 6)).otherwise(lit(0.0))
             .as("clustering"))
         .orderBy("suppkey")
+        // one row per supplier — materialize, then release the three
+        // cached frames instead of leaving them pinned until the
+        // harness's periodic clearCache
+        .localCheckpoint()
+      und.unpersist(); oriented.unpersist(); tris.unpersist()
+      out
     },
     Some("""WITH und AS (
            |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
@@ -258,7 +279,20 @@ object Graph {
       edges = pruned
       rounds += 1
     }
-    (edges, rounds)
+    // The rounds live as checkpoint FILES under the fixed dir and nothing
+    // deletes them (cleanCheckpoints defaults to false) — each run would
+    // leak one edge-set directory per peel round for the life of the
+    // container. Re-materialize the survivors into executor storage, then
+    // remove the run's files: kcorePeel is this codebase's only
+    // reliable-checkpoint writer, so the directory is exclusively ours.
+    // (On a real cluster keep the HDFS files instead and register an
+    // end-of-job cleanup — local mode has no executor-loss risk.)
+    val out = edges.localCheckpoint()
+    sc.getCheckpointDir.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+    }
+    (out, rounds)
   }
 
   /** k-core extraction (k = 7) over the SEMANTIC similarity graph — the
@@ -454,13 +488,8 @@ object Graph {
       // parts co-ordered in the same order: sparse (small baskets), so
       // degrees VARY — the supplier graph is near-complete at fixture SF
       // (constant degree ⇒ zero variance ⇒ corr undefined)
-      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
-        .distinct() // dedupe (order, part) BEFORE the self-join, like the oracle
-      val und = li.as("a")
-        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct().persist()
+      val und = coPurchaseEdges(Tables.lineitem(s, dir),
+        "l_orderkey", "l_partkey").persist()
       val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
       val deg = sym.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
         .persist()
@@ -586,12 +615,7 @@ object Graph {
       val li = Tables.lineitem(s, dir)
       val feat = li.groupBy(col("l_suppkey").as("n"))
         .agg(sum("l_quantity").cast("long").as("f"))
-      val ps = li.select("l_orderkey", "l_suppkey").distinct()
-      val und = ps.as("a")
-        .join(ps.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") < col("b.l_suppkey"))
-        .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
-        .distinct()
+      val und = coPurchaseEdges(li, "l_orderkey", "l_suppkey")
       val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
       sym.join(feat.select(col("n").as("v"), col("f").as("nf")), "v")
         .groupBy("u")

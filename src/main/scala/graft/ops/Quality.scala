@@ -631,11 +631,13 @@ object Quality {
       val out = cells.agg(
         round(sum((col("c") / col("n")) *
           log((col("c") * col("n")) / (col("cl") * col("cs")))), 6).as("mi"))
-      val hl = d.groupBy("lang").agg(count(lit(1)).as("c")).crossJoin(n)
-        .agg(round(-sum((col("c") / col("n")) * log(col("c") / col("n"))), 6)
+      // marginal entropies fold the pl/ps marginals of the persisted joint
+      // table (the oracle's own shape) — not two extra scans of documents
+      val hl = pl.crossJoin(n)
+        .agg(round(-sum((col("cl") / col("n")) * log(col("cl") / col("n"))), 6)
           .as("h_lang"))
-      val hs = d.groupBy("source").agg(count(lit(1)).as("c")).crossJoin(n)
-        .agg(round(-sum((col("c") / col("n")) * log(col("c") / col("n"))), 6)
+      val hs = ps.crossJoin(n)
+        .agg(round(-sum((col("cs") / col("n")) * log(col("cs") / col("n"))), 6)
           .as("h_source"))
       val res = hl.crossJoin(hs).crossJoin(out.select("mi"))
         .select(col("h_lang"), col("h_source"), col("mi"),

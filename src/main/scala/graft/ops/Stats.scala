@@ -535,6 +535,11 @@ object Stats {
       digits
         .withColumn("total", sum("n").over(
           org.apache.spark.sql.expressions.Window.partitionBy()))
+        // a value < 1 leads with digit 0 — the oracle's join to the ben
+        // table drops it (while still counting it in total); dropping it
+        // AFTER the total window matches that exactly, and keeps
+        // element_at from throwing on the missing map key under ANSI
+        .filter(col("digit").between(1, 9))
         .withColumn("share", col("n").cast("double") / col("total"))
         .withColumn("benford_p", element_at(expLit, col("digit")))
         .select(col("digit"), col("n"), round(col("share"), 6).as("share"),
@@ -582,6 +587,11 @@ object Stats {
       val series = daily.groupBy("event_type")
         .agg(transform(sort_array(collect_list(struct(col("d"), col("x")))),
           e => e("x")).as("xs"))
+        // Holt needs two seed points; a single-day series would make
+        // element_at(xs, 2) throw under ANSI, while the oracle's
+        // recursive base (i = 1 AND i = 2) silently drops that group —
+        // drop it explicitly on this side so both engines agree
+        .filter(size(col("xs")) >= 2)
       def holtStep(acc: Column, x: Column) = {
         val l2 = lit(0.5) * x + lit(0.5) * (acc("l") + acc("b"))
         struct(l2.as("l"),
@@ -684,7 +694,11 @@ object Stats {
             .as("t_buy"))
       val out = per.agg(count(lit(1)).as("n_signup"),
         count(col("t_click")).as("n_click_24h"),
-        sum((col("t_buy") > col("t_click")).cast("long")).as("n_buy_after_click"),
+        // coalesce: with zero users holding both stages the sum aggregates
+        // only NULL comparisons and returns NULL, but the oracle's
+        // CASE ... ELSE 0 form returns 0
+        coalesce(sum((col("t_buy") > col("t_click")).cast("long")), lit(0L))
+          .as("n_buy_after_click"),
         count(col("t_buy")).as("n_buy_72h"))
       // localCheckpoint, not count()+recompute: the verify/bench action
       // reads the materialized rows instead of re-executing the released plan

@@ -297,9 +297,11 @@ object Text {
          |              FROM s${k - 1})
          |        WHERE len(sym) >= 2)
          |  GROUP BY 1),
-         |t$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
-         |s$k AS (SELECT replace(seq, (SELECT pair FROM t$k),
-         |    '(' || (SELECT replace(replace(pair, '(', ''), ')', '') FROM t$k) || ')') AS seq, wc
+         |t$k AS MATERIALIZED (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
+         |s$k AS MATERIALIZED (SELECT CASE WHEN (SELECT count(*) FROM t$k) = 0 THEN seq
+         |    ELSE replace(seq, (SELECT pair FROM t$k),
+         |      '(' || (SELECT replace(replace(pair, '(', ''), ')', '') FROM t$k) || ')')
+         |    END AS seq, wc
          |  FROM s${k - 1})"""
     s"""WITH w AS (
        |  SELECT word, count(*) AS wc FROM (
