@@ -25,7 +25,7 @@ import graft.{GraftQuery, Tables}
 object Dedup {
 
   private val P = 2147483647L // 2^31-1, Mersenne prime for the hash family
-  private val NUM_HASHES = 24
+  private[ops] val NUM_HASHES = 24
   private val BANDS = 8 // r = 3 rows per band
 
   /** doc_id + word-3-gram md5-prefix hashes (distinct grams), via the fused
@@ -41,7 +41,7 @@ object Dedup {
   /** Sorted distinct shingle-hash sets — the layout
     * [[graft.functions.IntersectCountSorted]] requires for its merge loop.
     */
-  private def sortedInts(ints: Column): Column = array_sort(array_distinct(ints))
+  private[ops] def sortedInts(ints: Column): Column = array_sort(array_distinct(ints))
 
   /** Exact dedup surface: per-source unique-content accounting via content
     * hash grouping (survivor selection = min doc_id per fingerprint).

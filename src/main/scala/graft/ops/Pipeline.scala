@@ -46,9 +46,13 @@ object Pipeline {
     "q53_incremental_dedup",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
+      // signature build + exact verify are Dedup.minhashPairs' machinery
+      // (sortedInts / NUM_HASHES / bandKeys / verifyJaccard) — only the
+      // candidate join differs: new×old instead of the full self-join
       val sh = Dedup.shingleHashed(Tables.documents(s, dir), 8)
-        .withColumn("ti", array_sort(array_distinct(col("tints"))))
-        .withColumn("sig", graft.functions.GraftFunctions.minhash(col("tints"), 24))
+        .withColumn("ti", Dedup.sortedInts(col("tints")))
+        .withColumn("sig",
+          graft.functions.GraftFunctions.minhash(col("tints"), Dedup.NUM_HASHES))
         .select(col("doc_id"), col("ti"), col("sig"))
         .persist()
       val bands = Dedup.bandKeys(sh)
@@ -56,18 +60,11 @@ object Pipeline {
       val oldB = bands.filter(col("doc_id") % 5 =!= 0)
       val cand = newB.as("n")
         .join(oldB.as("o"), col("n.band") === col("o.band") && col("n.key") === col("o.key"))
-        .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+        .select(col("n.doc_id").as("i"), col("o.doc_id").as("j"))
         .distinct()
-      val t = sh.select(col("doc_id"), col("ti"))
-      val inter = graft.functions.GraftFunctions
-        .intersectCount(col("ti_n"), col("ti_o")).cast("int")
-      cand
-        .join(t.select(col("doc_id").as("new_id"), col("ti").as("ti_n")), "new_id")
-        .join(t.select(col("doc_id").as("old_id"), col("ti").as("ti_o")), "old_id")
-        .withColumn("jac",
-          inter.cast("double") / (size(col("ti_n")) + size(col("ti_o")) - inter))
-        .filter(col("jac") >= 0.5)
-        .select(col("new_id"), col("old_id"), round(col("jac"), 6).as("jac"))
+      Dedup.verifyJaccard(cand, sh.select(col("doc_id"), col("ti")), 0.5)
+        .select(col("i").as("new_id"), col("j").as("old_id"),
+          round(col("jac"), 6).as("jac"))
         .orderBy("new_id", "old_id")
     },
     Some("""WITH toks AS (

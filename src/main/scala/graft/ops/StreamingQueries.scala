@@ -33,6 +33,24 @@ object StreamingQueries {
     ss
   }
 
+  /** SF-scoped managed-table name: scratch DIRS are keyed per fixture by
+    * WorkDir.resolve, but the warehouse directory is shared — an unscoped
+    * name would let a concurrent verify/bench run at another scale factor
+    * delete/swap the table out from under this one's in-flight stream.
+    */
+  private def sfTable(base: String, sfDir: String): String =
+    base + "_" + sfDir.replaceAll("[^0-9a-zA-Z]", "_")
+
+  /** Recursively delete each scratch path (the per-query wipe). */
+  private def clearDirs(s: org.apache.spark.sql.SparkSession,
+      dirs: String*): Unit = {
+    val conf = s.sessionState.newHadoopConf()
+    for (d <- dirs) {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).delete(p, true)
+    }
+  }
+
   /** Drop a managed table AND its warehouse directory (plus MV shadow
     * residue): the in-memory catalog dies with each JVM but managed-table
     * directories persist, so a re-run would hit LOCATION_ALREADY_EXISTS.
@@ -106,11 +124,7 @@ object StreamingQueries {
     (s, dir) => {
       val base = graft.WorkDir.resolve(s, "srebal", dir)
       val (src, dest, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
-      val conf = s.sessionState.newHadoopConf()
-      for (d <- Seq(src, dest, ckpt)) {
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(conf).delete(p, true)
-      }
+      clearDirs(s, src, dest, ckpt)
       val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
       ev.write.parquet(src)
       val schema = s.read.parquet(src).schema
@@ -150,12 +164,8 @@ object StreamingQueries {
     (s, dir) => {
       val base = graft.WorkDir.resolve(s, "mvq", dir)
       val (src, ckpt) = (s"$base/src", s"$base/ckpt")
-      val conf = s.sessionState.newHadoopConf()
-      for (d <- Seq(src, ckpt)) {
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(conf).delete(p, true)
-      }
-      val target = "graft_mv_q143"
+      clearDirs(s, src, ckpt)
+      val target = sfTable("graft_mv_q143", dir)
       freshManagedTable(s, target)
       val ev = Tables.events(s, dir).select("event_id", "event_type", "ts", "value")
       ev.repartition(4).write.parquet(src) // 4 files → 4 micro-batches
@@ -200,11 +210,7 @@ object StreamingQueries {
     (s, dir) => {
       val base = graft.WorkDir.resolve(s, "sdedupq", dir)
       val (src, dest, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
-      val conf = s.sessionState.newHadoopConf()
-      for (d <- Seq(src, dest, ckpt)) {
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(conf).delete(p, true)
-      }
+      clearDirs(s, src, dest, ckpt)
       val ev = Tables.events(s, dir).select("event_id", "event_type", "ts", "value")
       ev.coalesce(2).write.parquet(src)
       ev.filter(col("event_id") % 10 === 0) // exact re-deliveries
@@ -249,12 +255,8 @@ object StreamingQueries {
       import s.implicits._
       val base = graft.WorkDir.resolve(s, "twsq", dir)
       val (src, ckpt) = (s"$base/src", s"$base/ckpt")
-      val conf = s.sessionState.newHadoopConf()
-      for (d <- Seq(src, ckpt)) {
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(conf).delete(p, true)
-      }
-      val target = "graft_tws_q146"
+      clearDirs(s, src, ckpt)
+      val target = sfTable("graft_tws_q146", dir)
       freshManagedTable(s, target)
       // two files → two micro-batches: enough to prove state carries across
       // batches while paying the per-batch RocksDB open/commit cycle
@@ -305,11 +307,7 @@ object StreamingQueries {
     (s, dir) => {
       val base = graft.WorkDir.resolve(s, "ssjq", dir)
       val (src, dest, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
-      val conf = s.sessionState.newHadoopConf()
-      for (d <- Seq(src, dest, ckpt)) {
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(conf).delete(p, true)
-      }
+      clearDirs(s, src, dest, ckpt)
       // stage only the two joined event types — anything else would be
       // re-scanned by every micro-batch just to be filtered out — and two
       // files: enough batches to prove cross-batch join state, half the
@@ -404,12 +402,8 @@ object StreamingQueries {
     (s, dir) => {
       val base = graft.WorkDir.resolve(s, "wmevq", dir)
       val (src, ckpt) = (s"$base/src", s"$base/ckpt")
-      val conf = s.sessionState.newHadoopConf()
-      for (d <- Seq(src, ckpt)) {
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(conf).delete(p, true)
-      }
-      val target = "graft_mv_q158"
+      clearDirs(s, src, ckpt)
+      val target = sfTable("graft_mv_q158", dir)
       freshManagedTable(s, target)
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("event_type"), col("ts"), col("value"))
@@ -457,9 +451,12 @@ object StreamingQueries {
     * the watermark passes its end (last event + 30-min gap), so which
     * sessions appear in the sink is itself watermark semantics — and the
     * ORACLE encodes it: gap-sessionize in SQL, then keep sessions with
-    * end ≤ max(ts) − 1 h (the final watermark). Sessions still open at
-    * stream end must NOT be in the sink; an engine that emitted everything
-    * (or dropped a finalized session) hash-mismatches.
+    * end ≤ ms-floor(max(ts)) − 1 h — the final watermark, with the same
+    * MILLISECOND truncation Spark applies to its event-time max (a
+    * µs-precision oracle watermark would claim sessions whose end lands
+    * in the sub-ms gap). Sessions still open at stream end must NOT be
+    * in the sink; an engine that emitted everything (or dropped a
+    * finalized session) hash-mismatches.
     *
     * The replay splits the fixture at its time midpoint into two
     * mtime-pinned files, so every batch-2 event is newer than every
@@ -478,11 +475,7 @@ object StreamingQueries {
     (s, dir) => {
       val base = graft.WorkDir.resolve(s, "ssessq", dir)
       val (src, dest, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
-      val conf = s.sessionState.newHadoopConf()
-      for (d <- Seq(src, dest, ckpt)) {
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(conf).delete(p, true)
-      }
+      clearDirs(s, src, dest, ckpt)
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("ts"), col("value"))
         .withColumn("us", expr("unix_micros(ts)"))
@@ -517,7 +510,7 @@ object StreamingQueries {
     Some("""WITH ev AS (
            |  SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) us, event_id
            |  FROM events),
-           |wm AS (SELECT max(us) - 3600000000 AS w FROM ev),
+           |wm AS (SELECT (max(us) // 1000) * 1000 - 3600000000 AS w FROM ev),
            |marked AS (
            |  SELECT user_id, value, us,
            |    CASE WHEN lag(us) OVER wn IS NULL OR us - lag(us) OVER wn >= 1800000000
@@ -553,12 +546,8 @@ object StreamingQueries {
     (s, dir) => {
       val base = graft.WorkDir.resolve(s, "skmvq", dir)
       val (src, ckpt) = (s"$base/src", s"$base/ckpt")
-      val conf = s.sessionState.newHadoopConf()
-      for (d <- Seq(src, ckpt)) {
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(conf).delete(p, true)
-      }
-      val target = "graft_kmv_q179"
+      clearDirs(s, src, ckpt)
+      val target = sfTable("graft_kmv_q179", dir)
       freshManagedTable(s, target)
       val ev = Tables.events(s, dir).select("event_type", "user_id")
       ev.repartition(3).write.parquet(src)
@@ -616,12 +605,8 @@ object StreamingQueries {
     (s, dir) => {
       val base = graft.WorkDir.resolve(s, "alertq", dir)
       val (src, ckpt) = (s"$base/src", s"$base/ckpt")
-      val conf = s.sessionState.newHadoopConf()
-      for (d <- Seq(src, ckpt)) {
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(conf).delete(p, true)
-      }
-      val target = "graft_mv_q236"
+      clearDirs(s, src, ckpt)
+      val target = sfTable("graft_mv_q236", dir)
       freshManagedTable(s, target)
       val ev = Tables.events(s, dir).select("event_id", "event_type", "ts")
       ev.repartition(4).write.parquet(src)
@@ -660,12 +645,12 @@ object StreamingQueries {
            |    CAST(count(*) AS BIGINT) n
            |  FROM events GROUP BY 1, 2),
            |d2 AS (SELECT event_type, day_us, n,
-           |    dayofweek(CAST(to_timestamp(day_us / 1000000) AS DATE)) AS dow
+           |    dayofweek(CAST(make_timestamp(day_us) AS DATE)) AS dow
            |  FROM daily),
            |prof AS (SELECT event_type, dow, sum(n)::DOUBLE / count(*) dow_mean
            |  FROM d2 GROUP BY 1, 2)
            |SELECT d.event_type,
-           |  strftime(CAST(to_timestamp(d.day_us / 1000000) AS DATE), '%Y-%m-%d')
+           |  strftime(CAST(make_timestamp(d.day_us) AS DATE), '%Y-%m-%d')
            |    AS day,
            |  d.n, round(p.dow_mean, 6) AS dow_mean,
            |  round(d.n / p.dow_mean, 6) AS ratio
@@ -690,11 +675,7 @@ object StreamingQueries {
     (s, dir) => {
       val base = graft.WorkDir.resolve(s, "serasureq", dir)
       val (src, dest, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
-      val conf = s.sessionState.newHadoopConf()
-      for (d <- Seq(src, dest, ckpt)) {
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(conf).delete(p, true)
-      }
+      clearDirs(s, src, dest, ckpt)
       val ev = Tables.events(s, dir)
         .select("event_id", "event_type", "user_id", "value")
       ev.coalesce(3).write.parquet(src) // 3 files → 3 micro-batches

@@ -11,8 +11,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * upsert.
   *
   * Refresh discipline reuses the rebalance shadow-swap (stage table →
-  * metadata-only renames), so readers of the MV always see either the
-  * complete previous or complete next snapshot — never a partial batch.
+  * metadata-only renames): a reader never observes a PARTIAL batch — any
+  * snapshot it resolves is complete. The swap is not fully atomic for
+  * concurrent readers, though: between the two renames the canonical name
+  * is briefly vacant (TABLE_OR_VIEW_NOT_FOUND), and a reader mid-scan of
+  * the pre-swap file listing can hit missing files once `__mv_old` is
+  * dropped — concurrent readers need plain retry-on-error (at which point
+  * they see the complete next snapshot). A catalog with atomic
+  * RENAME ... TO ... swaps (or view-repointing) removes the window at
+  * real scale.
   *
   * Scale note (100 TB): the upsert rewrites only (previous MV ∖ batch keys)
   * ∪ batch — for windowed aggregations the batch touches the few open
@@ -61,10 +68,15 @@ object MaterializedView {
     } else {
       val stage = s"${target}__mv_stage"
       val old = s"${target}__mv_old"
+      // the merged plan reads `batch` twice (anti-join keys + union side);
+      // without a cache each micro-batch recomputes its upstream
+      // aggregation twice per refresh
+      batch.persist()
       val merged = spark.table(target)
         .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
         .unionByName(batch)
-      sized(merged).write.mode(SaveMode.Overwrite).saveAsTable(stage)
+      try sized(merged).write.mode(SaveMode.Overwrite).saveAsTable(stage)
+      finally batch.unpersist()
       spark.sql(s"DROP TABLE IF EXISTS $old")
       spark.sql(s"ALTER TABLE $target RENAME TO $old")
       spark.sql(s"ALTER TABLE $stage RENAME TO $target")
@@ -97,7 +109,13 @@ object MaterializedView {
       spark.sql(s"ALTER TABLE $target RENAME TO $old")
     spark.sql(s"ALTER TABLE $stage RENAME TO $target")
     spark.sql(s"DROP TABLE IF EXISTS $old")
+    // same cross-session cache refresh as upsert: if this ran on a cloned
+    // session, the default session's cached file listing still points at
+    // the deleted pre-swap part files
     spark.catalog.refreshTable(target)
+    org.apache.spark.sql.classic.SparkSession.getDefaultSession
+      .filter(_ ne spark)
+      .foreach(_.catalog.refreshTable(target))
   }
 
   /** Start continuous materialization of a (usually aggregated) stream into
