@@ -134,6 +134,10 @@ object Aggregates {
         hiC.join(loC, Seq("event_type"), "left")
           .select(lit(id).as("range_id"), col("event_type"),
             (col("chi") - coalesce(col("clo"), lit(0L))).as("n"))
+          // a type active only BEFORE the range has equal cum at both
+          // endpoints → n = 0 here, but no group at all in the oracle's
+          // direct WHERE BETWEEN scan — emit exactly the scan's groups
+          .filter(col("n") > 0)
       }.reduce(_ unionByName _).orderBy("range_id", "event_type")
       // localCheckpoint, not count()+recompute: the verify/bench action
       // reads the materialized rows instead of re-executing the released plan

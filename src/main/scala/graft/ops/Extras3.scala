@@ -33,7 +33,7 @@ object Extras3 {
         col("doc_id"), col("h"),
         posexplode(expr("transform(sequence(0, 3), b -> shiftrightunsigned(h, b * 15) & 32767)")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-      bands.as("a")
+      val out = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -44,6 +44,11 @@ object Extras3 {
         .filter(col("ham") <= 3)
         .select(col("i"), col("j"), col("ham"))
         .orderBy("i", "j")
+        // materialize the pair list, then release the signature cache
+        // (both join sides read it) instead of pinning it for the session
+        .localCheckpoint()
+      sig.unpersist()
+      out
     },
     // oracle recomputes the identical signatures but pairs all-at-once —
     // banding only changes candidate generation, never the result set
@@ -227,8 +232,13 @@ object Extras3 {
         .write.mode("overwrite").parquet(out)
       val m = obs.get
       import s.implicits._
-      Seq((m("n").asInstanceOf[Long], m("qty").asInstanceOf[Double],
-        m("price").asInstanceOf[Double], m("max_order").asInstanceOf[Long]))
+      // Option-wrap: sum/max observe NULL over an empty filtered slice —
+      // a bare asInstanceOf would NPE instead of carrying the NULL the
+      // oracle also returns
+      Seq((m("n").asInstanceOf[Long],
+        Option(m("qty")).map(_.asInstanceOf[Double]),
+        Option(m("price")).map(_.asInstanceOf[Double]),
+        Option(m("max_order")).map(_.asInstanceOf[Long])))
         .toDF("n", "qty", "price", "max_order")
     },
     Some("""SELECT count(*) AS n, round(sum(l_quantity), 2) AS qty,

@@ -9,6 +9,14 @@ import graft.{GraftQuery, Tables}
   */
 object Extras4 {
 
+  /** Drift-proof TPC-H revenue: Σ price·(1−disc) reconstructed from exact
+    * integer cents so the top-k boundary cannot flip on float accumulation
+    * order — shared by q103/q104 (one owner for the precision discipline).
+    */
+  private def centsRevenue: org.apache.spark.sql.Column =
+    round(sum(round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))) / 10000.0, 2)
+
   /** Fuzzy near-match within a blocking key: candidate pairs are generated
     * only inside each p_brand partition (the classic blocking step that
     * keeps the pair count linear-ish at 100 TB — never an unblocked cross
@@ -122,8 +130,7 @@ object Extras4 {
         .groupBy(col("l_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
           col("o_orderpriority"))
-        .agg(round(sum(round(col("l_extendedprice") * 100).cast("long") *
-          (lit(100L) - round(col("l_discount") * 100).cast("long"))) / 10000.0, 2).as("revenue"))
+        .agg(centsRevenue.as("revenue"))
         .orderBy(desc("revenue"), col("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "o_date", "o_orderpriority")
@@ -157,8 +164,7 @@ object Extras4 {
         .join(broadcast(Tables.nation(s, dir)),
           col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(round(sum(round(col("l_extendedprice") * 100).cast("long") *
-          (lit(100L) - round(col("l_discount") * 100).cast("long"))) / 10000.0, 2).as("revenue"))
+        .agg(centsRevenue.as("revenue"))
         .orderBy(desc("revenue"), col("c_custkey"))
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "n_name"),

@@ -95,9 +95,13 @@ object Extras6 {
         .agg(
           count(lit(1)).as("n_users"),
           count(col("t_signup")).as("n_signup"),
-          sum((col("t_signup") < col("t_click")).cast("long")).as("n_signup_click"),
-          sum((col("t_signup") < col("t_click") &&
-            col("t_click") < col("t_purchase")).cast("long")).as("n_full_funnel")),
+          // coalesce: an all-NULL comparison column sums to NULL in Spark
+          // but the oracle's CASE ... ELSE 0 form returns 0
+          coalesce(sum((col("t_signup") < col("t_click")).cast("long")), lit(0L))
+            .as("n_signup_click"),
+          coalesce(sum((col("t_signup") < col("t_click") &&
+            col("t_click") < col("t_purchase")).cast("long")), lit(0L))
+            .as("n_full_funnel")),
     Some("""WITH stages AS (
            |  SELECT user_id,
            |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
@@ -647,9 +651,13 @@ object Extras6 {
       val cells = Tables.events(s, dir)
         .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
       val tot = cells.groupBy("user_id").agg(sum("c").as("n"))
+      // round h to 6 BEFORE the floor bucketing (the knife-edge-threshold
+      // discipline): the xlogx fold is accumulation-order- and
+      // libm-dependent, so an h within an ulp of a 0.05 boundary must
+      // bin identically across engines and runs
       val ent = cells.join(tot, "user_id")
         .groupBy("user_id")
-        .agg((-sum((col("c") / col("n")) * log(col("c") / col("n"))))
+        .agg(round(-sum((col("c") / col("n")) * log(col("c") / col("n"))), 6)
           .as("h"))
       ent.groupBy(floor(col("h") / 0.05).cast("long").as("entropy_bin"))
         .agg(count(lit(1)).as("n_users"), round(avg("h"), 3).as("mean_h"))
@@ -659,7 +667,7 @@ object Extras6 {
            |  FROM events GROUP BY 1, 2),
            |tot AS (SELECT user_id, CAST(sum(c) AS BIGINT) n FROM cells GROUP BY 1),
            |ent AS (SELECT cells.user_id,
-           |    -sum((c / tot.n::DOUBLE) * ln(c / tot.n::DOUBLE)) AS h
+           |    round(-sum((c / tot.n::DOUBLE) * ln(c / tot.n::DOUBLE)), 6) AS h
            |  FROM cells JOIN tot USING (user_id) GROUP BY 1)
            |SELECT CAST(floor(h / 0.05) AS BIGINT) AS entropy_bin,
            |  CAST(count(*) AS BIGINT) AS n_users, round(avg(h), 3) AS mean_h
