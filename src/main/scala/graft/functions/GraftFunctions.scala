@@ -19,7 +19,7 @@ object GraftFunctions {
   val GRAM_GEN = "graft_gram_gen"
   val WINNOW = "graft_winnow"
 
-  private def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+  private[functions] def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
 
   // synchronized: concurrent callers (Verify's parallel lanes) would race

@@ -16,9 +16,14 @@ class VectorAvg(dim: Int) extends Aggregator[Seq[Double], (Array[Double], Long),
   override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
 
   override def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
+    // same dense fixed-dimension contract as DotProduct: silently
+    // truncating/zero-filling a malformed vector would bias the mean
+    // (its missing dims divide by a count it never contributed to)
+    require(v.length == dim,
+      s"VectorAvg($dim): input vector has length ${v.length}")
     val (sums, n) = b
     var i = 0
-    while (i < dim && i < v.length) { sums(i) += v(i); i += 1 }
+    while (i < dim) { sums(i) += v(i); i += 1 }
     (sums, n + 1)
   }
 

@@ -463,7 +463,10 @@ object Layout {
     df => {
       val r = df.agg(min(year(col("o_orderdate"))),
         max(year(col("o_orderdate")))).head()
-      r.getInt(0) >= 1990 && r.getInt(1) <= 2005
+      // min/max over an empty slice are NULL — an empty dataset FAILS the
+      // bounds audit (returning false) rather than NPE-ing out of wapPublish
+      !r.isNullAt(0) && !r.isNullAt(1) &&
+        r.getInt(0) >= 1990 && r.getInt(1) <= 2005
     })
 
   val q225WriteAuditPublish = GraftQuery(

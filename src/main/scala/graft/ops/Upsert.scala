@@ -8,24 +8,22 @@ import graft.{GraftQuery, Tables}
 /** Keyed batch upsert (MERGE semantics over immutable parquet): updates win
   * over existing rows on the key, inserts pass through — the CDC-apply /
   * compaction primitive behind every mutable-table illusion on an
-  * append-only lake. Implemented as a UNION + per-key rank (updates ranked
-  * first) rather than a full-outer join: one shuffle on the key, no wide
-  * null-handling, and N-batch generalization is the same plan with a batch
-  * ordinal. Pairs with [[graft.rebalance.Rebalancer]]'s staging+swap to
-  * publish the merged table atomically.
+  * append-only lake. Implemented as anti-join + union (the same shape
+  * [[graft.streaming.MaterializedView]] uses per micro-batch): one shuffle
+  * on the key, and — unlike a per-key rank over the union — LOSSLESS for
+  * legitimately duplicate-keyed existing rows (a rank keeps rn = 1 only,
+  * silently deleting siblings of keys no update touched) and deterministic
+  * when a batch carries several updates for one key (all are kept; rank
+  * picked a partition-order-dependent winner). Pairs with
+  * [[graft.rebalance.Rebalancer]]'s staging+swap to publish atomically.
   */
 object Upsert {
 
   /** Rows of `updates` replace same-key rows of `existing`; others insert. */
-  def merge(existing: DataFrame, updates: DataFrame, key: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tagged = existing.withColumn("__src", lit(0))
-      .unionByName(updates.withColumn("__src", lit(1)))
-    val w = Window.partitionBy(col(key)).orderBy(desc("__src"))
-    tagged.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__src", "__rn")
-  }
+  def merge(existing: DataFrame, updates: DataFrame, key: String): DataFrame =
+    updates.unionByName(
+      existing.join(updates.select(key), Seq(key), "left_anti")
+        .select(existing.columns.map(col).toIndexedSeq: _*))
 
   /** Upsert a revised order batch into orders, then audit the merge: row
     * counts by origin plus value sums proving updated keys carry the new

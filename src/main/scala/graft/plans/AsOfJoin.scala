@@ -127,8 +127,12 @@ case class AsOfJoinExec(
       var candKey: UnsafeRow = null
       lIter.map { l =>
         val lk = lKeyProj(l)
-        if (lk.anyNull) {
-          resultProj(joined(l, nullRight)) // null keys never match (join semantics)
+        if (lk.anyNull || lTimeProj(l).isNullAt(0)) {
+          // null keys and null left times never match: `r.t < NULL` is
+          // unknown under SQL comparison semantics, so the row is emitted
+          // null-extended (left rows sort nulls-first, so no right-side
+          // state is consumed out of order)
+          resultProj(joined(l, nullRight))
         } else {
           if (candKey != null && keyOrd.compare(candKey, lk) != 0) {
             cand = null; candKey = null // candidate from an earlier key group
@@ -144,10 +148,17 @@ case class AsOfJoinExec(
               if (c < 0) {
                 rHead = null // behind the current left key: discard
               } else if (c == 0) {
-                val tc = timeOrd.compare(rTimeProj(rHead), lTimeProj(l))
-                if (tc < 0 || (!isStrict && tc == 0)) {
-                  cand = rHead.copy(); candKey = rk.copy(); rHead = null
-                } else done = true // too late for this left row; keep for next
+                if (rTimeProj(rHead).isNullAt(0)) {
+                  // a NULL right time satisfies no `r.t < l.t` predicate —
+                  // natural ordering would otherwise rank it SMALLEST and
+                  // make it a bogus as-of candidate
+                  rHead = null
+                } else {
+                  val tc = timeOrd.compare(rTimeProj(rHead), lTimeProj(l))
+                  if (tc < 0 || (!isStrict && tc == 0)) {
+                    cand = rHead.copy(); candKey = rk.copy(); rHead = null
+                  } else done = true // too late for this left row; keep for next
+                }
               } else done = true // right is ahead: no rows for this left key
             }
           }

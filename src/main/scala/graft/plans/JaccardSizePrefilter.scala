@@ -79,24 +79,31 @@ object JaccardSizePrefilter extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  private def bounds(cond: Expression): Seq[Expression] =
-    cond.collect {
-      case GreaterThanOrEqual(div: Divide, Literal(t: Double, DoubleType))
-          if t > 0.0 && t <= 1.0 =>
-        jaccardArgs(div).toSeq.flatMap { case (a, b) =>
-          val sa = Cast(Size(a), DoubleType)
-          val sb = Cast(Size(b), DoubleType)
-          // two separate conjuncts so the idempotency check below can match
-          // them against the split condition one-by-one
-          Seq(
-            GreaterThanOrEqual(sa, Multiply(Literal(t), sb)),
-            GreaterThanOrEqual(sb, Multiply(Literal(t), sa)))
-        }
-    }.flatten
+  /** Bounds for ONE predicate that IS the Jaccard threshold — matched at
+    * the top of the conjunct, never collected from inside Or/Not/CaseWhen
+    * subtrees: a disjunct's bound injected as a top-level conjunct would
+    * drop rows the other disjunct accepts (e.g.
+    * `size(a) = 0 OR jaccard >= t`).
+    */
+  private def bounds(pred: Expression): Seq[Expression] = pred match {
+    case GreaterThanOrEqual(div: Divide, Literal(t: Double, DoubleType))
+        if t > 0.0 && t <= 1.0 =>
+      jaccardArgs(div).toSeq.flatMap { case (a, b) =>
+        val sa = Cast(Size(a), DoubleType)
+        val sb = Cast(Size(b), DoubleType)
+        // two separate conjuncts so the idempotency check below can match
+        // them against the split condition one-by-one
+        Seq(
+          GreaterThanOrEqual(sa, Multiply(Literal(t), sb)),
+          GreaterThanOrEqual(sb, Multiply(Literal(t), sa)))
+      }
+    case _ => Nil
+  }
 
   private def augment(cond: Expression): Option[Expression] = {
     val existing = splitConjunctivePredicates(cond)
-    val fresh = bounds(cond).filterNot(b => existing.exists(_.semanticEquals(b)))
+    val fresh = existing.flatMap(bounds)
+      .filterNot(b => existing.exists(_.semanticEquals(b)))
     if (fresh.isEmpty) None else Some(And(fresh.reduce(And), cond))
   }
 

@@ -49,14 +49,22 @@ object NumbersSource {
     StructField("hash", LongType, nullable = false),
     StructField("bucket", IntegerType, nullable = false)))
 
+  // scan hot path: one digest per thread (the GraftHashUtil discipline),
+  // not a JCA provider lookup + allocation per generated row
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
   /** First 8 md5 hex chars of the decimal string, as a long — identical to
     * DuckDB `CAST(concat('0x', substr(md5(id::VARCHAR), 1, 8)) AS BIGINT)`.
     */
   def md5Int(id: Long): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(id.toString.getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex, 16)
+    val m = md.get()
+    m.reset()
+    val digest = m.digest(id.toString.getBytes("UTF-8"))
+    var v = 0L
+    var k = 0
+    while (k < 4) { v = (v << 8) | (digest(k) & 0xffL); k += 1 }
+    v
   }
 }
 

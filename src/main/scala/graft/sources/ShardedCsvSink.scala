@@ -28,8 +28,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *      destination's previous state untouched.
   *
   * Overwrite mode implements `SupportsTruncate` by clearing the destination
-  * inside the SAME job commit, so even overwrite is all-or-nothing.
-  * Supported column types: the fixture primitives (long/int/double/string).
+  * inside the SAME job commit, so even overwrite is all-or-nothing; append
+  * merges the previous manifest's entries so earlier committed files stay
+  * certified. Supported column types: the fixture primitives
+  * (long/int/double/string); strings holding the delimiter, a quote, or a
+  * line break are RFC 4180-quoted (embedded quotes doubled) — read back
+  * with `option("escape", "\"")` (+ `multiLine` for embedded newlines).
   */
 class ShardedCsvSink extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -90,12 +94,25 @@ class ShardedCsvBatchWrite(path: String, schema: StructType, truncate: Boolean)
       if (!f.rename(from, to))
         throw new java.io.IOException(s"commit rename $from -> $to failed")
     }
-    // manifest written LAST: its existence certifies every listed file
+    // manifest written LAST: its existence certifies every listed file.
+    // Append mode merges the previous manifest's entries — rewriting it
+    // with only this job's files would orphan earlier committed data for
+    // manifest-trusting readers (this job's entry wins a name collision).
     val manifest = new Path(dest, "_MANIFEST")
+    val previous: Seq[(String, String)] =
+      if (!truncate && f.exists(manifest)) {
+        val in = f.open(manifest)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        text.split("\n").filter(_.nonEmpty).toSeq
+          .map { l => val i = l.lastIndexOf(':'); (l.substring(0, i), l) }
+      } else Nil
+    val fresh = commits.map(c => (c.file, s"${c.file}:${c.rows}")).toSeq
+    val freshNames = fresh.map(_._1).toSet
+    val merged = (previous.filterNot(p => freshNames(p._1)) ++ fresh)
+      .sortBy(_._1).map(_._2)
     val out = f.create(manifest, true)
-    out.write(commits.sortBy(_.file)
-      .map(c => s"${c.file}:${c.rows}").mkString("", "\n", "\n")
-      .getBytes("UTF-8"))
+    out.write(merged.mkString("", "\n", "\n").getBytes("UTF-8"))
     out.close()
     f.delete(new Path(path + ".__tmp__"), true)
     ()
@@ -118,6 +135,14 @@ class ShardedCsvWriterFactory(path: String, schema: StructType) extends DataWrit
       private lazy val out = f.create(p, true)
       private var rows = 0L
 
+      // RFC 4180: a string holding the delimiter, a quote, or a line
+      // break must be quoted (embedded quotes doubled) or the line
+      // corrupts on read-back; values without them stay bare
+      private def csvEscape(v: String): String =
+        if (v.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+          "\"" + v.replace("\"", "\"\"") + "\""
+        else v
+
       override def write(record: InternalRow): Unit = {
         val line = schema.fields.zipWithIndex.map { case (sf, i) =>
           if (record.isNullAt(i)) ""
@@ -125,7 +150,7 @@ class ShardedCsvWriterFactory(path: String, schema: StructType) extends DataWrit
             case LongType => record.getLong(i).toString
             case IntegerType => record.getInt(i).toString
             case DoubleType => record.getDouble(i).toString
-            case StringType => record.getUTF8String(i).toString
+            case StringType => csvEscape(record.getUTF8String(i).toString)
             case dt => throw new IllegalArgumentException(
               s"ShardedCsvSink: unsupported type ${dt.simpleString}")
           }

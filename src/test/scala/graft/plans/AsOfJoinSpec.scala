@@ -62,6 +62,31 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out(1).isNullAt(1))
   }
 
+  test("null TIMES never match: `r.t < l.t` is unknown under SQL semantics") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // natural ascending ordering ranks NULL smallest, so an unguarded
+    // merge would take the null-time quote as a valid as-of candidate
+    val l = Seq(
+      (Some("A"), Some(10L), 1L), // real quote exists at qt=5
+      (Some("B"), Some(10L), 2L), // only a null-time quote: must not match
+      (Some("A"), None: Option[Long], 3L) // null left time: must not match
+    ).toDF("k", "t", "id")
+    val r = Seq(
+      (Some("A"), Some(5L), 1.0),
+      (Some("B"), None: Option[Long], 2.0)
+    ).toDF("qk", "qt", "v")
+    val out = AsOfJoin.join(l, r, Seq("k" -> "qk"), "t", "qt")
+      .select("id", "v").orderBy("id").collect()
+    assert(out(0).getDouble(1) == 1.0)
+    assert(out(1).isNullAt(1), "null right time must never be a candidate")
+    assert(out(2).isNullAt(1), "null left time must never match")
+    // non-strict mode must also not treat NULL == NULL as a tie match
+    val ns = AsOfJoin.join(l, r, Seq("k" -> "qk"), "t", "qt", strict = false)
+      .select("id", "v").orderBy("id").collect()
+    assert(ns(1).isNullAt(1) && ns(2).isNullAt(1))
+  }
+
   test("matches the window-based formulation on a larger random-ish input") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

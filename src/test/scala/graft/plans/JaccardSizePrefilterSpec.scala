@@ -82,6 +82,34 @@ class JaccardSizePrefilterSpec extends AnyFunSuite with SparkSpec {
     assert(dice.as[(Long, Long)].collect().toSet == Set((1L, 2L)))
   }
 
+  test("Jaccard threshold under a DISJUNCTION is NOT rewritten (bound " +
+    "would drop rows the other disjunct accepts)") {
+    val spark0 = spark
+    import spark0.implicits._
+    GraftFunctions.register(spark)
+    // doc 0 is empty: its pairings satisfy the filter via the
+    // size(gi) = 0 escape hatch but FAIL the Jaccard disjunct's size
+    // bound — a rule that collected predicates from inside the Or and
+    // injected their bounds as top-level conjuncts would silently drop
+    // (0,1) and (0,2)
+    val docs = Seq(
+      (0L, Seq.empty[Long]),
+      (1L, Seq(10L, 20L, 30L, 40L)),
+      (2L, Seq(10L, 20L, 30L, 50L))
+    ).toDF("id", "g")
+    val l = docs.select(col("id").as("i"), col("g").as("gi"))
+    val r = docs.select(col("id").as("j"), col("g").as("gj"))
+    val inter = GraftFunctions.intersectCount(col("gi"), col("gj")).cast("double")
+    val either = l.join(r, col("i") < col("j"))
+      .filter(size(col("gi")) === 0 ||
+        inter / (size(col("gi")) + size(col("gj")) - inter) >= 0.5)
+      .select("i", "j")
+    assert(injectedBoundCount(either) == 0,
+      either.queryExecution.optimizedPlan.toString.take(3000))
+    assert(either.as[(Long, Long)].collect().toSet ==
+      Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
   test("denominator subtracting a DIFFERENT intersect count is NOT rewritten") {
     val docs = docsFrame()
     val l = docs.select(col("id").as("i"), col("g").as("gi"))

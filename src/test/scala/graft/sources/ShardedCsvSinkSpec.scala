@@ -74,6 +74,50 @@ class ShardedCsvSinkSpec extends AnyFunSuite with SparkSpec {
     assert(!new java.io.File(s"$out.__tmp__").exists(), "staging not cleaned up")
   }
 
+  test("strings holding the delimiter/quote/newline round-trip via RFC 4180 " +
+    "quoting") {
+    import spark.implicits._
+    val src = Seq(
+      (1L, "plain"),
+      (2L, "Smith, John"),          // embedded delimiter
+      (3L, "she said \"hi\""),      // embedded quotes
+      (4L, "line1\nline2"),         // embedded newline
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "name").repartition(1)
+    src.write.format("graft.sources.ShardedCsvSink")
+      .option("path", out).mode("overwrite").save()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val back = spark.read.schema(schema)
+      .option("multiLine", true) // quoted newlines span physical lines
+      .option("escape", "\"") // RFC 4180 doubled quotes, not backslash
+      .csv(s"$out/part-*.csv")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(back(2L) == "Smith, John")
+    assert(back(3L) == "she said \"hi\"")
+    assert(back(4L) == "line1\nline2")
+    assert(back(1L) == "plain")
+    assert(back.size == 5)
+  }
+
+  test("append mode merges the previous manifest instead of orphaning " +
+    "earlier committed files") {
+    val base = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val first = base.filter(col("o_orderkey") < 100).repartition(1)
+    first.write.format("graft.sources.ShardedCsvSink")
+      .option("path", out).mode("overwrite").save()
+    val second = base.filter(col("o_orderkey") >= 100 && col("o_orderkey") < 200)
+      .repartition(2)
+    second.write.format("graft.sources.ShardedCsvSink")
+      .option("path", out).mode("append").save()
+    val manifest = readManifest()
+    assert(manifest.length == 3, manifest.mkString("\n")) // 1 old + 2 new
+    val manifestRows = manifest.map(_.split(":")(1).toLong).sum
+    assert(manifestRows == first.count() + second.count())
+  }
+
   test("overwrite truncates atomically: second write fully replaces the first") {
     val small = Tables.orders(spark, sf)
       .select("o_orderkey", "o_custkey", "o_totalprice")
