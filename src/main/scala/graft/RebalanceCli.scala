@@ -23,6 +23,9 @@ object RebalanceCli {
     require(args.length == 4,
       "usage: RebalanceCli <parquetDir> <hash|range|rr> <key> <shards>")
     val Array(dir, mode, key, shardsStr) = args
+    require(Set("hash", "range", "rr")(mode),
+      s"unknown mode '$mode' (expected hash|range|rr) — refusing to " +
+        "silently degrade every table to round-robin")
     val shards = shardsStr.toInt
     require(shards > 0, s"shards must be positive: $shards")
 

@@ -15,11 +15,20 @@ object TableRegistry {
   def tableNames(spark: SparkSession, db: String): Seq[String] =
     spark.catalog.listTables(db).collect().map(_.name).toSeq.sorted
 
-  /** Name + CREATE DDL snapshot (reference O1+O2), the planner's input. */
+  /** Name + CREATE DDL snapshot (reference O1+O2), the planner's input.
+    *
+    * Spark's SHOW CREATE TABLE backtick-quotes every identifier
+    * (`` `db`.`t` ``); the DdlRewriter pipeline matches plain `db.t`
+    * forms, so quoting is normalized away here, at the snapshot boundary.
+    * Safe for the supported name alphabet ([A-Za-z0-9_]) — names that
+    * NEED quoting are rejected loudly rather than rewritten wrongly.
+    */
   def snapshot(spark: SparkSession, db: String): Seq[CatalogEntry] =
     tableNames(spark, db).map { t =>
-      val ddl = spark.sql(s"SHOW CREATE TABLE $db.$t").first().getString(0)
-      CatalogEntry(t, ddl)
+      require(t.matches("[A-Za-z0-9_]+") && db.matches("[A-Za-z0-9_]+"),
+        s"rebalance supports [A-Za-z0-9_]+ identifiers, got $db.$t")
+      val raw = spark.sql(s"SHOW CREATE TABLE $db.$t").first().getString(0)
+      CatalogEntry(t, raw.replaceAll("`([A-Za-z0-9_]+)`", "$1"))
     }
 
   /** EXISTS probe (reference O7, `sharding_recreation.py:216-217,236-237`). */

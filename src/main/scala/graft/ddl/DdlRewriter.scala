@@ -52,7 +52,8 @@ object DdlRewriter {
     */
   def versionSuffix(ddl: String, db: String, name: String, version: String): String =
     ddl.replaceAll(
-      java.util.regex.Pattern.quote(s"$db.$name") + "(?![A-Za-z0-9_])",
+      "(?<![A-Za-z0-9_])" + // left boundary: `staging_db.sales` ≠ `db.sales`
+        java.util.regex.Pattern.quote(s"$db.$name") + "(?![A-Za-z0-9_])",
       java.util.regex.Matcher.quoteReplacement(s"$db.$name$version"))
 
   /** Retarget a distributed table's engine at the renamed old locals:
@@ -61,7 +62,8 @@ object DdlRewriter {
     */
   def retargetAtOldLocal(ddl: String, tbl: String): String =
     ddl.replaceAll(
-      java.util.regex.Pattern.quote(s"${tbl}_local") + "(?![A-Za-z0-9_])",
+      "(?<![A-Za-z0-9_])" + // left boundary: `retail_sales_local` ≠ `sales_local`
+        java.util.regex.Pattern.quote(s"${tbl}_local") + "(?![A-Za-z0-9_])",
       java.util.regex.Matcher.quoteReplacement(s"${tbl}_local_old"))
 
   /** Rewrite one table's DDL into its shadow (versioned) form, dispatching on

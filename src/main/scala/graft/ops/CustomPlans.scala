@@ -35,12 +35,13 @@ object CustomPlans {
         .orderBy("event_id")
     },
     Some("""WITH clicks AS (
-           |  SELECT user_id, ts,
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) ts,
            |    max(struct_pack(event_id := event_id, value := value)) AS best
            |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
            |c AS (SELECT user_id c_user_id, ts c_ts,
            |  best.event_id click_id, best.value click_value FROM clicks),
-           |err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+           |err AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts
+           |  FROM events WHERE event_type = 'error')
            |SELECT err.event_id, err.user_id, c.click_id,
            |  round(c.click_value, 2) AS click_value
            |FROM err ASOF LEFT JOIN c ON err.user_id = c.c_user_id AND err.ts > c.c_ts

@@ -56,9 +56,14 @@ object RebalanceRunner {
       case Rebalancer.ByRange(key) => src.repartitionByRange(shards, col(key))
       case Rebalancer.RoundRobin   => src.repartition(shards)
     }
-    // shadow write: full new copy lands before any rename touches `table`
-    shaped.write.mode(SaveMode.Overwrite).saveAsTable(shadow)
-    val moved = spark.table(shadow).count()
+    // shadow write: full new copy lands before any rename touches `table`.
+    // The moved-row count rides the write pass via observe() — a separate
+    // post-write count() would re-scan the whole shadow (the cost
+    // Rebalancer.redistribute documents avoiding at 100 TB)
+    val obs = new org.apache.spark.sql.Observation()
+    shaped.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).saveAsTable(shadow)
+    val moved = obs.get("n").asInstanceOf[Long]
 
     spark.sql(s"DROP TABLE IF EXISTS $old")
     spark.sql(s"ALTER TABLE $fq RENAME TO $old")
@@ -140,8 +145,12 @@ object RebalanceRunner {
     // canonical name vacant and only `t__v{n}` / `t__old` present; surface
     // those bases too so the recovery branch in rebalanceTable finishes the
     // promotion instead of the table silently vanishing from whole-db runs
+    // exact `__v$version` SUFFIX match: contains() would collect version
+    // "12"/"10" residue on a version-"1" run, whose recovery then fails
+    // the whole-db pass on the vacant canonical name
+    val suffix = s"__v$version"
     val orphaned = names.collect {
-      case n if n.contains(s"__v$version") => n.substring(0, n.indexOf("__v"))
+      case n if n.endsWith(suffix) => n.substring(0, n.length - suffix.length)
     }.filterNot(n => canonical.contains(n) || mvNames.contains(n) || isResidue(n))
       .distinct
     val moved = (canonical ++ orphaned)

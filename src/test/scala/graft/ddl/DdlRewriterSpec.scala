@@ -73,6 +73,23 @@ class DdlRewriterSpec extends AnyFunSuite {
     assert(!out.contains("sales_local_oldization"))
   }
 
+  test("versionSuffix/retargetAtOldLocal enforce a LEFT identifier boundary " +
+    "(prefixed sibling identifiers untouched)") {
+    // `staging_db.sales` embeds `db.sales`; without the left boundary the
+    // shadow DDL would point at staging_db.sales2
+    val ddl = "SELECT * FROM staging_db.sales JOIN db.sales ON 1=1"
+    val out = versionSuffix(ddl, "db", "sales", "2")
+    assert(out.contains("staging_db.sales "), out)
+    assert(out.contains("db.sales2 "), out)
+    assert(!out.contains("staging_db.sales2"), out)
+    // `retail_sales_local` embeds `sales_local`
+    val d2 = "Distributed('c','db','sales_local', k) -- retail_sales_local"
+    val o2 = retargetAtOldLocal(d2, "sales")
+    assert(o2.contains("'sales_local_old'"), o2)
+    assert(o2.contains("retail_sales_local"), o2)
+    assert(!o2.contains("retail_sales_local_old"), o2)
+  }
+
   test("renamePlan skips inner tables") {
     val plan = renamePlan(Seq("a_local", "a", ".inner.a_mv", "a_mv"), "3")
     assert(plan == Map("a_local" -> "a_local3", "a" -> "a3", "a_mv" -> "a_mv3"))

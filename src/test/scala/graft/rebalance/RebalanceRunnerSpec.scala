@@ -144,10 +144,33 @@ class RebalanceRunnerSpec extends AnyFunSuite with SparkSpec {
     // invisible to a listing that filters out shadow names
     (1L to 80L).map(i => (i, i * 5)).toDF("k", "v")
       .write.saveAsTable("graft_orph.stranded__v7")
+    // residue from a DIFFERENT version whose string merely starts with "7":
+    // a contains()-based match would collect "other" as orphaned, then fail
+    // the whole-db pass when its __v7 shadow turns out not to exist
+    (1L to 9L).map(i => (i, i)).toDF("k", "v")
+      .write.saveAsTable("graft_orph.other__v72")
     val moved = RebalanceRunner.rebalanceDatabase(
       spark, "graft_orph", _ => Rebalancer.ByHash("k"), 4, "7")
     assert(moved == Map("ok" -> 50L, "stranded" -> 80L), moved)
     val names = TableRegistry.tableNames(spark, "graft_orph").sorted
-    assert(names == Seq("ok", "stranded"), s"expected recovered canonicals, got $names")
+    assert(names == Seq("ok", "other__v72", "stranded"),
+      s"expected recovered canonicals + untouched foreign residue, got $names")
+  }
+
+  test("snapshot normalizes SHOW CREATE TABLE's backtick quoting so the " +
+    "rewriter pipeline matches") {
+    import spark.implicits._
+    freshDatabase("graft_snap")
+    (1L to 5L).map(i => (i, i)).toDF("k", "v")
+      .write.saveAsTable("graft_snap.t_local")
+    val snap = TableRegistry.snapshot(spark, "graft_snap")
+    assert(snap.nonEmpty)
+    val ddl = snap.head.ddl
+    assert(!ddl.contains("`"), s"backticks must be normalized away: $ddl")
+    assert(ddl.contains("graft_snap.t_local"), ddl)
+    // the normalized form is rewritable by the version pipeline
+    val shadow = graft.ddl.DdlRewriter
+      .versionSuffix(ddl, "graft_snap", "t_local", "__v9")
+    assert(shadow.contains("graft_snap.t_local__v9"), shadow)
   }
 }
