@@ -15,6 +15,16 @@ import org.apache.spark.sql.SparkSession
   * Needs the application jar on the executor classpath: pass it via
   * `-Dgraft.jar=<path>` (workers are separate JVMs — unlike local mode
   * they do not inherit the launcher's classpath for user classes).
+  *
+  * The DRIVER java invocation must also carry Spark's JDK-17 module
+  * options (the `--add-opens` list from
+  * `org.apache.spark.launcher.JavaModuleOptions` — same list build.sbt
+  * applies to forked runs): spark-submit injects them, a raw `java -cp`
+  * does not, and the workers' executors get them from spark-class — so
+  * without them the failure is asymmetric and query-selective (executor
+  * side fine, driver-side row DECODE of a DateType via
+  * `sun.util.calendar.ZoneInfo` throws IllegalAccessException — found by
+  * the first full-inventory run: 269/270 green, q244 alone red).
   */
 object ClusterSmoke {
 
@@ -39,6 +49,15 @@ object ClusterSmoke {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    // SPARK_GRAFT_SMOKE=all runs the ENTIRE registered inventory under the
+    // two-executor cluster — the definitive multi-executor artifact; a
+    // comma-separated name list reproduces individual cluster-only
+    // failures; the default stays the curated shuffle-heavy picks.
+    val names = sys.env.get("SPARK_GRAFT_SMOKE") match {
+      case Some("all") => SparkEntry.queries.keys.toSeq.sorted
+      case Some(list)  => list.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      case None        => picks
+    }
     val jar = sys.props.get("graft.jar")
     val builder = SparkSession.builder()
       .master("local-cluster[2,16,8192]")
@@ -52,13 +71,14 @@ object ClusterSmoke {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
 
-    val results = picks.map { name =>
+    val results = names.map { name =>
       val t0 = System.nanoTime()
       val n =
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch {
           case e: Throwable =>
             System.err.println(s"[cluster-smoke] $name FAILED: ${e.getMessage}")
+            e.printStackTrace()
             -1L
         }
       spark.catalog.clearCache()
