@@ -500,12 +500,18 @@ object Extras6 {
           sum("l_quantity").cast("long").as("total_qty"))
       val cand = pts.select(col("l_partkey"), col("min_price"),
           col("total_qty").cast("double"))
+        // the riser sweep needs each partition in (x asc, y desc) order;
+        // Spark's external sorter does that with disk spill, so the sweep
+        // itself is a pure streaming filter — the partition is never held
+        // in executor memory (an it.toArray.sortBy here would cap the
+        // partition size at the heap)
+        .sortWithinPartitions(
+          asc("min_price"), desc("total_qty"), asc("l_partkey"))
         .as[(Long, Double, Double)]
         .mapPartitions { it =>
-          val sorted = it.toArray.sortBy { case (id, x, y) => (x, -y, id) }
           var bestY = Double.NegativeInfinity
           var bestX = Double.NaN
-          sorted.iterator.filter { case (_, x, y) =>
+          it.filter { case (_, x, y) =>
             if (y > bestY) { bestY = y; bestX = x; true }
             else y == bestY && x == bestX // exact duplicate of the frontier point
           }
