@@ -37,7 +37,7 @@ object ClusterSmoke {
     * local[n] exercises only in-process, and the mapPartitions codec
     * path (executor-side class resolution for the pure-JVM decoders).
     */
-  private val picks = Seq(
+  private[graft] val picks = Seq(
     "q3_segment_revenue", "q17_rebalance_hash", "q59_dedup_clusters",
     "q98_pagerank", "q103_tpch_q3", "q104_tpch_q10", "q118_retention",
     "q128_sequence_packing", "q137_kmeans", "q141_semantic_dedup_kmeans",
