@@ -519,10 +519,12 @@ object Relational {
     * entry path a reference user migrating from a SQL engine reaches
     * for), and the rolling 7-day revenue window frames by INTERVAL '6'
     * DAY over real DATEs — so calendar gaps are handled by the frame
-    * semantics, not by a synthetic day index. The frame-ordered
-    * accumulation is engine-order deterministic on both sides (same
-    * discipline as q7's running totals); the daily base is one partial
-    * agg and the window runs over day-cardinality rows.
+    * semantics, not by a synthetic day index. Daily revenue accumulates
+    * as integer CENTS (the q103 drift-proof discipline) so the rolling
+    * mean is exact-integer sums divided ONCE — a float daily sum fed to
+    * avg() diverged from DuckDB by one ulp at a .005 rounding boundary
+    * on the sf0.001 fixture; the daily base is one partial agg and the
+    * window runs over day-cardinality rows.
     */
   val q257SqlRollingWindow = GraftQuery(
     "q257_sql_rolling_window",
@@ -531,27 +533,34 @@ object Relational {
       s.sql("""
         |WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,
-        |    sum(o_totalprice) AS rev, count(*) AS n
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c,
+        |    count(*) AS n
         |  FROM orders_q257
         |  WHERE year(o_orderdate) = 1995
         |  GROUP BY 1)
         |SELECT date_format(day, 'yyyy-MM-dd') AS day, n,
-        |  round(rev, 2) AS rev,
-        |  round(avg(rev) OVER (ORDER BY day
-        |    RANGE BETWEEN INTERVAL '6' DAY PRECEDING AND CURRENT ROW), 2)
-        |    AS rolling_7d_avg
+        |  round(rev_c / CAST(100 AS DOUBLE), 2) AS rev,
+        |  round(sum(rev_c) OVER (ORDER BY day
+        |      RANGE BETWEEN INTERVAL '6' DAY PRECEDING AND CURRENT ROW)
+        |    / count(*) OVER (ORDER BY day
+        |      RANGE BETWEEN INTERVAL '6' DAY PRECEDING AND CURRENT ROW)
+        |    / CAST(100 AS DOUBLE), 2) AS rolling_7d_avg
         |FROM daily ORDER BY day
         |""".stripMargin)
     },
     Some("""WITH daily AS (
            |  SELECT CAST(o_orderdate AS DATE) AS day,
-           |    sum(o_totalprice) AS rev, CAST(count(*) AS BIGINT) AS n
+           |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c,
+           |    CAST(count(*) AS BIGINT) AS n
            |  FROM orders WHERE year(o_orderdate) = 1995
            |  GROUP BY 1)
-           |SELECT strftime(day, '%Y-%m-%d') AS day, n, round(rev, 2) AS rev,
-           |  round(avg(rev) OVER (ORDER BY day
-           |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW), 2)
-           |    AS rolling_7d_avg
+           |SELECT strftime(day, '%Y-%m-%d') AS day, n,
+           |  round(rev_c / 100.0, 2) AS rev,
+           |  round(sum(rev_c) OVER (ORDER BY day
+           |      RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+           |    / count(*) OVER (ORDER BY day
+           |      RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+           |    / 100.0, 2) AS rolling_7d_avg
            |FROM daily ORDER BY day""".stripMargin))
 
   val all: Seq[GraftQuery] = Seq(
