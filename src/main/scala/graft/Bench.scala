@@ -57,8 +57,15 @@ object Bench {
     // start/mid/end and emitted in the total lines so a contended run
     // self-identifies in the artifact.
     val loadStart = loadavg
+    // SPARK_GRAFT_ONLY=<comma-list> restricts the passes to named queries —
+    // for timing one query in isolation while iterating on its plan. The
+    // driver never sets it, so round artifacts always carry the full set.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def onePass(tag: String) =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val sec = timeOne(name, fn)
         System.err.println(f"[bench] $tag $name%-30s $sec%8.2f s")
         name -> sec

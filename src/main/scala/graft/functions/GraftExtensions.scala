@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[IntersectCountSorted].getName, GraftFunctions.INTERSECT_COUNT),
       exprs => IntersectCountSorted(exprs(0), exprs(1))))
     e.injectFunction((
+      FunctionIdentifier(GraftFunctions.INTERSECT_SORTED),
+      new ExpressionInfo(classOf[IntersectSorted].getName, GraftFunctions.INTERSECT_SORTED),
+      exprs => IntersectSorted(exprs(0), exprs(1))))
+    e.injectFunction((
       FunctionIdentifier(GraftFunctions.SHINGLE3),
       new ExpressionInfo(classOf[ShingleHashes].getName, GraftFunctions.SHINGLE3),
       exprs => ShingleHashes(exprs(0), GraftFunctions.intArg(exprs(1)))))

@@ -11,6 +11,7 @@ object GraftFunctions {
 
   val DOT = "graft_dot"
   val INTERSECT_COUNT = "graft_intersect_count"
+  val INTERSECT_SORTED = "graft_intersect_sorted"
   val MINHASH = "graft_minhash"
   val SIMHASH = "graft_simhash60"
   val SHINGLE3 = "graft_shingle3"
@@ -43,6 +44,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       INTERSECT_COUNT, exprs => IntersectCountSorted(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      INTERSECT_SORTED, exprs => IntersectSorted(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       MINHASH, exprs => MinHashSignature(exprs(0), intArg(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       SIMHASH, exprs => SimHash60(exprs(0)), "built-in")
@@ -67,6 +70,10 @@ object GraftFunctions {
   /** Merge-count of common elements of two sorted distinct long arrays. */
   def intersectCount(a: Column, b: Column): Column =
     call_function(INTERSECT_COUNT, a, b)
+
+  /** Common elements of two sorted distinct long arrays (ascending). */
+  def intersectSorted(a: Column, b: Column): Column =
+    call_function(INTERSECT_SORTED, a, b)
 
   /** Winnow-selected 1-based k-gram positions (requires [[register]]). */
   def winnowPositions(text: Column, k: Int, win: Int): Column =

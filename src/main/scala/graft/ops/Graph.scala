@@ -121,6 +121,7 @@ object Graph {
   val q148TriangleCount = GraftQuery(
     "q148_triangle_count",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val und = coPurchaseEdges(Tables.lineitem(s, dir),
         "l_orderkey", "l_suppkey").persist()
       val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
@@ -139,25 +140,37 @@ object Graph {
             (col("du") === col("dv") && col("u") < col("v")), col("v"))
             .otherwise(col("u")).as("dst"))
         .persist()
-      // wedges from a common source, ordered between the two endpoints by
-      // the same total order so the closing edge is oriented (y → z)
-      val dy = dn.select(col("n").as("y"), col("deg").as("dy"))
-      val dz = dn.select(col("n").as("z"), col("deg").as("dz"))
-      val wedges = oriented.as("p")
-        .join(oriented.as("q"), col("p.src") === col("q.src"))
-        .select(col("p.src").as("x"), col("p.dst").as("y"), col("q.dst").as("z"))
-        .join(dy, "y").join(dz, "z")
-        .filter(col("dy") < col("dz") ||
-          (col("dy") === col("dz") && col("y") < col("z")))
-        .select(col("x"), col("y"), col("z"))
-      val tris = wedges.join(oriented,
-          col("y") === col("src") && col("z") === col("dst"))
-        .select(col("x"), col("y"), col("z"))
-        .persist()
-      val perNode = tris.select(col("x").as("n"))
-        .unionAll(tris.select(col("y").as("n")))
-        .unionAll(tris.select(col("z").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("n_tri"))
+      // Edge-iterator closure (compact-forward): per-node OUT-adjacency
+      // arrays — node-cardinality rows, each array Schank-bounded at
+      // O(√m) — decorate each oriented edge (x, y), and the triangle
+      // apexes through that edge are exactly z ∈ N⁺(x) ∩ N⁺(y). The
+      // earlier wedge-enumeration shape materialized the O(m^1.5) wedge
+      // stream and SORT-MERGE-joined it against the edge list — on the
+      // near-complete sf0.1 co-supply graph that shuffled ~10⁸ rows.
+      // Here nothing bigger than the edge list is ever shuffled: the
+      // per-triangle rows exist only inside explode → partial agg, which
+      // collapses map-side to ≤|V| groups per partition. Each triangle
+      // {x→y, x→z, y→z} is found exactly once (on its (x, y) leg: z is
+      // an out-neighbor of both ends), and every corner is credited in
+      // the same pass — x and y get size(zs), each z gets one.
+      val adj = oriented.groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbr"))
+      val perNode = oriented
+        .join(adj.select(col("src"), col("nbr").as("nx")), "src")
+        .join(adj.select(col("src").as("dst"), col("nbr").as("ny")), "dst")
+        .select(col("src").as("x"), col("dst").as("y"),
+          // fused sorted-merge over primitive longs — array_intersect
+          // builds a boxed OpenHashSet per row, which dominates at
+          // edge-cardinality × O(√m)-element arrays
+          graft.functions.GraftFunctions
+            .intersectSorted(col("nx"), col("ny")).as("zs"))
+        .select(explode(concat(
+          array(
+            struct(col("x").as("n"), size(col("zs")).cast("long").as("c")),
+            struct(col("y").as("n"), size(col("zs")).cast("long").as("c"))),
+          transform(col("zs"), z => struct(z.as("n"), lit(1L).as("c"))))).as("e"))
+        .groupBy(col("e.n").as("n")).agg(sum(col("e.c")).as("n_tri"))
+        .filter(col("n_tri") > 0)
       val out = deg.join(perNode, Seq("n"), "left")
         .select(col("n").as("suppkey"), col("deg"),
           coalesce(col("n_tri"), lit(0L)).as("n_tri"),
@@ -170,7 +183,7 @@ object Graph {
         // cached frames instead of leaving them pinned until the
         // harness's periodic clearCache
         .localCheckpoint()
-      und.unpersist(); oriented.unpersist(); tris.unpersist()
+      und.unpersist(); oriented.unpersist()
       out
     },
     Some("""WITH und AS (
