@@ -36,7 +36,13 @@ object Graph {
       val e = edges(s, dir).persist()
       val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       val withDeg = e.join(deg, "src").persist()
+      // each round references the previous rank frame TWICE (contrib build
+      // + the left join back), so an unpersisted chain re-executes round
+      // i−1 in both branches — 2^rounds leaf executions by round 3. The
+      // per-round frame is node-cardinality (tiny); persist each and
+      // release them after the output materializes
       var ranks = deg.select(col("src").as("node"), lit(1.0).as("rank"))
+      val rounds = scala.collection.mutable.Buffer[DataFrame]()
       for (_ <- 1 to 3) {
         val contrib = withDeg.join(ranks, withDeg("src") === ranks("node"))
           .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
@@ -45,6 +51,8 @@ object Graph {
           .join(contrib, col("node") === col("dst"), "left")
           .select(col("node"),
             (lit(0.15) + lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+          .persist()
+        rounds += ranks
       }
       val out = ranks.join(deg, ranks("node") === deg("src"))
         .select(
@@ -60,6 +68,7 @@ object Graph {
         .localCheckpoint()
       e.unpersist()
       withDeg.unpersist()
+      rounds.foreach(_.unpersist())
       out
     },
     Some("""WITH pairs AS (
@@ -451,11 +460,18 @@ object Graph {
         .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
         .withColumn("w", lit(1L) + (col("src") + col("dst")) % 7)
         .persist()
+      // d is referenced twice per round (relax + the union), so an
+      // unpersisted chain re-executes round i−1 in both branches —
+      // 2^rounds leaf executions by round 4. Per-round frames are
+      // node-cardinality; persist each, release after materialization
       var d = s.range(1).select(lit(1L).as("node"), lit(0L).as("dist"))
+      val rounds = scala.collection.mutable.Buffer[DataFrame]()
       for (_ <- 1 to 4) {
         val relax = e.join(d, e("src") === d("node"))
           .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         d = d.unionByName(relax).groupBy("node").agg(min("dist").as("dist"))
+          .persist()
+        rounds += d
       }
       val out = d.filter(col("node") <= 60)
         .select(col("node").as("supp"), col("dist").cast("long").as("dist"))
@@ -464,6 +480,7 @@ object Graph {
       // reads the materialized rows instead of re-executing the released plan
       val ckpt = out.localCheckpoint()
       e.unpersist()
+      rounds.foreach(_.unpersist())
       ckpt
     },
     Some {
