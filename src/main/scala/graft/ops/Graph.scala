@@ -164,21 +164,30 @@ object Graph {
       // the same pass — x and y get size(zs), each z gets one.
       val adj = oriented.groupBy(col("src"))
         .agg(sort_array(collect_list(col("dst"))).as("nbr"))
-      val perNode = oriented
+      // both intersect kernels are fused sorted-merges over primitive
+      // longs (array_intersect builds a boxed OpenHashSet per row, which
+      // dominates at edge-cardinality × O(√m)-element arrays)
+      val dec = oriented
         .join(adj.select(col("src"), col("nbr").as("nx")), "src")
         .join(adj.select(col("src").as("dst"), col("nbr").as("ny")), "dst")
-        .select(col("src").as("x"), col("dst").as("y"),
-          // fused sorted-merge over primitive longs — array_intersect
-          // builds a boxed OpenHashSet per row, which dominates at
-          // edge-cardinality × O(√m)-element arrays
+      // endpoint credits: one |zs| count per edge — edge-cardinality rows
+      val xy = dec.select(col("src").as("x"), col("dst").as("y"),
           graft.functions.GraftFunctions
-            .intersectSorted(col("nx"), col("ny")).as("zs"))
-        .select(explode(concat(
-          array(
-            struct(col("x").as("n"), size(col("zs")).cast("long").as("c")),
-            struct(col("y").as("n"), size(col("zs")).cast("long").as("c"))),
-          transform(col("zs"), z => struct(z.as("n"), lit(1L).as("c"))))).as("e"))
-        .groupBy(col("e.n").as("n")).agg(sum(col("e.c")).as("n_tri"))
+            .intersectCount(col("nx"), col("ny")).as("c"))
+        .select(explode(array(col("x"), col("y"))).as("n"), col("c"))
+        .groupBy("n").agg(sum("c").as("t_end"))
+      // apex credits: the per-triangle stream explodes as BARE BIGINTS
+      // straight into a partial agg (an earlier struct-wrapped variant
+      // allocated one boxed struct per triangle — ~1e8 objects on the
+      // dense fixture graph — and aged-heap GC tripled the query when it
+      // ran late in a full bench pass)
+      val zc = dec.select(explode(graft.functions.GraftFunctions
+          .intersectSorted(col("nx"), col("ny"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("t_apex"))
+      val perNode = xy.join(zc, Seq("n"), "outer")
+        .select(col("n"),
+          (coalesce(col("t_end"), lit(0L)) +
+            coalesce(col("t_apex"), lit(0L))).as("n_tri"))
         .filter(col("n_tri") > 0)
       val out = deg.join(perNode, Seq("n"), "left")
         .select(col("n").as("suppkey"), col("deg"),
