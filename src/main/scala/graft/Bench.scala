@@ -62,6 +62,12 @@ object Bench {
     // driver never sets it, so round artifacts always carry the full set.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty, // a typo must fail fast, not emit a
+        // plausible-looking empty artifact with total 0
+        s"unknown query name(s) in SPARK_GRAFT_ONLY: ${unknown.mkString(", ")}")
+    }
     def onePass(tag: String) =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -9,9 +9,15 @@ object Verify {
     // preflight of a few queries (the driver always runs the full set)
     val (sfDir, outDir, only) = args match {
       case Array(s, o)    => (s, o, None)
-      case Array(s, o, f) => (s, o, Some(f.split(",").toSet))
+      case Array(s, o, f) =>
+        (s, o, Some(f.split(",").map(_.trim).filter(_.nonEmpty).toSet))
       case _ => sys.error(
         "usage: Verify <sfDir> <outDir> [comma-separated query names]")
+    }
+    only.foreach { names =>
+      val unknown = names.filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty,
+        s"unknown query name(s) in filter: ${unknown.mkString(", ")}")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

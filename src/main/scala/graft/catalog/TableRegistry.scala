@@ -20,15 +20,24 @@ object TableRegistry {
     * Spark's SHOW CREATE TABLE backtick-quotes every identifier
     * (`` `db`.`t` ``); the DdlRewriter pipeline matches plain `db.t`
     * forms, so quoting is normalized away here, at the snapshot boundary.
-    * Safe for the supported name alphabet ([A-Za-z0-9_]) — names that
-    * NEED quoting are rejected loudly rather than rewritten wrongly.
+    * The normalization unquotes ONLY multi-part table names (two- and
+    * three-part dotted forms) — a lone backticked identifier stays
+    * quoted, because a column named after a reserved word (`` `order` ``)
+    * is legal and unquoting it would make the shadow DDL unparseable,
+    * and the rewriter never matches bare single identifiers anyway.
+    * Table/database names themselves must be from [A-Za-z0-9_] — names
+    * that NEED quoting are rejected loudly rather than rewritten wrongly.
     */
   def snapshot(spark: SparkSession, db: String): Seq[CatalogEntry] =
     tableNames(spark, db).map { t =>
       require(t.matches("[A-Za-z0-9_]+") && db.matches("[A-Za-z0-9_]+"),
         s"rebalance supports [A-Za-z0-9_]+ identifiers, got $db.$t")
       val raw = spark.sql(s"SHOW CREATE TABLE $db.$t").first().getString(0)
-      CatalogEntry(t, raw.replaceAll("`([A-Za-z0-9_]+)`", "$1"))
+      val ddl = raw
+        .replaceAll("`([A-Za-z0-9_]+)`\\.`([A-Za-z0-9_]+)`\\.`([A-Za-z0-9_]+)`",
+          "$1.$2.$3")
+        .replaceAll("`([A-Za-z0-9_]+)`\\.`([A-Za-z0-9_]+)`", "$1.$2")
+      CatalogEntry(t, ddl)
     }
 
   /** EXISTS probe (reference O7, `sharding_recreation.py:216-217,236-237`). */

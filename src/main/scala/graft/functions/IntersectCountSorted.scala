@@ -44,11 +44,18 @@ case class IntersectCountSorted(left: Expression, right: Expression)
     var j = 0
     var c = 0L
     while (i < nx && j < ny) {
-      val xi = x.getLong(i)
-      val yj = y.getLong(j)
-      if (xi == yj) { c += 1; i += 1; j += 1 }
-      else if (xi < yj) i += 1
-      else j += 1
+      // null slots are skipped, never read as 0 — the sorted-distinct
+      // contract excludes them, but a SQL caller can hand this any
+      // array<bigint> and must not get phantom matches back
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val xi = x.getLong(i)
+        val yj = y.getLong(j)
+        if (xi == yj) { c += 1; i += 1; j += 1 }
+        else if (xi < yj) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -67,11 +74,15 @@ case class IntersectCountSorted(left: Expression, right: Expression)
          |int $ny = $b.numElements();
          |int $i = 0; int $j = 0; long $c = 0L;
          |while ($i < $nx && $j < $ny) {
-         |  long $xi = $a.getLong($i);
-         |  long $yj = $b.getLong($j);
-         |  if ($xi == $yj) { $c++; $i++; $j++; }
-         |  else if ($xi < $yj) { $i++; }
-         |  else { $j++; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    long $xi = $a.getLong($i);
+         |    long $yj = $b.getLong($j);
+         |    if ($xi == $yj) { $c++; $i++; $j++; }
+         |    else if ($xi < $yj) { $i++; }
+         |    else { $j++; }
+         |  }
          |}
          |${ev.value} = $c;
        """.stripMargin

@@ -44,11 +44,18 @@ case class IntersectSorted(left: Expression, right: Expression)
     var j = 0
     var c = 0
     while (i < nx && j < ny) {
-      val xi = x.getLong(i)
-      val yj = y.getLong(j)
-      if (xi == yj) { buf(c) = xi; c += 1; i += 1; j += 1 }
-      else if (xi < yj) i += 1
-      else j += 1
+      // null slots are skipped, never read as 0 — the sorted-distinct
+      // contract excludes them, but a SQL caller can hand this any
+      // array<bigint> and must not get fabricated elements back
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val xi = x.getLong(i)
+        val yj = y.getLong(j)
+        if (xi == yj) { buf(c) = xi; c += 1; i += 1; j += 1 }
+        else if (xi < yj) i += 1
+        else j += 1
+      }
     }
     new GenericArrayData(java.util.Arrays.copyOf(buf, c))
   }
@@ -70,11 +77,15 @@ case class IntersectSorted(left: Expression, right: Expression)
          |long[] $buf = new long[$nx < $ny ? $nx : $ny];
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $nx && $j < $ny) {
-         |  long $xi = $a.getLong($i);
-         |  long $yj = $b.getLong($j);
-         |  if ($xi == $yj) { $buf[$c++] = $xi; $i++; $j++; }
-         |  else if ($xi < $yj) { $i++; }
-         |  else { $j++; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    long $xi = $a.getLong($i);
+         |    long $yj = $b.getLong($j);
+         |    if ($xi == $yj) { $buf[$c++] = $xi; $i++; $j++; }
+         |    else if ($xi < $yj) { $i++; }
+         |    else { $j++; }
+         |  }
          |}
          |${ev.value} = new $gad(java.util.Arrays.copyOf($buf, $c));
        """.stripMargin

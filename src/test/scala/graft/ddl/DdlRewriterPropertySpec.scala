@@ -1,7 +1,6 @@
 package graft.ddl
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ddl.DdlRewriter._
@@ -13,10 +12,7 @@ import graft.ddl.DdlRewriter._
   * underscore extension) untouched — the property form of the
   * `staging_db.sales` / `db.sales2` regressions.
   */
-class DdlRewriterPropertySpec extends AnyFunSuite {
-
-  private def sample[A](g: Gen[A], n: Int, seed0: Long): Seq[A] =
-    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed0 + i)))
+class DdlRewriterPropertySpec extends AnyFunSuite with graft.SeededGen {
 
   private val genIdent: Gen[String] = for {
     h <- Gen.alphaChar

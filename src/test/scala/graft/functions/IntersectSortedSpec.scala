@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import org.apache.spark.sql.functions._
@@ -13,10 +12,7 @@ import graft.SparkSpec
   * equality AND ascending order (array_intersect preserves the left
   * argument's order, which for a sorted left side is also ascending).
   */
-class IntersectSortedSpec extends AnyFunSuite with SparkSpec {
-
-  private def sample[A](g: Gen[A], n: Int, seed0: Long): Seq[A] =
-    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed0 + i)))
+class IntersectSortedSpec extends AnyFunSuite with SparkSpec with graft.SeededGen {
 
   test("property: equals array_intersect on random sorted distinct arrays") {
     import spark.implicits._
@@ -37,6 +33,19 @@ class IntersectSortedSpec extends AnyFunSuite with SparkSpec {
       assert(r.getSeq[Long](0) == r.getSeq[Long](1), "element mismatch")
       assert(r.getSeq[Long](0).size.toLong == r.getLong(2), "count mismatch")
     }
+  }
+
+  test("null elements are skipped, never read as 0 (SQL callers can pass " +
+    "any array<bigint>)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_intersect_sorted(array(CAST(NULL AS BIGINT), 5L),
+        |                         array(0L, 5L)) AS els,
+        |  graft_intersect_count(array(CAST(NULL AS BIGINT), 5L),
+        |                        array(0L, 5L)) AS cnt""".stripMargin).head()
+    assert(r.getSeq[Long](0) == Seq(5L), "null must not fabricate element 0")
+    assert(r.getLong(1) == 1L, "null must not count as a phantom match")
   }
 
   test("SQL surface: graft_intersect_sorted is registered") {

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Multimodal.FlacCodec
@@ -14,10 +13,7 @@ import graft.ops.Multimodal.FlacCodec
   * combinations no directed table enumerates. Seeded generators keep every
   * run deterministic (no flaky CI): a failure prints the seed's sample.
   */
-class FlacPropertySpec extends AnyFunSuite {
-
-  private def sample[A](g: Gen[A], n: Int, seed0: Long): Seq[A] =
-    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed0 + i)))
+class FlacPropertySpec extends AnyFunSuite with graft.SeededGen {
 
   private def clamp16(v: Int): Int = math.max(-32768, math.min(32767, v))
 

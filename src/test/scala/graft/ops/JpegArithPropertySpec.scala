@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Multimodal.JpegCodec
@@ -13,10 +12,7 @@ import graft.ops.Multimodal.JpegCodec
   * trajectories each case (different Qe floors, exchange points, and
   * renormalization depths). Seeded generators keep runs deterministic.
   */
-class JpegArithPropertySpec extends AnyFunSuite {
-
-  private def sample[A](g: Gen[A], n: Int, seed0: Long): Seq[A] =
-    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed0 + i)))
+class JpegArithPropertySpec extends AnyFunSuite with graft.SeededGen {
 
   test("property: QM coder round-trips random multi-context streams of " +
     "varied skew exactly, with FF-stuffing discipline intact") {

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Multimodal.{BmpCodec, GifCodec, PngCodec, WavCodec}
@@ -14,10 +13,7 @@ import graft.ops.Multimodal.{BmpCodec, GifCodec, PngCodec, WavCodec}
   * repetitive, and cycling content — LZW dictionary resets, PNG filter
   * choices, and BMP row strides all shift with length and content.
   */
-class LosslessContainerPropertySpec extends AnyFunSuite {
-
-  private def sample[A](g: Gen[A], n: Int, seed0: Long): Seq[A] =
-    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed0 + i)))
+class LosslessContainerPropertySpec extends AnyFunSuite with graft.SeededGen {
 
   private val genPayload: Gen[Array[Byte]] = for {
     n   <- Gen.frequency(

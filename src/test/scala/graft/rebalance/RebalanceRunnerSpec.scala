@@ -161,13 +161,19 @@ class RebalanceRunnerSpec extends AnyFunSuite with SparkSpec {
     "rewriter pipeline matches") {
     import spark.implicits._
     freshDatabase("graft_snap")
-    (1L to 5L).map(i => (i, i)).toDF("k", "v")
+    // the dashed column name is the reason normalization must stay NARROW:
+    // only dotted table-name forms unquote; a column whose name NEEDS
+    // quoting keeps its backticks or the shadow DDL would be unparseable
+    (1L to 5L).map(i => (i, i)).toDF("k", "a-b")
       .write.saveAsTable("graft_snap.t_local")
     val snap = TableRegistry.snapshot(spark, "graft_snap")
     assert(snap.nonEmpty)
     val ddl = snap.head.ddl
-    assert(!ddl.contains("`"), s"backticks must be normalized away: $ddl")
+    assert(!ddl.contains("`graft_snap`"), s"table name must unquote: $ddl")
+    assert(!ddl.contains("`t_local`"), s"table name must unquote: $ddl")
     assert(ddl.contains("graft_snap.t_local"), ddl)
+    assert(ddl.contains("`a-b`"),
+      s"quoting-required column must KEEP its backticks: $ddl")
     // the normalized form is rewritable by the version pipeline
     val shadow = graft.ddl.DdlRewriter
       .versionSuffix(ddl, "graft_snap", "t_local", "__v9")
