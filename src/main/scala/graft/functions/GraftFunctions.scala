@@ -23,6 +23,37 @@ object GraftFunctions {
   private[functions] def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
 
+  /** The single source of truth for every native function: name, the
+    * Expression class (for ExpressionInfo), and the builder. Both
+    * [[register]] and [[GraftExtensions]] iterate THIS table, so the two
+    * registration paths cannot drift — the former hand-written pair of
+    * lists once needed a "must stay in lockstep" comment to stay honest.
+    */
+  private[functions] val builders: Seq[(String, Class[_],
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    (DOT, classOf[DotProduct],
+      exprs => DotProduct(exprs(0), exprs(1))),
+    (INTERSECT_COUNT, classOf[IntersectCountSorted],
+      exprs => IntersectCountSorted(exprs(0), exprs(1))),
+    (INTERSECT_SORTED, classOf[IntersectSorted],
+      exprs => IntersectSorted(exprs(0), exprs(1))),
+    (MINHASH, classOf[MinHashSignature],
+      exprs => MinHashSignature(exprs(0), intArg(exprs(1)))),
+    (SIMHASH, classOf[SimHash60],
+      exprs => SimHash60(exprs(0))),
+    (SHINGLE3, classOf[ShingleHashes],
+      exprs => ShingleHashes(exprs(0), intArg(exprs(1)))),
+    (CHARGRAMS, classOf[CharGramHashes],
+      exprs => CharGramHashes(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
+    (WORDGRAMS, classOf[WordGrams],
+      exprs => WordGrams(exprs(0), intArg(exprs(1)))),
+    (GRAM_GEN, classOf[GramGenerator],
+      exprs => GramGenerator(exprs(0), intArg(exprs(1)))),
+    (WINNOW, classOf[WinnowPositions],
+      exprs => WinnowPositions(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
+  )
+
   // synchronized: concurrent callers (Verify's parallel lanes) would race
   // the check-then-append on experimental.extraStrategies /
   // extraOptimizations and stack duplicate entries
@@ -39,26 +70,9 @@ object GraftFunctions {
       case _ => ()
     }
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      DOT, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      INTERSECT_COUNT, exprs => IntersectCountSorted(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      INTERSECT_SORTED, exprs => IntersectSorted(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      MINHASH, exprs => MinHashSignature(exprs(0), intArg(exprs(1))), "built-in")
-    reg.createOrReplaceTempFunction(
-      SIMHASH, exprs => SimHash60(exprs(0)), "built-in")
-    reg.createOrReplaceTempFunction(
-      SHINGLE3, exprs => ShingleHashes(exprs(0), intArg(exprs(1))), "built-in")
-    reg.createOrReplaceTempFunction(
-      CHARGRAMS, exprs => CharGramHashes(exprs(0), intArg(exprs(1)), intArg(exprs(2))), "built-in")
-    reg.createOrReplaceTempFunction(
-      WORDGRAMS, exprs => WordGrams(exprs(0), intArg(exprs(1))), "built-in")
-    reg.createOrReplaceTempFunction(
-      GRAM_GEN, exprs => GramGenerator(exprs(0), intArg(exprs(1))), "built-in")
-    reg.createOrReplaceTempFunction(
-      WINNOW, exprs => WinnowPositions(exprs(0), intArg(exprs(1)), intArg(exprs(2))), "built-in")
+    builders.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 
   /** Fused dot product (requires [[register]] on the session). */
