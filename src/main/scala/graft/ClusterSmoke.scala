@@ -71,6 +71,16 @@ object ClusterSmoke {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
 
+    // untimed warmup (the Bench discipline): executor launch, parquet
+    // footer reads, codegen, and broadcast machinery otherwise land on
+    // whichever query happens to run first and distort its number
+    try {
+      SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
+      spark.catalog.clearCache()
+    } catch { case e: Throwable =>
+      System.err.println(s"[cluster-smoke] warmup skipped: ${e.getMessage}")
+    }
+
     val results = names.map { name =>
       val t0 = System.nanoTime()
       val n =
