@@ -11,18 +11,26 @@ import graft.rebalance.{RebalanceRunner, Rebalancer}
   * of a ClickHouse cluster.
   *
   * Usage:
-  *   runMain graft.RebalanceCli <parquetDir> <hash|range|rr> <key> <shards>
+  *   runMain graft.RebalanceCli <parquetDir> <hash|range|rr> <key> <shards> [--plan]
   *
   * Seeds a database from every `<table>.parquet` in `parquetDir`, snapshots
   * the catalog, rebalances each table (hash/range on `key` when the table
   * has that column, round-robin otherwise), and prints per-table moved-row
   * counts.
+  *
+  * `--plan` prints the ordered [[graft.rebalance.RebalancePlan]] steps the
+  * workflow would execute and exits WITHOUT touching any table — the
+  * preview a destructive rename/drop pipeline should offer (the reference
+  * tool has no equivalent: `sharding_recreation.py:268-306` connects and
+  * executes in one motion).
   */
 object RebalanceCli {
   def main(args: Array[String]): Unit = {
-    require(args.length == 4,
-      "usage: RebalanceCli <parquetDir> <hash|range|rr> <key> <shards>")
-    val Array(dir, mode, key, shardsStr) = args
+    val planOnly = args.lastOption.contains("--plan")
+    val posArgs = if (planOnly) args.dropRight(1) else args
+    require(posArgs.length == 4,
+      "usage: RebalanceCli <parquetDir> <hash|range|rr> <key> <shards> [--plan]")
+    val Array(dir, mode, key, shardsStr) = posArgs
     require(Set("hash", "range", "rr")(mode),
       s"unknown mode '$mode' (expected hash|range|rr) — refusing to " +
         "silently degrade every table to round-robin")
@@ -72,6 +80,16 @@ object RebalanceCli {
         case ("range", true) => Rebalancer.ByRange(key)
         case _               => Rebalancer.RoundRobin
       }
+    }
+    if (planOnly) {
+      val steps = graft.rebalance.RebalancePlan.plan(
+        db, TableRegistry.snapshot(spark, db), "__v1", distFor, shards)
+      steps.zipWithIndex.foreach { case (st, i) =>
+        println(f"[cli] plan ${i + 1}%3d: $st")
+      }
+      println(s"""[cli] {"plan_steps":${steps.size},"executed":0}""")
+      spark.stop()
+      return
     }
     val moved = RebalanceRunner.rebalanceDatabase(spark, db, distFor, shards, "1")
     moved.toSeq.sortBy(_._1).foreach { case (t, n) =>
