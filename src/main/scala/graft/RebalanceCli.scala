@@ -18,11 +18,12 @@ import graft.rebalance.{RebalanceRunner, Rebalancer}
   * has that column, round-robin otherwise), and prints per-table moved-row
   * counts.
   *
-  * `--plan` prints the ordered [[graft.rebalance.RebalancePlan]] steps the
-  * workflow would execute and exits WITHOUT touching any table — the
-  * preview a destructive rename/drop pipeline should offer (the reference
-  * tool has no equivalent: `sharding_recreation.py:268-306` connects and
-  * executes in one motion).
+  * `--plan` prints, per table, the exact shadow-swap steps
+  * [[RebalanceRunner.rebalanceTable]] would execute (shadow write with its
+  * distribution → two metadata renames → drop of the old copy) and exits
+  * WITHOUT touching any table — the preview a destructive rename/drop
+  * pipeline should offer (the reference tool has no equivalent:
+  * `sharding_recreation.py:268-306` connects and executes in one motion).
   */
 object RebalanceCli {
   def main(args: Array[String]): Unit = {
@@ -82,12 +83,19 @@ object RebalanceCli {
       }
     }
     if (planOnly) {
-      val steps = graft.rebalance.RebalancePlan.plan(
-        db, TableRegistry.snapshot(spark, db), "__v1", distFor, shards)
-      steps.zipWithIndex.foreach { case (st, i) =>
-        println(f"[cli] plan ${i + 1}%3d: $st")
+      // mirror rebalanceDatabase's table selection so the preview shows
+      // exactly the per-table shadow-swap the runner would execute
+      var step = 0
+      def p(s: String): Unit = { step += 1; println(f"[cli] plan $step%3d: $s") }
+      tables.foreach { t =>
+        val rows = spark.table(s"$db.$t").count()
+        p(s"WRITE  $db.${t}__v1 <- ${distFor(t)} over $shards shards " +
+          s"($rows rows, one shuffle)")
+        p(s"RENAME $db.$t -> $db.${t}__old (metadata only)")
+        p(s"RENAME $db.${t}__v1 -> $db.$t (metadata only)")
+        p(s"DROP   $db.${t}__old")
       }
-      println(s"""[cli] {"plan_steps":${steps.size},"executed":0}""")
+      println(s"""[cli] {"plan_steps":$step,"executed":0}""")
       spark.stop()
       return
     }
