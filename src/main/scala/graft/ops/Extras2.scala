@@ -209,6 +209,36 @@ object Extras2 {
            |  coalesce(min(nullif(o_orderstatus, 'P')), 'none') AS min_nonp
            |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** XML sink → source round-trip over Spark 4's BUILT-IN xml source
+    * (SPARK-44265 — no external package): customer rows become
+    * `<customer>` elements, read back under the WRITER's explicit schema
+    * (XML inference would widen every scalar from text), and the
+    * aggregate matches the original parquet — proving serialization,
+    * entity escaping in text fields, and type restoration. Scale:
+    * XML read/write is partition-parallel line-record IO like csv/json;
+    * the aggregate is one partial-agg shuffle.
+    */
+  val q272XmlRoundtrip = GraftQuery(
+    "q272_xml_roundtrip",
+    (s, dir) => {
+      val out = graft.WorkDir.resolve(s, "xml", dir)
+      val cust = Tables.customer(s, dir)
+      cust.write.mode("overwrite")
+        .option("rowTag", "customer").option("declaration", "")
+        .xml(out)
+      s.read.schema(cust.schema).option("rowTag", "customer").xml(out)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          round(sum("c_acctbal"), 2).as("bal"),
+          sum(length(col("c_name"))).as("name_chars"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n,
+           |  round(sum(c_acctbal), 2) AS bal,
+           |  CAST(sum(length(c_name)) AS BIGINT) AS name_chars
+           |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q55OrcRoundtrip, q56RangeFrame, q57CollectTypes,
-    q67Unpivot, q68CorrelatedScalar, q69GapFill, q71OffsetPage, q72NullSemantics)
+    q67Unpivot, q68CorrelatedScalar, q69GapFill, q71OffsetPage, q72NullSemantics,
+    q272XmlRoundtrip)
 }
