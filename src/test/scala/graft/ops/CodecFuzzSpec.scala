@@ -63,6 +63,17 @@ class CodecFuzzSpec extends AnyFunSuite {
     fuzz("mjpeg-avi", MjpegAviCodec.encode(payload), MjpegAviCodec.decodeFrames)
   }
 
+  test("WARC parse survives every one-byte flip and truncation") {
+    import graft.ops.Warc.WarcCodec
+    val blob = WarcCodec.record(
+      Seq("WARC-Type" -> "warcinfo"), "software: graft\r\n".getBytes) ++
+      WarcCodec.record(
+        Seq("WARC-Type" -> "response",
+          "WARC-Target-URI" -> "https://corpus.example/doc/7"),
+        "HTTP/1.1 200 OK\r\nWARC/1.0\r\n\r\n<html>x</html>".getBytes)
+    fuzz("warc", blob, WarcCodec.parseRecords)
+  }
+
   test("MJPEG AVI walker survives crafted near-Int.MaxValue chunk sizes") {
     // Single-byte flips of the small encoder output can never produce a
     // size field near Int.MaxValue, so the three chunk walks (top-level,
