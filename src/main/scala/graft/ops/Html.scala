@@ -142,10 +142,17 @@ object Html {
   /** Main-content text: kept blocks joined with a single space, entity
     * decoded. Inverse of [[synthesizePage]] on normalized input.
     */
-  private[ops] def extractMain(html: Column): Column = {
-    val kept = filter(annotatedBlocks(html), isContent(_))
-    unescapeHtml(array_join(transform(kept, _("txt")), " "))
-  }
+  private[ops] def extractMain(html: Column): Column =
+    extractFromBlocks(annotatedBlocks(html))
+
+  /** Same, over already-annotated blocks — callers that also need the
+    * block stats reuse one annotation pass instead of re-running the
+    * regex pipeline per consumer (HOF expressions sit outside
+    * whole-stage codegen, so common-subexpression reuse isn't free).
+    */
+  private[ops] def extractFromBlocks(blocks: Column): Column =
+    unescapeHtml(array_join(
+      transform(filter(blocks, isContent(_)), _("txt")), " "))
 
   /** Boilerplate removal round-trip over every document: synthesize the
     * page, extract, and report per doc the kept/dropped block counts and
@@ -159,22 +166,24 @@ object Html {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"),
           trim(regexp_replace(col("text"), "\\s+", " ")).as("t"))
-        .withColumn("page", synthesizePage(col("t")))
-        .withColumn("blocks", annotatedBlocks(col("page")))
+        .withColumn("blocks", annotatedBlocks(synthesizePage(col("t"))))
+        .withColumn("extracted", extractFromBlocks(col("blocks")))
       d.select(
         col("doc_id"),
         size(filter(col("blocks"), isContent(_))).as("n_kept"),
         size(filter(col("blocks"),
           a => a("len") > 0 && !isContent(a))).as("n_dropped"),
-        length(extractMain(col("page"))).as("extracted_chars"),
-        (extractMain(col("page")) === col("t")).as("roundtrip_ok"))
+        length(col("extracted")).as("extracted_chars"),
+        (col("extracted") === col("t")).as("roundtrip_ok"))
         .orderBy("doc_id")
     },
     Some("""WITH d AS (
            |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
            |  FROM documents)
            |SELECT doc_id,
-           |  CAST(ceil(len(string_split(t, ' ')) / 12.0) AS INT) AS n_kept,
+           |  CAST(CASE WHEN t = '' THEN 0
+           |    ELSE ceil(len(string_split(t, ' ')) / 12.0) END AS INT)
+           |    AS n_kept,
            |  1 AS n_dropped,
            |  CAST(length(t) AS INT) AS extracted_chars,
            |  TRUE AS roundtrip_ok

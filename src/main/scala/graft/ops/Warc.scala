@@ -67,10 +67,17 @@ object Warc {
     def parseRecords(blob: Array[Byte]): Vector[WarcRecord] = {
       val out = Vector.newBuilder[WarcRecord]
       var i = 0
+      // resync target is the bare version line, NOT "\r\n" + version: when
+      // the corruption hit the CRLF just before a healthy record's version
+      // line (e.g. the previous record's terminator), requiring the prefix
+      // would skip that record too — one flipped byte must cost at most
+      // its own record. A decoy version line inside a body can still catch
+      // a post-corruption resync (wrong-but-bounded, fail-soft); the clean
+      // path never resyncs, so framing integrity is unaffected.
       def resync(from: Int): Int = {
         var j = math.max(from, i + 1)
         while (j < blob.length) {
-          if (startsWith(blob, j, "\r\n" + Version + "\r\n")) return j + 2
+          if (startsWith(blob, j, Version + "\r\n")) return j
           j += 1
         }
         blob.length

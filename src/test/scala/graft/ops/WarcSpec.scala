@@ -58,6 +58,21 @@ class WarcSpec extends AnyFunSuite {
     assert(recs.map(r => new String(r.body, "UTF-8")) === Vector("tail"))
   }
 
+  test("a corrupted record terminator costs at most its own record") {
+    // flipping a terminator CRLF byte destroys the "\r\n" immediately
+    // before the NEXT record's version line — resync must still find that
+    // record (it matches the bare version line, not "\r\n" + version)
+    val r1 = resp(1, "first")
+    val whole = blob(r1, resp(2, "second"), resp(3, "third"))
+    for (off <- Seq(r1.length - 4, r1.length - 3, r1.length - 2, r1.length - 1)) {
+      val mut = whole.clone()
+      mut(off) = 'X'.toByte
+      val got = WarcCodec.parseRecords(mut).map(r => new String(r.body, "UTF-8"))
+      assert(got.contains("second") && got.contains("third"),
+        s"records after a terminator flip at $off must survive: $got")
+    }
+  }
+
   test("empty and garbage blobs parse to zero records without throwing") {
     assert(WarcCodec.parseRecords(Array.empty).isEmpty)
     assert(WarcCodec.parseRecords("no records here at all".getBytes).isEmpty)
