@@ -134,6 +134,22 @@ object Warc {
     * oracle is closed form: every record survives, every page round-trips
     * to its source text.
     */
+  /** One serialized `response` record through [[WarcCodec.record]] — the
+    * SAME writer the property tests pin, with byte-correct Content-Length.
+    * The HTTP header block carries the decoy: a line that IS the WARC
+    * version string at line start, inside Content-Length-counted body.
+    */
+  private[ops] def responseRecord(docId: Long, html: String): String = {
+    val body = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "WARC/1.0\r\n\r\n" + html).getBytes("UTF-8")
+    new String(WarcCodec.record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Date" -> "2026-01-01T00:00:00Z",
+      "WARC-Record-ID" -> s"<urn:graft:$docId>",
+      "WARC-Target-URI" -> s"https://corpus.example/doc/$docId"), body),
+      "UTF-8")
+  }
+
   val q274WarcWet = GraftQuery(
     "q274_warc_wet",
     (s, dir) => {
@@ -141,31 +157,24 @@ object Warc {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"),
           trim(regexp_replace(col("text"), "\\s+", " ")).as("t"))
-      val page = Html.synthesizePage(col("t"))
-      // HTTP header block carries the decoy: a line that IS the WARC
-      // version string at line start, inside Content-Length-counted body
-      val http = concat(
-        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
-          "WARC/1.0\r\n\r\n"), page)
-      val rec = concat(
-        lit("WARC/1.0\r\nWARC-Type: response\r\n" +
-          "WARC-Date: 2026-01-01T00:00:00Z\r\nWARC-Record-ID: <urn:graft:"),
-        col("doc_id"),
-        lit(">\r\nWARC-Target-URI: https://corpus.example/doc/"),
-        col("doc_id"),
-        lit("\r\nContent-Type: application/http; msgtype=response\r\n" +
-          "Content-Length: "),
-        octet_length(http),
-        lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+      // record assembly is a typed map so the page-synthesis expression
+      // tree evaluates ONCE per row (embedding it in a concat alongside
+      // its own octet_length re-ran the whole HOF pipeline per reference)
+      val recs = docs
+        .withColumn("page", Html.synthesizePage(col("t")))
+        .select(col("doc_id"), col("page"))
+        .as[(Long, String)]
+        .map { case (id, page) => (id / 64, id, responseRecord(id, page)) }
+        .toDF("shard", "doc_id", "rec")
       val info = "WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
         "WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: 24\r\n\r\n" +
         "software: graft-engine\r\n\r\n\r\n"
       // shard = 64 records per file: collect_list is BOUNDED at 64 rows
       // (the q121 discipline); array_sort on (doc_id, rec) pins record order
-      val shards = docs
-        .groupBy((col("doc_id") / 64).cast("long").as("shard"))
+      val shards = recs
+        .groupBy("shard")
         .agg(array_join(transform(
-          array_sort(collect_list(struct(col("doc_id"), rec.as("rec")))),
+          array_sort(collect_list(struct(col("doc_id"), col("rec")))),
           _("rec")), "").as("body"))
         .select(col("shard"),
           concat(lit(info), col("body")).as("blob"))
