@@ -152,9 +152,12 @@ object RebalanceQueries {
         val arr = array(r.map { case (h, sh) =>
           struct(lit(h).as("h"), lit(sh).as("sh"))
         }: _*) // sorted ascending by hash
+        // get() is null-on-empty (0-based), so the filtered array is
+        // evaluated ONCE per row — a size() guard + element_at would run
+        // the 512-entry filter twice (HOF trees get no subexpression reuse)
         val ge = filter(arr, e => e("h") >= kh)
-        when(size(ge) > 0, element_at(ge, 1).getField("sh"))
-          .otherwise(element_at(arr, 1).getField("sh"))
+        coalesce(get(ge, lit(0)).getField("sh"),
+          element_at(arr, 1).getField("sh"))
       }
       val kh = conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
         .cast("long")
