@@ -151,8 +151,11 @@ object Html {
     * whole-stage codegen, so common-subexpression reuse isn't free).
     */
   private[ops] def extractFromBlocks(blocks: Column): Column =
-    unescapeHtml(array_join(
-      transform(filter(blocks, isContent(_)), _("txt")), " "))
+    extractFromKept(filter(blocks, isContent(_)))
+
+  /** Final assembly over the already-filtered content blocks. */
+  private[ops] def extractFromKept(kept: Column): Column =
+    unescapeHtml(array_join(transform(kept, _("txt")), " "))
 
   /** Boilerplate removal round-trip over every document: synthesize the
     * page, extract, and report per doc the kept/dropped block counts and
@@ -167,10 +170,13 @@ object Html {
         .select(col("doc_id"),
           trim(regexp_replace(col("text"), "\\s+", " ")).as("t"))
         .withColumn("blocks", annotatedBlocks(synthesizePage(col("t"))))
-        .withColumn("extracted", extractFromBlocks(col("blocks")))
+        // kept is materialized once: n_kept and the extraction both read
+        // the column instead of re-running the content filter per output
+        .withColumn("kept", filter(col("blocks"), isContent(_)))
+        .withColumn("extracted", extractFromKept(col("kept")))
       d.select(
         col("doc_id"),
-        size(filter(col("blocks"), isContent(_))).as("n_kept"),
+        size(col("kept")).as("n_kept"),
         size(filter(col("blocks"),
           a => a("len") > 0 && !isContent(a))).as("n_dropped"),
         length(col("extracted")).as("extracted_chars"),

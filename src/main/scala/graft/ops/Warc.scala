@@ -59,10 +59,11 @@ object Warc {
 
     /** Parse every well-formed record in a WARC blob. Fail-soft: a corrupt
       * record (bad version line, malformed header, unparseable or
-      * out-of-range Content-Length) is abandoned and parsing RESYNCS at the
-      * next `\r\nWARC/1.0\r\n` boundary, so one flipped byte costs at most
-      * its own record — the remaining records still parse. Never throws;
-      * every path advances the cursor, so hostile bytes can't hang it.
+      * out-of-range Content-Length, missing terminator) is abandoned and
+      * parsing RESYNCS at the next `WARC/1.0` version line AT OR AFTER the
+      * failure point, so one flipped byte costs at most its own record —
+      * the remaining records still parse. Never throws; every path
+      * advances the cursor, so hostile bytes can't hang it.
       */
     def parseRecords(blob: Array[Byte]): Vector[WarcRecord] = {
       val out = Vector.newBuilder[WarcRecord]
@@ -71,11 +72,16 @@ object Warc {
       // the corruption hit the CRLF just before a healthy record's version
       // line (e.g. the previous record's terminator), requiring the prefix
       // would skip that record too — one flipped byte must cost at most
-      // its own record. A decoy version line inside a body can still catch
-      // a post-corruption resync (wrong-but-bounded, fail-soft); the clean
+      // its own record. The scan starts AT `from`, not past it: a corrupt
+      // Content-Length can land the cursor exactly on the next intact
+      // version line (body swallowed its own terminator), and skipping
+      // that position would drop the healthy record. Every caller passes a
+      // `from` beyond the position it failed at, so the loop still always
+      // advances. A decoy version line inside a body can still catch a
+      // post-corruption resync (wrong-but-bounded, fail-soft); the clean
       // path never resyncs, so framing integrity is unaffected.
       def resync(from: Int): Int = {
-        var j = math.max(from, i + 1)
+        var j = math.max(from, 0)
         while (j < blob.length) {
           if (startsWith(blob, j, Version + "\r\n")) return j
           j += 1

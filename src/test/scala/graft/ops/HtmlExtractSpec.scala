@@ -34,7 +34,9 @@ class HtmlExtractSpec extends AnyFunSuite with SparkSpec {
       "a < b & c > d \"quoted\" it's <script>alert(1)</script> done",
       // an entity-looking token in the content must survive literally
       "literal &amp; token and &#32; reference stay as typed",
-      "   leading   and   trailing   whitespace   collapses   ")
+      "   leading   and   trailing   whitespace   collapses   ",
+      // degenerate documents: extraction must yield the normalized form
+      "", "   ")
     for ((t, _, got) <- roundTrip(texts))
       assert(got === t, s"round-trip mismatch for: $t")
   }
@@ -77,8 +79,11 @@ class HtmlExtractSpec extends AnyFunSuite with SparkSpec {
     val out = Html.q273HtmlExtract.fn(spark, "/root/testdata/sf0.001")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"),
-        ceil(size(split(trim(regexp_replace(col("text"), "\\s+", " ")), " "))
-          / lit(12.0)).cast("int").as("want_kept"))
+        // empty-doc guard mirrors the oracle: split('') is [''], not []
+        when(trim(regexp_replace(col("text"), "\\s+", " ")) === "", 0)
+          .otherwise(ceil(
+            size(split(trim(regexp_replace(col("text"), "\\s+", " ")), " "))
+              / lit(12.0)).cast("int")).as("want_kept"))
     val rows = out.join(docs, "doc_id")
       .select(col("roundtrip_ok"), col("n_dropped"),
         (col("n_kept") === col("want_kept")).as("kept_ok"))

@@ -73,6 +73,19 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("a Content-Length that swallows the terminator still spares the next record") {
+    // corrupting '5' -> '9' makes record 1's body consume its own 4-byte
+    // terminator, landing the cursor EXACTLY on record 2's intact version
+    // line — resync must accept the current position, not scan past it
+    val bad = new String(resp(1, "12345"), "US-ASCII")
+      .replace("Content-Length: 5", "Content-Length: 9")
+      .getBytes("US-ASCII")
+    val recs = WarcCodec.parseRecords(blob(bad, resp(2, "second"), resp(3, "third")))
+    val bodies = recs.map(r => new String(r.body, "UTF-8"))
+    assert(bodies.contains("second") && bodies.contains("third"),
+      s"records after a length-swallowed terminator must survive: $bodies")
+  }
+
   test("empty and garbage blobs parse to zero records without throwing") {
     assert(WarcCodec.parseRecords(Array.empty).isEmpty)
     assert(WarcCodec.parseRecords("no records here at all".getBytes).isEmpty)
