@@ -34,7 +34,12 @@ object Robots {
       * Allow/Disallow lines (an empty Disallow value is "allow all" and
       * emits no rule), case-insensitive directives. Unknown directives
       * (Crawl-delay, Sitemap) are skipped. Fail-soft: malformed lines are
-      * ignored, never thrown on.
+      * ignored, never thrown on. Scope notes vs RFC 9309: product-token
+      * matching is exact (case-insensitive via the lowercased map) per
+      * §2.2.1; multiple groups naming the same token merge naturally
+      * (rules are emitted per agent); percent-encoding normalization of
+      * rule paths and URLs is the caller's job (pair with q185's URL
+      * canonicalization upstream).
       */
     def parse(host: String, txt: String): Seq[RobotsRule] = {
       val out = Seq.newBuilder[RobotsRule]
