@@ -225,6 +225,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q273: HTML extraction is a map-only scan — no data exchange before the sort") {
+    val p = plan("q273_html_extract")
+    // synthesis + prune + classify + extract are all expressions over one
+    // scan; the only exchange is the final orderBy's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQLUDF"), p.take(2000))
+  }
+
+  test("q275: robots matching has no per-row regex and no cartesian") {
+    val p = plan("q275_robots_filter")
+    // the glob fold compiles to HOF expressions (startsWith/locate), so a
+    // regression to rlike/regexp-based matching (per-row Pattern.compile
+    // with a column pattern) shows up as RLike in the plan
+    assert(!p.contains("RLike") && !p.contains("regexp"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q138: batch aggregation reuses the stream window's partitioning") {
     val p = plan("q138_length_batches")
     // one (bucket, shard) exchange feeds BOTH the window and the batch
