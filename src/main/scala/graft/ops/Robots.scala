@@ -196,5 +196,80 @@ object Robots {
            |    AS n_overridden
            |FROM u GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q275RobotsFilter)
+  /** Sitemap-based frontier discovery — the complement of [[q275RobotsFilter]]
+    * (robots says what NOT to fetch; sitemaps advertise what exists): per
+    * host, URL entries with `<lastmod>` dates are serialized into sitemap
+    * FILES capped at a fixed entry count (the protocol's 50k-URL cap is
+    * why real sitemaps are indexes of bounded files — file count grows
+    * with the corpus, per-file state stays bounded, the q274 discipline),
+    * parsed back through Spark 4's built-in `from_xml` (q272 covers the
+    * xml SOURCE; this is the column function over synthesized markup),
+    * and rolled up into the per-host discovery summary a crawl scheduler
+    * consumes: url/file counts and the lastmod recency split that decides
+    * re-crawl priority.
+    *
+    * Scale shape: the per-(host, bucket) collect_list is bounded at the
+    * bucket width regardless of SF (buckets come from doc_id ranges, not
+    * a per-host row_number — no per-host window over unbounded rows);
+    * parsing is map-side; the rollup is one partial agg. The oracle is
+    * closed form over `documents` (counts, bucket cardinality, date
+    * arithmetic on doc_id).
+    */
+  val q276SitemapFrontier = GraftQuery(
+    "q276_sitemap_frontier",
+    (s, dir) => {
+      val pid = col("doc_id").cast("string")
+      val urls = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(col("source"), lit(".example.com")).as("host"),
+          (col("doc_id") % 6).as("kind"))
+        .withColumn("path",
+          when(col("kind") === 0, concat(lit("/private/doc"), pid))
+            .when(col("kind") === 1, concat(lit("/p/doc"), pid, lit("/draft")))
+            .when(col("kind") === 2, concat(lit("/files/doc"), pid, lit(".pdf")))
+            .when(col("kind") === 3, lit("/about"))
+            .otherwise(concat(lit("/p/doc"), pid)))
+        .withColumn("lastmod",
+          date_add(to_date(lit("2026-01-01")), (col("doc_id") % 28).cast("int")))
+      val entry = concat(
+        lit("<url><loc>https://"), col("host"), col("path"),
+        lit("</loc><lastmod>"), date_format(col("lastmod"), "yyyy-MM-dd"),
+        lit("</lastmod></url>"))
+      // fixed-width doc_id buckets bound every sitemap file at ≤256
+      // entries at ANY scale factor — the 50k-cap discipline in miniature
+      val files = urls
+        .withColumn("e", entry)
+        .groupBy(col("host"), (col("doc_id") / 256).cast("long").as("file_no"))
+        .agg(concat(lit("<urlset>"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("e")))),
+            _("e")), ""),
+          lit("</urlset>")).as("xml"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "url ARRAY<STRUCT<loc: STRING, lastmod: DATE>>")
+      val parsed = files
+        .withColumn("p", from_xml(col("xml"), schema))
+        .select(col("host"), col("file_no"), explode(col("p.url")).as("u"))
+        .select(col("host"), col("file_no"),
+          col("u.loc").as("loc"), col("u.lastmod").as("lastmod"))
+      parsed.groupBy("host")
+        .agg(
+          count(lit(1)).as("n_urls"),
+          countDistinct(col("file_no")).as("n_files"),
+          min(col("lastmod")).as("oldest"),
+          max(col("lastmod")).as("newest"),
+          sum(when(col("lastmod") >= to_date(lit("2026-01-15")), 1L)
+            .otherwise(0L)).as("n_recent"))
+        .orderBy("host")
+    },
+    Some("""SELECT source || '.example.com' AS host,
+           |  CAST(count(*) AS BIGINT) AS n_urls,
+           |  CAST(count(DISTINCT doc_id // 256) AS BIGINT) AS n_files,
+           |  min(DATE '2026-01-01' + CAST(doc_id % 28 AS INT)) AS oldest,
+           |  max(DATE '2026-01-01' + CAST(doc_id % 28 AS INT)) AS newest,
+           |  CAST(sum(CASE WHEN doc_id % 28 >= 14 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_recent
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q275RobotsFilter, q276SitemapFrontier)
 }

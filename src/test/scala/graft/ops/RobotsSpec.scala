@@ -67,6 +67,23 @@ class RobotsSpec extends AnyFunSuite with SparkSpec {
     assert(matches("/a*/b*/c", "/a/b/c", "/a/c/b") === Seq(true, false))
   }
 
+  test("q276: sitemap files are bounded and from_xml recovers every entry") {
+    import spark.implicits._
+    val out = Robots.q276SitemapFrontier.fn(spark, "/root/testdata/sf0.001")
+      .select("host", "n_urls", "n_files").as[(String, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // every host's file count must satisfy the ≤256-entries-per-file cap:
+    // n_files >= ceil(n_urls / 256) — the bound that makes the
+    // collect_list safe at any scale factor
+    for ((h, urls, fs) <- out)
+      assert(fs >= (urls + 255) / 256, s"$h: $urls urls in $fs files")
+    // totals must cover the whole fixture: nothing dropped in the
+    // serialize → from_xml → explode round-trip
+    val total = out.map(_._2).sum
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(total === docs)
+  }
+
   test("precedence: longest pattern wins, tie goes to Allow") {
     import spark.implicits._
     // the q275 aggregation shape on a hand-checkable rule set
