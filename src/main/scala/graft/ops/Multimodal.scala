@@ -660,8 +660,9 @@ object Multimodal {
     * wraps payload bytes AS the μ-law stream in a conforming format-7 WAV
     * (fmt tag 7, 8 bits/sample); `decodeSamples` walks the RIFF chunks
     * (junk-chunk tolerant, like [[WavCodec]]), validates the format, and
-    * expands every code byte. The remaining audio boundary after this is
-    * perceptual codecs (MP3/AAC) — genuine native-lib territory.
+    * expands every code byte. Perceptual subband audio is covered by
+    * [[MpegAudioCodec]] (MPEG-1 Layers I/II); the remaining audio
+    * boundary is the MDCT/Huffman generation (MP3/AAC).
     */
   object MuLawCodec {
     /** Standard μ-law code → linear PCM expansion (G.711). */
@@ -734,8 +735,9 @@ object Multimodal {
     * integers (table step, 3-shift diff reconstruction, ±32768 clamp,
     * index clamp to [0, 88]), which is what lets a SQL oracle replay the
     * recurrence with a recursive CTE — closing the "predictive codecs
-    * aren't oracle-expressible" boundary; what genuinely remains out of
-    * scope is perceptual audio (MP3/AAC).
+    * aren't oracle-expressible" boundary; perceptual subband audio is
+    * [[MpegAudioCodec]], and what remains out of scope is the
+    * MDCT/Huffman generation (MP3/AAC).
     *
     * `encode` wraps payload bytes AS the nibble stream (low nibble first,
     * the WAV layout) in a conforming single-block format-0x11 container
@@ -1800,10 +1802,13 @@ object Multimodal {
     * restart intervals — not just this encoder's output; `decodeColorPixels`
     * extends that to 3-component 4:4:4 color (interleaved MCUs, three
     * independent DC predictors, per-component quant/Huffman selection,
-    * JFIF YCbCr → RGB). Out of scope (returns None, the remaining honest
-    * [[FakeCodec]] boundary together with perceptual audio): SUBSAMPLED
-    * color (4:2:0/4:2:2 MCU geometry), progressive (SOF2), arithmetic
-    * coding.
+    * JFIF YCbCr → RGB). Subsampled 4:2:0 color, progressive (SOF2), and
+    * arithmetic (SOF9) coding are each handled by their own decode paths
+    * (`decodeColorPixels` MCU geometry, `decodeProgressivePixels`,
+    * `decodeArithPixels`); perceptual subband audio by
+    * [[MpegAudioCodec]]. The [[FakeCodec]] stub now stands in only for
+    * MDCT-generation audio (MP3/AAC) and video inter-prediction —
+    * genuine native-lib territory.
     *
     * `encode` packs one payload byte per FLAT 8×8 block (4 blocks per row,
     * zero-padded tail). A flat block has only a DC coefficient, and with

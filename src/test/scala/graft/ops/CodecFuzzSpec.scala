@@ -52,6 +52,12 @@ class CodecFuzzSpec extends AnyFunSuite {
     fuzz("adpcm", AdpcmCodec.encode(payload), AdpcmCodec.decodeSamples)
   }
 
+  test("MPEG audio decode survives every one-byte flip and truncation") {
+    val pcm = payload.map(b => ((((b & 0xff) - 128) * 256)).toShort)
+    fuzz("mpeg-l2", MpegAudioCodec.encodeL2(pcm), MpegAudioCodec.decodeSamples)
+    fuzz("mpeg-l1", MpegAudioCodec.encodeL1(pcm), MpegAudioCodec.decodeSamples)
+  }
+
   test("FLAC decode survives every one-byte flip and truncation") {
     fuzz("flac", FlacCodec.encode(payload), FlacCodec.decodeSamples)
     val l = payload.map(b => ((b & 0xff) - 128) * 200)
