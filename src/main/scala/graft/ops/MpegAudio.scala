@@ -497,8 +497,8 @@ object MpegAudioCodec {
     val sum = new CodeSum
     var f = 0
     while (f < nFrames) {
-      // 36 filterbank feeds → sb(t)(k)
-      val sb = Array.ofDim[Double](36, 32)
+      // 36 filterbank feeds → sb(t)(k); feed() returns fresh rows
+      val sb = new Array[Array[Double]](36)
       var t = 0
       while (t < 36) {
         var i = 0
@@ -686,7 +686,7 @@ object MpegAudioCodec {
     val sum = new CodeSum
     var f = 0
     while (f < nFrames) {
-      val sb = Array.ofDim[Double](12, 32)
+      val sb = new Array[Array[Double]](12) // feed() returns fresh rows
       var t = 0
       while (t < 12) {
         var i = 0
@@ -878,8 +878,9 @@ object MpegAudioCodec {
             sf(k)(0) = r.get(6); sf(k)(1) = r.get(6); sf(k)(2) = sf(k)(1)
             sum.add(sf(k)(0)); sum.add(sf(k)(1))
         }
+        // (alloc can never exceed steps.length: each band class's nbal
+        // width exactly bounds its quantizer list, 2^nbal - 1 == length)
         if (sf(k)(0) > 62 || sf(k)(1) > 62 || sf(k)(2) > 62) { r.ok = false; return null }
-        if (alloc(k) > TableB2a(k).steps.length) { r.ok = false; return null }
       }
       k += 1
     }
@@ -991,6 +992,11 @@ object MpegAudioCodec {
       while (pos + 4 <= p.length) {
         if ((p(pos) & 0xff) != 0xff || ((p(pos + 1) >> 5) & 7) != 7) return None
         if (((p(pos + 1) >> 1) & 3) != 2) return None // Layer II only
+        // same header validation as decodeSamplesWithSum: the 48 kHz
+        // frame-length arithmetic below is only correct for fsIdx 1
+        if (((p(pos + 1) >> 3) & 1) != 1 || (p(pos + 1) & 1) != 0) return None
+        if (((p(pos + 2) >> 2) & 3) != 1) return None
+        if (((p(pos + 3) >> 6) & 3) != 3) return None
         val brIdx = (p(pos + 2) >> 4) & 0xf
         if (brIdx < 1 || brIdx > 14) return None
         val padding = (p(pos + 2) >> 1) & 1
@@ -1004,7 +1010,6 @@ object MpegAudioCodec {
         k = 0
         while (k < SbLimit) {
           if (alloc(k) > 0) {
-            if (alloc(k) > TableB2a(k).steps.length) return None
             quant = quant.updated(TableB2a(k).steps(alloc(k) - 1),
               quant(TableB2a(k).steps(alloc(k) - 1)) + 1)
             val s = r.get(2)
@@ -1060,9 +1065,11 @@ object MpegAudioQueries {
     * FLAC (q269) the PCM is NOT a closed form of the text: the oracle
     * gates the closed-form structure (frame counts and stream sizes from
     * the ISO frame-length arithmetic) plus the achieved-fidelity
-    * properties (SNR > 30 dB at 384 kbps through the real filterbank
-    * cascade — a wrong window, matrix, scalefactor, or allocation path
-    * fails it), the q267 `sketch_ok` oracle discipline. Bit-level
+    * properties (SNR > 12 dB for Layer II at 192 kbps — mono's ISO
+    * ceiling — and > 30 dB for Layer I at 448 kbps, through the real
+    * filterbank cascade on the one-pole-shaped signal; a wrong window,
+    * matrix, scalefactor, or allocation path lands near 0 dB and fails
+    * both), the q267 `sketch_ok` oracle discipline. Bit-level
     * correctness is spec-pinned in MpegAudioSpec instead. Map-only,
     * partition-parallel, payloads never on the driver.
     */
