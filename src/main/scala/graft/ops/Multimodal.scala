@@ -1806,8 +1806,9 @@ object Multimodal {
     * arithmetic (SOF9) coding are each handled by their own decode paths
     * (`decodeColorPixels` MCU geometry, `decodeProgressivePixels`,
     * `decodeArithPixels`); perceptual subband audio by
-    * [[MpegAudioCodec]]. The [[FakeCodec]] stub now stands in only for
-    * MDCT-generation audio (MP3/AAC) and video inter-prediction —
+    * [[MpegAudioCodec]]; inter-predicted video by [[RleVideoCodec]]. The
+    * [[FakeCodec]] stub now stands in only for MDCT-generation audio
+    * (MP3/AAC) and motion-compensated transform video (MPEG/H.26x) —
     * genuine native-lib territory.
     *
     * `encode` packs one payload byte per FLAT 8×8 block (4 blocks per row,

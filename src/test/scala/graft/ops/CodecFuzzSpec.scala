@@ -58,6 +58,10 @@ class CodecFuzzSpec extends AnyFunSuite {
     fuzz("mpeg-l1", MpegAudioCodec.encodeL1(pcm), MpegAudioCodec.decodeSamples)
   }
 
+  test("MRLE video decode survives every one-byte flip and truncation") {
+    fuzz("mrle-avi", RleVideoCodec.encode(payload), RleVideoCodec.decodeFrames)
+  }
+
   test("FLAC decode survives every one-byte flip and truncation") {
     fuzz("flac", FlacCodec.encode(payload), FlacCodec.decodeSamples)
     val l = payload.map(b => ((b & 0xff) - 128) * 200)
