@@ -570,8 +570,56 @@ object Layout {
            |  CAST(count(*) AS BIGINT) AS rows_intact
            |FROM nation""".stripMargin))
 
+  /** Dynamic partition pruning: the fact table lands Hive-partitioned by
+    * ship month, and a join against a dim derived at RUNTIME (the months
+    * that saw an urgent order) prunes fact partitions through Catalyst's
+    * DPP subquery — the broadcast result of the dim side is replayed as a
+    * partition filter on the fact scan, so only the qualifying month
+    * directories are read. q84 proves STATIC pruning (literal filter);
+    * this is the dynamic case that matters at 100 TB, where the selective
+    * predicate lives on the dimension and the fact filter only exists at
+    * runtime. PlanShapeSpec pins the `dynamicpruning` expression in the
+    * fact scan's partition filters.
+    */
+  val q282DynamicPartitionPruning = GraftQuery(
+    "q282_dynamic_partition_pruning",
+    (s, dir) => {
+      val out = workDir(s, dir, "dpp")
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .write.mode("overwrite").partitionBy("ship_month").parquet(out)
+      val fact = s.read.parquet(out)
+      // runtime dim: months containing at least one urgent January order
+      // (~1 month in 12 qualifies) — unknowable at plan time, discovered
+      // by scanning orders, so the fact-side partition filter can only
+      // exist as a DPP subquery
+      val dim = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          month(col("o_orderdate")) === 1)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+        .distinct()
+      fact.join(broadcast(dim), fact("ship_month") === dim("m"))
+        .groupBy("ship_month")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("ship_month")
+    },
+    Some("""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           |  count(*) AS n_lines,
+           |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           |FROM lineitem
+           |WHERE strftime(l_shipdate, '%Y-%m') IN (
+           |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m')
+           |  FROM orders WHERE o_orderpriority = '1-URGENT'
+           |    AND month(o_orderdate) = 1)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q83TextSource, q84PartitionedWrite,
     q85BucketedJoin, q86SchemaEvolution, q93ZOrder, q102NumbersSource,
     q105V2SinkRoundtrip, q180HilbertLayout, q187CompactionPlan,
-    q225WriteAuditPublish, q249TieringPlan, q263OrphanGc)
+    q225WriteAuditPublish, q249TieringPlan, q263OrphanGc,
+    q282DynamicPartitionPruning)
 }

@@ -1,0 +1,212 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{GraftQuery, Tables}
+
+/** Model-training operators a curation pipeline runs ON the corpus itself:
+  * a distributed batch-perceptron quality/language classifier (the
+  * linear-filter recipe behind GPT-3-style quality filtering — train a cheap
+  * linear model, score every document, keep the top mass), and a
+  * randomized-response locally-differentially-private frequency release.
+  *
+  * Scale discipline shared by both: per-pass driver state is O(d) model
+  * weights (d = 5 here) or O(k) category counts — never rows. Each training
+  * epoch is ONE corpus scan feeding a partial aggregate (map-side combine,
+  * one bounded row per partition), exactly the k-means/q137 loop shape; the
+  * weight update happens on the driver against collected d-long sums and is
+  * re-broadcast as literals, so nothing grows with data volume.
+  *
+  * Float discipline: the perceptron is INTEGER-EXACT end to end — integer
+  * features, integer weights, integer margins — so results are independent
+  * of partitioning/accumulation order and the DuckDB oracle replays the
+  * exact same algebra (no rounding anywhere). The DP estimator divides two
+  * exact integers once per category (single IEEE op, no accumulation).
+  */
+object Training {
+
+  /** Feature columns for the perceptron: small exact integers derivable
+    * identically in Spark and DuckDB. x0 is the bias; token count, char
+    * count, and two lexical substring counts separate `lang = 'en'` docs
+    * from the rest well enough to drive weight movement across epochs.
+    */
+  private def featureFrame(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    // occurrences of `w` in text = (len(text) - len(text with w removed)) / |w|
+    def occ(w: String): Column =
+      ((length(t) - length(replace(t, lit(w)))) / w.length).cast("long")
+    Tables.documents(s, dir).select(
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+      lit(1L).as("x0"),
+      size(split(t, " ")).cast("long").as("x1"),
+      col("n_chars").cast("long").as("x2"),
+      occ("table").as("x3"),
+      occ("data").as("x4"))
+  }
+
+  /** q279 — distributed batch-perceptron training (3 epochs over the full
+    * corpus), the cheap linear classifier a curation pipeline trains to
+    * score document quality / language membership before filtering.
+    *
+    * Batch perceptron: epoch t computes the margin y·(w_{t-1}·x) per row,
+    * sums y·x over the misclassified rows (margin ≤ 0) in one partial
+    * aggregate, and updates w_t = w_{t-1} + Σ. With w_0 = 0 every epoch-1
+    * margin is 0, so epoch 1's update is Σ y·x over ALL rows — which makes
+    * the whole 3-epoch trace closed-form replayable as a chained-CTE oracle.
+    * All features, margins and weights are exact longs: the result is
+    * bit-identical at any parallelism (integer addition commutes), and the
+    * overflow headroom is ~2^63 / (n·max|x|²) — at the 100 TB target the
+    * margin magnitude is bounded by n·553² ≈ 3·10^15·n_epochs, still 4
+    * orders under Long range at n = 10^9 docs.
+    *
+    * Scale shape: one corpus scan per epoch → partial agg of d+2 long sums
+    * → 1 collected row → literal re-broadcast. Driver state is 5 longs.
+    * Output: one row per epoch with the misclassified count seen under the
+    * incoming weights and the post-update weight vector.
+    */
+  /** The batch-perceptron training loop: one partial aggregate per epoch
+    * over a frame with a ±1 `y` column and long feature columns `xs`;
+    * returns (epoch, misclassifiedUnderIncomingWeights, postUpdateWeights)
+    * per epoch. Extracted so TrainingSpec can replay it against a
+    * sequential fold on planted data.
+    */
+  private[graft] def trainTrace(f: DataFrame, xs: Seq[String],
+      epochs: Int): Seq[(Int, Long, Seq[Long])] = {
+    var w = Array.fill(xs.length)(0L)
+    (1 to epochs).map { ep =>
+      val margin = col("y") * xs.zipWithIndex
+        .map { case (x, i) => col(x) * lit(w(i)) }
+        .reduce(_ + _)
+      val mis = margin <= 0L
+      val aggs = sum(when(mis, 1L).otherwise(0L)).as("n_mis") +:
+        xs.map(x => sum(when(mis, col("y") * col(x)).otherwise(0L)).as(s"d_$x"))
+      val r = f.agg(aggs.head, aggs.tail: _*).head()
+      val nMis = r.getLong(0)
+      w = w.zipWithIndex.map { case (wi, i) => wi + r.getLong(i + 1) }
+      (ep, nMis, w.toSeq)
+    }
+  }
+
+  val q279PerceptronTrain = GraftQuery(
+    "q279_perceptron_train",
+    (s, dir) => {
+      val f = featureFrame(s, dir).persist()
+      val trace = trainTrace(f, Seq("x0", "x1", "x2", "x3", "x4"), epochs = 3)
+        .map { case (ep, nMis, w) => Row(ep, nMis, w(0), w(1), w(2), w(3), w(4)) }
+      f.unpersist()
+      val schema = StructType(
+        StructField("epoch", IntegerType, nullable = false) +:
+          StructField("n_mis", LongType, nullable = false) +:
+          Seq("w_bias", "w_tokens", "w_chars", "w_table", "w_data")
+            .map(StructField(_, LongType, nullable = false)))
+      s.createDataFrame(s.sparkContext.parallelize(trace, 1), schema)
+        .orderBy("epoch")
+    },
+    // the same 3-epoch trace as chained CTEs: e1 sums over all rows
+    // (w0 = 0 ⇒ margin 0 ⇒ everything misclassified), e2/e3 carry the
+    // previous epoch's weights through a single-row cross join
+    Some("""WITH f AS (
+           |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+           |    CAST(1 AS BIGINT) AS x0,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+           |    CAST(n_chars AS BIGINT) AS x2,
+           |    CAST((length(text) - length(replace(text, 'table', ''))) // 5 AS BIGINT) AS x3,
+           |    CAST((length(text) - length(replace(text, 'data', ''))) // 4 AS BIGINT) AS x4
+           |  FROM documents),
+           |e1 AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_mis,
+           |    CAST(sum(y*x0) AS BIGINT) AS w0, CAST(sum(y*x1) AS BIGINT) AS w1,
+           |    CAST(sum(y*x2) AS BIGINT) AS w2, CAST(sum(y*x3) AS BIGINT) AS w3,
+           |    CAST(sum(y*x4) AS BIGINT) AS w4
+           |  FROM f),
+           |e2 AS (
+           |  SELECT
+           |    CAST(sum(CASE WHEN m <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mis,
+           |    CAST(w0 + sum(CASE WHEN m <= 0 THEN y*x0 ELSE 0 END) AS BIGINT) AS w0,
+           |    CAST(w1 + sum(CASE WHEN m <= 0 THEN y*x1 ELSE 0 END) AS BIGINT) AS w1,
+           |    CAST(w2 + sum(CASE WHEN m <= 0 THEN y*x2 ELSE 0 END) AS BIGINT) AS w2,
+           |    CAST(w3 + sum(CASE WHEN m <= 0 THEN y*x3 ELSE 0 END) AS BIGINT) AS w3,
+           |    CAST(w4 + sum(CASE WHEN m <= 0 THEN y*x4 ELSE 0 END) AS BIGINT) AS w4
+           |  FROM (SELECT f.*, e1.w0, e1.w1, e1.w2, e1.w3, e1.w4,
+           |          y*(e1.w0*x0 + e1.w1*x1 + e1.w2*x2 + e1.w3*x3 + e1.w4*x4) AS m
+           |        FROM f CROSS JOIN e1)
+           |  GROUP BY w0, w1, w2, w3, w4),
+           |e3 AS (
+           |  SELECT
+           |    CAST(sum(CASE WHEN m <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mis,
+           |    CAST(w0 + sum(CASE WHEN m <= 0 THEN y*x0 ELSE 0 END) AS BIGINT) AS w0,
+           |    CAST(w1 + sum(CASE WHEN m <= 0 THEN y*x1 ELSE 0 END) AS BIGINT) AS w1,
+           |    CAST(w2 + sum(CASE WHEN m <= 0 THEN y*x2 ELSE 0 END) AS BIGINT) AS w2,
+           |    CAST(w3 + sum(CASE WHEN m <= 0 THEN y*x3 ELSE 0 END) AS BIGINT) AS w3,
+           |    CAST(w4 + sum(CASE WHEN m <= 0 THEN y*x4 ELSE 0 END) AS BIGINT) AS w4
+           |  FROM (SELECT f.*, e2.w0, e2.w1, e2.w2, e2.w3, e2.w4,
+           |          y*(e2.w0*x0 + e2.w1*x1 + e2.w2*x2 + e2.w3*x3 + e2.w4*x4) AS m
+           |        FROM f CROSS JOIN e2)
+           |  GROUP BY w0, w1, w2, w3, w4)
+           |SELECT 1 AS epoch, n_mis, w0 AS w_bias, w1 AS w_tokens,
+           |  w2 AS w_chars, w3 AS w_table, w4 AS w_data FROM e1
+           |UNION ALL
+           |SELECT 2, n_mis, w0, w1, w2, w3, w4 FROM e2
+           |UNION ALL
+           |SELECT 3, n_mis, w0, w1, w2, w3, w4 FROM e3
+           |ORDER BY epoch""".stripMargin))
+
+  /** q281 — randomized-response frequency release (local differential
+    * privacy): every document reports its language truthfully with
+    * probability 3/4, or a uniform draw from the k = 5 known categories
+    * otherwise (generalized randomized response, Warner 1965 / RAPPOR's
+    * core). The aggregator sees only the noisy reports and debiases:
+    * π̂_c = (n̂_c/n − (1−p)/k) / p. Per-mechanism ε = ln(p·k/(1−p) + 1)
+    * = ln 16 ≈ 2.7726 — reported as a constant column.
+    *
+    * The "coin" is a deterministic Knuth multiplicative hash of doc_id so
+    * the oracle replays the mechanism exactly in integer arithmetic: h =
+    * (doc_id · 2654435761) mod 2^32; keep when h mod 4 ≠ 0, else report
+    * category (h div 4) mod 5. Scale shape: one scan → k-row partial agg
+    * for the noisy counts, one scan → k-row agg for the true counts (shown
+    * for utility-loss audit only — a real release drops that branch), a
+    * broadcast k×k join, and a single-row total carried by cross join.
+    * The estimator divides exact integers once per category — no float
+    * accumulation anywhere.
+    */
+  val q281RandomizedResponse = GraftQuery(
+    "q281_randomized_response",
+    (s, dir) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val docs = Tables.documents(s, dir).select("doc_id", "lang")
+      val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+      val idx = floor(h / 4L).cast("long") % 5L
+      val reported = when(h % 4L =!= 0L, col("lang"))
+        .otherwise(element_at(array(langs.map(lit): _*), (idx + 1L).cast("int")))
+      val noisy = docs.select(reported.as("lang"))
+        .groupBy("lang").agg(count(lit(1)).as("n_reported"))
+      val truth = docs.groupBy("lang").agg(count(lit(1)).as("n_true"))
+      val total = docs.agg(count(lit(1)).as("n"))
+      truth.join(noisy, "lang").crossJoin(total)
+        .select(
+          col("lang"), col("n_true"), col("n_reported"),
+          round((col("n_reported") - col("n") / 20.0) / 0.75, 2).as("est_count"),
+          lit(2.7726).as("epsilon"))
+        .orderBy("lang")
+    },
+    Some("""WITH r AS (
+           |  SELECT lang, (doc_id * 2654435761) % 4294967296 AS h
+           |  FROM documents),
+           |rep AS (
+           |  SELECT CASE WHEN h % 4 <> 0 THEN lang
+           |    ELSE list_extract(['de','en','es','fr','zh'],
+           |                      CAST((h // 4) % 5 AS INT) + 1) END AS lang
+           |  FROM r),
+           |c AS (SELECT lang, count(*) AS n_reported FROM rep GROUP BY 1),
+           |t AS (SELECT lang, count(*) AS n_true FROM documents GROUP BY 1),
+           |n AS (SELECT count(*) AS n FROM documents)
+           |SELECT t.lang, n_true, n_reported,
+           |  round((n_reported - n.n / 20.0) / 0.75, 2) AS est_count,
+           |  CAST(2.7726 AS DOUBLE) AS epsilon
+           |FROM t JOIN c USING (lang) CROSS JOIN n
+           |ORDER BY lang""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q279PerceptronTrain, q281RandomizedResponse)
+}

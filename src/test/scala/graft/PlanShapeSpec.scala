@@ -243,6 +243,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q282: the fact scan carries a dynamic partition-pruning filter") {
+    val p = plan("q282_dynamic_partition_pruning")
+    // the dim's month set must reach the fact scan as a runtime partition
+    // filter (DPP subquery); losing it means every month directory of a
+    // 100 TB fact table gets read to serve a ~1-in-12 month selection
+    assert(p.contains("dynamicpruning"), p.take(3000))
+    assert(p.contains("PartitionFilters"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q138: batch aggregation reuses the stream window's partitioning") {
     val p = plan("q138_length_batches")
     // one (bucket, shard) exchange feeds BOTH the window and the batch

@@ -209,7 +209,7 @@ class SinglePartitionSweepSpec extends AnyFunSuite with SparkSpec {
   test("inventory sweep: no broadcast HINT covers an unreduced SF-scaled " +
     "table scan (explicit whitelist with the justifying bound)") {
     import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, Literal}
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan, ResolvedHint}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, GlobalLimit, LogicalPlan, ResolvedHint}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
     def scannedSfTables(p: LogicalPlan): Seq[String] = p.collect {
@@ -224,6 +224,10 @@ class SinglePartitionSweepSpec extends AnyFunSuite with SparkSpec {
     def reduced(p: LogicalPlan): Boolean = p.collectFirst {
       case _: Aggregate => ()
       case _: GlobalLimit => ()
+      // .distinct() is Deduplicate in the ANALYZED plan (the optimizer
+      // rewrites it to Aggregate later) — the same cardinality-reduction
+      // class, e.g. q282's distinct-months DPP dim
+      case _: Deduplicate => ()
     }.isDefined
 
     val failures = scala.collection.mutable.ArrayBuffer[String]()

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Pins for the q279 batch perceptron and the q281 randomized-response
+  * mechanism: the distributed aggregate trace must equal a sequential
+  * whole-dataset fold (integer exactness = partitioning invariance), and
+  * the DP mechanism must be replayable row by row from its hash.
+  */
+class TrainingSpec extends AnyFunSuite with SparkSpec {
+
+  /** Sequential reference: one batch-perceptron epoch is Σ y·x over rows
+    * with y·(w·x) ≤ 0, applied to w. */
+  private def reference(rows: Seq[(Long, Seq[Long])],
+      epochs: Int): Seq[(Int, Long, Seq[Long])] = {
+    val d = rows.head._2.length
+    var w = Seq.fill(d)(0L)
+    (1 to epochs).map { ep =>
+      val mis = rows.filter { case (y, x) =>
+        y * x.zip(w).map { case (a, b) => a * b }.sum <= 0L
+      }
+      w = w.zipWithIndex.map { case (wi, i) =>
+        wi + mis.map { case (y, x) => y * x(i) }.sum
+      }
+      (ep, mis.size.toLong, w)
+    }
+  }
+
+  test("distributed trace equals the sequential fold on planted data, " +
+    "at 1 and 8 partitions") {
+    // planted near-separable data: y = +1 iff x1 > x2, with two rows the
+    // first-epoch weights misclassify so later epochs actually move
+    val rows: Seq[(Long, Seq[Long])] = Seq(
+      (1L, Seq(1L, 9L, 2L)), (1L, Seq(1L, 7L, 1L)), (1L, Seq(1L, 5L, 4L)),
+      (-1L, Seq(1L, 2L, 8L)), (-1L, Seq(1L, 1L, 6L)), (-1L, Seq(1L, 4L, 5L)),
+      (1L, Seq(1L, 6L, 5L)), (-1L, Seq(1L, 3L, 3L)))
+    val want = reference(rows, 4)
+    import spark.implicits._
+    for (parts <- Seq(1, 8)) {
+      val f = rows.map { case (y, x) => (y, x(0), x(1), x(2)) }
+        .toDF("y", "x0", "x1", "x2").repartition(parts)
+      val got = Training.trainTrace(f, Seq("x0", "x1", "x2"), epochs = 4)
+      assert(got == want, s"parts=$parts")
+    }
+    // and the trace is non-trivial: weights move after epoch 1
+    assert(want(1)._3 != want(0)._3)
+  }
+
+  test("q279 on the fixture: epoch-1 update is Σ y·x over ALL rows") {
+    val out = graft.SparkEntry
+      .queries("q279_perceptron_train")(spark, "/root/testdata/sf0.001")
+      .collect().sortBy(_.getInt(0))
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("lang", "text", "n_chars").collect()
+    def occ(t: String, w: String) = (t.length - t.replace(w, "").length) / w.length
+    val expected = docs.map { r =>
+      val y = if (r.getString(0) == "en") 1L else -1L
+      val t = r.getString(1)
+      (y, Seq(1L, t.split(" ", -1).length.toLong, r.getLong(2),
+        occ(t, "table").toLong, occ(t, "data").toLong))
+    }
+    val e1 = out.head
+    assert(e1.getLong(1) == docs.length.toLong) // w0=0 ⇒ all misclassified
+    (0 until 5).foreach { i =>
+      assert(e1.getLong(2 + i) == expected.map { case (y, x) => y * x(i) }.sum,
+        s"w$i")
+    }
+  }
+
+  test("q281 mechanism replays row-by-row and the estimator debiases") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q281_randomized_response")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // row-by-row replay of the deterministic mechanism
+    val reported = docs.map { case (id, lang) =>
+      val h = (id * 2654435761L) % 4294967296L
+      if (h % 4 != 0) lang else langs(((h / 4) % 5).toInt)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val trueCounts = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = docs.length.toDouble
+    langs.foreach { l =>
+      val (nTrue, nRep, est) = out(l)
+      assert(nTrue == trueCounts(l), s"$l true")
+      assert(nRep == reported(l), s"$l reported")
+      val want = BigDecimal((nRep - n / 20.0) / 0.75)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(est - want) < 1e-9, s"$l est=$est want=$want")
+      // utility: the debiased estimate lands nearer truth than the raw
+      // noisy count can drift — within 3·binomial-sd of the true count
+      val sd = math.sqrt(n * 0.25 * 0.75) / 0.75
+      assert(math.abs(est - nTrue) <= 3 * sd + 1, s"$l est=$est true=$nTrue")
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SeededGen
+
+/** The q280 UTF-8 scanner vs the JDK decoder (which implements the same
+  * Unicode §3.9 maximal-subpart U+FFFD substitution): on ANY byte sequence,
+  * `new String(bytes, UTF_8)` must contain exactly `scan(bytes)._1`
+  * codepoints with exactly `scan(bytes)._2` replacement chars. Plus the
+  * Unicode standard's own boundary vectors.
+  */
+class Utf8PropertySpec extends AnyFunSuite with SeededGen {
+
+  private def jdk(bytes: Array[Byte]): (Int, Int) = {
+    val s = new String(bytes, UTF_8)
+    (s.codePointCount(0, s.length), s.count(_ == '�'))
+  }
+
+  private def check(bytes: Array[Byte], label: String): Unit = {
+    val got = Encoding.scan(bytes)
+    val want = jdk(bytes)
+    assert(got == want,
+      s"$label: scan=$got jdk=$want bytes=${bytes.map(b => f"${b & 0xff}%02x").mkString(" ")}")
+  }
+
+  test("random byte soup matches the JDK decoder (300 seeded samples)") {
+    // the JDK's ONE documented deviation from Unicode §3.9 maximal
+    // subparts: a surrogate encoding ED A0..BF xx is consumed as a single
+    // malformed unit (1 U+FFFD) where the standard's Table 3-11 yields one
+    // replacement per byte (ED alone is the longest well-formed prefix).
+    // scan() follows the standard (asserted in the boundary-vector test),
+    // so the soup comparison scrubs that pattern into ED's valid range.
+    val g = Gen.choose(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 255)).map(_.map(_.toByte).toArray))
+    sample(g, 300, 0x9280L).zipWithIndex.foreach { case (b, i) =>
+      for (j <- 0 until b.length - 1)
+        if ((b(j) & 0xff) == 0xed && (b(j + 1) & 0xff) >= 0xa0 &&
+            (b(j + 1) & 0xff) <= 0xbf)
+          b(j + 1) = 0x80.toByte
+      check(b, s"soup#$i")
+    }
+  }
+
+  test("random WELL-FORMED BMP text round-trips with zero replacements") {
+    // BMP minus surrogates, minus U+FFFD itself
+    val cp = Gen.oneOf(
+      Gen.choose(0x20, 0x7f), Gen.choose(0x80, 0x7ff),
+      Gen.choose(0x800, 0xd7ff), Gen.choose(0xe000, 0xfffc))
+    val g = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, cp))
+    sample(g, 200, 0x9281L).zipWithIndex.foreach { case (cps, i) =>
+      val s = new String(cps.toArray, 0, cps.length)
+      val bytes = s.getBytes(UTF_8)
+      assert(Encoding.scan(bytes) == ((cps.length, 0)), s"clean#$i: $cps")
+    }
+  }
+
+  test("Unicode §3.9 boundary vectors (maximal subparts)") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // Table 3-8: C0 AF is two maximal subparts (C0 can never start)
+    check(b(0xc0, 0xaf), "overlong /")
+    // Table 3-9: truncated E1 80 before E2 — one subpart then one more
+    check(b(0xe1, 0x80, 0xe2, 0xf0, 0x91, 0x92, 0xf1, 0xbf, 0x41), "t3-9")
+    // Table 3-10: stray continuations — one subpart EACH
+    check(b(0x80, 0xbf, 0x80, 0x80), "stray continuations")
+    // Table 3-11: ED A0 80 (surrogate) — ED constrains byte 2 to 80..9F,
+    // so A0 is outside and ED alone is the subpart: THREE replacements
+    // per the standard (the JDK deviates here and emits one; asserted
+    // directly, not via jdk())
+    assert(Encoding.scan(b(0xed, 0xa0, 0x80)) == ((3, 3)), "surrogate")
+    assert(Encoding.scan(b(0xed, 0xa0, 0x80, 0xed, 0xbf, 0xbf)) == ((6, 6)),
+      "surrogate pair, Table 3-11's exact vector")
+    // lead at end of input: valid prefix truncated by EOF
+    check(b(0x41, 0xe2, 0x82), "truncated at EOF")
+    check(b(0xf4, 0x8f, 0xbf), "4-byte truncated at EOF")
+    // F4 90 would exceed U+10FFFF: F4 alone is the subpart
+    check(b(0xf4, 0x90, 0x80, 0x80), "beyond U+10FFFF")
+    // F5..FF can never appear
+    check(b(0xf5, 0x80, 0xfe, 0xff), "invalid leads")
+    // well-formed supplementary char for completeness (JDK counts 2 chars;
+    // scan counts 1 codepoint — verified directly, not via jdk())
+    assert(Encoding.scan(b(0xf0, 0x9f, 0x92, 0xa9)) == ((1, 0)))
+  }
+}
