@@ -588,6 +588,10 @@ object Layout {
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
           date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        // cluster by the partition column before the write: without this
+        // every input split spills a file per month it touches (splits ×
+        // months small files); with it each month lands in one task
+        .repartition(col("ship_month"))
         .write.mode("overwrite").partitionBy("ship_month").parquet(out)
       val fact = s.read.parquet(out)
       // runtime dim: months containing at least one urgent January order

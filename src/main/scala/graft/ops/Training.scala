@@ -208,5 +208,127 @@ object Training {
            |FROM t JOIN c USING (lang) CROSS JOIN n
            |ORDER BY lang""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q279PerceptronTrain, q281RandomizedResponse)
+  /** The Bradley-Terry MM iteration (Hunter 2004): given symmetric game
+    * counts n(i,j), win totals W(i), and current ratings w, one step is
+    * w'_i = W_i / Σ_j n_ij/(w_i + w_j), then normalize to mean 1.
+    * Deterministic iteration order (players ascending) so the trace is
+    * exactly replayable; extracted for TrainingSpec.
+    */
+  private[graft] def bradleyTerry(games: Map[(Int, Int), Long],
+      wins: Map[Int, Long], iters: Int): Map[Int, Double] = {
+    val players = games.keys.flatMap(p => Seq(p._1, p._2)).toSeq.distinct.sorted
+    var w = players.map(_ -> 1.0).toMap
+    for (_ <- 1 to iters) {
+      val u = players.map { i =>
+        val denom = players.filter(j => games.contains((i, j)))
+          .map(j => games((i, j)).toDouble / (w(i) + w(j))).sum
+        i -> wins.getOrElse(i, 0L).toDouble / denom
+      }.toMap
+      val s = players.map(u).sum
+      w = players.map(i => i -> u(i) * players.size / s).toMap
+    }
+    w
+  }
+
+  /** q283 — Bradley-Terry preference ranking: fit per-player skill from
+    * pairwise win/loss outcomes, the model behind preference-data curation
+    * (RLHF preference fits, LLM-arena leaderboards, annotator calibration).
+    * Battles are synthesized deterministically from lineitem: within each
+    * order, the line-1 and line-2 suppliers (mod 10 → 10 players) compete
+    * and the higher extended price wins (ties to the lower player id).
+    *
+    * Scale shape: the UNBOUNDED part — extracting and aggregating battles —
+    * is one keyed self-join on the order key (per-order fan-out = 1) plus
+    * a partial aggregate down to ≤ k² pair counts. The MM iteration then
+    * runs on that bounded k×k table (k = 10 here; the centroid-collect
+    * discipline — driver state never grows with data). Three iterations,
+    * ratings normalized to mean 1, rounded at 4 only at the output edge:
+    * pair counts are exact integers, so the only float divergence vs the
+    * oracle's unrolled-CTE replay is summation order at ~1e-15.
+    */
+  val q283BradleyTerry = GraftQuery(
+    "q283_bradley_terry",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          (col("l_suppkey") % 10).cast("int").as("p"), col("l_extendedprice").as("v"))
+      val a = li.filter(col("ln") === 1).select(col("ok"), col("p").as("pa"), col("v").as("va"))
+      val b = li.filter(col("ln") === 2).select(col("ok"), col("p").as("pb"), col("v").as("vb"))
+      val battles = a.join(b, "ok").filter(col("pa") =!= col("pb"))
+        .select(
+          when(col("va") > col("vb"), col("pa"))
+            .when(col("vb") > col("va"), col("pb"))
+            .otherwise(least(col("pa"), col("pb"))).as("winner"),
+          when(col("va") > col("vb"), col("pb"))
+            .when(col("vb") > col("va"), col("pa"))
+            .otherwise(greatest(col("pa"), col("pb"))).as("loser"))
+      val pairRows = battles.groupBy("winner", "loser")
+        .agg(count(lit(1)).as("c")).collect() // bounded ≤ k·(k−1) rows
+      val winPairs = pairRows.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val games = winPairs.foldLeft(Map.empty[(Int, Int), Long]) {
+        case (m, ((i, j), c)) =>
+          m.updated((i, j), m.getOrElse((i, j), 0L) + c)
+            .updated((j, i), m.getOrElse((j, i), 0L) + c)
+      }
+      val wins = winPairs.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val rating = bradleyTerry(games, wins, iters = 3)
+      val players = rating.keys.toSeq.sorted
+      val out = players.map { i =>
+        val g = games.collect { case ((a2, _), c) if a2 == i => c }.sum
+        Row(i, g, wins.getOrElse(i, 0L),
+          BigDecimal(rating(i)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      val schema = StructType(Seq(
+        StructField("player", IntegerType, nullable = false),
+        StructField("games", LongType, nullable = false),
+        StructField("wins", LongType, nullable = false),
+        StructField("rating", DoubleType, nullable = false)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("player")
+    },
+    Some("""WITH la AS (SELECT l_orderkey AS ok, CAST(l_suppkey % 10 AS INT) AS p,
+           |    l_extendedprice AS v FROM lineitem WHERE l_linenumber = 1),
+           |lb AS (SELECT l_orderkey AS ok, CAST(l_suppkey % 10 AS INT) AS p,
+           |    l_extendedprice AS v FROM lineitem WHERE l_linenumber = 2),
+           |b AS (SELECT
+           |    CASE WHEN la.v > lb.v THEN la.p WHEN lb.v > la.v THEN lb.p
+           |      ELSE least(la.p, lb.p) END AS winner,
+           |    CASE WHEN la.v > lb.v THEN lb.p WHEN lb.v > la.v THEN la.p
+           |      ELSE greatest(la.p, lb.p) END AS loser
+           |  FROM la JOIN lb USING (ok) WHERE la.p <> lb.p),
+           |pairs AS (SELECT winner, loser, count(*) AS c FROM b GROUP BY 1, 2),
+           |n AS (SELECT i, j, CAST(sum(c) AS BIGINT) AS g FROM (
+           |    SELECT winner AS i, loser AS j, c FROM pairs
+           |    UNION ALL SELECT loser, winner, c FROM pairs) GROUP BY 1, 2),
+           |w AS (SELECT winner AS i, CAST(sum(c) AS BIGINT) AS wi
+           |  FROM pairs GROUP BY 1),
+           |players AS (SELECT DISTINCT i FROM n),
+           |k AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM players),
+           |r0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS r FROM players),
+           |u1 AS (SELECT n.i,
+           |    coalesce(w.wi, 0) / sum(n.g / (ri.r + rj.r)) AS r
+           |  FROM n JOIN r0 ri ON n.i = ri.i JOIN r0 rj ON n.j = rj.i
+           |  LEFT JOIN w ON w.i = n.i GROUP BY n.i, w.wi),
+           |r1 AS (SELECT i, r * (SELECT k FROM k) / (SELECT sum(r) FROM u1) AS r FROM u1),
+           |u2 AS (SELECT n.i,
+           |    coalesce(w.wi, 0) / sum(n.g / (ri.r + rj.r)) AS r
+           |  FROM n JOIN r1 ri ON n.i = ri.i JOIN r1 rj ON n.j = rj.i
+           |  LEFT JOIN w ON w.i = n.i GROUP BY n.i, w.wi),
+           |r2 AS (SELECT i, r * (SELECT k FROM k) / (SELECT sum(r) FROM u2) AS r FROM u2),
+           |u3 AS (SELECT n.i,
+           |    coalesce(w.wi, 0) / sum(n.g / (ri.r + rj.r)) AS r
+           |  FROM n JOIN r2 ri ON n.i = ri.i JOIN r2 rj ON n.j = rj.i
+           |  LEFT JOIN w ON w.i = n.i GROUP BY n.i, w.wi),
+           |r3 AS (SELECT i, r * (SELECT k FROM k) / (SELECT sum(r) FROM u3) AS r FROM u3)
+           |SELECT players.i AS player,
+           |  (SELECT CAST(sum(g) AS BIGINT) FROM n WHERE n.i = players.i) AS games,
+           |  coalesce(w.wi, 0) AS wins,
+           |  round(r3.r, 4) AS rating
+           |FROM players LEFT JOIN w ON w.i = players.i
+           |JOIN r3 ON r3.i = players.i
+           |ORDER BY player""".stripMargin))
+
+  val all: Seq[GraftQuery] =
+    Seq(q279PerceptronTrain, q281RandomizedResponse, q283BradleyTerry)
 }
+

@@ -69,6 +69,25 @@ class TrainingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("Bradley-Terry MM recovers a planted skill ordering and fits " +
+    "closed-form two-player odds") {
+    // two players, 30 battles: A wins 20. The stationary point of the MM
+    // iteration satisfies w_A/w_B = 20/10 = 2, and with mean-1
+    // normalization that is w_A = 4/3, w_B = 2/3.
+    val g2 = Map((0, 1) -> 30L, (1, 0) -> 30L)
+    val r2 = Training.bradleyTerry(g2, Map(0 -> 20L, 1 -> 10L), iters = 50)
+    assert(math.abs(r2(0) - 4.0 / 3) < 1e-9 && math.abs(r2(1) - 2.0 / 3) < 1e-9, r2)
+    // three players with a planted strength order 2 > 1 > 0 from
+    // consistent head-to-head records must rank in that order
+    val g3 = Map((0, 1) -> 20L, (1, 0) -> 20L, (1, 2) -> 20L, (2, 1) -> 20L,
+      (0, 2) -> 20L, (2, 0) -> 20L)
+    val r3 = Training.bradleyTerry(g3,
+      Map(0 -> 9L, 1 -> 23L, 2 -> 28L), iters = 30)
+    assert(r3(2) > r3(1) && r3(1) > r3(0), r3)
+    // ratings stay normalized to mean 1
+    assert(math.abs(r3.values.sum / 3 - 1.0) < 1e-9)
+  }
+
   test("q281 mechanism replays row-by-row and the estimator debiases") {
     val sf = "/root/testdata/sf0.001"
     val out = graft.SparkEntry.queries("q281_randomized_response")(spark, sf)
