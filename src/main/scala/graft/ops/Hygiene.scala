@@ -368,7 +368,67 @@ object Hygiene {
            |   WHERE user_id % 100 <> 7) AS rows_after,
            |  CAST(0 AS BIGINT) AS residue""".stripMargin))
 
+  /** q285 — contrastive negative sampling: for every anchor document, pick
+    * k = 3 deterministic hard-ish negatives from OTHER sources, the pair
+    * generator behind contrastive/embedding training (in-batch negatives
+    * replaced by corpus-level mining). Candidates come from the anchor's
+    * hash bucket (16 buckets), so the join fan-out per anchor is corpus/16
+    * within the bucket but the SELECTION is a per-anchor rank ≤ 3 window —
+    * which Spark plans as WindowGroupLimit: each task keeps 3 rows per
+    * anchor BEFORE the shuffle, so the unbounded candidate stream never
+    * materializes past the map side. The pair order is a deterministic
+    * integer mix of (anchor, candidate) ids, replayed exactly by the
+    * oracle; a real pipeline swaps the mix for semantic distance and keeps
+    * the identical plan shape.
+    *
+    * 100 TB note: bucket count scales with corpus (buckets ~ n/constant)
+    * to bound within-bucket candidates; the WindowGroupLimit + equi-join
+    * shape is invariant in that constant.
+    */
+  val q285NegativeSampling = GraftQuery(
+    "q285_negative_sampling",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val M = 2147483647L
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          ((col("doc_id") * 1103515245L + 12345L) % M % 16L).as("bucket"))
+      val anchors = docs.select(col("doc_id").as("a_id"),
+        col("source").as("a_src"), col("bucket"))
+      val cands = docs.select(col("doc_id").as("c_id"),
+        col("source").as("c_src"), col("bucket"))
+      val mix = ((col("a_id") * 1103515245L + col("c_id")) % M * 784588716L
+        + 11L) % M
+      val pairs = anchors.join(cands, "bucket")
+        .filter(col("a_src") =!= col("c_src"))
+        .withColumn("h", mix)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("a_id")).orderBy(col("h"), col("c_id"))))
+        .filter(col("rk") <= 3)
+      pairs.groupBy(col("a_id"), col("a_src"))
+        .agg(
+          count(lit(1)).as("n_negatives"),
+          array_join(transform(array_sort(collect_list(col("c_id"))),
+            _.cast("string")), ",").as("negative_ids"),
+          countDistinct(col("c_src")).as("n_neg_sources"))
+        .orderBy("a_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+           |    (doc_id * 1103515245 + 12345) % 2147483647 % 16 AS bucket
+           |  FROM documents),
+           |p AS (SELECT a.doc_id AS a_id, a.source AS a_src,
+           |    c.doc_id AS c_id, c.source AS c_src,
+           |    ((a.doc_id * 1103515245 + c.doc_id) % 2147483647
+           |      * 784588716 + 11) % 2147483647 AS h
+           |  FROM d a JOIN d c USING (bucket) WHERE a.source <> c.source),
+           |r AS (SELECT *, row_number() OVER
+           |    (PARTITION BY a_id ORDER BY h, c_id) AS rk FROM p)
+           |SELECT a_id, a_src, CAST(count(*) AS BIGINT) AS n_negatives,
+           |  array_to_string(list_sort(list(c_id)), ',') AS negative_ids,
+           |  count(DISTINCT c_src) AS n_neg_sources
+           |FROM r WHERE rk <= 3 GROUP BY 1, 2 ORDER BY a_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q99PiiRedact, q100Contamination, q101Repetition,
     q185UrlCanonical, q202KAnonymity, q224GeneralizationLadder,
-    q240RightToErasure)
+    q240RightToErasure, q285NegativeSampling)
 }

@@ -621,9 +621,60 @@ object Layout {
            |    AND month(o_orderdate) = 1)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** q284 — content-addressed dataset fingerprint: a Merkle-style digest
+    * manifest that lets two replicas (or two versions) of a 100 TB table
+    * prove equality bucket by bucket WITHOUT moving data — compare 64
+    * digest rows instead of re-reading either side, and a mismatched
+    * bucket localizes the diff to 1/64 of the table. Per-row hashes fold
+    * into per-bucket digests with XOR, which is ORDER-INDEPENDENT — the
+    * digest is stable under repartitioning, task reordering, and file
+    * compaction, exactly what a storage-layout-insensitive content check
+    * needs (and why a naive concat-then-hash is wrong at scale).
+    *
+    * The row hash is an integer LCG mix of the row's canonical integer
+    * form (prices in exact cents), kept below 2^62 at every step so the
+    * oracle replays it in overflow-checked BIGINT arithmetic; a production
+    * deployment swaps in a 128-bit hash Expression, same plan. Shape: one
+    * scan → partial XOR/count/sum per bucket → 64 rows.
+    */
+  val q284DatasetFingerprint = GraftQuery(
+    "q284_dataset_fingerprint",
+    (s, dir) => {
+      val M = 2147483647L // 2^31 - 1: keeps every product below 2^62
+      def mixStep(acc: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (acc * 1103515245L % M + v) % M
+      val rowH = mixStep(mixStep(mixStep(
+        col("l_orderkey") % M,
+        col("l_linenumber").cast("long")),
+        col("l_quantity").cast("long")),
+        round(col("l_extendedprice") * 100, 0).cast("long"))
+      Tables.lineitem(s, dir)
+        .select((col("l_orderkey") % 64).as("bucket"), rowH.as("h"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("digest"),
+          (sum(col("h") % 1000003L) % 1000003L).as("checksum"))
+        .orderBy("bucket")
+    },
+    Some("""WITH r AS (SELECT l_orderkey % 64 AS bucket,
+           |    ((((l_orderkey % 2147483647) * 1103515245
+           |        % 2147483647 + l_linenumber)
+           |      % 2147483647 * 1103515245
+           |        % 2147483647 + CAST(l_quantity AS BIGINT))
+           |      % 2147483647 * 1103515245
+           |        % 2147483647
+           |        + CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+           |      % 2147483647 AS h
+           |  FROM lineitem)
+           |SELECT bucket, count(*) AS n_rows,
+           |  CAST(bit_xor(h) AS BIGINT) AS digest,
+           |  CAST(sum(h % 1000003) % 1000003 AS BIGINT) AS checksum
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q83TextSource, q84PartitionedWrite,
     q85BucketedJoin, q86SchemaEvolution, q93ZOrder, q102NumbersSource,
     q105V2SinkRoundtrip, q180HilbertLayout, q187CompactionPlan,
     q225WriteAuditPublish, q249TieringPlan, q263OrphanGc,
-    q282DynamicPartitionPruning)
+    q282DynamicPartitionPruning, q284DatasetFingerprint)
 }

@@ -253,6 +253,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q285: the per-anchor top-3 is a WindowGroupLimit over a keyed join") {
+    val p = plan("q285_negative_sampling")
+    // candidates come from a bucket equi-join and the rank<=3 must prune
+    // map-side — losing either turns negative mining into an n² shuffle
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q284: the fingerprint is one scan into a partial aggregate") {
+    val p = plan("q284_dataset_fingerprint")
+    // digest/count/checksum must combine map-side (partial_*) — the whole
+    // point of the XOR fold is that per-bucket state is O(1) per task
+    assert(p.contains("partial_bit_xor") || p.contains("partial bit_xor"),
+      p.take(2000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+  }
+
   test("q138: batch aggregation reuses the stream window's partitioning") {
     val p = plan("q138_length_batches")
     // one (bucket, shard) exchange feeds BOTH the window and the batch
