@@ -390,15 +390,18 @@ object Hygiene {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val M = 2147483647L
+      // ids reduce mod M BEFORE any multiply so every product stays under
+      // 2^62 at ANY id range — int64 overflow wraps silently in Spark but
+      // errors in other engines, so the mix must never reach it
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
-          ((col("doc_id") * 1103515245L + 12345L) % M % 16L).as("bucket"))
+          (col("doc_id") % M * 1103515245L % M % 16L).as("bucket"))
       val anchors = docs.select(col("doc_id").as("a_id"),
         col("source").as("a_src"), col("bucket"))
       val cands = docs.select(col("doc_id").as("c_id"),
         col("source").as("c_src"), col("bucket"))
-      val mix = ((col("a_id") * 1103515245L + col("c_id")) % M * 784588716L
-        + 11L) % M
+      val mix = ((col("a_id") % M * 1103515245L % M + col("c_id") % M) % M
+        * 784588716L + 11L) % M
       val pairs = anchors.join(cands, "bucket")
         .filter(col("a_src") =!= col("c_src"))
         .withColumn("h", mix)
@@ -414,11 +417,12 @@ object Hygiene {
         .orderBy("a_id")
     },
     Some("""WITH d AS (SELECT doc_id, source,
-           |    (doc_id * 1103515245 + 12345) % 2147483647 % 16 AS bucket
+           |    doc_id % 2147483647 * 1103515245 % 2147483647 % 16 AS bucket
            |  FROM documents),
            |p AS (SELECT a.doc_id AS a_id, a.source AS a_src,
            |    c.doc_id AS c_id, c.source AS c_src,
-           |    ((a.doc_id * 1103515245 + c.doc_id) % 2147483647
+           |    ((a.doc_id % 2147483647 * 1103515245 % 2147483647
+           |        + c.doc_id % 2147483647) % 2147483647
            |      * 784588716 + 11) % 2147483647 AS h
            |  FROM d a JOIN d c USING (bucket) WHERE a.source <> c.source),
            |r AS (SELECT *, row_number() OVER

@@ -163,7 +163,7 @@ object Training {
     *
     * The "coin" is a deterministic Knuth multiplicative hash of doc_id so
     * the oracle replays the mechanism exactly in integer arithmetic: h =
-    * (doc_id · 2654435761) mod 2^32; keep when h mod 4 ≠ 0, else report
+    * ((doc_id mod 2^31−1) · 2654435761) mod 2^32; keep when h mod 4 ≠ 0, else report
     * category (h div 4) mod 5. Scale shape: one scan → k-row partial agg
     * for the noisy counts, one scan → k-row agg for the true counts (shown
     * for utility-loss audit only — a real release drops that branch), a
@@ -176,7 +176,10 @@ object Training {
     (s, dir) => {
       val langs = Seq("de", "en", "es", "fr", "zh")
       val docs = Tables.documents(s, dir).select("doc_id", "lang")
-      val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+      // reduce the id below 2^31 BEFORE the Knuth multiply so the product
+      // stays under 2^63 at any id range (int64 overflow wraps silently
+      // here but errors in overflow-checked engines)
+      val h = (col("doc_id") % 2147483647L * lit(2654435761L)) % lit(4294967296L)
       val idx = floor(h / 4L).cast("long") % 5L
       val reported = when(h % 4L =!= 0L, col("lang"))
         .otherwise(element_at(array(langs.map(lit): _*), (idx + 1L).cast("int")))
@@ -192,7 +195,8 @@ object Training {
         .orderBy("lang")
     },
     Some("""WITH r AS (
-           |  SELECT lang, (doc_id * 2654435761) % 4294967296 AS h
+           |  SELECT lang,
+           |    (doc_id % 2147483647 * 2654435761) % 4294967296 AS h
            |  FROM documents),
            |rep AS (
            |  SELECT CASE WHEN h % 4 <> 0 THEN lang

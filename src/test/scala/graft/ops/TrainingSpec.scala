@@ -99,7 +99,7 @@ class TrainingSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getString(1)))
     // row-by-row replay of the deterministic mechanism
     val reported = docs.map { case (id, lang) =>
-      val h = (id * 2654435761L) % 4294967296L
+      val h = (id % 2147483647L * 2654435761L) % 4294967296L
       if (h % 4 != 0) lang else langs(((h / 4) % 5).toInt)
     }.groupBy(identity).view.mapValues(_.length.toLong).toMap
     val trueCounts = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
