@@ -672,9 +672,99 @@ object Layout {
            |  CAST(sum(h % 1000003) % 1000003 AS BIGINT) AS checksum
            |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** q286 — replica diff localization, the operational payoff of q284's
+    * fingerprint: given a primary and a drifted replica (three rows
+    * corrupted in transit, synthesized deterministically), compare the 64
+    * bucket digests first, then run the expensive row-level anti-join ONLY
+    * inside the buckets whose digests disagree. At 100 TB that turns "diff
+    * two tables" from a full-table shuffle into a 64-row digest compare
+    * plus a repair read over ~3/64ths of the data — the digest manifest is
+    * the pruning predicate. The bucket filter is a broadcast semi-join
+    * from the ≤64-row mismatch frame, so the diff scan prunes map-side.
+    *
+    * Output: per mismatched bucket, the digest delta and the count + key
+    * sum of rows that differ (found by the within-bucket anti-join on the
+    * full row hash) — enough for a repair job to fetch exactly those rows.
+    */
+  val q286ReplicaDiff = GraftQuery(
+    "q286_replica_diff",
+    (s, dir) => {
+      val M = 2147483647L
+      def mixStep(acc: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+        (acc * 1103515245L % M + v) % M
+      def hashed(df: org.apache.spark.sql.DataFrame) = df.select(
+        (col("l_orderkey") % 64).as("bucket"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        mixStep(mixStep(mixStep(
+          col("l_orderkey") % M,
+          col("l_linenumber").cast("long")),
+          col("l_quantity").cast("long")),
+          round(col("l_extendedprice") * 100, 0).cast("long")).as("h"))
+      val primary = hashed(Tables.lineitem(s, dir))
+      // the drifted replica: three deterministic rows took a +1 quantity
+      // hit in transit. Orderkeys 7/135/263 are all ≡ 7 mod 64 — one
+      // bucket carries all three diffs, the other 63 must prune away
+      val replica = hashed(
+        Tables.lineitem(s, dir).withColumn("l_quantity",
+          when(col("l_linenumber") === 1 &&
+            (col("l_orderkey") === 7L || col("l_orderkey") === 135L ||
+              col("l_orderkey") === 263L),
+            col("l_quantity") + 1).otherwise(col("l_quantity"))))
+      def digest(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("bucket").agg(expr("bit_xor(h)").as("d"))
+      val mism = digest(primary).as("p")
+        .join(digest(replica).as("r"), Seq("bucket"))
+        .filter(col("p.d") =!= col("r.d"))
+        .select(col("bucket"), col("p.d").as("d_primary"), col("r.d").as("d_replica"))
+      // row-level diff ONLY inside mismatched buckets: semi-join the ≤64-row
+      // mismatch frame (broadcastable at any scale), then anti-join replica
+      // hashes against primary hashes on the full (key, hash) identity
+      val scoped = replica.join(broadcast(mism.select("bucket")), Seq("bucket"),
+        "left_semi")
+      val drifted = scoped.join(primary,
+        Seq("bucket", "ok", "ln", "h"), "left_anti")
+      drifted.groupBy("bucket")
+        .agg(count(lit(1)).as("n_drifted"), sum("ok").as("key_sum"))
+        .join(mism, Seq("bucket"))
+        .select("bucket", "n_drifted", "key_sum", "d_primary", "d_replica")
+        .orderBy("bucket")
+    },
+    // closed form: the three planted rows all land in bucket 7 (7, 135 and
+    // 263 are ≡ 7 mod 64), so exactly one bucket reports exactly them —
+    // but the digests must come from the real XOR fold over the bucket
+    Some("""WITH r AS (SELECT l_orderkey % 64 AS bucket, l_orderkey AS ok,
+           |    ((((l_orderkey % 2147483647) * 1103515245
+           |        % 2147483647 + l_linenumber)
+           |      % 2147483647 * 1103515245
+           |        % 2147483647 + CAST(l_quantity AS BIGINT))
+           |      % 2147483647 * 1103515245
+           |        % 2147483647
+           |        + CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+           |      % 2147483647 AS h,
+           |    ((((l_orderkey % 2147483647) * 1103515245
+           |        % 2147483647 + l_linenumber)
+           |      % 2147483647 * 1103515245
+           |        % 2147483647 + CAST(l_quantity AS BIGINT)
+           |        + CASE WHEN l_linenumber = 1 AND l_orderkey IN (7, 135, 263)
+           |          THEN 1 ELSE 0 END)
+           |      % 2147483647 * 1103515245
+           |        % 2147483647
+           |        + CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+           |      % 2147483647 AS h2
+           |  FROM lineitem),
+           |d AS (SELECT bucket, CAST(bit_xor(h) AS BIGINT) AS d_primary,
+           |    CAST(bit_xor(h2) AS BIGINT) AS d_replica,
+           |    CAST(sum(CASE WHEN h <> h2 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_drifted,
+           |    CAST(sum(CASE WHEN h <> h2 THEN ok ELSE 0 END) AS BIGINT)
+           |      AS key_sum
+           |  FROM r GROUP BY 1)
+           |SELECT bucket, n_drifted, key_sum, d_primary, d_replica
+           |FROM d WHERE d_primary <> d_replica ORDER BY bucket""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q83TextSource, q84PartitionedWrite,
     q85BucketedJoin, q86SchemaEvolution, q93ZOrder, q102NumbersSource,
     q105V2SinkRoundtrip, q180HilbertLayout, q187CompactionPlan,
     q225WriteAuditPublish, q249TieringPlan, q263OrphanGc,
-    q282DynamicPartitionPruning, q284DatasetFingerprint)
+    q282DynamicPartitionPruning, q284DatasetFingerprint, q286ReplicaDiff)
 }

@@ -271,6 +271,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p.take(2000))
   }
 
+  test("q286: the row-level diff is scoped by a broadcast semi-join on " +
+    "the mismatched-bucket frame") {
+    val p = plan("q286_replica_diff")
+    // the ≤64-row digest-mismatch frame must broadcast and semi-join the
+    // replica scan BEFORE the expensive row anti-join — that's the pruning
+    // that keeps a 100 TB diff from shuffling both tables in full
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q138: batch aggregation reuses the stream window's partitioning") {
     val p = plan("q138_length_batches")
     // one (bucket, shard) exchange feeds BOTH the window and the batch
