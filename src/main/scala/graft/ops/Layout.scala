@@ -637,19 +637,29 @@ object Layout {
     * deployment swaps in a 128-bit hash Expression, same plan. Shape: one
     * scan → partial XOR/count/sum per bucket → 64 rows.
     */
+  /** 2^31 − 1: reducing mod FP_M before every multiply keeps each product
+    * below 2^62, so the mix never overflows int64 in ANY engine. */
+  private val FP_M = 2147483647L
+
+  private def mixStep(acc: org.apache.spark.sql.Column,
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (acc * 1103515245L % FP_M + v) % FP_M
+
+  /** The canonical lineitem row hash shared by q284 (fingerprint) and q286
+    * (replica diff) — ONE definition so the diff's digest compare can never
+    * drift from the manifest it claims to read. */
+  private def lineitemRowHash: org.apache.spark.sql.Column =
+    mixStep(mixStep(mixStep(
+      col("l_orderkey") % FP_M,
+      col("l_linenumber").cast("long")),
+      col("l_quantity").cast("long")),
+      round(col("l_extendedprice") * 100, 0).cast("long"))
+
   val q284DatasetFingerprint = GraftQuery(
     "q284_dataset_fingerprint",
     (s, dir) => {
-      val M = 2147483647L // 2^31 - 1: keeps every product below 2^62
-      def mixStep(acc: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        (acc * 1103515245L % M + v) % M
-      val rowH = mixStep(mixStep(mixStep(
-        col("l_orderkey") % M,
-        col("l_linenumber").cast("long")),
-        col("l_quantity").cast("long")),
-        round(col("l_extendedprice") * 100, 0).cast("long"))
       Tables.lineitem(s, dir)
-        .select((col("l_orderkey") % 64).as("bucket"), rowH.as("h"))
+        .select((col("l_orderkey") % 64).as("bucket"), lineitemRowHash.as("h"))
         .groupBy("bucket")
         .agg(
           count(lit(1)).as("n_rows"),
@@ -673,37 +683,35 @@ object Layout {
            |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** q286 — replica diff localization, the operational payoff of q284's
-    * fingerprint: given a primary and a drifted replica (three rows
-    * corrupted in transit, synthesized deterministically), compare the 64
-    * bucket digests first, then run the expensive row-level anti-join ONLY
-    * inside the buckets whose digests disagree. At 100 TB that turns "diff
-    * two tables" from a full-table shuffle into a 64-row digest compare
-    * plus a repair read over ~3/64ths of the data — the digest manifest is
-    * the pruning predicate. The bucket filter is a broadcast semi-join
-    * from the ≤64-row mismatch frame, so the diff scan prunes map-side.
+    * fingerprint: given a primary and a drifted replica (rows corrupted in
+    * transit, synthesized deterministically), compare the 64 bucket
+    * digests first, then run the expensive row-level diff ONLY inside the
+    * buckets whose digests disagree. At 100 TB that turns "diff two
+    * tables" from a full-table shuffle into a 64-row digest compare plus a
+    * repair read over the drifted fraction of BOTH sides — each side's
+    * scan semi-joins the broadcast ≤64-row mismatch frame before anything
+    * row-level happens, so untouched buckets never leave the map side.
     *
-    * Output: per mismatched bucket, the digest delta and the count + key
-    * sum of rows that differ (found by the within-bucket anti-join on the
-    * full row hash) — enough for a repair job to fetch exactly those rows.
+    * The row diff is a MULTISET count compare on the full (key, row-hash)
+    * identity — (l_orderkey, l_linenumber) is not unique in this fixture,
+    * and count-diff semantics stay correct under duplicate identities and
+    * even under hash coincidences between a drifted row and an existing
+    * one (where an anti-join would silently undercount). The oracle
+    * replays the same multiset algebra. Output: per mismatched bucket,
+    * both digests plus the drifted-row count and key sum — what a repair
+    * job needs to fetch exactly the bad rows.
     */
   val q286ReplicaDiff = GraftQuery(
     "q286_replica_diff",
     (s, dir) => {
-      val M = 2147483647L
-      def mixStep(acc: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
-        (acc * 1103515245L % M + v) % M
       def hashed(df: org.apache.spark.sql.DataFrame) = df.select(
         (col("l_orderkey") % 64).as("bucket"),
         col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
-        mixStep(mixStep(mixStep(
-          col("l_orderkey") % M,
-          col("l_linenumber").cast("long")),
-          col("l_quantity").cast("long")),
-          round(col("l_extendedprice") * 100, 0).cast("long")).as("h"))
+        lineitemRowHash.as("h"))
       val primary = hashed(Tables.lineitem(s, dir))
-      // the drifted replica: three deterministic rows took a +1 quantity
-      // hit in transit. Orderkeys 7/135/263 are all ≡ 7 mod 64 — one
-      // bucket carries all three diffs, the other 63 must prune away
+      // the drifted replica: every line-1 row of orderkeys 7/135/263 took
+      // a +1 quantity hit in transit. All three keys are ≡ 7 mod 64 — one
+      // bucket carries every diff, the other 63 must prune away
       val replica = hashed(
         Tables.lineitem(s, dir).withColumn("l_quantity",
           when(col("l_linenumber") === 1 &&
@@ -716,23 +724,26 @@ object Layout {
         .join(digest(replica).as("r"), Seq("bucket"))
         .filter(col("p.d") =!= col("r.d"))
         .select(col("bucket"), col("p.d").as("d_primary"), col("r.d").as("d_replica"))
-      // row-level diff ONLY inside mismatched buckets: semi-join the ≤64-row
-      // mismatch frame (broadcastable at any scale), then anti-join replica
-      // hashes against primary hashes on the full (key, hash) identity
-      val scoped = replica.join(broadcast(mism.select("bucket")), Seq("bucket"),
-        "left_semi")
-      val drifted = scoped.join(primary,
-        Seq("bucket", "ok", "ln", "h"), "left_anti")
+      // BOTH sides prune to mismatched buckets before the row-level work
+      val mismBuckets = mism.select("bucket")
+      def scoped(df: org.apache.spark.sql.DataFrame) =
+        df.join(broadcast(mismBuckets), Seq("bucket"), "left_semi")
+          .groupBy("bucket", "ok", "ln", "h").agg(count(lit(1)).as("c"))
+      val drifted = scoped(replica).withColumnRenamed("c", "c2")
+        .join(scoped(primary).withColumnRenamed("c", "c1"),
+          Seq("bucket", "ok", "ln", "h"), "left")
+        .withColumn("dd", col("c2") - coalesce(col("c1"), lit(0L)))
+        .filter(col("dd") > 0)
       drifted.groupBy("bucket")
-        .agg(count(lit(1)).as("n_drifted"), sum("ok").as("key_sum"))
+        .agg(sum("dd").as("n_drifted"), sum(col("ok") * col("dd")).as("key_sum"))
         .join(mism, Seq("bucket"))
         .select("bucket", "n_drifted", "key_sum", "d_primary", "d_replica")
         .orderBy("bucket")
     },
-    // closed form: the three planted rows all land in bucket 7 (7, 135 and
-    // 263 are ≡ 7 mod 64), so exactly one bucket reports exactly them —
-    // but the digests must come from the real XOR fold over the bucket
+    // the oracle carries both hashes per ROW and replays the multiset
+    // count-diff exactly; the digests come from the real XOR folds
     Some("""WITH r AS (SELECT l_orderkey % 64 AS bucket, l_orderkey AS ok,
+           |    l_linenumber AS ln,
            |    ((((l_orderkey % 2147483647) * 1103515245
            |        % 2147483647 + l_linenumber)
            |      % 2147483647 * 1103515245
@@ -752,15 +763,23 @@ object Layout {
            |        + CAST(round(l_extendedprice * 100, 0) AS BIGINT))
            |      % 2147483647 AS h2
            |  FROM lineitem),
-           |d AS (SELECT bucket, CAST(bit_xor(h) AS BIGINT) AS d_primary,
-           |    CAST(bit_xor(h2) AS BIGINT) AS d_replica,
-           |    CAST(sum(CASE WHEN h <> h2 THEN 1 ELSE 0 END) AS BIGINT)
-           |      AS n_drifted,
-           |    CAST(sum(CASE WHEN h <> h2 THEN ok ELSE 0 END) AS BIGINT)
-           |      AS key_sum
-           |  FROM r GROUP BY 1)
-           |SELECT bucket, n_drifted, key_sum, d_primary, d_replica
-           |FROM d WHERE d_primary <> d_replica ORDER BY bucket""".stripMargin))
+           |dig AS (SELECT bucket, CAST(bit_xor(h) AS BIGINT) AS d_primary,
+           |    CAST(bit_xor(h2) AS BIGINT) AS d_replica
+           |  FROM r GROUP BY 1),
+           |mism AS (SELECT * FROM dig WHERE d_primary <> d_replica),
+           |rep AS (SELECT bucket, ok, ln, h2 AS h, count(*) AS c2
+           |  FROM r WHERE bucket IN (SELECT bucket FROM mism) GROUP BY 1, 2, 3, 4),
+           |pri AS (SELECT bucket, ok, ln, h, count(*) AS c1
+           |  FROM r WHERE bucket IN (SELECT bucket FROM mism) GROUP BY 1, 2, 3, 4),
+           |diff AS (SELECT rep.bucket, rep.ok,
+           |    rep.c2 - coalesce(pri.c1, 0) AS dd
+           |  FROM rep LEFT JOIN pri ON rep.bucket = pri.bucket
+           |    AND rep.ok = pri.ok AND rep.ln = pri.ln AND rep.h = pri.h
+           |  WHERE rep.c2 - coalesce(pri.c1, 0) > 0)
+           |SELECT mism.bucket, CAST(sum(dd) AS BIGINT) AS n_drifted,
+           |  CAST(sum(ok * dd) AS BIGINT) AS key_sum, d_primary, d_replica
+           |FROM diff JOIN mism ON diff.bucket = mism.bucket
+           |GROUP BY 1, 4, 5 ORDER BY 1""".stripMargin))
 
   val all: Seq[GraftQuery] = Seq(q83TextSource, q84PartitionedWrite,
     q85BucketedJoin, q86SchemaEvolution, q93ZOrder, q102NumbersSource,

@@ -186,7 +186,8 @@ object Training {
       val noisy = docs.select(reported.as("lang"))
         .groupBy("lang").agg(count(lit(1)).as("n_reported"))
       val truth = docs.groupBy("lang").agg(count(lit(1)).as("n_true"))
-      val total = docs.agg(count(lit(1)).as("n"))
+      // n derives from the k-row truth frame — no third corpus scan
+      val total = truth.agg(sum("n_true").as("n"))
       truth.join(noisy, "lang").crossJoin(total)
         .select(
           col("lang"), col("n_true"), col("n_reported"),
@@ -242,7 +243,9 @@ object Training {
     * and the higher extended price wins (ties to the lower player id).
     *
     * Scale shape: the UNBOUNDED part — extracting and aggregating battles —
-    * is one keyed self-join on the order key (per-order fan-out = 1) plus
+    * is one keyed self-join on the order key (per-order fan-out = the
+    * line-1 × line-2 duplicate product, bounded by the per-order line
+    * count — (orderkey, linenumber) is NOT unique in this fixture) plus
     * a partial aggregate down to ≤ k² pair counts. The MM iteration then
     * runs on that bounded k×k table (k = 10 here; the centroid-collect
     * discipline — driver state never grows with data). Three iterations,

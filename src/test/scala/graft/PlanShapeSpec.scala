@@ -271,14 +271,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p.take(2000))
   }
 
-  test("q286: the row-level diff is scoped by a broadcast semi-join on " +
-    "the mismatched-bucket frame") {
+  test("q286: BOTH replica and primary scans are scoped by broadcast " +
+    "semi-joins on the mismatched-bucket frame") {
     val p = plan("q286_replica_diff")
-    // the ≤64-row digest-mismatch frame must broadcast and semi-join the
-    // replica scan BEFORE the expensive row anti-join — that's the pruning
-    // that keeps a 100 TB diff from shuffling both tables in full
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
-      p.take(3000))
+    // the ≤64-row digest-mismatch frame must broadcast and semi-join BOTH
+    // sides BEFORE the row-level count diff — pruning only one side still
+    // shuffles a full table at 100 TB (the round-9 review catch)
+    val semis = "LeftSemi".r.findAllIn(p).length
+    assert(semis >= 2, s"expected 2 semi-join prunes, got $semis\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 

@@ -37,10 +37,16 @@ class Utf8PropertySpec extends AnyFunSuite with SeededGen {
     val g = Gen.choose(0, 64).flatMap(n =>
       Gen.listOfN(n, Gen.choose(0, 255)).map(_.map(_.toByte).toArray))
     sample(g, 300, 0x9280L).zipWithIndex.foreach { case (b, i) =>
-      for (j <- 0 until b.length - 1)
+      for (j <- 0 until b.length - 1) {
         if ((b(j) & 0xff) == 0xed && (b(j + 1) & 0xff) >= 0xa0 &&
             (b(j + 1) & 0xff) <= 0xbf)
           b(j + 1) = 0x80.toByte
+        // a LITERAL well-formed U+FFFD (EF BF BD) would also fool jdk()'s
+        // replacement counting — bend it to U+FFFE (still well-formed)
+        if (j + 2 < b.length && (b(j) & 0xff) == 0xef &&
+            (b(j + 1) & 0xff) == 0xbf && (b(j + 2) & 0xff) == 0xbd)
+          b(j + 2) = 0xbe.toByte
+      }
       check(b, s"soup#$i")
     }
   }
