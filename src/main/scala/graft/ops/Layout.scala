@@ -781,9 +781,77 @@ object Layout {
            |FROM diff JOIN mism ON diff.bucket = mism.bucket
            |GROUP BY 1, 4, 5 ORDER BY 1""".stripMargin))
 
+  /** q287 — incremental fingerprint maintenance: the property that makes
+    * q284's XOR-fold manifest operationally cheap on append-only corpora.
+    * Because XOR is associative/commutative with identity 0, the digest of
+    * a disjoint union is the XOR of the digests: manifest(base ∪ delta) =
+    * manifest(base) ⊕ manifest(delta). So an ingest batch updates a 100 TB
+    * table's manifest by scanning ONLY the batch — O(delta), no base
+    * rescan — and this query PROVES it: it computes the merged manifest
+    * (base digests ⊕ delta digests through a full outer join on bucket)
+    * and the from-scratch full-table manifest, and emits a per-bucket
+    * equality flag the oracle requires to be uniformly true.
+    *
+    * base/delta split: orderkeys ≡ 0 mod 97 are "today's appended batch"
+    * (~1% of rows, hitting every bucket).
+    */
+  val q287FingerprintMerge = GraftQuery(
+    "q287_fingerprint_merge",
+    (s, dir) => {
+      def manifest(df: org.apache.spark.sql.DataFrame) = df
+        .select((col("l_orderkey") % 64).as("bucket"), lineitemRowHash.as("h"))
+        .groupBy("bucket")
+        .agg(expr("bit_xor(h)").as("d"), count(lit(1)).as("n"))
+      val li = Tables.lineitem(s, dir)
+      val base = manifest(li.filter(col("l_orderkey") % 97 =!= 0))
+        .withColumnRenamed("d", "d_base").withColumnRenamed("n", "n_base")
+      val delta = manifest(li.filter(col("l_orderkey") % 97 === 0))
+        .withColumnRenamed("d", "d_delta").withColumnRenamed("n", "n_delta")
+      val full = manifest(li)
+        .withColumnRenamed("d", "d_full").withColumnRenamed("n", "n_full")
+      // O(delta) maintenance: merge the two bounded manifests (≤64 rows
+      // each), XOR digests, sum counts — a bucket absent from one side
+      // contributes the XOR identity 0
+      val merged = base.join(delta, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          (coalesce(col("d_base"), lit(0L))
+            .bitwiseXOR(coalesce(col("d_delta"), lit(0L)))).as("d_merged"),
+          (coalesce(col("n_base"), lit(0L)) +
+            coalesce(col("n_delta"), lit(0L))).as("n_merged"))
+      merged.join(full, Seq("bucket"))
+        .select(col("bucket"), col("n_merged"), col("d_merged"), col("d_full"),
+          (col("d_merged") === col("d_full") && col("n_merged") === col("n_full"))
+            .as("merge_exact"))
+        .orderBy("bucket")
+    },
+    Some("""WITH r AS (SELECT l_orderkey % 64 AS bucket,
+           |    l_orderkey % 97 = 0 AS is_delta,
+           |    ((((l_orderkey % 2147483647) * 1103515245
+           |        % 2147483647 + l_linenumber)
+           |      % 2147483647 * 1103515245
+           |        % 2147483647 + CAST(l_quantity AS BIGINT))
+           |      % 2147483647 * 1103515245
+           |        % 2147483647
+           |        + CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+           |      % 2147483647 AS h
+           |  FROM lineitem),
+           |m AS (SELECT bucket,
+           |    CAST(coalesce(bit_xor(h) FILTER (WHERE NOT is_delta), 0)
+           |      AS BIGINT) AS d_base,
+           |    CAST(coalesce(bit_xor(h) FILTER (WHERE is_delta), 0)
+           |      AS BIGINT) AS d_delta,
+           |    CAST(bit_xor(h) AS BIGINT) AS d_full,
+           |    CAST(count(*) AS BIGINT) AS n_full
+           |  FROM r GROUP BY 1)
+           |SELECT bucket, n_full AS n_merged,
+           |  xor(d_base, d_delta) AS d_merged, d_full,
+           |  xor(d_base, d_delta) = d_full AS merge_exact
+           |FROM m ORDER BY bucket""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q83TextSource, q84PartitionedWrite,
     q85BucketedJoin, q86SchemaEvolution, q93ZOrder, q102NumbersSource,
     q105V2SinkRoundtrip, q180HilbertLayout, q187CompactionPlan,
     q225WriteAuditPublish, q249TieringPlan, q263OrphanGc,
-    q282DynamicPartitionPruning, q284DatasetFingerprint, q286ReplicaDiff)
+    q282DynamicPartitionPruning, q284DatasetFingerprint, q286ReplicaDiff,
+    q287FingerprintMerge)
 }
