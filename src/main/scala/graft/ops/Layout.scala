@@ -585,14 +585,20 @@ object Layout {
     "q282_dynamic_partition_pruning",
     (s, dir) => {
       val out = workDir(s, dir, "dpp")
-      Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
-          date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
-        // cluster by the partition column before the write: without this
-        // every input split spills a file per month it touches (splits ×
-        // months small files); with it each month lands in one task
-        .repartition(col("ship_month"))
-        .write.mode("overwrite").partitionBy("ship_month").parquet(out)
+      // build the partitioned fact once per fixture dir (the q85 pattern):
+      // the query is about the PRUNED READ, so re-runs measure that, not
+      // a rebuild of 83 month directories
+      val marker = new org.apache.hadoop.fs.Path(s"$out/_SUCCESS")
+      if (!marker.getFileSystem(s.sessionState.newHadoopConf()).exists(marker)) {
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+            date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+          // cluster by the partition column before the write: without this
+          // every input split spills a file per month it touches (splits ×
+          // months small files); with it each month lands in one task
+          .repartition(col("ship_month"))
+          .write.mode("overwrite").partitionBy("ship_month").parquet(out)
+      }
       val fact = s.read.parquet(out)
       // runtime dim: months containing at least one urgent January order
       // (~1 month in 12 qualifies) — unknowable at plan time, discovered
