@@ -69,6 +69,28 @@ class TrainingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("property: distributed trace equals the sequential fold on random " +
+    "integer datasets at 1 and 8 partitions (20 seeded samples)") {
+    // the integer-exactness claim generalized: ANY dataset of small-int
+    // features must produce a bit-identical trace at any parallelism
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x9279)
+    for (sampleIdx <- 0 until 20) {
+      val n = 5 + rnd.nextInt(40)
+      val rows: Seq[(Long, Seq[Long])] = Seq.fill(n) {
+        val y = if (rnd.nextBoolean()) 1L else -1L
+        (y, Seq(1L, rnd.nextInt(100).toLong, rnd.nextInt(1000).toLong))
+      }
+      val want = reference(rows, 3)
+      for (parts <- Seq(1, 8)) {
+        val f = rows.map { case (y, x) => (y, x(0), x(1), x(2)) }
+          .toDF("y", "x0", "x1", "x2").repartition(parts)
+        val got = Training.trainTrace(f, Seq("x0", "x1", "x2"), epochs = 3)
+        assert(got == want, s"sample#$sampleIdx parts=$parts")
+      }
+    }
+  }
+
   test("Bradley-Terry MM recovers a planted skill ordering and fits " +
     "closed-form two-player odds") {
     // two players, 30 battles: A wins 20. The stationary point of the MM
