@@ -335,7 +335,86 @@ object Training {
            |JOIN r3 ON r3.i = players.i
            |ORDER BY player""".stripMargin))
 
+  /** q288 — excess-loss domain reweighting (the DoReMi recipe, Xie et al.
+    * 2023, reduced to its one-shot core): upweight the data domains the
+    * reference model finds HARDEST, so the training mixture spends more of
+    * its budget where loss is highest. Per-source loss is the corpus's own
+    * unigram-LM mean NLL (the q60 pipeline — per-doc average, then the
+    * per-source average rounded at 3, the proven two-level float
+    * discipline); the reweighting is then pure bounded-state math on k =
+    * |sources| rows: wᵢ ∝ baseᵢ · exp(η·(lossᵢ − min loss)), normalized.
+    * q129 consumes fixed mixture weights; this is where those weights come
+    * FROM.
+    *
+    * Scale shape: one explode + partial agg for the vocab, one vocab join
+    * + two-level aggregate for per-source loss (exactly q60's plan), then
+    * a k-row collect and driver-side weight math (centroid discipline —
+    * state never grows with data). Float boundary: losses are ROUNDED at
+    * 3 before entering the exp, so the iteration consumes identical
+    * doubles in both engines; the final normalization sums k≈20 doubles
+    * (order-diff ~1e-16) and rounds at 6.
+    */
+  val q288DoremiWeights = GraftQuery(
+    "q288_doremi_weights",
+    (s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("t"))
+        .persist()
+      val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      val total = vocab.agg(sum("c")).first().getLong(0).toDouble
+      val perSrc = tok.join(vocab, "t")
+        .withColumn("nl", -log(col("c").cast("double") / lit(total)))
+        .groupBy("doc_id", "source").agg(avg("nl").as("nll"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), round(avg("nll"), 3).as("loss"))
+        .collect() // bounded: one row per source
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1)
+      tok.unpersist()
+      val nDocs = perSrc.map(_._2).sum.toDouble
+      val minLoss = perSrc.map(_._3).min
+      val nums = perSrc.map { case (src, n, loss) =>
+        (src, n, loss, n / nDocs, n / nDocs * math.exp(loss - minLoss))
+      }
+      val z = nums.map(_._5).sum
+      val rows = nums.map { case (src, n, loss, base, num) =>
+        Row(src, n, loss,
+          BigDecimal(base).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(num / z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      val schema = StructType(Seq(
+        StructField("source", StringType, nullable = false),
+        StructField("n_docs", LongType, nullable = false),
+        StructField("loss", DoubleType, nullable = false),
+        StructField("base_share", DoubleType, nullable = false),
+        StructField("weight", DoubleType, nullable = false)))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+        .orderBy("source")
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, source, unnest(string_split(text, ' ')) t
+           |  FROM documents),
+           |vocab AS (SELECT t, count(*) c FROM tok GROUP BY 1),
+           |tot AS (SELECT CAST(sum(c) AS DOUBLE) s FROM vocab),
+           |perdoc AS (
+           |  SELECT doc_id, source, avg(-ln(c::DOUBLE / s)) nll
+           |  FROM tok JOIN vocab USING (t), tot GROUP BY 1, 2),
+           |src AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+           |    round(avg(nll), 3) loss
+           |  FROM perdoc GROUP BY 1),
+           |nd AS (SELECT CAST(sum(n_docs) AS DOUBLE) nd FROM src),
+           |ml AS (SELECT min(loss) ml FROM src),
+           |num AS (SELECT source, n_docs, loss,
+           |    n_docs / nd.nd AS base,
+           |    n_docs / nd.nd * exp(loss - ml.ml) AS num
+           |  FROM src, nd, ml),
+           |z AS (SELECT sum(num) z FROM num)
+           |SELECT source, n_docs, loss, round(base, 6) AS base_share,
+           |  round(num / z.z, 6) AS weight
+           |FROM num, z ORDER BY source""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(q279PerceptronTrain, q281RandomizedResponse, q283BradleyTerry)
+    Seq(q279PerceptronTrain, q281RandomizedResponse, q283BradleyTerry,
+      q288DoremiWeights)
 }
 

@@ -110,6 +110,19 @@ class TrainingSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r3.values.sum / 3 - 1.0) < 1e-9)
   }
 
+  test("q288 upweights the hardest domain: weight/base uplift orders by loss") {
+    val out = graft.SparkEntry.queries("q288_doremi_weights")(
+      spark, "/root/testdata/sf0.001").collect()
+    val uplift = out.map(r =>
+      r.getDouble(2) -> r.getDouble(4) / r.getDouble(3)) // loss -> w/base
+    // monotone: a strictly higher loss never gets a lower uplift
+    for (Seq((l1, u1), (l2, u2)) <- uplift.sortBy(_._1).toSeq.sliding(2)) {
+      assert(l1 == l2 || u1 <= u2 + 1e-9, s"loss $l1->$l2 uplift $u1->$u2")
+    }
+    // weights stay a distribution
+    assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 1e-3)
+  }
+
   test("q281 mechanism replays row-by-row and the estimator debiases") {
     val sf = "/root/testdata/sf0.001"
     val out = graft.SparkEntry.queries("q281_randomized_response")(spark, sf)
