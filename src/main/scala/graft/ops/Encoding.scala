@@ -81,12 +81,22 @@ object Encoding {
     "q280_utf8_audit",
     (s, dir) => {
       import s.implicits._
+      // the oracle's closed-form byte/codepoint counts assume a pure-ASCII
+      // carrier with n_chars == length(text); ENFORCE that assumption with
+      // a symmetric filter (octet_length == char length ⟺ ASCII under
+      // UTF-8) instead of documenting it — a regenerated fixture with
+      // non-ASCII docs now excludes them on BOTH sides rather than
+      // silently diverging
       val scanned = Tables.documents(s, dir)
+        .filter(octet_length(col("text")) === length(col("text")) &&
+          col("n_chars") === length(col("text")))
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions { it =>
           it.map { case (id, text) =>
-            val base = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+            // guaranteed ASCII by the filter above; UTF_8 (identical on
+            // ASCII) so even an impossible escapee can't collapse to '?'
+            val base = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
             val inject: Array[Byte] = (id % 5) match {
               case 1 => Array(0x80.toByte)
               case 2 => Array(0xc0.toByte, 0xaf.toByte)
@@ -127,7 +137,9 @@ object Encoding {
            |    AS BIGINT) AS total_invalid,
            |  CAST(sum(CASE WHEN doc_id % 5 IN (0, 4) THEN 1 ELSE 0 END)
            |    AS BIGINT) AS n_clean_docs
-           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+           |FROM documents
+           |WHERE strlen(text) = length(text) AND n_chars = length(text)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val all: Seq[GraftQuery] = Seq(q280Utf8Audit)
 }

@@ -372,8 +372,8 @@ object Hygiene {
     * k = 3 deterministic hard-ish negatives from OTHER sources, the pair
     * generator behind contrastive/embedding training (in-batch negatives
     * replaced by corpus-level mining). Candidates come from the anchor's
-    * hash bucket (16 buckets), so the join fan-out per anchor is corpus/16
-    * within the bucket but the SELECTION is a per-anchor rank ≤ 3 window —
+    * hash bucket (max(16, ⌈n/64⌉) buckets, so ~64 candidates per anchor at
+    * any corpus size) and the SELECTION is a per-anchor rank ≤ 3 window —
     * which Spark plans as WindowGroupLimit: each task keeps 3 rows per
     * anchor BEFORE the shuffle, so the unbounded candidate stream never
     * materializes past the map side. The pair order is a deterministic
@@ -381,21 +381,31 @@ object Hygiene {
     * oracle; a real pipeline swaps the mix for semantic distance and keeps
     * the identical plan shape.
     *
-    * 100 TB note: bucket count scales with corpus (buckets ~ n/constant)
-    * to bound within-bucket candidates; the WindowGroupLimit + equi-join
-    * shape is invariant in that constant.
+    * 100 TB note: the bucket count is DERIVED from the corpus count —
+    * buckets = max(16, ⌈n/64⌉), the q141 semantic-dedup discipline — so
+    * within-bucket candidates stay ~64 per bucket at ANY corpus size and
+    * per-task pair generation is O(64·n/buckets) = linear in n, not
+    * O(n²/constant). The count comes from one count() scan (driver state =
+    * 1 long, broadcast back as a literal); the WindowGroupLimit + equi-join
+    * shape is invariant in the bucket count. NegBucketGrowthSpec pins the
+    * linear growth.
     */
+  /** buckets = max(16, ⌈n/64⌉): bounds within-bucket candidates at ~64
+    * regardless of corpus size (the q141 discipline). */
+  private[graft] def negBucketCount(n: Long): Long = math.max(16L, (n + 63L) / 64L)
+
   val q285NegativeSampling = GraftQuery(
     "q285_negative_sampling",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val M = 2147483647L
+      val nb = negBucketCount(Tables.documents(s, dir).count())
       // ids reduce mod M BEFORE any multiply so every product stays under
       // 2^62 at ANY id range — int64 overflow wraps silently in Spark but
       // errors in other engines, so the mix must never reach it
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
-          (col("doc_id") % M * 1103515245L % M % 16L).as("bucket"))
+          (col("doc_id") % M * 1103515245L % M % nb).as("bucket"))
       val anchors = docs.select(col("doc_id").as("a_id"),
         col("source").as("a_src"), col("bucket"))
       val cands = docs.select(col("doc_id").as("c_id"),
@@ -416,8 +426,11 @@ object Hygiene {
           countDistinct(col("c_src")).as("n_neg_sources"))
         .orderBy("a_id")
     },
-    Some("""WITH d AS (SELECT doc_id, source,
-           |    doc_id % 2147483647 * 1103515245 % 2147483647 % 16 AS bucket
+    Some("""WITH nb AS (SELECT greatest(16, (count(*) + 63) // 64) AS b
+           |  FROM documents),
+           |d AS (SELECT doc_id, source,
+           |    doc_id % 2147483647 * 1103515245 % 2147483647
+           |      % (SELECT b FROM nb) AS bucket
            |  FROM documents),
            |p AS (SELECT a.doc_id AS a_id, a.source AS a_src,
            |    c.doc_id AS c_id, c.source AS c_src,

@@ -609,17 +609,25 @@ object Layout {
           month(col("o_orderdate")) === 1)
         .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
         .distinct()
+      // revenue accumulates as EXACT integer (cents × (100 − discount pct))
+      // — a float sum's accumulation order differs between Spark tasks and
+      // the oracle, so a value near a .xx5 boundary could flip round(…, 2);
+      // the division + round happens once at the output edge (the
+      // lineitemRowHash cents discipline)
       fact.join(broadcast(dim), fact("ship_month") === dim("m"))
         .groupBy("ship_month")
         .agg(
           count(lit(1)).as("n_lines"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-            .as("revenue"))
+          round(sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+            / 10000.0, 2).as("revenue"))
         .orderBy("ship_month")
     },
     Some("""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
            |  count(*) AS n_lines,
-           |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           |  round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           |      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+           |    / 10000.0, 2) AS revenue
            |FROM lineitem
            |WHERE strftime(l_shipdate, '%Y-%m') IN (
            |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m')
@@ -698,14 +706,19 @@ object Layout {
     * scan semi-joins the broadcast ≤64-row mismatch frame before anything
     * row-level happens, so untouched buckets never leave the map side.
     *
-    * The row diff is a MULTISET count compare on the full (key, row-hash)
-    * identity — (l_orderkey, l_linenumber) is not unique in this fixture,
-    * and count-diff semantics stay correct under duplicate identities and
-    * even under hash coincidences between a drifted row and an existing
-    * one (where an anti-join would silently undercount). The oracle
-    * replays the same multiset algebra. Output: per mismatched bucket,
-    * both digests plus the drifted-row count and key sum — what a repair
-    * job needs to fetch exactly the bad rows.
+    * The row diff is a SYMMETRIC MULTISET count compare on the full (key,
+    * row-hash) identity — (l_orderkey, l_linenumber) is not unique in this
+    * fixture, and count-diff semantics stay correct under duplicate
+    * identities and even under hash coincidences between a drifted row and
+    * an existing one (where an anti-join would silently undercount). Both
+    * directions are reported: rows the replica added (n_added) AND rows it
+    * is missing (n_missing) — a deletion-only drift has no added rows, so a
+    * one-sided diff would localize the bucket in the digest compare and
+    * then silently report nothing; mism LEFT-joins the row diff so such a
+    * bucket still surfaces (with zero counts only under an XOR collision).
+    * The oracle replays the same multiset algebra. Output: per mismatched
+    * bucket, both digests plus added/missing counts and per-direction key
+    * sums — what a repair job needs to fetch exactly the bad rows.
     */
   val q286ReplicaDiff = GraftQuery(
     "q286_replica_diff",
@@ -737,13 +750,24 @@ object Layout {
           .groupBy("bucket", "ok", "ln", "h").agg(count(lit(1)).as("c"))
       val drifted = scoped(replica).withColumnRenamed("c", "c2")
         .join(scoped(primary).withColumnRenamed("c", "c1"),
-          Seq("bucket", "ok", "ln", "h"), "left")
-        .withColumn("dd", col("c2") - coalesce(col("c1"), lit(0L)))
-        .filter(col("dd") > 0)
-      drifted.groupBy("bucket")
-        .agg(sum("dd").as("n_drifted"), sum(col("ok") * col("dd")).as("key_sum"))
-        .join(mism, Seq("bucket"))
-        .select("bucket", "n_drifted", "key_sum", "d_primary", "d_replica")
+          Seq("bucket", "ok", "ln", "h"), "full_outer")
+        .withColumn("dd",
+          coalesce(col("c2"), lit(0L)) - coalesce(col("c1"), lit(0L)))
+        .filter(col("dd") =!= 0L)
+      val perBucket = drifted.groupBy("bucket").agg(
+        sum(when(col("dd") > 0, col("dd")).otherwise(0L)).as("n_added"),
+        sum(when(col("dd") < 0, -col("dd")).otherwise(0L)).as("n_missing"),
+        sum(when(col("dd") > 0, col("ok") * col("dd")).otherwise(0L))
+          .as("key_sum_added"),
+        sum(when(col("dd") < 0, col("ok") * -col("dd")).otherwise(0L))
+          .as("key_sum_missing"))
+      mism.join(perBucket, Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("n_added"), lit(0L)).as("n_added"),
+          coalesce(col("n_missing"), lit(0L)).as("n_missing"),
+          coalesce(col("key_sum_added"), lit(0L)).as("key_sum_added"),
+          coalesce(col("key_sum_missing"), lit(0L)).as("key_sum_missing"),
+          col("d_primary"), col("d_replica"))
         .orderBy("bucket")
     },
     // the oracle carries both hashes per ROW and replays the multiset
@@ -777,15 +801,27 @@ object Layout {
            |  FROM r WHERE bucket IN (SELECT bucket FROM mism) GROUP BY 1, 2, 3, 4),
            |pri AS (SELECT bucket, ok, ln, h, count(*) AS c1
            |  FROM r WHERE bucket IN (SELECT bucket FROM mism) GROUP BY 1, 2, 3, 4),
-           |diff AS (SELECT rep.bucket, rep.ok,
-           |    rep.c2 - coalesce(pri.c1, 0) AS dd
-           |  FROM rep LEFT JOIN pri ON rep.bucket = pri.bucket
+           |diff AS (SELECT coalesce(rep.bucket, pri.bucket) AS bucket,
+           |    coalesce(rep.ok, pri.ok) AS ok,
+           |    coalesce(rep.c2, 0) - coalesce(pri.c1, 0) AS dd
+           |  FROM rep FULL JOIN pri ON rep.bucket = pri.bucket
            |    AND rep.ok = pri.ok AND rep.ln = pri.ln AND rep.h = pri.h
-           |  WHERE rep.c2 - coalesce(pri.c1, 0) > 0)
-           |SELECT mism.bucket, CAST(sum(dd) AS BIGINT) AS n_drifted,
-           |  CAST(sum(ok * dd) AS BIGINT) AS key_sum, d_primary, d_replica
-           |FROM diff JOIN mism ON diff.bucket = mism.bucket
-           |GROUP BY 1, 4, 5 ORDER BY 1""".stripMargin))
+           |  WHERE coalesce(rep.c2, 0) <> coalesce(pri.c1, 0)),
+           |agg AS (SELECT bucket,
+           |    CAST(sum(CASE WHEN dd > 0 THEN dd ELSE 0 END) AS BIGINT) AS n_added,
+           |    CAST(sum(CASE WHEN dd < 0 THEN -dd ELSE 0 END) AS BIGINT) AS n_missing,
+           |    CAST(sum(CASE WHEN dd > 0 THEN ok * dd ELSE 0 END) AS BIGINT)
+           |      AS key_sum_added,
+           |    CAST(sum(CASE WHEN dd < 0 THEN ok * -dd ELSE 0 END) AS BIGINT)
+           |      AS key_sum_missing
+           |  FROM diff GROUP BY 1)
+           |SELECT mism.bucket, coalesce(n_added, 0) AS n_added,
+           |  coalesce(n_missing, 0) AS n_missing,
+           |  coalesce(key_sum_added, 0) AS key_sum_added,
+           |  coalesce(key_sum_missing, 0) AS key_sum_missing,
+           |  d_primary, d_replica
+           |FROM mism LEFT JOIN agg ON mism.bucket = agg.bucket
+           |ORDER BY 1""".stripMargin))
 
   /** q287 — incremental fingerprint maintenance: the property that makes
     * q284's XOR-fold manifest operationally cheap on append-only corpora.

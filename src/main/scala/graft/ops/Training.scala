@@ -188,10 +188,15 @@ object Training {
       val truth = docs.groupBy("lang").agg(count(lit(1)).as("n_true"))
       // n derives from the k-row truth frame — no third corpus scan
       val total = truth.agg(sum("n_true").as("n"))
-      truth.join(noisy, "lang").crossJoin(total)
+      // LEFT join + coalesce: a category that happens to receive zero noisy
+      // reports must still get a (debiased, negative-leaning) estimate — an
+      // inner join would silently drop it from the release
+      truth.join(noisy, Seq("lang"), "left").crossJoin(total)
         .select(
-          col("lang"), col("n_true"), col("n_reported"),
-          round((col("n_reported") - col("n") / 20.0) / 0.75, 2).as("est_count"),
+          col("lang"), col("n_true"),
+          coalesce(col("n_reported"), lit(0L)).as("n_reported"),
+          round((coalesce(col("n_reported"), lit(0L)) - col("n") / 20.0) / 0.75, 2)
+            .as("est_count"),
           lit(2.7726).as("epsilon"))
         .orderBy("lang")
     },
@@ -207,10 +212,11 @@ object Training {
            |c AS (SELECT lang, count(*) AS n_reported FROM rep GROUP BY 1),
            |t AS (SELECT lang, count(*) AS n_true FROM documents GROUP BY 1),
            |n AS (SELECT count(*) AS n FROM documents)
-           |SELECT t.lang, n_true, n_reported,
-           |  round((n_reported - n.n / 20.0) / 0.75, 2) AS est_count,
+           |SELECT t.lang, n_true,
+           |  coalesce(n_reported, 0) AS n_reported,
+           |  round((coalesce(n_reported, 0) - n.n / 20.0) / 0.75, 2) AS est_count,
            |  CAST(2.7726 AS DOUBLE) AS epsilon
-           |FROM t JOIN c USING (lang) CROSS JOIN n
+           |FROM t LEFT JOIN c USING (lang) CROSS JOIN n
            |ORDER BY lang""".stripMargin))
 
   /** The Bradley-Terry MM iteration (Hunter 2004): given symmetric game
@@ -282,8 +288,13 @@ object Training {
       val players = rating.keys.toSeq.sorted
       val out = players.map { i =>
         val g = games.collect { case ((a2, _), c) if a2 == i => c }.sum
+        // guard-digit rounding: round at 6 first, THEN at 4 — the two
+        // engines' ~1e-15 accumulation-order divergence is absorbed at the
+        // guard digit, so a rating near a .xxxx5 boundary can't flip the
+        // final rounding between them
         Row(i, g, wins.getOrElse(i, 0L),
-          BigDecimal(rating(i)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          BigDecimal(rating(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
       val schema = StructType(Seq(
         StructField("player", IntegerType, nullable = false),
@@ -330,7 +341,7 @@ object Training {
            |SELECT players.i AS player,
            |  (SELECT CAST(sum(g) AS BIGINT) FROM n WHERE n.i = players.i) AS games,
            |  coalesce(w.wi, 0) AS wins,
-           |  round(r3.r, 4) AS rating
+           |  round(round(r3.r, 6), 4) AS rating
            |FROM players LEFT JOIN w ON w.i = players.i
            |JOIN r3 ON r3.i = players.i
            |ORDER BY player""".stripMargin))
