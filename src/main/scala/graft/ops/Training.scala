@@ -365,23 +365,35 @@ object Training {
     * doubles in both engines; the final normalization sums k≈20 doubles
     * (order-diff ~1e-16) and rounds at 6.
     */
+  /** Per-source unigram-LM mean NLL (the q60 pipeline): one explode +
+    * partial agg for the vocab, one vocab join + two-level aggregate, then
+    * a k-row collect. Shared by q288 (one-shot reweighting) and q290 (the
+    * iterated minimax loop). Losses are ROUNDED at 3 here so every
+    * downstream iteration consumes identical doubles in both engines.
+    */
+  private[graft] def sourceLosses(s: SparkSession, dir: String)
+      : Array[(String, Long, Double)] = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("t"))
+      .persist()
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum("c")).first().getLong(0).toDouble
+    val perSrc = tok.join(vocab, "t")
+      .withColumn("nl", -log(col("c").cast("double") / lit(total)))
+      .groupBy("doc_id", "source").agg(avg("nl").as("nll"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), round(avg("nll"), 3).as("loss"))
+      .collect() // bounded: one row per source
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    tok.unpersist()
+    perSrc
+  }
+
   val q288DoremiWeights = GraftQuery(
     "q288_doremi_weights",
     (s, dir) => {
-      val tok = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("t"))
-        .persist()
-      val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
-      val total = vocab.agg(sum("c")).first().getLong(0).toDouble
-      val perSrc = tok.join(vocab, "t")
-        .withColumn("nl", -log(col("c").cast("double") / lit(total)))
-        .groupBy("doc_id", "source").agg(avg("nl").as("nll"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), round(avg("nll"), 3).as("loss"))
-        .collect() // bounded: one row per source
-        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-        .sortBy(_._1)
-      tok.unpersist()
+      val perSrc = sourceLosses(s, dir)
       val nDocs = perSrc.map(_._2).sum.toDouble
       val minLoss = perSrc.map(_._3).min
       val nums = perSrc.map { case (src, n, loss) =>
@@ -424,8 +436,120 @@ object Training {
            |  round(num / z.z, 6) AS weight
            |FROM num, z ORDER BY source""".stripMargin))
 
+  /** Guard-digit round: round at `sc`+3 first, then at `sc` — absorbs the
+    * two engines' ~1e-15 accumulation-order divergence at the guard digits
+    * so a value near a half-up boundary can't flip between them. The SQL
+    * replay is `round(round(x, sc+3), sc)`.
+    */
+  private def gr(x: Double, sc: Int): Double =
+    BigDecimal(x).setScale(sc + 3, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The iterated DoReMi / Group-DRO multiplicative-weights loop over a
+    * FIXED per-domain loss vector: each round re-evaluates every domain's
+    * excess over the CURRENT mixture's average loss and upweights
+    * multiplicatively — αₜᵢ ∝ αₜ₋₁ᵢ · exp(max(0, Lᵢ − Σⱼ αₜ₋₁ⱼLⱼ)) — so the
+    * mixture chases the hardest domains and converges onto the max-loss
+    * support (the minimax equilibrium for fixed losses). Weights re-quantize
+    * at 6 decimals each round so both engines iterate identical doubles.
+    * Returns per round: (mixture loss, per-domain excess, post-update
+    * weights). Extracted for TrainingSpec's convergence/monotonicity pins.
+    */
+  private[graft] def doremiIterate(base: Seq[Double], losses: Seq[Double],
+      rounds: Int): Seq[(Double, Seq[Double], Seq[Double])] = {
+    var a = base.map(gr(_, 6))
+    (1 to rounds).map { _ =>
+      val m = gr(a.lazyZip(losses).map(_ * _).sum, 3)
+      val ex = losses.map(l => math.max(0.0, l - m))
+      val raw = a.lazyZip(ex).map((ai, e) => ai * math.exp(e))
+      val z = raw.sum
+      a = raw.map(x => gr(x / z, 6))
+      (m, ex, a)
+    }
+  }
+
+  /** q290 — ITERATED DoReMi domain reweighting: the multi-round minimax
+    * loop the published method runs (q288 ships the one-shot step). Per-
+    * source losses come from the shared `sourceLosses` pipeline (unigram-LM
+    * mean NLL, rounded at 3); the iteration is then pure bounded-state math
+    * on k = |sources| rows — THREE rounds of excess-over-mixture
+    * multiplicative updates, the trace emitted per (step, source) so the
+    * oracle can replay every round as unrolled CTEs (the q283 discipline).
+    *
+    * Scale shape: identical to q288 — the corpus-scan part is one explode +
+    * two-level aggregate; all iteration state is k rows on the driver.
+    * Float boundary: losses exact at 3 decimals; each round's mixture loss
+    * re-quantizes at 3 and weights at 6 (guard-digit rounding both sides),
+    * so the exp inputs are identical doubles in both engines.
+    */
+  val q290DoremiIterated = GraftQuery(
+    "q290_doremi_iterated",
+    (s, dir) => {
+      val perSrc = sourceLosses(s, dir)
+      val nd = perSrc.map(_._2).sum.toDouble
+      val losses = perSrc.map(_._3).toSeq
+      val base = perSrc.map(_._2 / nd).toSeq
+      val trace = doremiIterate(base, losses, rounds = 3)
+      val rows = trace.zipWithIndex.flatMap { case ((m, ex, w), t) =>
+        perSrc.indices.map { i =>
+          Row(t + 1, perSrc(i)._1, losses(i), m, gr(ex(i), 6), w(i))
+        }
+      }
+      val schema = StructType(Seq(
+        StructField("step", IntegerType, nullable = false),
+        StructField("source", StringType, nullable = false),
+        StructField("loss", DoubleType, nullable = false),
+        StructField("mix_loss", DoubleType, nullable = false),
+        StructField("excess", DoubleType, nullable = false),
+        StructField("weight", DoubleType, nullable = false)))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+        .orderBy("step", "source")
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, source, unnest(string_split(text, ' ')) t
+           |  FROM documents),
+           |vocab AS (SELECT t, count(*) c FROM tok GROUP BY 1),
+           |tot AS (SELECT CAST(sum(c) AS DOUBLE) s FROM vocab),
+           |perdoc AS (
+           |  SELECT doc_id, source, avg(-ln(c::DOUBLE / s)) nll
+           |  FROM tok JOIN vocab USING (t), tot GROUP BY 1, 2),
+           |src AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+           |    round(avg(nll), 3) loss
+           |  FROM perdoc GROUP BY 1),
+           |nd AS (SELECT CAST(sum(n_docs) AS DOUBLE) nd FROM src),
+           |a0 AS (SELECT source, loss,
+           |    round(round(n_docs / nd.nd, 9), 6) a FROM src, nd),
+           |m1 AS (SELECT round(round(sum(a * loss), 6), 3) m FROM a0),
+           |e1 AS (SELECT source, loss, a,
+           |    greatest(CAST(0 AS DOUBLE), loss - m1.m) ex FROM a0, m1),
+           |z1 AS (SELECT sum(a * exp(ex)) z FROM e1),
+           |a1 AS (SELECT source, loss, ex,
+           |    round(round(a * exp(ex) / z1.z, 9), 6) a FROM e1, z1),
+           |m2 AS (SELECT round(round(sum(a * loss), 6), 3) m FROM a1),
+           |e2 AS (SELECT source, loss, a,
+           |    greatest(CAST(0 AS DOUBLE), loss - m2.m) ex FROM a1, m2),
+           |z2 AS (SELECT sum(a * exp(ex)) z FROM e2),
+           |a2 AS (SELECT source, loss, ex,
+           |    round(round(a * exp(ex) / z2.z, 9), 6) a FROM e2, z2),
+           |m3 AS (SELECT round(round(sum(a * loss), 6), 3) m FROM a2),
+           |e3 AS (SELECT source, loss, a,
+           |    greatest(CAST(0 AS DOUBLE), loss - m3.m) ex FROM a2, m3),
+           |z3 AS (SELECT sum(a * exp(ex)) z FROM e3),
+           |a3 AS (SELECT source, loss, ex,
+           |    round(round(a * exp(ex) / z3.z, 9), 6) a FROM e3, z3)
+           |SELECT 1 AS step, a1.source, a1.loss, m1.m AS mix_loss,
+           |  round(round(a1.ex, 9), 6) AS excess, a1.a AS weight
+           |FROM a1, m1
+           |UNION ALL
+           |SELECT 2, a2.source, a2.loss, m2.m,
+           |  round(round(a2.ex, 9), 6), a2.a FROM a2, m2
+           |UNION ALL
+           |SELECT 3, a3.source, a3.loss, m3.m,
+           |  round(round(a3.ex, 9), 6), a3.a FROM a3, m3
+           |ORDER BY step, source""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q279PerceptronTrain, q281RandomizedResponse, q283BradleyTerry,
-      q288DoremiWeights)
+      q288DoremiWeights, q290DoremiIterated)
 }
 

@@ -123,6 +123,35 @@ class TrainingSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 1e-3)
   }
 
+  test("q290 iteration: weights chase the max-loss domain monotonically " +
+    "and converge onto the minimax support") {
+    val base = Seq(0.4, 0.3, 0.2, 0.1)
+    val losses = Seq(5.0, 6.0, 7.0, 9.0)
+    val trace = Training.doremiIterate(base, losses, rounds = 20)
+    // every round: weights are a distribution
+    trace.foreach { case (_, _, w) =>
+      assert(math.abs(w.sum - 1.0) < 1e-4, w)
+    }
+    // the hardest domain's weight grows monotonically round over round
+    val hard = trace.map(_._3.last)
+    for (Seq(a, b) <- (base.last +: hard).sliding(2))
+      assert(b >= a - 1e-9, s"hard-domain weight fell: $a -> $b")
+    // mixture loss is non-decreasing (the mixture chases the max)
+    for (Seq(a, b) <- trace.map(_._1).sliding(2))
+      assert(b >= a - 1e-3, s"mixture loss fell: $a -> $b")
+    // with a fixed loss vector the minimax equilibrium is all mass on the
+    // max-loss domain; the update stalls asymptotically as the mixture
+    // loss approaches the max (excess → 0), so pin "essentially there"
+    // rather than exact: > 95% of the mass after 20 rounds
+    assert(hard.last > 0.95, s"expected convergence to max-loss domain, got ${trace.last._3}")
+    // a domain at the mixture loss or below has zero excess in that round
+    trace.foreach { case (m, ex, _) =>
+      ex.lazyZip(losses).foreach { (e, l) =>
+        if (l <= m) assert(e == 0.0, s"loss $l <= mix $m but excess $e")
+      }
+    }
+  }
+
   test("q281 mechanism replays row-by-row and the estimator debiases") {
     val sf = "/root/testdata/sf0.001"
     val out = graft.SparkEntry.queries("q281_randomized_response")(spark, sf)
