@@ -705,9 +705,95 @@ object StreamingQueries {
            |FROM events WHERE user_id % 100 <> 7
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** q291 — stream-stream LEFT OUTER interval join with watermark-driven
+    * null-side emission, the enrichment-pipeline mode q154's inner join
+    * doesn't cover: every error either joins the same user's clicks from
+    * the preceding 4 hours or — once the watermark proves no such click
+    * can still arrive — emits with a NULL click. In append mode the null
+    * row only leaves the state store when the watermark passes the left
+    * row's match horizon, so WHICH unmatched errors appear in the sink is
+    * itself watermark semantics, and the oracle gates it.
+    *
+    * Determinism discipline (the q158/q164 playbook): three mtime-pinned
+    * files — the real stream split at its time midpoint (so the join
+    * provably carries state across batches: a late-file error can match an
+    * early-file click), then a far-future SENTINEL pair (+400 days, ids
+    * −1/−2, a user no real event has) whose only job is to drag the final
+    * watermark past every real error's horizon. The post-data flush batch
+    * then emits ALL unmatched real errors, 399 days clear of any </<=
+    * eviction edge, and the sink equals the batch left-outer join the
+    * oracle computes (sentinels filtered by id on both sides — the
+    * sentinel error's own horizon never passes, so it stays in state).
+    *
+    * Scale: join state is bounded by arrival-rate × (interval + watermark
+    * horizon) per side — clicks evict once the watermark clears their
+    * 4-hour match window, errors once matched-or-expired; at a tight
+    * production horizon that bound is what keeps a 100 TB/day stream's
+    * state store flat.
+    */
+  val q291StreamOuterJoin = GraftQuery(
+    "q291_stream_outer_join",
+    (s, dir) => {
+      import s.implicits._
+      val base = graft.WorkDir.resolve(s, "ssojq", dir)
+      val (src, dest, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+      clearDirs(s, src, dest, ckpt)
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type")
+        .filter(col("event_type").isin("error", "click"))
+      val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).first()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val mid = mn + (mx - mn) / 2
+      writeStagedFile(s, base, src, "a_early", 1000000000000L,
+        ev.filter(unix_micros(col("ts")) <= mid))
+      writeStagedFile(s, base, src, "b_late", 1000003600000L,
+        ev.filter(unix_micros(col("ts")) > mid))
+      val sentinelUs = mx + 400L * 86400000000L
+      val sentinels = Seq((-1L, sentinelUs, -1L, "error"),
+        (-2L, sentinelUs, -2L, "click"))
+        .toDF("event_id", "us", "user_id", "event_type")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"), col("event_type"))
+      writeStagedFile(s, base, src, "c_sentinel", 1000007200000L, sentinels)
+      val ss = streamSession(s, statePartitions = 8)
+      val schema = ss.read.parquet(src).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val err = stream.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id").as("e_user"),
+          col("ts").as("e_ts"))
+        .withWatermark("e_ts", "1 hour")
+      val click = stream.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      err.join(click, expr(
+          "e_user = c_user AND c_ts >= e_ts - INTERVAL 4 HOURS AND c_ts <= e_ts"),
+          "left_outer")
+        .select("err_id", "click_id")
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(dest).filter(col("err_id") >= 0)
+        .orderBy("err_id", "click_id")
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+           |    epoch_us(CAST(ts AS TIMESTAMP)) us FROM events),
+           |e AS (SELECT event_id err_id, user_id, us FROM ev WHERE event_type = 'error'),
+           |c AS (SELECT event_id click_id, user_id, us FROM ev WHERE event_type = 'click')
+           |SELECT err_id, click_id
+           |FROM e LEFT JOIN c ON e.user_id = c.user_id
+           |  AND c.us >= e.us - 14400000000 AND c.us <= e.us
+           |ORDER BY err_id, click_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q33SlidingWindows, q34SessionWindows,
     q63StreamingRebalance, q143StreamingMv, q145StreamingDedup,
     q146TransformWithState, q154StreamStreamJoin, q158WatermarkEviction,
     q164StreamingSessions, q179StreamingKmv, q236StreamingAlerts,
-    q256StreamingErasure)
+    q256StreamingErasure, q291StreamOuterJoin)
 }
