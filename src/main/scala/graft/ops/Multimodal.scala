@@ -1806,10 +1806,11 @@ object Multimodal {
     * arithmetic (SOF9) coding are each handled by their own decode paths
     * (`decodeColorPixels` MCU geometry, `decodeProgressivePixels`,
     * `decodeArithPixels`); perceptual subband audio by
-    * [[MpegAudioCodec]]; inter-predicted video by [[RleVideoCodec]]. The
+    * [[MpegAudioCodec]]; inter-predicted video by [[RleVideoCodec]];
+    * motion-compensated transform video by [[MpegVideoCodec]] (MPEG-1
+    * syntax I/P pictures, macroblock motion vectors, DCT residuals). The
     * [[FakeCodec]] stub now stands in only for MDCT-generation audio
-    * (MP3/AAC) and motion-compensated transform video (MPEG/H.26x) —
-    * genuine native-lib territory.
+    * (MP3/AAC) — the last genuine native-lib boundary.
     *
     * `encode` packs one payload byte per FLAT 8×8 block (4 blocks per row,
     * zero-padded tail). A flat block has only a DC coefficient, and with

@@ -10,10 +10,10 @@ import graft.ops.Multimodal.{attachBinary, MediaRow}
   * genuine TEMPORAL PREDICTION: a delta/skip leaves the skipped pixels at
   * their previous-frame values, so the decoder carries a persistent
   * canvas across '00dc' chunks and a non-key frame is undecodable without
-  * its predecessor. That upgrades the [[Multimodal.FakeCodec]] video role
-  * from "frame sampler stub" to a real decode with cross-frame state —
-  * after this, the stub covers only motion-compensated transform video
-  * (MPEG/H.26x) and MDCT-generation audio, both native-lib territory.
+  * its predecessor. That upgraded the [[Multimodal.FakeCodec]] video role
+  * from "frame sampler stub" to a real decode with cross-frame state;
+  * [[MpegVideoCodec]] (q289) then added the motion-compensated transform
+  * layer, leaving the stub only MDCT-generation audio.
   *
   * Format per the public BI_RLE8 specification: encoded mode is
   * (count, index) runs; escape 00 00 = end of line, 00 01 = end of

@@ -52,6 +52,11 @@ class CodecFuzzSpec extends AnyFunSuite {
     fuzz("adpcm", AdpcmCodec.encode(payload), AdpcmCodec.decodeSamples)
   }
 
+  test("MPEG video decode survives every one-byte flip and truncation") {
+    fuzz("mpeg-video", MpegVideoCodec.encode(payload),
+      MpegVideoCodec.decodeFrames)
+  }
+
   test("MPEG audio decode survives every one-byte flip and truncation") {
     val pcm = payload.map(b => ((((b & 0xff) - 128) * 256)).toShort)
     fuzz("mpeg-l2", MpegAudioCodec.encodeL2(pcm), MpegAudioCodec.decodeSamples)
