@@ -22,7 +22,8 @@ object SparkEntry {
       ops.Upsert.all ++ ops.Extras5.all ++ ops.TypedOps.all ++ ops.Retrieval.all ++
       ops.Extras6.all ++ ops.Html.all ++ ops.Warc.all ++ ops.Robots.all ++
       ops.MpegAudioQueries.all ++ ops.RleVideoQueries.all ++
-      ops.MpegVideoQueries.all ++ ops.Training.all ++ ops.Encoding.all
+      ops.MpegVideoQueries.all ++ ops.MpegL3Queries.all ++
+      ops.Training.all ++ ops.Encoding.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1808,9 +1808,12 @@ object Multimodal {
     * `decodeArithPixels`); perceptual subband audio by
     * [[MpegAudioCodec]]; inter-predicted video by [[RleVideoCodec]];
     * motion-compensated transform video by [[MpegVideoCodec]] (MPEG-1
-    * syntax I/P pictures, macroblock motion vectors, DCT residuals). The
-    * [[FakeCodec]] stub now stands in only for MDCT-generation audio
-    * (MP3/AAC) — the last genuine native-lib boundary.
+    * syntax I/P pictures, macroblock motion vectors, DCT residuals);
+    * MDCT-generation audio by [[MpegL3Codec]] (Layer III-class hybrid
+    * filterbank: Huffman spectrum, requantization, alias reduction,
+    * IMDCT/overlap-add). Every real-codec role is now covered; the
+    * [[FakeCodec]] stub remains ONLY as the labeled dimensions fallback
+    * for payloads matching no known container magic.
     *
     * `encode` packs one payload byte per FLAT 8×8 block (4 blocks per row,
     * zero-padded tail). A flat block has only a DC coefficient, and with

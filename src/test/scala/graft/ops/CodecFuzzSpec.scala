@@ -52,6 +52,11 @@ class CodecFuzzSpec extends AnyFunSuite {
     fuzz("adpcm", AdpcmCodec.encode(payload), AdpcmCodec.decodeSamples)
   }
 
+  test("Layer III-class decode survives every one-byte flip and truncation") {
+    val pcm = payload.map(b => ((((b & 0xff) - 128) * 256)).toShort)
+    fuzz("mpeg-l3", MpegL3Codec.encodeL3(pcm), MpegL3Codec.decodeL3)
+  }
+
   test("MPEG video decode survives every one-byte flip and truncation") {
     fuzz("mpeg-video", MpegVideoCodec.encode(payload),
       MpegVideoCodec.decodeFrames)
