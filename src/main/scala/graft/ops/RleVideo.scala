@@ -23,7 +23,7 @@ import graft.ops.Multimodal.{attachBinary, MediaRow}
   * convention); 8-bit indices resolve through the strf palette
   * (BITMAPINFOHEADER + RGBQUAD table — the decoder computes luminance
   * from the resolved RGB, so the palette path is genuinely exercised).
-  * The AVI layer mirrors [[Multimodal.MjpegAviCodec]]: hdrl (avih +
+  * The AVI layer mirrors [[MjpegAviCodec]]: hdrl (avih +
   * 'vids'/'MRLE' strh + 8-bit strf), movi chunk walk, idx1 validated
   * against the walk INCLUDING the keyframe flags (frame 0 is the only
   * AVIIF_KEYFRAME — delta frames must not carry it).

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.Multimodal.AdpcmCodec
+import graft.ops.AdpcmCodec
 
 /** The IMA ADPCM recurrence, pinned against hand-stepped values: the
   * decoder is stateful (every sample depends on the whole nibble prefix),

@@ -2,7 +2,8 @@ package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.Multimodal.{BmpCodec, dhash64}
+import graft.ops.Multimodal.dhash64
+import graft.ops.BmpCodec
 
 /** Hand-derivable dHash cases: the 9×8 grid sampling and bit packing have
   * no float anywhere, so exact expectations are computable on paper.

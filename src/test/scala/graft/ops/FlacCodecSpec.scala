@@ -2,7 +2,7 @@ package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.Multimodal.FlacCodec
+import graft.ops.FlacCodec
 
 /** The FLAC lossless codec: bit-exact round-trip across every subframe
   * type (CONSTANT / VERBATIM / FIXED 0–4), multi-frame streams with a short

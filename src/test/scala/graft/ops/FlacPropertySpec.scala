@@ -3,7 +3,7 @@ package graft.ops
 import org.scalacheck.Gen
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.Multimodal.FlacCodec
+import graft.ops.FlacCodec
 
 /** Property-based widening of FlacCodecSpec's directed cases: losslessness
   * is a universally-quantified claim (decode ∘ encode = id for EVERY

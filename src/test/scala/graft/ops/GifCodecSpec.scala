@@ -2,7 +2,7 @@ package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.Multimodal.GifCodec
+import graft.ops.GifCodec
 
 /** The GIF LZW coder: container round-trips, the raw code stream against a
   * hand-derived sequence (KwKwK case), dictionary reset on large inputs, and

@@ -3,7 +3,7 @@ package graft.ops
 import org.scalacheck.Gen
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.Multimodal.JpegCodec
+import graft.ops.JpegCodec
 
 /** Property widening of JpegArithSpec's directed QM stress: the directed
   * test drives one fixed phase schedule; these drive RANDOM context

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.Multimodal.JpegCodec
+import graft.ops.JpegCodec
 
 /** The arithmetic-coded (SOF9) JPEG path: QM-coder round-trip through the
   * full container, general-content entropy-layer round-trip (all magnitude

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.Multimodal.JpegCodec
+import graft.ops.JpegCodec
 
 /** The baseline JPEG codec: exact round-trip on the flat DC-only encoding
   * (what q159's oracle relies on), ≤1-LSB round-trip through the FULL

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.Multimodal.JpegCodec
+import graft.ops.JpegCodec
 
 /** The progressive (SOF2) JPEG path: four-scan successive approximation
   * must reconstruct the EXACT coefficient array the encoder started from —

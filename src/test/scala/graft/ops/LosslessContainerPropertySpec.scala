@@ -3,7 +3,10 @@ package graft.ops
 import org.scalacheck.Gen
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.Multimodal.{BmpCodec, GifCodec, PngCodec, WavCodec}
+import graft.ops.BmpCodec
+import graft.ops.GifCodec
+import graft.ops.PngCodec
+import graft.ops.WavCodec
 
 /** Property form of the lossless-container contract shared by the BMP, PNG,
   * GIF, and WAV codecs: for ANY payload, decode(encode(p)) returns exactly

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.Multimodal.MjpegAviCodec
+import graft.ops.MjpegAviCodec
 
 /** The Motion-JPEG AVI container: frame-exact round-trip through real
   * per-frame JPEGs, index validation, and hostile-container rejection.

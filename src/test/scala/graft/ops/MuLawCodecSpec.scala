@@ -2,7 +2,7 @@ package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.Multimodal.MuLawCodec
+import graft.ops.MuLawCodec
 
 /** G.711 μ-law expansion against the standard's fixed points, curve shape,
   * and container handling.
@@ -32,8 +32,8 @@ class MuLawCodecSpec extends AnyFunSuite {
     val Some(samples) = MuLawCodec.decodeSamples(wav)
     assert(samples.toSeq == payload.map(b => MuLawCodec.expand(b & 0xff)).toSeq)
     // 16-bit PCM WavCodec must NOT accept a mu-law container and vice versa
-    assert(Multimodal.WavCodec.decodeSamples(wav).isEmpty)
-    assert(MuLawCodec.decodeSamples(Multimodal.WavCodec.encode(payload)).isEmpty)
+    assert(WavCodec.decodeSamples(wav).isEmpty)
+    assert(MuLawCodec.decodeSamples(WavCodec.encode(payload)).isEmpty)
     // decoder walks chunks: junk chunk before fmt and data
     def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
     def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
@@ -55,8 +55,8 @@ class MuLawCodecSpec extends AnyFunSuite {
         p => { val q = p.clone(); q(43) = 0x80.toByte; q })) { // data size hi byte
       val bad = mk(MuLawCodec.encode(Array[Byte](1, 2, 3, 4)))
       assert(MuLawCodec.decodeSamples(bad).isEmpty)
-      val badPcm = mk(Multimodal.WavCodec.encode(Array[Byte](1, 2, 3, 4)))
-      assert(Multimodal.WavCodec.decodeSamples(badPcm).isEmpty)
+      val badPcm = mk(WavCodec.encode(Array[Byte](1, 2, 3, 4)))
+      assert(WavCodec.decodeSamples(badPcm).isEmpty)
     }
   }
 }

@@ -95,11 +95,11 @@ class MultimodalBatchSpec extends AnyFunSuite with SparkSpec {
 
   test("BmpCodec roundtrips payload bytes through a genuine BMP container") {
     val payload = (0 until 100).map(i => ((i * 37 + 11) % 256).toByte).toArray
-    val bmp = Multimodal.BmpCodec.encode(payload)
+    val bmp = BmpCodec.encode(payload)
     assert(Multimodal.HeaderCodec.sniff(bmp) == "bmp")
     // header parse agrees with the encode geometry
     assert(Multimodal.HeaderCodec.decode(bmp) == Some((16, 3))) // ceil(100/48)=3
-    val Some((w, h, px)) = Multimodal.BmpCodec.decodePixels(bmp)
+    val Some((w, h, px)) = BmpCodec.decodePixels(bmp)
     assert((w, h) == (16, 3))
     // decoded top-down pixels = payload then zero padding
     assert(px.take(100).sameElements(payload))
@@ -115,7 +115,7 @@ class MultimodalBatchSpec extends AnyFunSuite with SparkSpec {
       le32(40) ++ le32(3) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++ le32(24) ++
       Array.fill[Byte](16)(0) ++ // rest of BITMAPINFOHEADER to byte 54
       row1 ++ pad ++ row0 ++ pad // bottom-up storage
-    val Some((w2, h2, px2)) = Multimodal.BmpCodec.decodePixels(strided)
+    val Some((w2, h2, px2)) = BmpCodec.decodePixels(strided)
     assert((w2, h2) == (3, 2))
     assert(px2.sameElements(row0 ++ row1)) // stride pad stripped, rows flipped
     // hostile header: height = Int.MinValue defeats Int-domain abs (still
@@ -123,7 +123,7 @@ class MultimodalBatchSpec extends AnyFunSuite with SparkSpec {
     // no-ops and crash the allocation — must be rejected, not thrown
     val hostile = strided.clone()
     hostile(22) = 0; hostile(23) = 0; hostile(24) = 0; hostile(25) = 0x80.toByte
-    assert(Multimodal.BmpCodec.decodePixels(hostile).isEmpty)
+    assert(BmpCodec.decodePixels(hostile).isEmpty)
   }
 
   test("resizeNearest: identity at same size, floor-mapped sampling when shrinking") {
@@ -136,9 +136,9 @@ class MultimodalBatchSpec extends AnyFunSuite with SparkSpec {
 
   test("WavCodec roundtrips samples and walks non-canonical chunk layouts") {
     val payload = Array[Byte](0x10, 0x00, 0x00, 0x7f, 0xff.toByte, 0xff.toByte, 0x55)
-    val wav = Multimodal.WavCodec.encode(payload)
+    val wav = WavCodec.encode(payload)
     assert(Multimodal.HeaderCodec.sniff(wav) == "wav")
-    val Some(samples) = Multimodal.WavCodec.decodeSamples(wav)
+    val Some(samples) = WavCodec.decodeSamples(wav)
     // LE pairs: (0x10,0x00)=16, (0x00,0x7f)=32512, (0xff,0xff)=-1,
     // odd tail (0x55) padded with zero high byte = 85
     assert(samples.toSeq == Seq[Short](16, 32512, -1, 85))
@@ -153,27 +153,27 @@ class MultimodalBatchSpec extends AnyFunSuite with SparkSpec {
       "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
       le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
       "data".getBytes("US-ASCII") ++ le32(4) ++ data
-    assert(Multimodal.WavCodec.decodeSamples(shuffled).map(_.toSeq) ==
+    assert(WavCodec.decodeSamples(shuffled).map(_.toSeq) ==
       Some(Seq[Short](3, -2)))
     // non-PCM (format tag 3 = float) is refused, not misread
     val floatFmt = shuffled.clone()
     floatFmt(32) = 3 // audioFormat field of the fmt chunk
-    assert(Multimodal.WavCodec.decodeSamples(floatFmt).isEmpty)
+    assert(WavCodec.decodeSamples(floatFmt).isEmpty)
   }
 
   test("PngCodec roundtrips through a genuine compressed filtered PNG") {
     val payload = (0 until 100).map(i => ((i * 37 + 11) % 256).toByte).toArray
-    val png = Multimodal.PngCodec.encode(payload)
+    val png = PngCodec.encode(payload)
     assert(Multimodal.HeaderCodec.sniff(png) == "png")
     assert(Multimodal.HeaderCodec.decode(png) == Some((16, 3)))
-    val Some((w, h, px, kinds)) = Multimodal.PngCodec.decodePixels(png)
+    val Some((w, h, px, kinds)) = PngCodec.decodePixels(png)
     assert((w, h) == (16, 3))
     assert(px.take(100).sameElements(payload))
     assert(px.drop(100).forall(_ == 0))
     assert(kinds == 2, "encode uses real Sub+Up filter bytes")
     // single-row image: only the Sub filter appears
-    val one = Multimodal.PngCodec.encode(Array[Byte](1, 2, 3))
-    assert(Multimodal.PngCodec.decodePixels(one).map(_._4) == Some(1))
+    val one = PngCodec.encode(Array[Byte](1, 2, 3))
+    assert(PngCodec.decodePixels(one).map(_._4) == Some(1))
   }
 
   test("PngCodec unfilters None/Average/Paeth and verifies chunk CRCs") {
@@ -221,21 +221,21 @@ class MultimodalBatchSpec extends AnyFunSuite with SparkSpec {
     val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
       chunk("IHDR", ihdr) ++ chunk("IDAT", comp.toByteArray) ++
       chunk("IEND", Array.emptyByteArray)
-    val Some((dw, dh, px, kinds)) = Multimodal.PngCodec.decodePixels(png)
+    val Some((dw, dh, px, kinds)) = PngCodec.decodePixels(png)
     assert((dw, dh) == (2, 3))
     assert(px.map(_ & 0xff).toSeq == pixels.flatten.toSeq)
     assert(kinds == 3)
     // a corrupted IDAT byte must fail the CRC walk, not mis-decode
     val bad = png.clone()
     bad(8 + 25 + 8 + 2) = (bad(8 + 25 + 8 + 2) ^ 0x01).toByte
-    assert(Multimodal.PngCodec.decodePixels(bad).isEmpty)
+    assert(PngCodec.decodePixels(bad).isEmpty)
     // unsupported profile (grayscale color type) is refused on a PNG whose
     // CRCs are valid — the IHDR check itself, not the CRC walk
     val grayIhdr = be32(w) ++ be32(3) ++ Array[Byte](8, 0, 0, 0, 0)
     val gray = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
       chunk("IHDR", grayIhdr) ++ chunk("IDAT", comp.toByteArray) ++
       chunk("IEND", Array.emptyByteArray)
-    assert(Multimodal.PngCodec.decodePixels(gray).isEmpty)
+    assert(PngCodec.decodePixels(gray).isEmpty)
   }
 
   test("decodeContent mean/RMS match direct byte arithmetic") {

@@ -92,8 +92,8 @@ class RleVideoSpec extends AnyFunSuite {
   }
 
   test("handler mismatch rejects (MJPG stream is not MRLE)") {
-    assert(decodeFrames(Multimodal.MjpegAviCodec.encode(payload)).isEmpty)
-    assert(Multimodal.MjpegAviCodec.decodeFrames(encode(payload)).isEmpty)
+    assert(decodeFrames(MjpegAviCodec.encode(payload)).isEmpty)
+    assert(MjpegAviCodec.decodeFrames(encode(payload)).isEmpty)
   }
 
   test("the palette is genuinely applied: a non-identity palette changes luminance") {
