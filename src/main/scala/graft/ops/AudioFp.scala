@@ -1,0 +1,282 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.ops.Multimodal.{attachBinary, MediaRow}
+
+/** Audio fingerprinting for corpus-scale clip identification — the
+  * constellation-hashing design of Wang 2003 ("An Industrial-Strength Audio
+  * Search Algorithm", the Shazam paper): STFT → spectral peak picking →
+  * anchor/target pair hashes → inverted-index match → time-offset vote.
+  * This is the audio sibling of the perceptual image dedup family
+  * (q151/q156): content-addressed retrieval that survives re-encoding and
+  * clipping, keyed on narrow integer hashes so raw audio never crosses a
+  * shuffle boundary.
+  *
+  * The DSP front end is real: a radix-2 iterative Cooley–Tukey FFT over
+  * 512-sample frames of the decoded PCM (through [[WavCodec]]'s container
+  * walk), magnitude peak-picking over bins 1..255. Determinism comes from
+  * the fixture synthesis, not from fragile float comparisons: each payload
+  * byte becomes one 512-sample segment of a pure integer-bin sine
+  * (bin k = 2 + (byte mod 60)), which is exactly periodic in the frame, so
+  * the spectrum is a single dominant line at k (|X[k]| ≈ A·N/2 ≈ 2·10⁶)
+  * over an int16-quantization floor ~10²-10³ — a ≥1000× argmax margin the
+  * spec pins. The oracle therefore recomputes the expected PEAK BINS in
+  * closed form from the text bytes and replays the entire hash/join/vote
+  * algebra in SQL (the q289 codec-oracle discipline).
+  *
+  * Scale design (100 TB corpus): fingerprint extraction is map-only and
+  * partition-parallel (one FFT state per task); the corpus-side index is
+  * ~24 (hash,t) int pairs per track-second — a ~10⁴× reduction of the
+  * audio — and matching is an equi-join on the int hash with the (small)
+  * query batch broadcast, so the corpus index is never shuffled; only the
+  * matched pairs reach the vote aggregation, and the final top-1 ranking
+  * is a per-query window (bounded partitions, never a global window).
+  *
+  * Reference scope note: `/root/reference` (pesto93/Clickhouse_data-rebalance)
+  * has no media path; this family extends the engine per the north-star
+  * brief, not the reference surface.
+  */
+object AudioFpCodec {
+  /** Samples per STFT frame == per synthesized tone segment. */
+  val SegLen = 512
+  /** Constellation fan-out: each anchor pairs with the next FanOut peaks. */
+  val FanOut = 3
+  /** Synthesis amplitude (int16 full scale is 32767; 8000 leaves headroom). */
+  val Amp = 8000
+
+  /** In-place radix-2 iterative Cooley–Tukey FFT (decimation in time,
+    * bit-reversal permutation first). Public-domain textbook form; n must
+    * be a power of two.
+    */
+  def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n == im.length && (n & (n - 1)) == 0, s"fft length $n not a power of 2")
+    // bit-reversal permutation
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    // butterflies
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ar = re(base + k); val ai = im(base + k)
+          val br = re(base + k + len / 2); val bi = im(base + k + len / 2)
+          val tr = br * cr - bi * ci
+          val ti = br * ci + bi * cr
+          re(base + k) = ar + tr; im(base + k) = ai + ti
+          re(base + k + len / 2) = ar - tr; im(base + k + len / 2) = ai - ti
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** The tone bin carried by each payload byte: 2 + (b mod 60) ∈ [2, 61]. */
+  def toneBin(b: Byte): Int = 2 + ((b & 0xff) % 60)
+
+  /** Synthesize the track PCM for a payload: one SegLen-sample segment of a
+    * pure sine at the byte's [[toneBin]] frequency (k cycles per frame —
+    * exactly periodic, so the unwindowed STFT of an aligned frame is a
+    * single spectral line at k).
+    */
+  def synthesizePcm(payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](payload.length * SegLen * 2)
+    var s = 0
+    while (s < payload.length) {
+      val k = toneBin(payload(s))
+      var n = 0
+      while (n < SegLen) {
+        val v = math.round(Amp * math.sin(2.0 * math.Pi * k * n / SegLen)).toInt
+        val off = (s * SegLen + n) * 2
+        out(off) = (v & 0xff).toByte
+        out(off + 1) = ((v >> 8) & 0xff).toByte
+        n += 1
+      }
+      s += 1
+    }
+    out
+  }
+
+  /** Full-frame STFT peak track: for every complete SegLen frame of the
+    * PCM, the magnitude-argmax bin over 1..SegLen/2-1 (DC and the Nyquist
+    * bin excluded; the conjugate image lives above SegLen/2 and is never
+    * scanned). Rectangular window — the synthesis is integer-bin periodic,
+    * so leakage suppression is unnecessary and the peak is exact.
+    */
+  def stftPeaks(samples: Array[Short]): Array[Int] = {
+    val nFrames = samples.length / SegLen
+    val peaks = new Array[Int](nFrames)
+    val re = new Array[Double](SegLen)
+    val im = new Array[Double](SegLen)
+    var f = 0
+    while (f < nFrames) {
+      var n = 0
+      while (n < SegLen) {
+        re(n) = samples(f * SegLen + n).toDouble
+        im(n) = 0.0
+        n += 1
+      }
+      fft(re, im)
+      var best = 1
+      var bestMag = 0.0
+      var k = 1
+      while (k < SegLen / 2) {
+        val m = re(k) * re(k) + im(k) * im(k)
+        if (m > bestMag) { bestMag = m; best = k }
+        k += 1
+      }
+      peaks(f) = best
+      f += 1
+    }
+    peaks
+  }
+
+  /** Constellation hashes: anchor peak f1 at frame t paired with each of
+    * the next [[FanOut]] peaks f2 at t+dt → h = (f1·64 + f2)·4 + dt.
+    * 64 > max bin 61 and 4 > max dt 3, so the encoding is collision-free
+    * by construction.
+    */
+  def hashes(peaks: Array[Int]): Seq[(Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int)]
+    var t = 0
+    while (t < peaks.length) {
+      var dt = 1
+      while (dt <= FanOut && t + dt < peaks.length) {
+        out += (((peaks(t) * 64 + peaks(t + dt)) * 4 + dt, t))
+        dt += 1
+      }
+      t += 1
+    }
+    out.result()
+  }
+
+  /** payload → WAV container → PCM decode → STFT → constellation hashes.
+    * The WAV roundtrip is the real container path (chunk walk, fmt
+    * validation) — the same [[WavCodec]] the q160 family fuzzes.
+    */
+  def fingerprint(payload: Array[Byte]): Seq[(Int, Int)] = {
+    val wav = WavCodec.encode(synthesizePcm(payload))
+    val pcm = WavCodec.decodeSamples(wav)
+      .getOrElse(throw new IllegalStateException("WAV roundtrip failed"))
+    hashes(stftPeaks(pcm))
+  }
+}
+
+/** Registered queries for the audio-fingerprint family. */
+object AudioFpQueries {
+  import AudioFpCodec._
+
+  final case class FpRow(id: Long, h: Int, t: Int)
+
+  /** Query-clip byte window: segments [ClipFrom, ClipTo) of the track. */
+  val ClipFrom = 4
+  val ClipTo = 14
+  /** Tracks: bounded decode prefix of the corpus (the q289 discipline). */
+  val MaxDoc = 300
+  /** Every 7th doc (mod residue 3) long enough to hold the clip is a query. */
+  val QueryMod = 7
+  val QueryRes = 3
+  val MinLen = 16
+
+  private def fpDs(media: Dataset[MediaRow],
+      clip: Option[(Int, Int)]): Dataset[FpRow] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val payload = clip match {
+        case Some((from, to)) => r.payload.slice(from, to)
+        case None => r.payload
+      }
+      fingerprint(payload).map { case (h, t) => FpRow(r.doc_id, h, t) }
+    }
+  }
+
+  val q293AudioFingerprint = GraftQuery(
+    "q293_audio_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < MaxDoc)
+      val tracks = attachBinary(docs).as[MediaRow]
+      val clips = attachBinary(docs
+          .filter(col("doc_id") % QueryMod === QueryRes &&
+            col("n_chars") >= MinLen))
+        .as[MediaRow]
+      val index = fpDs(tracks, None)
+        .toDF("track_id", "h", "t1")
+      // clip fingerprints are clip-local in time; the query batch is tiny
+      // (≤ MaxDoc/QueryMod clips × ~24 hashes) so it broadcasts and the
+      // corpus-side index is probed in place, never shuffled
+      val qfp = fpDs(clips, Some((ClipFrom, ClipTo)))
+        .toDF("query_id", "h", "tq")
+      val votes = index.join(broadcast(qfp), "h")
+        .groupBy(col("query_id"), col("track_id"),
+          (col("t1") - col("tq")).as("offset_frames"))
+        .agg(count(lit(1)).as("votes"))
+      val rn = row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("votes").desc, col("track_id"), col("offset_frames")))
+      votes.withColumn("rn", rn).filter(col("rn") === 1)
+        .select("query_id", "track_id", "offset_frames", "votes")
+        .orderBy("query_id")
+    },
+    // closed form: the peak bin of segment i is 2 + (byte_i mod 60), so the
+    // whole index/clip/join/vote algebra replays over the text bytes
+    Some(s"""WITH d AS (
+           |  SELECT doc_id, text, CAST(length(text) AS INT) AS len
+           |  FROM documents WHERE doc_id < $MaxDoc),
+           |bin AS (
+           |  SELECT doc_id, len, CAST(i AS INT) AS i,
+           |    2 + (ascii(substr(text, CAST(i + 1 AS INT), 1)) % 60) AS b
+           |  FROM d, unnest(range(len)) AS u(i)),
+           |dt AS (SELECT * FROM (VALUES (1), (2), (3)) AS v(dt)),
+           |idx AS (
+           |  SELECT a.doc_id AS track_id,
+           |    (a.b * 64 + t.b) * 4 + dt.dt AS h, a.i AS t1
+           |  FROM bin a CROSS JOIN dt
+           |  JOIN bin t ON t.doc_id = a.doc_id AND t.i = a.i + dt.dt),
+           |clip AS (
+           |  SELECT doc_id AS query_id, i - $ClipFrom AS tq, b
+           |  FROM bin
+           |  WHERE doc_id % $QueryMod = $QueryRes AND len >= $MinLen
+           |    AND i >= $ClipFrom AND i < $ClipTo),
+           |qfp AS (
+           |  SELECT a.query_id, (a.b * 64 + t.b) * 4 + dt.dt AS h, a.tq
+           |  FROM clip a CROSS JOIN dt
+           |  JOIN clip t ON t.query_id = a.query_id AND t.tq = a.tq + dt.dt),
+           |m AS (
+           |  SELECT q.query_id, i.track_id, i.t1 - q.tq AS offset_frames,
+           |    count(*) AS votes
+           |  FROM qfp q JOIN idx i USING (h)
+           |  GROUP BY 1, 2, 3),
+           |r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY votes DESC, track_id, offset_frames) AS rn
+           |  FROM m)
+           |SELECT query_id, track_id, offset_frames, votes
+           |FROM r WHERE rn = 1 ORDER BY query_id""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q293AudioFingerprint)
+}
