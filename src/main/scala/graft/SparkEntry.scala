@@ -23,7 +23,8 @@ object SparkEntry {
       ops.Extras6.all ++ ops.Html.all ++ ops.Warc.all ++ ops.Robots.all ++
       ops.MpegAudioQueries.all ++ ops.RleVideoQueries.all ++
       ops.MpegVideoQueries.all ++ ops.MpegL3Queries.all ++
-      ops.Training.all ++ ops.Encoding.all ++ ops.AudioFpQueries.all
+      ops.Training.all ++ ops.Encoding.all ++ ops.AudioFpQueries.all ++
+      ops.SceneCutQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
