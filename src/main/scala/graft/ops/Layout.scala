@@ -202,6 +202,93 @@ object Layout {
            |  round(sum(l_quantity), 2) AS qty
            |FROM z GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Zone-map file-skipping audit — the quantified WHY behind q93/q180:
+    * assign every lineitem row to one of 64 value-range "files" under two
+    * layouts (linear: bucketed on x alone; z-order: bucketed on the Morton
+    * code of (x, y)), compute each file's (min, max) zone map on BOTH
+    * dimensions, and replay a 16-query 2-D range workload against the
+    * zone maps counting which files a min/max-pruning scanner must read.
+    * Linear layout prunes only its sort dimension; z-order prunes both —
+    * this query measures the gap as scanned-file counts and a skip
+    * percentage, the number that decides a 100 TB table's layout. The
+    * audit is purely statistical (bucketing is arithmetic value-range
+    * assignment, no global windows, no physical write — q93/q180 already
+    * pin the physical clustering; LayoutSpec pins per-file spans).
+    *
+    * Scale shape: two column-pruned scans collapse to 64-row zone-map
+    * tables; the 16-query workload is a broadcast literal frame probed
+    * with a nested-loop overlap join against 64 rows. Everything after
+    * the scans is integer algebra on bounded frames.
+    */
+  val q298SkippingAudit = GraftQuery(
+    "q298_skipping_audit",
+    (s, dir) => {
+      import s.implicits._
+      val xy = Tables.lineitem(s, dir)
+        .select((col("l_orderkey") % 1024).as("x"),
+          (col("l_partkey") % 1024).as("y"))
+        .withColumn("z", spreadBits(col("x"))
+          .bitwiseOR(shiftleft(spreadBits(col("y")), 1)))
+      val queries = (0 until 16).map { q =>
+        val xlo = (q * 5 % 16) * 64L
+        val ylo = (q * 11 % 16) * 64L
+        (q, xlo, xlo + 63L, ylo, ylo + 63L)
+      }.toDF("qid", "xlo", "xhi", "ylo", "yhi")
+      def audit(layout: String, fileCol: org.apache.spark.sql.Column) = {
+        val zones = xy.groupBy(fileCol.as("file_id"))
+          .agg(min("x").as("min_x"), max("x").as("max_x"),
+            min("y").as("min_y"), max("y").as("max_y"))
+        val scanned = zones.join(broadcast(queries),
+            col("min_x") <= col("xhi") && col("max_x") >= col("xlo") &&
+              col("min_y") <= col("yhi") && col("max_y") >= col("ylo"))
+          .agg(count(lit(1)).as("files_scanned"))
+        zones.agg(count(lit(1)).as("n_files"))
+          .crossJoin(broadcast(scanned)) // 1-row agg: BNLJ, never a shuffle cartesian
+          .select(lit(layout).as("layout"), col("n_files"),
+            (col("n_files") * 16).as("max_scans"), col("files_scanned"),
+            round(lit(100.0) * (lit(1.0) -
+              col("files_scanned") / (col("n_files") * 16)), 2).as("skip_pct"))
+      }
+      audit("linear", expr("x div 16"))
+        .unionByName(audit("zorder", shiftright(col("z"), 14)))
+        .orderBy("layout")
+    },
+    Some("""WITH sp AS (
+           |  SELECT l_orderkey % 1024 AS x, l_partkey % 1024 AS y,
+           |    (((l_orderkey % 1024) | ((l_orderkey % 1024) << 8)) & 16711935) AS xa,
+           |    (((l_partkey  % 1024) | ((l_partkey  % 1024) << 8)) & 16711935) AS ya
+           |  FROM lineitem),
+           |sp2 AS (SELECT x, y, ((xa | (xa << 4)) & 252645135) AS xb,
+           |    ((ya | (ya << 4)) & 252645135) AS yb FROM sp),
+           |sp3 AS (SELECT x, y, ((xb | (xb << 2)) & 858993459) AS xc,
+           |    ((yb | (yb << 2)) & 858993459) AS yc FROM sp2),
+           |zz AS (SELECT x, y,
+           |    ((xc | (xc << 1)) & 1431655765)
+           |      | (((yc | (yc << 1)) & 1431655765) << 1) AS z FROM sp3),
+           |fl AS (
+           |  SELECT 'linear' AS layout, x // 16 AS file_id, x, y FROM zz
+           |  UNION ALL
+           |  SELECT 'zorder', z >> 14, x, y FROM zz),
+           |zones AS (
+           |  SELECT layout, file_id, min(x) AS min_x, max(x) AS max_x,
+           |    min(y) AS min_y, max(y) AS max_y
+           |  FROM fl GROUP BY 1, 2),
+           |qs AS (
+           |  SELECT q, (q * 5 % 16) * 64 AS xlo, (q * 5 % 16) * 64 + 63 AS xhi,
+           |    (q * 11 % 16) * 64 AS ylo, (q * 11 % 16) * 64 + 63 AS yhi
+           |  FROM (SELECT unnest(range(16)) AS q)),
+           |sc AS (
+           |  SELECT layout, count(*) AS files_scanned
+           |  FROM zones JOIN qs
+           |    ON min_x <= xhi AND max_x >= xlo AND min_y <= yhi AND max_y >= ylo
+           |  GROUP BY 1),
+           |nf AS (SELECT layout, count(*) AS n_files FROM zones GROUP BY 1)
+           |SELECT nf.layout, n_files, n_files * 16 AS max_scans, files_scanned,
+           |  round(100.0 * (1.0 - CAST(files_scanned AS DOUBLE) / (n_files * 16)), 2)
+           |    AS skip_pct
+           |FROM nf JOIN sc ON nf.layout = sc.layout
+           |ORDER BY nf.layout""".stripMargin))
+
   /** DataSource V2 generator table (ClickHouse `system.numbers` analogue):
     * fully parallel synthetic rows with deterministic md5-derived hashes —
     * see [[graft.sources.NumbersSource]]. The aggregate is reproduced by the
@@ -895,5 +982,5 @@ object Layout {
     q105V2SinkRoundtrip, q180HilbertLayout, q187CompactionPlan,
     q225WriteAuditPublish, q249TieringPlan, q263OrphanGc,
     q282DynamicPartitionPruning, q284DatasetFingerprint, q286ReplicaDiff,
-    q287FingerprintMerge)
+    q287FingerprintMerge, q298SkippingAudit)
 }

@@ -54,8 +54,6 @@ class SceneCutsSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     // |dv|>8 is a cut: 50->50 no, 50->100 cut, 100->95 no, 95->20 cut, 20->21 no
     val p = track(50, 50, 100, 95, 20, 21)
-    spark.createDataset(Seq(Multimodal.MediaRow(7L, p)))
-      .createOrReplaceTempView("ignored")
     val diffs = SceneCutQueries.frameDiffs(Seq(Multimodal.MediaRow(7L, p)).toDS())
       .toDF()
     val cuts = diffs.withColumn("is_cut",
