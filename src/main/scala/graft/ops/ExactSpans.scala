@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+
+/** EXACT duplicated-substring span removal — Lee et al. 2022's ExactSubstr
+  * corpus surgery without the winnowing approximation: a position is
+  * duplicated iff its 30-gram occurs anywhere else in the corpus (same doc
+  * included), duplicated positions merge into maximal spans, and the spans
+  * are cut from the text. q135/q144 are the SAMPLED variant (MOSS
+  * fingerprints, ~1/win positions kept, ≥47-char guarantee); this is the
+  * no-false-negative variant at threshold L = 30 — the two bracket the
+  * recall/cost trade-off the way q25 (LSH) and q150 (PPJoin) do for
+  * set similarity.
+  *
+  * Scale design: the gram STRING never crosses the wire — each position
+  * ships only (md5-prefix-16 key, doc, i); duplicate detection is one
+  * partial-agg groupBy on that narrow key + a join back (only duplicated
+  * positions survive); span merging is a per-doc window (doc-length
+  * bounded); text reconstruction is a codegen HOF fold over the per-doc
+  * span array, so no raw text is ever shuffled either (spans join back to
+  * the documents scan by id). Per-position md5 is the oracle-replayable
+  * stand-in for a rolling hash; both engines key on the SAME digest, so a
+  * 2⁻⁶⁴-probability prefix collision is symmetric (a shared semantic
+  * false positive, never a cross-engine divergence).
+  *
+  * Reference scope note: `/root/reference` has no dedup surface; this
+  * extends the north-star dedup family.
+  */
+object ExactSpans {
+
+  /** Duplication threshold: spans shorter than L cannot be detected. */
+  val L = 30
+
+  val q300ExactSpanDedup = GraftQuery(
+    "q300_exact_span_dedup",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("len", length(col("text")))
+      val pos = d.filter(col("len") >= L)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), col("len") - L)).as("i"), col("text"))
+        .select(col("doc_id"), col("i"),
+          substring(md5(expr(s"substring(text, i + 1, $L)")), 1, 16).as("k"))
+      val dup = pos.groupBy("k").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select("k")
+      val byDoc = Window.partitionBy("doc_id").orderBy("i")
+      val m = pos.join(dup, "k").select("doc_id", "i")
+        .withColumn("prev_end", max(col("i") + L)
+          .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_span",
+          when(col("prev_end").isNull || col("i") > col("prev_end"), 1)
+            .otherwise(0))
+        .withColumn("span_id",
+          sum("new_span").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      val spans = m.groupBy("doc_id", "span_id")
+        .agg(min("i").as("s"), (max(col("i")) + L).as("e"))
+      val perDoc = spans.groupBy("doc_id").agg(
+        sort_array(collect_list(struct(col("s"), col("e")))).as("sp"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("dup_chars"))
+      perDoc.join(d, "doc_id")
+        .withColumn("retained", expr(
+          """aggregate(sp, named_struct('p', 0, 'a', ''),
+            |  (st, x) -> named_struct('p', x.e,
+            |    'a', concat(st.a, substring(text, st.p + 1, x.s - st.p))),
+            |  st -> concat(st.a, substring(text, st.p + 1, len - st.p)))"""
+            .stripMargin))
+        .select(col("doc_id"), col("n_spans"), col("dup_chars"),
+          (col("len") - col("dup_chars")).cast("long").as("retained_chars"),
+          md5(col("retained")).as("fp"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS MATERIALIZED (
+           |  SELECT doc_id, text, CAST(length(text) AS INT) AS len
+           |  FROM documents),
+           |pos AS MATERIALIZED (
+           |  SELECT doc_id, CAST(i AS INT) AS i,
+           |    substr(md5(substr(text, CAST(i + 1 AS INT), $L)), 1, 16) AS k
+           |  FROM (
+           |    SELECT doc_id, text, unnest(range(len - ${L - 1})) AS i
+           |    FROM d WHERE len >= $L)),
+           |dup AS MATERIALIZED (
+           |  SELECT k FROM pos GROUP BY k HAVING count(*) > 1),
+           |mark AS (SELECT doc_id, i FROM pos JOIN dup USING (k)),
+           |m2 AS (
+           |  SELECT doc_id, i,
+           |    max(i + $L) OVER (PARTITION BY doc_id ORDER BY i
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+           |  FROM mark),
+           |m3 AS (
+           |  SELECT doc_id, i,
+           |    CASE WHEN prev_end IS NULL OR i > prev_end THEN 1 ELSE 0 END
+           |      AS new_span
+           |  FROM m2),
+           |m4 AS (
+           |  SELECT doc_id, i, sum(new_span) OVER (PARTITION BY doc_id
+           |    ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS span_id
+           |  FROM m3),
+           |spans AS MATERIALIZED (
+           |  SELECT doc_id, span_id, min(i) AS s, max(i) + $L AS e
+           |  FROM m4 GROUP BY 1, 2),
+           |agg AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           |    CAST(sum(e - s) AS BIGINT) AS dup_chars
+           |  FROM spans GROUP BY 1),
+           |pieces AS (
+           |  SELECT doc_id, s, e,
+           |    lag(e) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
+           |  FROM spans),
+           |segtext AS (
+           |  SELECT p.doc_id,
+           |    substr(d.text, coalesce(p.prev_e, 0) + 1,
+           |      p.s - coalesce(p.prev_e, 0)) AS seg, p.s AS ord
+           |  FROM pieces p JOIN d USING (doc_id)
+           |  UNION ALL
+           |  SELECT t.doc_id, substr(d.text, t.mx + 1, d.len - t.mx),
+           |    2000000000
+           |  FROM (SELECT doc_id, max(e) AS mx FROM spans GROUP BY 1) t
+           |  JOIN d USING (doc_id)),
+           |ret AS (
+           |  SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS rt
+           |  FROM segtext GROUP BY 1)
+           |SELECT a.doc_id, a.n_spans, a.dup_chars,
+           |  CAST(d.len - a.dup_chars AS BIGINT) AS retained_chars,
+           |  md5(r.rt) AS fp
+           |FROM agg a JOIN d USING (doc_id) JOIN ret r USING (doc_id)
+           |ORDER BY a.doc_id""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q300ExactSpanDedup)
+}
