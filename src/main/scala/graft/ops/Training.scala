@@ -548,8 +548,100 @@ object Training {
            |  round(round(a3.ex, 9), 6), a3.a FROM a3, m3
            |ORDER BY step, source""".stripMargin))
 
+  /** q301 — differentially private median via the exponential mechanism
+    * (McSherry–Talwar), the order-statistic release next to q281's
+    * categorical k-RR: candidate outputs are the 50 integer quantity
+    * values, utility u(v) = −|2·rank_≤(v) − n| (integer, sensitivity-2
+    * scaled), and the draw is the GUMBEL-MAX form — argmax over v of
+    * u·ε/4 − ln(−ln(U_v)) — which IS the exponential mechanism, but in
+    * log space where the inverse-CDF weights exp(u·ε/4) would all
+    * underflow to zero once rank errors reach the hundreds. The
+    * per-candidate uniform U_v is derandomized via the q281 Knuth-hash
+    * coin on (group, v) so the oracle replays the mechanism exactly.
+    *
+    * Float discipline: utilities and ranks are exact integers from one
+    * partial-agg pass; each score is a single float expression rounded at
+    * 9 digits before the per-group argmax window (≤50 bounded rows,
+    * never global), so a 1-ulp libm divergence in ln cannot reorder
+    * generically separated scores — the accepted q283 risk class. Scale
+    * shape: one scan → ≤(groups·50)-row value histogram; everything
+    * after is bounded-frame algebra.
+    */
+  val q301DpQuantile = GraftQuery(
+    "q301_dp_quantile",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byFlag = Window.partitionBy("flag").orderBy("v")
+      val whole = Window.partitionBy("flag")
+      val cum = byFlag.rowsBetween(Window.unboundedPreceding, 0)
+      val w = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("v"))
+        .groupBy("flag", "v").agg(count(lit(1)).as("c"))
+        .withColumn("cumc", sum("c").over(cum))
+        .withColumn("n", sum("c").over(whole))
+        .withColumn("u", -abs(lit(2) * col("cumc") - col("n")))
+        // Gumbel-max form of the exponential mechanism: log-space scores
+        // never underflow (inverse-CDF weights exp(u·ε/4) all round to 0
+        // once rank errors reach the hundreds); the per-candidate Gumbel
+        // is derandomized from the q281 Knuth-hash coin for oracle replay
+        .withColumn("u01",
+          (((ascii(col("flag")) * 53 + col("v")) % 2147483647L *
+            lit(2654435761L)) % lit(4294967296L) + lit(1L)) /
+            lit(4294967297.0))
+        .withColumn("score",
+          round(col("u").cast("double") / lit(4.0) -
+            log(-log(col("u01"))), 9))
+      val rn = org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy("flag").orderBy(col("score").desc, col("v")))
+      val dp = w.withColumn("rn", rn).filter(col("rn") === 1)
+        .select(col("flag"), col("v").as("dp_median"))
+      val truem = w.filter(lit(2) * col("cumc") >= col("n"))
+        .groupBy("flag").agg(min("v").as("true_median"), max("n").as("n"))
+      val errs = w.select(col("flag").as("eflag"), col("v").as("ev"),
+        (-col("u")).as("dp_rank_err"))
+      truem.join(dp, "flag")
+        .join(errs,
+          col("flag") === col("eflag") && col("dp_median") === col("ev"))
+        .select(col("flag"), col("n"), col("true_median"),
+          col("dp_median"), col("dp_rank_err"))
+        .orderBy("flag")
+    },
+    Some("""WITH h AS (
+           |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS v,
+           |    count(*) AS c
+           |  FROM lineitem GROUP BY 1, 2),
+           |w AS MATERIALIZED (
+           |  SELECT flag, v, c,
+           |    sum(c) OVER (PARTITION BY flag ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+           |    sum(c) OVER (PARTITION BY flag) AS n
+           |  FROM h),
+           |w2 AS MATERIALIZED (
+           |  SELECT flag, v, cumc, n, -abs(2 * cumc - n) AS u,
+           |    ((((ascii(flag) * 53 + v) % 2147483647) * 2654435761)
+           |      % 4294967296 + 1) / 4294967297.0 AS u01
+           |  FROM w),
+           |w3 AS MATERIALIZED (
+           |  SELECT flag, v, u, cumc, n,
+           |    round(CAST(u AS DOUBLE) / 4.0 - ln(-ln(u01)), 9) AS score
+           |  FROM w2),
+           |dp AS (
+           |  SELECT flag, v AS dp_median FROM (
+           |    SELECT flag, v, row_number() OVER (PARTITION BY flag
+           |      ORDER BY score DESC, v) AS rn
+           |    FROM w3) WHERE rn = 1),
+           |tm AS (
+           |  SELECT flag, min(v) AS true_median, max(n) AS n FROM w3
+           |  WHERE 2 * cumc >= n GROUP BY 1)
+           |SELECT tm.flag, CAST(tm.n AS BIGINT) AS n, tm.true_median, dp.dp_median,
+           |  CAST(-w3.u AS BIGINT) AS dp_rank_err
+           |FROM tm JOIN dp USING (flag)
+           |JOIN w3 ON w3.flag = tm.flag AND w3.v = dp.dp_median
+           |ORDER BY tm.flag""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q279PerceptronTrain, q281RandomizedResponse, q283BradleyTerry,
-      q288DoremiWeights, q290DoremiIterated)
+      q288DoremiWeights, q290DoremiIterated, q301DpQuantile)
 }
 
