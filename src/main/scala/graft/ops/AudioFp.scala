@@ -185,6 +185,49 @@ object AudioFpCodec {
       .getOrElse(throw new IllegalStateException("WAV roundtrip failed"))
     hashes(stftPeaks(pcm))
   }
+
+  /** Amplitude-modulated synthesis for the q302 activity detector: every
+    * byte becomes one SegLen-sample segment of a FIXED bin-20 sine whose
+    * amplitude is (byte mod 8)·512 — so the fixture contains genuinely
+    * silent (A = 0), quiet (512) and loud (1024..3584) segments and the
+    * per-frame energy is closed-form A²/2 up to int16 rounding.
+    */
+  def synthesizeAmPcm(payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](payload.length * SegLen * 2)
+    var s = 0
+    while (s < payload.length) {
+      val a = ((payload(s) & 0xff) % 8) * 512
+      var n = 0
+      while (n < SegLen) {
+        val v = math.round(a * math.sin(2.0 * math.Pi * 20 * n / SegLen)).toInt
+        val off = (s * SegLen + n) * 2
+        out(off) = (v & 0xff).toByte
+        out(off + 1) = ((v >> 8) & 0xff).toByte
+        n += 1
+      }
+      s += 1
+    }
+    out
+  }
+
+  /** Mean-square energy per full frame of the decoded PCM. */
+  def frameEnergies(samples: Array[Short]): Array[Double] = {
+    val nFrames = samples.length / SegLen
+    val out = new Array[Double](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var acc = 0.0
+      var n = 0
+      while (n < SegLen) {
+        val x = samples(f * SegLen + n).toDouble
+        acc += x * x
+        n += 1
+      }
+      out(f) = acc / SegLen
+      f += 1
+    }
+    out
+  }
 }
 
 /** Registered queries for the audio-fingerprint family. */
@@ -278,5 +321,89 @@ object AudioFpQueries {
            |SELECT query_id, track_id, offset_frames, votes
            |FROM r WHERE rn = 1 ORDER BY query_id""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q293AudioFingerprint)
+  final case class EnergyRow(doc_id: Long, frame_idx: Int, active: Int)
+
+  /** Activity (speech/sound) segmentation — the audio sibling of q294's
+    * scene cuts and the first step of audio clip extraction for multimodal
+    * corpora: per-frame mean-square energy from the REAL WAV decode of an
+    * amplitude-modulated synthesis, an energy gate, and gaps-and-islands
+    * run segmentation (the q234 streak discipline, windows per track).
+    * The energy gate has a ≥4× closed-form margin: amplitudes are
+    * (byte mod 8)·512, so frame energy is A²/2 (±int16 rounding ~10²)
+    * and the 300 000 threshold cleanly separates A ≤ 512 (≤131 k) from
+    * A ≥ 1024 (≥524 k) — the oracle replays activity as (byte mod 8) ≥ 2
+    * and the whole segmentation as integer algebra.
+    */
+  val q302VadSegments = GraftQuery(
+    "q302_vad_segments",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val media = attachBinary(Tables.documents(s, dir)
+        .filter(col("doc_id") < 300)).as[MediaRow]
+      val frames = media.flatMap { r =>
+        val wav = WavCodec.encode(synthesizeAmPcm(r.payload))
+        val pcm = WavCodec.decodeSamples(wav)
+          .getOrElse(throw new IllegalStateException("WAV roundtrip failed"))
+        frameEnergies(pcm).zipWithIndex.map { case (e, f) =>
+          EnergyRow(r.doc_id, f, if (e > 300000.0) 1 else 0)
+        }
+      }.toDF()
+      val byDoc = Window.partitionBy("doc_id").orderBy("frame_idx")
+      val runs = frames.filter(col("active") === 1)
+        .withColumn("rn", row_number().over(byDoc))
+        .withColumn("island", col("frame_idx") - col("rn"))
+        .groupBy("doc_id", "island").agg(count(lit(1)).as("run_len"),
+          min("frame_idx").as("run_start"))
+      val perDoc = frames.groupBy("doc_id").agg(
+        count(lit(1)).as("n_frames"),
+        sum("active").cast("long").as("n_active"))
+      perDoc.join(
+          runs.groupBy("doc_id").agg(
+            count(lit(1)).as("n_segments"),
+            max("run_len").as("longest_run"),
+            min("run_start").as("first_active")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_frames"), col("n_active"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+          coalesce(col("first_active"), lit(-1)).as("first_active"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, text, CAST(length(text) AS INT) AS len
+           |  FROM documents WHERE doc_id < 300),
+           |f AS (
+           |  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           |    CASE WHEN (ascii(substr(text, CAST(i + 1 AS INT), 1)) % 8) >= 2
+           |         THEN 1 ELSE 0 END AS active
+           |  FROM (SELECT doc_id, text, unnest(range(len)) AS i
+           |        FROM d WHERE len > 0)),
+           |runs AS (
+           |  SELECT doc_id,
+           |    frame_idx - row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY frame_idx) AS island,
+           |    frame_idx
+           |  FROM f WHERE active = 1),
+           |rl AS (
+           |  SELECT doc_id, island, count(*) AS run_len,
+           |    min(frame_idx) AS run_start
+           |  FROM runs GROUP BY 1, 2),
+           |pd AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+           |    CAST(sum(active) AS BIGINT) AS n_active
+           |  FROM f GROUP BY 1),
+           |sg AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+           |    CAST(max(run_len) AS BIGINT) AS longest_run,
+           |    CAST(min(run_start) AS INT) AS first_active
+           |  FROM rl GROUP BY 1)
+           |SELECT pd.doc_id, n_frames, n_active,
+           |  coalesce(sg.n_segments, 0) AS n_segments,
+           |  coalesce(sg.longest_run, 0) AS longest_run,
+           |  coalesce(sg.first_active, -1) AS first_active
+           |FROM pd LEFT JOIN sg ON sg.doc_id = pd.doc_id
+           |ORDER BY pd.doc_id""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q293AudioFingerprint, q302VadSegments)
 }

@@ -241,5 +241,96 @@ object Extras7 {
          |FROM ch CROSS JOIN tre ORDER BY channel""".stripMargin
     })
 
-  val all: Seq[GraftQuery] = Seq(q296TpchQ21, q297MarkovAttribution)
+  /** Materialized-view advisor — the warehouse-operations decision q213
+    * (IVM) and q244 (pre-agg contract) assume has already been made: given
+    * a weighted query workload over a 4-dimension lattice, rank every
+    * candidate group-by MV by benefit. ALL 16 candidate cardinalities come
+    * from ONE cube pass (grouping() bits identify each lattice node — the
+    * same scan a planner's statistics collector would run); a query is
+    * answerable from an MV iff its dimension mask is a subset of the MV's
+    * (qmask & mvmask = qmask), benefit = Σ answerable weight·(N − mv_rows)
+    * against a full-scan baseline, penalized by the MV's own maintenance
+    * row count. Integer-exact end to end; the workload is a literal frame.
+    *
+    * Scale shape: one cube scan (partial aggs per lattice node) collapses
+    * to 16 cardinality rows; the 8-query workload joins against those 16
+    * rows broadcast-side. Nothing after the scan grows with data.
+    */
+  val q303MvAdvisor = GraftQuery(
+    "q303_mv_advisor",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("flag"), col("l_linestatus").as("status"),
+        year(col("l_shipdate")).as("yr"),
+        (col("l_suppkey") % 10).as("sb"))
+      val cube = li.cube(col("flag"), col("status"), col("yr"), col("sb"))
+        .agg(count(lit(1)).as("c"),
+          grouping(col("flag")).as("gf"), grouping(col("status")).as("gs"),
+          grouping(col("yr")).as("gy"), grouping(col("sb")).as("gb"))
+      val mvs = cube.select(
+          ((lit(1) - col("gf")) * 8 + (lit(1) - col("gs")) * 4 +
+            (lit(1) - col("gy")) * 2 + (lit(1) - col("gb"))).as("mvmask"))
+        .groupBy("mvmask").agg(count(lit(1)).as("mv_rows"))
+      val base = li.agg(count(lit(1)).as("n_base"))
+      val workload = Seq(
+        ("by_flag", 8, 10L), ("by_status", 4, 8L), ("by_flag_status", 12, 6L),
+        ("by_year", 2, 12L), ("by_year_flag", 10, 4L), ("by_bucket", 1, 5L),
+        ("total", 0, 20L), ("by_all", 15, 1L))
+        .toDF("qname", "qmask", "w")
+      val scored = mvs.crossJoin(broadcast(base))
+        .join(broadcast(workload),
+          col("qmask").bitwiseAND(col("mvmask")) === col("qmask"), "left")
+        .groupBy("mvmask", "mv_rows")
+        .agg(count(col("qname")).as("n_answerable"),
+          coalesce(sum(col("w") * (col("n_base") - col("mv_rows"))), lit(0L))
+            .as("benefit"))
+        .withColumn("score", col("benefit") - col("mv_rows"))
+      val dims = concat_ws("+",
+        when(col("mvmask").bitwiseAND(8) =!= 0, lit("flag")),
+        when(col("mvmask").bitwiseAND(4) =!= 0, lit("status")),
+        when(col("mvmask").bitwiseAND(2) =!= 0, lit("yr")),
+        when(col("mvmask").bitwiseAND(1) =!= 0, lit("sb")))
+      scored.select(col("mvmask"), dims.as("mv_dims"), col("mv_rows"),
+          col("n_answerable"), col("score"))
+        .orderBy(col("score").desc, col("mvmask")).limit(5)
+    },
+    Some("""WITH li AS (
+           |  SELECT l_returnflag AS flag, l_linestatus AS status,
+           |    CAST(year(l_shipdate) AS BIGINT) AS yr, l_suppkey % 10 AS sb
+           |  FROM lineitem),
+           |cb AS (
+           |  SELECT (1 - grouping(flag)) * 8 + (1 - grouping(status)) * 4
+           |    + (1 - grouping(yr)) * 2 + (1 - grouping(sb)) AS mvmask
+           |  FROM li GROUP BY CUBE (flag, status, yr, sb)),
+           |mvs AS (SELECT mvmask, CAST(count(*) AS BIGINT) AS mv_rows
+           |        FROM cb GROUP BY 1),
+           |base AS (SELECT CAST(count(*) AS BIGINT) AS n_base FROM li),
+           |wl AS (
+           |  SELECT * FROM (VALUES
+           |    ('by_flag', 8, 10), ('by_status', 4, 8),
+           |    ('by_flag_status', 12, 6), ('by_year', 2, 12),
+           |    ('by_year_flag', 10, 4), ('by_bucket', 1, 5),
+           |    ('total', 0, 20), ('by_all', 15, 1))
+           |    AS t(qname, qmask, w)),
+           |sc AS (
+           |  SELECT mvmask, mv_rows,
+           |    CAST(count(qname) AS BIGINT) AS n_answerable,
+           |    CAST(coalesce(sum(w * (n_base - mv_rows)), 0) AS BIGINT)
+           |      AS benefit
+           |  FROM mvs CROSS JOIN base
+           |  LEFT JOIN wl ON (qmask & mvmask) = qmask
+           |  GROUP BY 1, 2)
+           |SELECT mvmask,
+           |  concat_ws('+',
+           |    CASE WHEN mvmask & 8 <> 0 THEN 'flag' END,
+           |    CASE WHEN mvmask & 4 <> 0 THEN 'status' END,
+           |    CASE WHEN mvmask & 2 <> 0 THEN 'yr' END,
+           |    CASE WHEN mvmask & 1 <> 0 THEN 'sb' END) AS mv_dims,
+           |  mv_rows, n_answerable,
+           |  CAST(benefit - mv_rows AS BIGINT) AS score
+           |FROM sc ORDER BY score DESC, mvmask LIMIT 5""".stripMargin))
+
+  val all: Seq[GraftQuery] =
+    Seq(q296TpchQ21, q297MarkovAttribution, q303MvAdvisor)
 }

@@ -93,6 +93,19 @@ class AudioFpSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q302 energies: decoded frame energy is A^2/2 within the int16 rounding floor") {
+    // bytes mod 8: 0 (silent), 1 (quiet, A=512), 7 (loud, A=3584)
+    val payload = Array[Byte](8, 1, 7)
+    val pcm = WavCodec.decodeSamples(WavCodec.encode(synthesizeAmPcm(payload))).get
+    val es = frameEnergies(pcm)
+    assert(es.length == 3)
+    assert(es(0) == 0.0)
+    assert(math.abs(es(1) - 512.0 * 512 / 2) < 300.0)
+    assert(math.abs(es(2) - 3584.0 * 3584 / 2) < 2000.0)
+    // the q302 gate margin: quiet is 2.3x below, loud 21x above
+    assert(es(1) < 300000.0 / 2 && es(2) > 300000.0 * 2)
+  }
+
   test("end-to-end: a clip identifies its source track at the right offset") {
     import spark.implicits._
     val corpus =
