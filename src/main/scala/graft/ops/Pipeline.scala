@@ -629,8 +629,73 @@ object Pipeline {
            |  n_docs - n_distinct AS exact_dups
            |FROM base JOIN lm USING (source) ORDER BY source""".stripMargin))
 
+  /** q305 — temperature-scaled multilingual sampling (the mT5/XLM-R
+    * recipe): per-language weights w_l ∝ n_l^α with α = 0.3 UPSAMPLE
+    * low-resource languages relative to proportional sampling, budgets
+    * B_l = round(T·w_l) for a 40%-of-corpus token budget T (capped at
+    * n_l), and the realization is the q52 deterministic md5 hash gate so
+    * the sample is join-stable and the oracle replays it. q129 budgets
+    * from FIXED per-source weights; this derives the weights FROM the
+    * data — the standard low-resource balancing step.
+    *
+    * Float discipline: the only float is n^α (libm pow, ~1 ulp) flowing
+    * into the budget; the budget rounds through a 6-digit guard, and the
+    * per-doc gate then compares EXACT INTEGERS (bucket·n_l < B_l·65536 —
+    * a cross-multiplied rational, no float threshold). Scale shape: one
+    * count aggregate → ≤|langs| rows broadcast back over the corpus
+    * stream, one gate scan, one partial-agg count. Nothing grows with
+    * data.
+    */
+  val q305TemperatureMixture = GraftQuery(
+    "q305_temperature_mixture",
+    (s, dir) => {
+      val counts = Tables.documents(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(
+        sum(pow(col("n_docs").cast("double"), lit(0.3))).as("wtot"),
+        sum("n_docs").as("ntot"))
+      val budgets = counts.crossJoin(broadcast(tot))
+        .withColumn("w",
+          pow(col("n_docs").cast("double"), lit(0.3)) / col("wtot"))
+        .withColumn("budget",
+          least(round(round(col("w") * expr("ntot * 2 div 5"), 6))
+            .cast("long"), col("n_docs")))
+        .select("lang", "n_docs", "w", "budget")
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("long")
+      val sampled = Tables.documents(s, dir).select("doc_id", "lang")
+        .join(broadcast(budgets), "lang")
+        .withColumn("keep",
+          (bucket * col("n_docs") < col("budget") * 65536L).cast("int"))
+        .groupBy("lang").agg(sum("keep").cast("long").as("n_sampled"))
+      budgets.join(sampled, "lang")
+        .select(col("lang"), col("n_docs"),
+          round(round(col("w"), 6), 4).as("w"), col("budget"),
+          col("n_sampled"))
+        .orderBy("lang")
+    },
+    Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+           |           FROM documents GROUP BY 1),
+           |t AS (SELECT sum(pow(n_docs, 0.3)) AS wtot,
+           |        CAST(sum(n_docs) AS BIGINT) AS ntot FROM c),
+           |b AS (
+           |  SELECT lang, n_docs, pow(n_docs, 0.3) / wtot AS w,
+           |    least(CAST(round(round(pow(n_docs, 0.3) / wtot
+           |        * (ntot * 2 // 5), 6)) AS BIGINT), n_docs) AS budget
+           |  FROM c CROSS JOIN t),
+           |smp AS (
+           |  SELECT d.lang,
+           |    CAST(sum(CASE WHEN
+           |        CAST(concat('0x', substr(md5(d.doc_id::VARCHAR), 1, 4))
+           |          AS BIGINT) * b.n_docs < b.budget * 65536
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+           |  FROM documents d JOIN b USING (lang) GROUP BY 1)
+           |SELECT b.lang, b.n_docs, round(round(b.w, 6), 4) AS w,
+           |  b.budget, smp.n_sampled
+           |FROM b JOIN smp USING (lang) ORDER BY b.lang""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q52HashSample, q53IncrementalDedup, q54OutlierFilter,
     q65StratifiedSample, q97WeightedSample, q129MixtureSample, q136EpochShuffle,
     q181SnapshotDiff, q188GroupSplit, q217CurationFunnel, q226IncrementalSessions,
-    q251DatasetCard)
+    q251DatasetCard, q305TemperatureMixture)
 }
