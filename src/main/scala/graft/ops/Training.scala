@@ -38,6 +38,7 @@ object Training {
     def occ(w: String): Column =
       ((length(t) - length(replace(t, lit(w)))) / w.length).cast("long")
     Tables.documents(s, dir).select(
+      col("lang"),
       when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
       lit(1L).as("x0"),
       size(split(t, " ")).cast("long").as("x1"),
@@ -640,8 +641,100 @@ object Training {
            |JOIN w3 ON w3.flag = tm.flag AND w3.v = dp.dp_median
            |ORDER BY tm.flag""".stripMargin))
 
+  /** q306 — margin-based data pruning (the difficulty-score curation of
+    * Sorscher et al. 2022, "Beyond neural scaling laws"): score every
+    * document by its signed margin under the q279 perceptron's final
+    * integer weights, take each language's EXACT median margin as the
+    * difficulty threshold, and keep the harder half (margin ≤ median —
+    * hard/ambiguous examples carry the training signal at scale).
+    *
+    * Integer-exact scoring (features, weights, margins all longs), with
+    * the per-language median computed by
+    * [[ScaleFrames.groupedQuantileWideDomain]] — the two-level-cumsum
+    * machinery, bit-identical to `quantile_cont`, so the threshold
+    * compare is exact on both engines (medians of integer margins are
+    * k or k+0.5 exactly). Scale shape: the q279 training loop (one
+    * partial agg per epoch, 5-long driver state), one scoring scan, the
+    * distributed grouped-median (no per-language window funnel — the
+    * q205/q199 defect class), one bounded rollup.
+    */
+  val q306MarginPruning = GraftQuery(
+    "q306_margin_pruning",
+    (s, dir) => {
+      val f = featureFrame(s, dir).persist()
+      val w = trainTrace(f, Seq("x0", "x1", "x2", "x3", "x4"), epochs = 3)
+        .last._3
+      val scored = f.withColumn("m",
+        col("y") * (lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+          lit(w(2)) * col("x2") + lit(w(3)) * col("x3") +
+          lit(w(4)) * col("x4")))
+      val med = ScaleFrames.groupedQuantileWideDomain(
+        scored, "lang", "m", bucketWidth = 1e6, frac = 0.5, out = "t")
+      val out = scored.join(broadcast(med), "lang")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("m") <= 0L, 1L).otherwise(0L)).as("n_hard"),
+          sum(when(col("m") <= col("t"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("m") <= col("t"), col("m")).otherwise(0L))
+            .as("sum_margin_kept"),
+          round(max(col("t")), 1).as("t_med"))
+        .orderBy("lang")
+      f.unpersist()
+      out
+    },
+    // weights replayed through the q279 chain, margins re-derived, the
+    // median via quantile_cont (bit-identical to the Spark machinery)
+    Some("""WITH f AS (
+           |  SELECT lang, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+           |    CAST(1 AS BIGINT) AS x0,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+           |    CAST(n_chars AS BIGINT) AS x2,
+           |    CAST((length(text) - length(replace(text, 'table', ''))) // 5 AS BIGINT) AS x3,
+           |    CAST((length(text) - length(replace(text, 'data', ''))) // 4 AS BIGINT) AS x4
+           |  FROM documents),
+           |e1 AS (
+           |  SELECT CAST(sum(y*x0) AS BIGINT) AS w0, CAST(sum(y*x1) AS BIGINT) AS w1,
+           |    CAST(sum(y*x2) AS BIGINT) AS w2, CAST(sum(y*x3) AS BIGINT) AS w3,
+           |    CAST(sum(y*x4) AS BIGINT) AS w4
+           |  FROM f),
+           |e2 AS (
+           |  SELECT
+           |    CAST(w0 + sum(CASE WHEN m <= 0 THEN y*x0 ELSE 0 END) AS BIGINT) AS w0,
+           |    CAST(w1 + sum(CASE WHEN m <= 0 THEN y*x1 ELSE 0 END) AS BIGINT) AS w1,
+           |    CAST(w2 + sum(CASE WHEN m <= 0 THEN y*x2 ELSE 0 END) AS BIGINT) AS w2,
+           |    CAST(w3 + sum(CASE WHEN m <= 0 THEN y*x3 ELSE 0 END) AS BIGINT) AS w3,
+           |    CAST(w4 + sum(CASE WHEN m <= 0 THEN y*x4 ELSE 0 END) AS BIGINT) AS w4
+           |  FROM (SELECT f.*, e1.w0, e1.w1, e1.w2, e1.w3, e1.w4,
+           |          y*(e1.w0*x0 + e1.w1*x1 + e1.w2*x2 + e1.w3*x3 + e1.w4*x4) AS m
+           |        FROM f CROSS JOIN e1)
+           |  GROUP BY w0, w1, w2, w3, w4),
+           |e3 AS (
+           |  SELECT
+           |    CAST(w0 + sum(CASE WHEN m <= 0 THEN y*x0 ELSE 0 END) AS BIGINT) AS w0,
+           |    CAST(w1 + sum(CASE WHEN m <= 0 THEN y*x1 ELSE 0 END) AS BIGINT) AS w1,
+           |    CAST(w2 + sum(CASE WHEN m <= 0 THEN y*x2 ELSE 0 END) AS BIGINT) AS w2,
+           |    CAST(w3 + sum(CASE WHEN m <= 0 THEN y*x3 ELSE 0 END) AS BIGINT) AS w3,
+           |    CAST(w4 + sum(CASE WHEN m <= 0 THEN y*x4 ELSE 0 END) AS BIGINT) AS w4
+           |  FROM (SELECT f.*, e2.w0, e2.w1, e2.w2, e2.w3, e2.w4,
+           |          y*(e2.w0*x0 + e2.w1*x1 + e2.w2*x2 + e2.w3*x3 + e2.w4*x4) AS m
+           |        FROM f CROSS JOIN e2)
+           |  GROUP BY w0, w1, w2, w3, w4),
+           |sc AS (
+           |  SELECT lang, y*(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4) AS m
+           |  FROM f CROSS JOIN e3),
+           |md AS (SELECT lang, quantile_cont(m, 0.5) AS t FROM sc GROUP BY 1)
+           |SELECT sc.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN m <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard,
+           |  CAST(sum(CASE WHEN m <= t THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(sum(CASE WHEN m <= t THEN m ELSE 0 END) AS BIGINT)
+           |    AS sum_margin_kept,
+           |  round(max(t), 1) AS t_med
+           |FROM sc JOIN md ON md.lang = sc.lang
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(q279PerceptronTrain, q281RandomizedResponse, q283BradleyTerry,
-      q288DoremiWeights, q290DoremiIterated, q301DpQuantile)
+      q288DoremiWeights, q290DoremiIterated, q301DpQuantile,
+      q306MarginPruning)
 }
 
