@@ -112,7 +112,14 @@ object Unigram {
         .select("piece", "old_cnt", "new_cnt", "n_words")
         .orderBy(col("new_cnt").desc, col("piece")).limit(30)
     },
-    Some {
+    Some(q299Oracle))
+
+  /** The shared oracle pipeline through `fin` (word, wc, seg): seed
+    * counting, the 12 unrolled MATERIALIZED DP levels, and the final
+    * per-length segmentation arms. q299 and q307 append different
+    * rollups to the same replay.
+    */
+  private def oraclePrefix: String = {
       // per-level DP: candidates extend best_i with vocab piece word[i..j),
       // argmin by (pieces, -score, i); only words long enough participate
       val dpCtes = (1 to MaxLen).map { j =>
@@ -160,15 +167,94 @@ object Unigram {
          |  FROM words),
          |$dpCtes,
          |fin AS MATERIALIZED (
-         |$finArms),
-         |mstep AS MATERIALIZED (
-         |  SELECT u.piece, CAST(sum(wc) AS BIGINT) AS new_cnt,
-         |    CAST(count(DISTINCT word) AS BIGINT) AS n_words
-         |  FROM fin, unnest(string_split(seg, '|')) AS u(piece) GROUP BY 1)
-         |SELECT m.piece, v.cnt AS old_cnt, m.new_cnt, m.n_words
-         |FROM mstep m JOIN vocab v ON v.piece = m.piece
-         |ORDER BY m.new_cnt DESC, m.piece LIMIT 30""".stripMargin
-    })
+         |$finArms)""".stripMargin
+  }
 
-  val all: Seq[GraftQuery] = Seq(q299UnigramSegment)
+  private def q299Oracle: String =
+    s"""$oraclePrefix,
+       |mstep AS MATERIALIZED (
+       |  SELECT u.piece, CAST(sum(wc) AS BIGINT) AS new_cnt,
+       |    CAST(count(DISTINCT word) AS BIGINT) AS n_words
+       |  FROM fin, unnest(string_split(seg, '|')) AS u(piece) GROUP BY 1)
+       |SELECT m.piece, v.cnt AS old_cnt, m.new_cnt, m.n_words
+       |FROM mstep m JOIN vocab v ON v.piece = m.piece
+       |ORDER BY m.new_cnt DESC, m.piece LIMIT 30""".stripMargin
+
+  /** q307 — per-language tokenizer fertility audit of the q299 unigram
+    * tokenizer: pieces/word (fertility) and chars/piece per language —
+    * THE comparison metric of multilingual tokenizer papers (a language
+    * whose fertility runs high is under-served by the shared vocabulary
+    * and pays more sequence length per sentence). The tokenizer is the
+    * corpus-GLOBAL one (same seed vocab and DP as q299 — one shared
+    * vocabulary, which is exactly what creates the fertility disparity);
+    * segmentations of the distinct-word table join back to per-language
+    * word counts for the rollup, so the DP still runs once per distinct
+    * word, not once per occurrence. Fertility/chars-per-piece are single
+    * divisions of exact integer sums, rounded at 4.
+    */
+  val q307TokenizerFertility = GraftQuery(
+    "q307_tokenizer_fertility",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val words = docs
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(length(col("word")).between(1, MaxLen))
+        .groupBy("word").agg(count(lit(1)).as("wc"))
+      val letters = ('a' to 'z').map(_.toString).toDF("piece")
+      val singles = words.crossJoin(broadcast(letters))
+        .groupBy("piece")
+        .agg(coalesce(sum(col("wc") *
+          (length(col("word")) - length(expr("replace(word, piece, '')")))),
+          lit(0L)).as("cnt"))
+      val top = words
+        .withColumn("l", explode(sequence(lit(2), lit(4))))
+        .withColumn("i", explode(sequence(lit(0), lit(MaxLen - 2))))
+        .filter(col("i") + col("l") <= length(col("word")))
+        .select(expr("substring(word, i + 1, l)").as("piece"), col("wc"))
+        .groupBy("piece").agg(sum("wc").as("cnt"))
+        .orderBy(col("cnt").desc, col("piece")).limit(TopPieces)
+      val vocab = singles.unionByName(top).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap // bounded ≤ 66 rows
+      val segmented = words.as[(String, Long)].map { case (w, _) =>
+        val (p, _, _) = viterbiSegment(w, vocab)
+        (w, p)
+      }.toDF("word", "n_pieces")
+      val langWords = docs
+        .select(col("lang"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(length(col("word")).between(1, MaxLen))
+        .groupBy("lang", "word").agg(count(lit(1)).as("lwc"))
+      langWords.join(segmented, "word")
+        .groupBy("lang").agg(
+          sum("lwc").as("n_words"),
+          sum(col("lwc") * col("n_pieces")).as("n_pieces"),
+          sum(col("lwc") * length(col("word"))).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_pieces"),
+          round(col("n_pieces").cast("double") / col("n_words"), 4)
+            .as("fertility"),
+          round(col("n_chars").cast("double") / col("n_pieces"), 4)
+            .as("chars_per_piece"))
+        .orderBy("lang")
+    },
+    Some(s"""$oraclePrefix,
+           |np AS MATERIALIZED (
+           |  SELECT word, CAST(len(string_split(seg, '|')) AS BIGINT)
+           |    AS n_pieces
+           |  FROM fin),
+           |lw AS MATERIALIZED (
+           |  SELECT lang, w AS word, count(*) AS lwc
+           |  FROM (SELECT lang, lower(text) AS t FROM documents),
+           |    unnest(string_split_regex(t, '[^a-z]+')) AS u(w)
+           |  WHERE length(w) BETWEEN 1 AND $MaxLen GROUP BY 1, 2)
+           |SELECT lang, CAST(sum(lwc) AS BIGINT) AS n_words,
+           |  CAST(sum(lwc * n_pieces) AS BIGINT) AS n_pieces,
+           |  round(CAST(sum(lwc * n_pieces) AS DOUBLE) / sum(lwc), 4)
+           |    AS fertility,
+           |  round(CAST(sum(lwc * length(word)) AS DOUBLE)
+           |    / sum(lwc * n_pieces), 4) AS chars_per_piece
+           |FROM lw JOIN np USING (word)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q299UnigramSegment, q307TokenizerFertility)
 }
