@@ -262,11 +262,18 @@ object AudioFpQueries {
     "q293_audio_fingerprint",
     (s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir).filter(col("doc_id") < MaxDoc)
+      // the oracle models payload bytes as ascii(substr(text, i+1, 1)) and
+      // lengths as length(text): true only for pure-ASCII text with honest
+      // n_chars, so ENFORCE that symmetrically (the q280 discipline) rather
+      // than trust the fixture — a regenerated non-ASCII doc drops out of
+      // BOTH engines instead of silently diverging
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < MaxDoc &&
+        octet_length(col("text")) === length(col("text")) &&
+        col("n_chars") === length(col("text")))
       val tracks = attachBinary(docs).as[MediaRow]
       val clips = attachBinary(docs
           .filter(col("doc_id") % QueryMod === QueryRes &&
-            col("n_chars") >= MinLen))
+            length(col("text")) >= MinLen))
         .as[MediaRow]
       val index = fpDs(tracks, None)
         .toDF("track_id", "h", "t1")
@@ -289,7 +296,8 @@ object AudioFpQueries {
     // whole index/clip/join/vote algebra replays over the text bytes
     Some(s"""WITH d AS (
            |  SELECT doc_id, text, CAST(length(text) AS INT) AS len
-           |  FROM documents WHERE doc_id < $MaxDoc),
+           |  FROM documents WHERE doc_id < $MaxDoc
+           |    AND strlen(text) = length(text) AND n_chars = length(text)),
            |bin AS (
            |  SELECT doc_id, len, CAST(i AS INT) AS i,
            |    2 + (ascii(substr(text, CAST(i + 1 AS INT), 1)) % 60) AS b
@@ -339,8 +347,11 @@ object AudioFpQueries {
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
+      // symmetric ASCII gate, matching the oracle's byte model (see q293)
       val media = attachBinary(Tables.documents(s, dir)
-        .filter(col("doc_id") < 300)).as[MediaRow]
+        .filter(col("doc_id") < 300 &&
+          octet_length(col("text")) === length(col("text")) &&
+          col("n_chars") === length(col("text")))).as[MediaRow]
       val frames = media.flatMap { r =>
         val wav = WavCodec.encode(synthesizeAmPcm(r.payload))
         val pcm = WavCodec.decodeSamples(wav)
@@ -372,7 +383,8 @@ object AudioFpQueries {
     },
     Some("""WITH d AS (
            |  SELECT doc_id, text, CAST(length(text) AS INT) AS len
-           |  FROM documents WHERE doc_id < 300),
+           |  FROM documents WHERE doc_id < 300
+           |    AND strlen(text) = length(text) AND n_chars = length(text)),
            |f AS (
            |  SELECT doc_id, CAST(i AS INT) AS frame_idx,
            |    CASE WHEN (ascii(substr(text, CAST(i + 1 AS INT), 1)) % 8) >= 2

@@ -101,13 +101,19 @@ object Dedup {
       .select(col("i"), col("j"), col("jac"))
   }
 
-  private[ops] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsDocs(s, Tables.documents(s, dir))
+
+  /** Same pipeline over an arbitrary (doc_id, text) frame — the composable
+    * form the q308 pipeline capstone chains after its dedup stages.
+    */
+  private[ops] def minhashPairsDocs(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // shingle+hash pipeline feeds signatures AND both sides of the verify
     // join — persist so it's computed once, not three times.
     // Signatures are computed BEFORE persist so the cached table carries
     // only (doc_id, ti, sig) — the raw shingle strings never hit storage.
-    val sh = shingleHashed(Tables.documents(s, dir), 8)
+    val sh = shingleHashed(docs, 8)
       .withColumn("ti", sortedInts(col("tints")))
       .withColumn("sig",
         graft.functions.GraftFunctions.minhash(col("tints"), NUM_HASHES))

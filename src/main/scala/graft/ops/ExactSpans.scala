@@ -21,9 +21,12 @@ import graft.{GraftQuery, Tables}
   * bounded); text reconstruction is a codegen HOF fold over the per-doc
   * span array, so no raw text is ever shuffled either (spans join back to
   * the documents scan by id). Per-position md5 is the oracle-replayable
-  * stand-in for a rolling hash; both engines key on the SAME digest, so a
-  * 2⁻⁶⁴-probability prefix collision is symmetric (a shared semantic
-  * false positive, never a cross-engine divergence).
+  * stand-in for a rolling hash; both engines key on the SAME digest packed
+  * as TWO 60-bit BIGINTs (hex chars 1-15 and 17-31), so the shuffled key is
+  * 16 fixed-width bytes instead of a 16-char string — about half the
+  * shuffle width on the engine's hottest groupBy — and a 2^-120-probability
+  * collision is symmetric (a shared semantic false positive, never a
+  * cross-engine divergence).
   *
   * Reference scope note: `/root/reference` has no dedup surface; this
   * extends the north-star dedup family.
@@ -38,15 +41,20 @@ object ExactSpans {
     (s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         .withColumn("len", length(col("text")))
+      // the 32-hex md5 splits into two 15-hex (60-bit) halves, each safely
+      // inside BIGINT range; Catalyst's subexpression elimination computes
+      // the digest once per position
+      val gram = md5(expr(s"substring(text, i + 1, $L)"))
       val pos = d.filter(col("len") >= L)
         .select(col("doc_id"),
           explode(sequence(lit(0), col("len") - L)).as("i"), col("text"))
         .select(col("doc_id"), col("i"),
-          substring(md5(expr(s"substring(text, i + 1, $L)")), 1, 16).as("k"))
-      val dup = pos.groupBy("k").agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).select("k")
+          conv(substring(gram, 1, 15), 16, 10).cast("long").as("k1"),
+          conv(substring(gram, 17, 15), 16, 10).cast("long").as("k2"))
+      val dup = pos.groupBy("k1", "k2").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select("k1", "k2")
       val byDoc = Window.partitionBy("doc_id").orderBy("i")
-      val m = pos.join(dup, "k").select("doc_id", "i")
+      val m = pos.join(dup, Seq("k1", "k2")).select("doc_id", "i")
         .withColumn("prev_end", max(col("i") + L)
           .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
         .withColumn("new_span",
@@ -77,13 +85,17 @@ object ExactSpans {
            |  FROM documents),
            |pos AS MATERIALIZED (
            |  SELECT doc_id, CAST(i AS INT) AS i,
-           |    substr(md5(substr(text, CAST(i + 1 AS INT), $L)), 1, 16) AS k
+           |    ('0x' || substr(g, 1, 15))::BIGINT AS k1,
+           |    ('0x' || substr(g, 17, 15))::BIGINT AS k2
            |  FROM (
-           |    SELECT doc_id, text, unnest(range(len - ${L - 1})) AS i
-           |    FROM d WHERE len >= $L)),
+           |    SELECT doc_id, i,
+           |      md5(substr(text, CAST(i + 1 AS INT), $L)) AS g
+           |    FROM (
+           |      SELECT doc_id, text, unnest(range(len - ${L - 1})) AS i
+           |      FROM d WHERE len >= $L))),
            |dup AS MATERIALIZED (
-           |  SELECT k FROM pos GROUP BY k HAVING count(*) > 1),
-           |mark AS (SELECT doc_id, i FROM pos JOIN dup USING (k)),
+           |  SELECT k1, k2 FROM pos GROUP BY k1, k2 HAVING count(*) > 1),
+           |mark AS (SELECT doc_id, i FROM pos JOIN dup USING (k1, k2)),
            |m2 AS (
            |  SELECT doc_id, i,
            |    max(i + $L) OVER (PARTITION BY doc_id ORDER BY i

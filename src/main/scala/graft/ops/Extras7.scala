@@ -159,7 +159,9 @@ object Extras7 {
       val base = absorptionCvr(counts, None, iters = 25)
       val re = channels.map { c =>
         val r = absorptionCvr(counts, Some(c), iters = 25)
-        (c, r, math.max(0.0, (base - r) / base))
+        // zero-purchase fixture ⇒ base = 0; guard the division like the
+        // attribution_share CASE below (oracle's ch CTE mirrors this)
+        (c, r, if (base > 0) math.max(0.0, (base - r) / base) else 0.0)
       }
       val totRe = re.map(_._3).sum
       val rows = re.map { case (c, r, e) =>
@@ -229,7 +231,9 @@ object Extras7 {
          |res AS MATERIALIZED (SELECT scen, val FROM v25 WHERE state = 'START'),
          |b AS MATERIALIZED (SELECT val AS bv FROM res WHERE scen = 'base'),
          |ch AS MATERIALIZED (
-         |  SELECT scen AS channel, greatest(0, (bv - val) / bv) AS re, val, bv
+         |  SELECT scen AS channel,
+         |    CASE WHEN bv > 0 THEN greatest(0, (bv - val) / bv)
+         |         ELSE 0 END AS re, val, bv
          |  FROM res CROSS JOIN b WHERE scen <> 'base'),
          |tre AS MATERIALIZED (SELECT sum(re) AS s FROM ch)
          |SELECT channel,

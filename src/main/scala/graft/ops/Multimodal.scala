@@ -20,13 +20,23 @@ import graft.{GraftQuery, Tables}
   * zlib inflate + all five PNG row filters + chunk CRC verification, pure
   * JVM (q140); [[GifCodec]] decodes GIF's LZW entropy coding — a plain
   * dictionary coder, fully implementable in JVM byte arithmetic (q142);
-  * [[JpegCodec]] decodes TRANSFORM-CODED baseline sequential grayscale
-  * JPEG — canonical Huffman from DHT, zigzag, dequantization, and a
-  * double-precision 8×8 IDCT, pure JVM (q159). The remaining boundary is
-  * subsampled-color/progressive JPEG and compressed audio; payloads that
-  * match no known magic fall back to the clearly-marked
-  * [[FakeCodec]] STUB, which derives deterministic dimensions from leading
-  * bytes so the synthetic text fixtures stay oracle-checkable. Everything
+  * [[JpegCodec]] decodes TRANSFORM-CODED JPEG — baseline sequential
+  * grayscale (q159) through subsampled color (q165), restart markers
+  * (q166), progressive scans (q170), and arithmetic (QM-coder) entropy
+  * coding (q268), pure JVM; compressed audio is covered by μ-law/ADPCM
+  * (q173/q176), FLAC with LPC prediction (q268-family), MPEG-1 audio
+  * Layers I/II (q277) and a Layer III-class MDCT path (q292); video by
+  * MJPEG-AVI, MRLE, and motion-compensated MPEG-1-class coding (q289).
+  * The codec matrix is CLOSED: every labeled media family decodes for
+  * real. The one documented honesty bound is the ISO-table substitutions
+  * in q277/q292 (derived Huffman code / derived prototype window, see
+  * `MpegL3.scala`) — format-syntactic bitstreams, spec-pinned SNR and
+  * round-trip properties, not bit-interoperable with stock decoders.
+  * Payloads that match no known magic fall back to the clearly-marked
+  * [[FakeCodec]] STUB — an unrecognized-payload fallback only, never
+  * reached by real containers — which derives deterministic dimensions
+  * from leading bytes so the synthetic text fixtures stay
+  * oracle-checkable. Everything
   * around the codecs — the binary column, the typed Dataset boundary, the
   * `mapPartitions` batch shape (one decoder instantiation per partition,
   * streaming iterator, no per-row setup), and the schema of the decoded

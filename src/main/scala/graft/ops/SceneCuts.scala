@@ -70,7 +70,13 @@ object SceneCutQueries {
     "q294_scene_cuts",
     (s, dir) => {
       import s.implicits._
-      val media = attachBinary(Tables.documents(s, dir).filter(col("doc_id") < 200))
+      // symmetric ASCII gate: the oracle models payload bytes as
+      // ascii(substr(text, ...)) — enforce the assumption on both sides
+      // (the q280 discipline) instead of trusting the fixture
+      val media = attachBinary(Tables.documents(s, dir)
+        .filter(col("doc_id") < 200 &&
+          octet_length(col("text")) === length(col("text")) &&
+          col("n_chars") === length(col("text"))))
         .as[MediaRow]
       val diffs = frameDiffs(media).toDF()
       val byDoc = Window.partitionBy("doc_id").orderBy("frame_idx")
@@ -98,7 +104,8 @@ object SceneCutQueries {
     // never contribute (temporal carry)
     Some("""WITH t AS (
            |  SELECT doc_id, text, CAST(length(text) AS INT) AS len
-           |  FROM documents WHERE doc_id < 200),
+           |  FROM documents WHERE doc_id < 200
+           |    AND strlen(text) = length(text) AND n_chars = length(text)),
            |f AS (
            |  SELECT doc_id, len,
            |    CAST(greatest(1, (len + 7) // 8) AS INT) AS nf,

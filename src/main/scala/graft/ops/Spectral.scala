@@ -29,9 +29,13 @@ object Spectral {
   val q295Periodogram = GraftQuery(
     "q295_periodogram",
     (s, dir) => {
+      // FLOOR division to match DuckDB's `//` on pre-epoch timestamps:
+      // `div` truncates toward zero, so subtract the positive remainder
+      // first (x - pmod(x, d) is exactly divisible, making div == floor)
       val ev = Tables.events(s, dir)
         .select(col("event_type"),
-          expr("unix_micros(ts) div 3600000000").as("h"))
+          expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000))" +
+            " div 3600000000").as("h"))
       val counts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("cnt"))
       val bounds = ev.agg(min("h").as("h0"), max("h").as("h1"))
       val terms = counts.crossJoin(broadcast(bounds))

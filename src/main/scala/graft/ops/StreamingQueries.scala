@@ -865,9 +865,86 @@ object StreamingQueries {
            |  AND c.us >= e.us - 14400000000 AND c.us <= e.us
            |ORDER BY err_id, click_id""".stripMargin))
 
+  /** q309 — stream-stream RIGHT OUTER interval join, the fourth and last
+    * member of the join matrix (q154 inner, q291 left, q304 full). Not a
+    * mirror-image rerun of q291: the preserved side is now the one whose
+    * eviction horizon points FORWARD — an unmatched click can only
+    * null-emit once the watermark proves no error in [c_ts, c_ts + 4 h]
+    * can still arrive — so this query isolates the forward-horizon
+    * bookkeeping that q304 exercises only mixed together with the backward
+    * one. Same determinism machinery as q291/q304 (midpoint-split
+    * mtime-pinned replay for cross-batch state, far-future sentinel pair
+    * dragging the final watermark 399 days past every real horizon); the
+    * sentinel filter is null-tolerant on the NON-preserved side (a bare
+    * `err_id >= 0` would delete exactly the null-emitted rows under test,
+    * the q304 lesson).
+    */
+  val q309StreamRightOuterJoin = GraftQuery(
+    "q309_stream_right_outer_join",
+    (s, dir) => {
+      import s.implicits._
+      val base = graft.WorkDir.resolve(s, "ssroj", dir)
+      val (src, dest, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+      clearDirs(s, src, dest, ckpt)
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type")
+        .filter(col("event_type").isin("error", "click"))
+      val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).first()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val mid = mn + (mx - mn) / 2
+      writeStagedFile(s, base, src, "a_early", 1000000000000L,
+        ev.filter(unix_micros(col("ts")) <= mid))
+      writeStagedFile(s, base, src, "b_late", 1000003600000L,
+        ev.filter(unix_micros(col("ts")) > mid))
+      val sentinelUs = mx + 400L * 86400000000L
+      val sentinels = Seq((-1L, sentinelUs, -1L, "error"),
+        (-2L, sentinelUs, -2L, "click"))
+        .toDF("event_id", "us", "user_id", "event_type")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"), col("event_type"))
+      writeStagedFile(s, base, src, "c_sentinel", 1000007200000L, sentinels)
+      val ss = streamSession(s, statePartitions = 8)
+      val schema = ss.read.parquet(src).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val err = stream.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id").as("e_user"),
+          col("ts").as("e_ts"))
+        .withWatermark("e_ts", "1 hour")
+      val click = stream.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      err.join(click, expr(
+          "e_user = c_user AND c_ts >= e_ts - INTERVAL 4 HOURS AND c_ts <= e_ts"),
+          "right_outer")
+        .select("err_id", "click_id")
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(dest)
+        .filter((col("err_id").isNull || col("err_id") >= 0) &&
+          col("click_id") >= 0)
+        .orderBy("click_id", "err_id")
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+           |    epoch_us(CAST(ts AS TIMESTAMP)) us FROM events),
+           |e AS (SELECT event_id err_id, user_id, us FROM ev WHERE event_type = 'error'),
+           |c AS (SELECT event_id click_id, user_id, us FROM ev WHERE event_type = 'click')
+           |SELECT err_id, click_id
+           |FROM e RIGHT JOIN c ON e.user_id = c.user_id
+           |  AND c.us >= e.us - 14400000000 AND c.us <= e.us
+           |ORDER BY click_id, err_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q33SlidingWindows, q34SessionWindows,
     q63StreamingRebalance, q143StreamingMv, q145StreamingDedup,
     q146TransformWithState, q154StreamStreamJoin, q158WatermarkEviction,
     q164StreamingSessions, q179StreamingKmv, q236StreamingAlerts,
-    q256StreamingErasure, q291StreamOuterJoin, q304StreamFullOuterJoin)
+    q256StreamingErasure, q291StreamOuterJoin, q304StreamFullOuterJoin,
+    q309StreamRightOuterJoin)
 }

@@ -287,7 +287,13 @@ object Text {
     * leaving t1..t5 (per-round winners) and s5 (final encoded vocabulary)
     * in scope for the caller's final SELECT.
     */
-  private def bpeOracleCtes: String = {
+  private def bpeOracleCtes: String = "WITH " + bpeMergeCtes("documents")
+
+  /** The same CTE chain WITHOUT the leading WITH and with a caller-chosen
+    * source relation, so composed oracles (q308) can train the replayed
+    * BPE on their own intermediate CTE instead of the raw corpus.
+    */
+  private[ops] def bpeMergeCtes(src: String): String = {
     def round(k: Int): String =
       s"""p$k AS (
          |  SELECT '(' || sym[CAST(i AS INT)] || ')(' || sym[CAST(i AS INT) + 1] || ')' AS pair,
@@ -303,9 +309,9 @@ object Text {
          |      '(' || (SELECT replace(replace(pair, '(', ''), ')', '') FROM t$k) || ')')
          |    END AS seq, wc
          |  FROM s${k - 1})"""
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT word, count(*) AS wc FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM $src)
        |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) >= 2
        |  GROUP BY word),
        |s0 AS (
@@ -321,8 +327,16 @@ object Text {
     * vocabulary.
     */
   private[graft] def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String,
+      steps: Int): (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) =
+    bpeTrainDocs(Tables.documents(s, dir), steps)
+
+  /** Same training loop over an arbitrary frame with a `text` column — the
+    * composable form the q308 pipeline capstone trains on its deduped
+    * intermediate instead of the raw corpus.
+    */
+  private[graft] def bpeTrainDocs(docs: org.apache.spark.sql.DataFrame,
       steps: Int): (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
-    var seqs = Tables.documents(s, dir)
+    var seqs = docs
       .select(explode(toks(col("text"))).as("word"))
       .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
       .groupBy("word").agg(count(lit(1)).as("wc"))

@@ -45,8 +45,11 @@ object ScalingAudit {
       (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, dir).count()
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // cache teardown happens OUTSIDE the timed region: it's per-rep
+        // hygiene, not part of the query cost the ratio measures
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        elapsed
       }.min
     }
 

@@ -24,18 +24,26 @@ class Round10PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q300: the duplicate-key aggregate shuffles ONLY the digest key — " +
-    "no text/gram column ever crosses the wire") {
+    "two fixed-width BIGINTs, no text/gram column ever crosses the wire") {
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.LongType
     val opt = SparkEntry.queries("q300_exact_span_dedup")(spark, sf)
       .queryExecution.optimizedPlan
     val dupAgg = opt.collect {
       case a: Aggregate
-          if a.groupingExpressions.size == 1 &&
-            a.groupingExpressions.head.references.toSeq
-              .exists(_.name == "k") => a
+          if a.groupingExpressions.size == 2 &&
+            a.groupingExpressions.flatMap(_.references.toSeq.map(_.name))
+              .toSet == Set("k1", "k2") => a
     }
     assert(dupAgg.nonEmpty, "duplicate-key aggregate not found")
     dupAgg.foreach { a =>
+      // numeric-key pin: the shuffled key must stay fixed-width BIGINT —
+      // a regression back to the 16-char hex STRING roughly doubles the
+      // per-position shuffle bytes on the engine's hottest groupBy
+      a.groupingExpressions.foreach { g =>
+        assert(g.dataType == LongType,
+          s"dup-key grouping expression is ${g.dataType}, expected LongType")
+      }
       val childCols = a.child.output.map(_.name).toSet
       assert(!childCols.contains("text"),
         s"text reaches the dup aggregate: $childCols")
