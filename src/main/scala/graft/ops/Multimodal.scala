@@ -801,8 +801,8 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, px) = JpegCodec.decodeProgressivePixels(
-          JpegCodec.encodeProgressive(r.payload))
+        val (w, h, px) = JpegProgressive.decodeProgressivePixels(
+          JpegProgressive.encodeProgressive(r.payload))
           .getOrElse(throw new IllegalStateException("progressive JPEG roundtrip failed"))
         var psum = 0L
         var mx = 0
@@ -823,7 +823,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, px) = JpegCodec.decodeArithPixels(JpegCodec.encodeArith(r.payload))
+        val (w, h, px) = JpegArith.decodeArithPixels(JpegArith.encodeArith(r.payload))
           .getOrElse(throw new IllegalStateException("arithmetic JPEG roundtrip failed"))
         var psum = 0L
         var mx = 0

@@ -123,18 +123,18 @@ class CodecFuzzSpec extends AnyFunSuite {
   }
 
   test("arithmetic JPEG decode survives every one-byte flip and truncation") {
-    fuzz("jpeg-arith", JpegCodec.encodeArith(payload), JpegCodec.decodeArithPixels)
-    fuzz("jpeg-arith-rst", JpegCodec.encodeArith(payload, restartInterval = 3),
-      JpegCodec.decodeArithPixels)
-    fuzz("jpeg-arith-color", JpegCodec.encodeColorArith(payload),
-      JpegCodec.decodeArithColorPixels)
+    fuzz("jpeg-arith", JpegArith.encodeArith(payload), JpegArith.decodeArithPixels)
+    fuzz("jpeg-arith-rst", JpegArith.encodeArith(payload, restartInterval = 3),
+      JpegArith.decodeArithPixels)
+    fuzz("jpeg-arith-color", JpegArith.encodeColorArith(payload),
+      JpegArith.decodeArithColorPixels)
   }
 
   test("progressive JPEG decode survives every one-byte flip and truncation") {
-    fuzz("jpeg-prog", JpegCodec.encodeProgressive(payload),
-      JpegCodec.decodeProgressivePixels)
-    fuzz("jpeg-prog-rich", JpegCodec.encodeProgressiveRich(payload),
-      JpegCodec.decodeProgressivePixels)
+    fuzz("jpeg-prog", JpegProgressive.encodeProgressive(payload),
+      JpegProgressive.decodeProgressivePixels)
+    fuzz("jpeg-prog-rich", JpegProgressive.encodeProgressiveRich(payload),
+      JpegProgressive.decodeProgressivePixels)
   }
 
   test("header-level decodeDims (the q32 path) survives corruption of every format") {

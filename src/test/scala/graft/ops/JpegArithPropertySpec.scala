@@ -39,7 +39,7 @@ class JpegArithPropertySpec extends AnyFunSuite with graft.SeededGen {
       }
       val bins = new Array[Int](nBins)
       val out = new java.io.ByteArrayOutputStream()
-      val enc = new JpegCodec.QmEncoder(out)
+      val enc = new JpegArith.QmEncoder(out)
       i = 0
       while (i < n) { enc.encodeBit(bins, binOf(i), decisions(i)); i += 1 }
       enc.flush()
@@ -48,7 +48,7 @@ class JpegArithPropertySpec extends AnyFunSuite with graft.SeededGen {
         assert((data(j) & 0xff) != 0xff || (data(j + 1) & 0xff) == 0x00,
           s"unstuffed FF at $j (nBins=$nBins seed=$s0)")
       java.util.Arrays.fill(bins, 0)
-      val dec = new JpegCodec.QmDecoder(data, 0)
+      val dec = new JpegArith.QmDecoder(data, 0)
       i = 0
       while (i < n) {
         assert(dec.decodeBit(bins, binOf(i)) == decisions(i),
@@ -73,8 +73,8 @@ class JpegArithPropertySpec extends AnyFunSuite with graft.SeededGen {
       5, 0xB10CL)
     assert(blockSets.size >= 4)
     blockSets.foreach { blocks =>
-      val data = JpegCodec.arithEncodeBlocks(blocks)
-      val back = JpegCodec.arithDecodeBlocks(data, blocks.length)
+      val data = JpegArith.arithEncodeBlocks(blocks)
+      val back = JpegArith.arithDecodeBlocks(data, blocks.length)
       for (b <- blocks.indices)
         assert(back(b).sameElements(blocks(b)), s"block $b mismatched")
     }

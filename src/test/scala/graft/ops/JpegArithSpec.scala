@@ -17,9 +17,9 @@ class JpegArithSpec extends AnyFunSuite {
     (0 until 100).map(i => ((i * 37 + 11) % 256).toByte).toArray
 
   test("flat-block arithmetic encode decodes bit-exactly to the payload grid") {
-    val jpg = JpegCodec.encodeArith(payload)
+    val jpg = JpegArith.encodeArith(payload)
     assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
-    val Some((w, h, px)) = JpegCodec.decodeArithPixels(jpg)
+    val Some((w, h, px)) = JpegArith.decodeArithPixels(jpg)
     assert(w == 32 && h == 8 * 25)
     for (i <- 0 until 25 * 4) {
       val expected = if (i < payload.length) payload(i) & 0xff else 0
@@ -34,7 +34,7 @@ class JpegArithSpec extends AnyFunSuite {
   test("arithmetic decode equals baseline Huffman decode on varied payloads") {
     for (n <- Seq(0, 1, 3, 4, 5, 64, 257)) {
       val p = (0 until n).map(i => ((i * 73 + n * 19) % 256).toByte).toArray
-      val a = JpegCodec.decodeArithPixels(JpegCodec.encodeArith(p)).get
+      val a = JpegArith.decodeArithPixels(JpegArith.encodeArith(p)).get
       val b = JpegCodec.decodePixels(JpegCodec.encode(p)).get
       assert(a._1 == b._1 && a._2 == b._2, s"dims differ at n=$n")
       assert(a._3.sameElements(b._3), s"pixels differ at n=$n")
@@ -71,17 +71,17 @@ class JpegArithSpec extends AnyFunSuite {
       }
       c
     }
-    val data = JpegCodec.arithEncodeBlocks(blocks)
-    val back = JpegCodec.arithDecodeBlocks(data, blocks.length)
+    val data = JpegArith.arithEncodeBlocks(blocks)
+    val back = JpegArith.arithDecodeBlocks(data, blocks.length)
     for (b <- blocks.indices)
       assert(back(b).sameElements(blocks(b)), s"block $b mismatched")
   }
 
   test("restart markers resync the coder, statistics, and DC prediction") {
-    val plain = JpegCodec.decodeArithPixels(JpegCodec.encodeArith(payload)).get
+    val plain = JpegArith.decodeArithPixels(JpegArith.encodeArith(payload)).get
     for (ri <- Seq(1, 2, 7)) {
-      val rst = JpegCodec.decodeArithPixels(
-        JpegCodec.encodeArith(payload, restartInterval = ri)).get
+      val rst = JpegArith.decodeArithPixels(
+        JpegArith.encodeArith(payload, restartInterval = ri)).get
       assert(plain._3.sameElements(rst._3), s"restartInterval=$ri differs")
     }
   }
@@ -92,33 +92,33 @@ class JpegArithSpec extends AnyFunSuite {
     // while Huffman pays >= 6 whole bits per block forever
     val skewed = Array.fill(4096)(42.toByte)
     val huff = JpegCodec.encode(skewed).length
-    val arith = JpegCodec.encodeArith(skewed).length
+    val arith = JpegArith.encodeArith(skewed).length
     assert(arith < huff, s"arith $arith >= huffman $huff on skewed content")
     // and on the mixed fixture payload it should still not be worse
     val h2 = JpegCodec.encode(payload).length
-    val a2 = JpegCodec.encodeArith(payload).length
+    val a2 = JpegArith.encodeArith(payload).length
     assert(a2 <= h2 + 8, s"arith $a2 far above huffman $h2 on mixed content")
   }
 
   test("Table D.3 transcription satisfies the spec's structural invariants") {
-    val n = JpegCodec.QmQe.length
+    val n = JpegArith.QmQe.length
     assert(n == 114) // 113 adaptive states + the fixed ~0.5 bin
     for (i <- 0 until n) {
-      assert(JpegCodec.QmQe(i) > 0 && JpegCodec.QmQe(i) < 0x8000, s"Qe($i)")
-      assert(JpegCodec.QmNmps(i) >= 0 && JpegCodec.QmNmps(i) < n, s"NMPS($i)")
-      assert(JpegCodec.QmNlps(i) >= 0 && JpegCodec.QmNlps(i) < n, s"NLPS($i)")
+      assert(JpegArith.QmQe(i) > 0 && JpegArith.QmQe(i) < 0x8000, s"Qe($i)")
+      assert(JpegArith.QmNmps(i) >= 0 && JpegArith.QmNmps(i) < n, s"NMPS($i)")
+      assert(JpegArith.QmNlps(i) >= 0 && JpegArith.QmNlps(i) < n, s"NLPS($i)")
       // switch only on MPS/LPS-boundary states (Qe near 0.5)
-      if (JpegCodec.QmSwitch(i) == 1)
-        assert(JpegCodec.QmQe(i) >= 0x5000, s"switch on low-Qe state $i")
+      if (JpegArith.QmSwitch(i) == 1)
+        assert(JpegArith.QmQe(i) >= 0x5000, s"switch on low-Qe state $i")
     }
     // the fixed bin never adapts
-    assert(JpegCodec.QmNmps(113) == 113 && JpegCodec.QmNlps(113) == 113 &&
-      JpegCodec.QmSwitch(113) == 0)
+    assert(JpegArith.QmNmps(113) == 113 && JpegArith.QmNlps(113) == 113 &&
+      JpegArith.QmSwitch(113) == 0)
     // MPS success must lower Qe (or stay at the boundary): the estimator
     // converges toward certainty along NMPS chains
     for (i <- 0 until 113)
-      assert(JpegCodec.QmQe(JpegCodec.QmNmps(i)) <= JpegCodec.QmQe(i) ||
-        JpegCodec.QmSwitch(i) == 1, s"NMPS($i) raises Qe")
+      assert(JpegArith.QmQe(JpegArith.QmNmps(i)) <= JpegArith.QmQe(i) ||
+        JpegArith.QmSwitch(i) == 1, s"NMPS($i) raises Qe")
   }
 
   test("color arithmetic decode equals color Huffman decode exactly") {
@@ -127,17 +127,17 @@ class JpegArithSpec extends AnyFunSuite {
     // component — a state-separation bug would corrupt every chroma block
     for (n <- Seq(0, 5, 100)) {
       val p = (0 until n).map(i => ((i * 91 + 17) % 256).toByte).toArray
-      val a = JpegCodec.decodeArithColorPixels(JpegCodec.encodeColorArith(p)).get
+      val a = JpegArith.decodeArithColorPixels(JpegArith.encodeColorArith(p)).get
       val b = JpegCodec.decodeColorPixels(JpegCodec.encodeColor(p)).get
       assert(a._1 == b._1 && a._2 == b._2, s"color dims differ at n=$n")
       assert(a._3.sameElements(b._3), s"color pixels differ at n=$n")
     }
-    val rst = JpegCodec.decodeArithColorPixels(
-      JpegCodec.encodeColorArith(payload, restartInterval = 3)).get
-    val plain = JpegCodec.decodeArithColorPixels(JpegCodec.encodeColorArith(payload)).get
+    val rst = JpegArith.decodeArithColorPixels(
+      JpegArith.encodeColorArith(payload, restartInterval = 3)).get
+    val plain = JpegArith.decodeArithColorPixels(JpegArith.encodeColorArith(payload)).get
     assert(rst._3.sameElements(plain._3), "color restart resync differs")
     // geometry separation: the color container is not a grayscale one
-    assert(JpegCodec.decodeArithPixels(JpegCodec.encodeColorArith(payload)).isEmpty)
+    assert(JpegArith.decodeArithPixels(JpegArith.encodeColorArith(payload)).isEmpty)
   }
 
   test("QM coder round-trips a 200k-decision adversarial stream exactly") {
@@ -170,7 +170,7 @@ class JpegArithSpec extends AnyFunSuite {
       i += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    val enc = new JpegCodec.QmEncoder(out)
+    val enc = new JpegArith.QmEncoder(out)
     i = 0
     while (i < n) {
       if (binOf(i) == 3) enc.encodeBit(fixed, 0, decisions(i))
@@ -184,7 +184,7 @@ class JpegArithSpec extends AnyFunSuite {
       assert((data(j) & 0xff) != 0xff || (data(j + 1) & 0xff) == 0x00,
         s"unstuffed FF at $j")
     java.util.Arrays.fill(bins, 0); fixed(0) = 113
-    val dec = new JpegCodec.QmDecoder(data, 0)
+    val dec = new JpegArith.QmDecoder(data, 0)
     i = 0
     while (i < n) {
       val d =
@@ -198,8 +198,8 @@ class JpegArithSpec extends AnyFunSuite {
   }
 
   test("non-SOF9 containers and hostile headers are rejected, not thrown") {
-    assert(JpegCodec.decodeArithPixels(JpegCodec.encode(payload)).isEmpty)
-    assert(JpegCodec.decodeArithPixels(Array[Byte]()).isEmpty)
-    assert(JpegCodec.decodeArithPixels(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+    assert(JpegArith.decodeArithPixels(JpegCodec.encode(payload)).isEmpty)
+    assert(JpegArith.decodeArithPixels(Array[Byte]()).isEmpty)
+    assert(JpegArith.decodeArithPixels(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
   }
 }

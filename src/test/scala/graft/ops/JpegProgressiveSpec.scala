@@ -18,8 +18,8 @@ class JpegProgressiveSpec extends AnyFunSuite {
     (0 until 64).map(i => ((i * 31 + 7) % 256).toByte).toArray
 
   test("flat progressive roundtrip is bit-exact (DC first + refinement)") {
-    val (w, h, px) = JpegCodec.decodeProgressivePixels(
-      JpegCodec.encodeProgressive(payload)).get
+    val (w, h, px) = JpegProgressive.decodeProgressivePixels(
+      JpegProgressive.encodeProgressive(payload)).get
     assert(w === 32 && h === payload.length / 4 * 8)
     // every 8×8 block is flat at the payload byte value
     for (b <- payload.indices) {
@@ -34,8 +34,8 @@ class JpegProgressiveSpec extends AnyFunSuite {
     // bytes straddling even/odd and the negative-dc range
     val p2 = Array[Byte](0, 1, 2, 127.toByte, 128.toByte, 129.toByte,
       254.toByte, 255.toByte)
-    val (_, _, px) = JpegCodec.decodeProgressivePixels(
-      JpegCodec.encodeProgressive(p2)).get
+    val (_, _, px) = JpegProgressive.decodeProgressivePixels(
+      JpegProgressive.encodeProgressive(p2)).get
     for (b <- p2.indices)
       assert((px((b / 4) * 8 * 32 + (b % 4) * 8) & 0xff) === (p2(b) & 0xff))
   }
@@ -45,8 +45,8 @@ class JpegProgressiveSpec extends AnyFunSuite {
     // — v mod 64 spans 0..63, so c1 covers negative, -1/+1 (newly-nonzero
     // in the refinement scan), 0 (EOB), and |c1| >= 2 (correction bits)
     val rich = (0 until 256).map(_.toByte).toArray
-    val (w, _, px) = JpegCodec.decodeProgressivePixels(
-      JpegCodec.encodeProgressiveRich(rich)).get
+    val (w, _, px) = JpegProgressive.decodeProgressivePixels(
+      JpegProgressive.encodeProgressiveRich(rich)).get
     val cos = Array.tabulate(8, 8)((u, x) =>
       math.cos((2 * x + 1) * u * math.Pi / 16))
     val cn = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2) else 1.0)
@@ -74,7 +74,7 @@ class JpegProgressiveSpec extends AnyFunSuite {
   }
 
   test("baseline decoder rejects progressive and vice versa") {
-    assert(JpegCodec.decodePixels(JpegCodec.encodeProgressive(payload)).isEmpty)
-    assert(JpegCodec.decodeProgressivePixels(JpegCodec.encode(payload)).isEmpty)
+    assert(JpegCodec.decodePixels(JpegProgressive.encodeProgressive(payload)).isEmpty)
+    assert(JpegProgressive.decodeProgressivePixels(JpegCodec.encode(payload)).isEmpty)
   }
 }
