@@ -21,12 +21,17 @@ import graft.{GraftQuery, Tables}
   * bounded); text reconstruction is a codegen HOF fold over the per-doc
   * span array, so no raw text is ever shuffled either (spans join back to
   * the documents scan by id). Per-position md5 is the oracle-replayable
-  * stand-in for a rolling hash; both engines key on the SAME digest packed
-  * as TWO 60-bit BIGINTs (hex chars 1-15 and 17-31), so the shuffled key is
-  * 16 fixed-width bytes instead of a 16-char string — about half the
-  * shuffle width on the engine's hottest groupBy — and a 2^-120-probability
-  * collision is symmetric (a shared semantic false positive, never a
-  * cross-engine divergence).
+  * stand-in for a rolling hash; both engines key on the SAME 64-bit digest
+  * prefix — the oracle as the 16-hex-char substring, the engine as its
+  * `unhex` 8-byte binary, an INJECTIVE re-encoding with the identical
+  * equality relation, so the shuffled key is 8 fixed bytes instead of a
+  * 16-char string (~half the per-position shuffle width on the engine's
+  * hottest groupBy) and a 2^-64-probability prefix collision stays
+  * symmetric (a shared semantic false positive, never a cross-engine
+  * divergence). Measured at sf0.1: unhex beats both the hex-string key
+  * and a conv-to-two-BIGINTs packing (~4.5 s) on the dup aggregate —
+  * conv's arbitrary-base parse costs more CPU than the narrower key saves
+  * locally, while unhex is narrower AND cheaper.
   *
   * Reference scope note: `/root/reference` has no dedup surface; this
   * extends the north-star dedup family.
@@ -41,20 +46,19 @@ object ExactSpans {
     (s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         .withColumn("len", length(col("text")))
-      // the 32-hex md5 splits into two 15-hex (60-bit) halves, each safely
-      // inside BIGINT range; Catalyst's subexpression elimination computes
-      // the digest once per position
+      // 8-byte binary key: unhex of the digest's 16-hex prefix — byte
+      // equality ⟺ the oracle's hex-substring equality (injective both
+      // ways), at half the string key's shuffle width
       val gram = md5(expr(s"substring(text, i + 1, $L)"))
       val pos = d.filter(col("len") >= L)
         .select(col("doc_id"),
           explode(sequence(lit(0), col("len") - L)).as("i"), col("text"))
         .select(col("doc_id"), col("i"),
-          conv(substring(gram, 1, 15), 16, 10).cast("long").as("k1"),
-          conv(substring(gram, 17, 15), 16, 10).cast("long").as("k2"))
-      val dup = pos.groupBy("k1", "k2").agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).select("k1", "k2")
+          unhex(substring(gram, 1, 16)).as("k"))
+      val dup = pos.groupBy("k").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select("k")
       val byDoc = Window.partitionBy("doc_id").orderBy("i")
-      val m = pos.join(dup, Seq("k1", "k2")).select("doc_id", "i")
+      val m = pos.join(dup, "k").select("doc_id", "i")
         .withColumn("prev_end", max(col("i") + L)
           .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
         .withColumn("new_span",
@@ -85,17 +89,13 @@ object ExactSpans {
            |  FROM documents),
            |pos AS MATERIALIZED (
            |  SELECT doc_id, CAST(i AS INT) AS i,
-           |    ('0x' || substr(g, 1, 15))::BIGINT AS k1,
-           |    ('0x' || substr(g, 17, 15))::BIGINT AS k2
+           |    substr(md5(substr(text, CAST(i + 1 AS INT), $L)), 1, 16) AS k
            |  FROM (
-           |    SELECT doc_id, i,
-           |      md5(substr(text, CAST(i + 1 AS INT), $L)) AS g
-           |    FROM (
-           |      SELECT doc_id, text, unnest(range(len - ${L - 1})) AS i
-           |      FROM d WHERE len >= $L))),
+           |    SELECT doc_id, text, unnest(range(len - ${L - 1})) AS i
+           |    FROM d WHERE len >= $L)),
            |dup AS MATERIALIZED (
-           |  SELECT k1, k2 FROM pos GROUP BY k1, k2 HAVING count(*) > 1),
-           |mark AS (SELECT doc_id, i FROM pos JOIN dup USING (k1, k2)),
+           |  SELECT k FROM pos GROUP BY k HAVING count(*) > 1),
+           |mark AS (SELECT doc_id, i FROM pos JOIN dup USING (k)),
            |m2 AS (
            |  SELECT doc_id, i,
            |    max(i + $L) OVER (PARTITION BY doc_id ORDER BY i

@@ -24,25 +24,27 @@ class Round10PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q300: the duplicate-key aggregate shuffles ONLY the digest key — " +
-    "two fixed-width BIGINTs, no text/gram column ever crosses the wire") {
+    "one fixed 8-byte binary, no text/gram column ever crosses the wire") {
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.BinaryType
     val opt = SparkEntry.queries("q300_exact_span_dedup")(spark, sf)
       .queryExecution.optimizedPlan
     val dupAgg = opt.collect {
       case a: Aggregate
-          if a.groupingExpressions.size == 2 &&
-            a.groupingExpressions.flatMap(_.references.toSeq.map(_.name))
-              .toSet == Set("k1", "k2") => a
+          if a.groupingExpressions.size == 1 &&
+            a.groupingExpressions.head.references.toSeq
+              .exists(_.name == "k") => a
     }
     assert(dupAgg.nonEmpty, "duplicate-key aggregate not found")
     dupAgg.foreach { a =>
-      // numeric-key pin: the shuffled key must stay fixed-width BIGINT —
-      // a regression back to the 16-char hex STRING roughly doubles the
-      // per-position shuffle bytes on the engine's hottest groupBy
+      // narrow-key pin: the shuffled key must stay the unhex'd 8-byte
+      // BINARY — a regression back to the 16-char hex STRING doubles the
+      // per-position shuffle bytes on the engine's hottest groupBy, and a
+      // conv-to-BIGINT packing measured ~40% SLOWER (arbitrary-base parse
+      // cost; see ExactSpans scaladoc)
       a.groupingExpressions.foreach { g =>
-        assert(g.dataType == LongType,
-          s"dup-key grouping expression is ${g.dataType}, expected LongType")
+        assert(g.dataType == BinaryType,
+          s"dup-key grouping expression is ${g.dataType}, expected BinaryType")
       }
       val childCols = a.child.output.map(_.name).toSet
       assert(!childCols.contains("text"),
