@@ -45,7 +45,11 @@ object ClusterSmoke {
     "q154_stream_stream_join", "q157_ivfadc", "q167_bm25_topk", "q184_sssp",
     "q186_label_prop", "q194_skew_report", "q198_source_overlap",
     "q212_association_rules", "q214_mix_shift", "q215_assortativity",
-    "q227_local_supplier_volume", "q270_mjpeg_frames")
+    "q227_local_supplier_volume", "q270_mjpeg_frames",
+    // r11: the composed pipeline (multi-stage shuffles + broadcast vocab +
+    // executor-side WARC/HTML/UTF-8 parsers in one lineage) and the
+    // right-outer streaming join's two-store state machinery
+    "q308_pipeline_capstone", "q309_stream_right_outer_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
