@@ -49,7 +49,8 @@ object ClusterSmoke {
     // r11: the composed pipeline (multi-stage shuffles + broadcast vocab +
     // executor-side WARC/HTML/UTF-8 parsers in one lineage) and the
     // right-outer streaming join's two-store state machinery
-    "q308_pipeline_capstone", "q309_stream_right_outer_join")
+    "q308_pipeline_capstone", "q309_stream_right_outer_join",
+    "q310_streaming_corpus_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

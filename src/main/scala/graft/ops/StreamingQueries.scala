@@ -941,10 +941,151 @@ object StreamingQueries {
            |  AND c.us >= e.us - 14400000000 AND c.us <= e.us
            |ORDER BY click_id, err_id""".stripMargin))
 
+  /** q310 — STREAMING corpus ingestion pipeline, the incremental sibling
+    * of the q308 batch capstone and the production shape of continuous
+    * pretraining-data collection: new documents arrive as a stream and
+    * must be admitted against the EXISTING corpus. Three composed stages
+    * run INSIDE one streaming query — normalize + fingerprint (map-only),
+    * cross-corpus exact dedup as a stream-static LEFT ANTI join on the
+    * static fingerprint set (the q256 erasure shape, pointed at
+    * admission), and at-least-once re-delivery suppression via
+    * `dropDuplicatesWithinWatermark` on doc identity (the q145 machinery;
+    * state bounded by arrival rate × horizon). The batch summary over the
+    * sink then applies the q305 mixture gate with per-language budgets
+    * derived from the STATIC corpus — target mixture of the existing
+    * corpus drives sampling of the new data.
+    *
+    * Determinism contract: the arrival stream is midpoint-split into two
+    * mtime-pinned files plus a LAST re-delivery file replaying every
+    * doc_id % 7 == 1 admitted row — exact row duplicates, so the dedup
+    * winner is identity-independent, and landing them two batches after
+    * the originals proves the dedup state carries across micro-batches.
+    * The fixture has no cross-partition text duplicates, so the rejection
+    * path is made LOAD-BEARING by planting them: every 5th static doc is
+    * re-sent in the first batch under a fresh identity (doc_id + 10⁹) with
+    * its text unchanged — the anti join must reject ALL of them (the
+    * oracle's admitted set never contains a planted row, so a join that
+    * leaks even one hash-mismatches the summary).
+    * Within-stream cross-doc text duplicates are NOT collapsed (that is
+    * q308's batch exact-dedup stage); the summary REPORTS them instead
+    * (n_distinct_fp vs n_admitted), keeping every output column
+    * independent of micro-batch boundaries.
+    *
+    * Scale: the static fingerprint side is hashes only (32 chars/doc) and
+    * carries NO broadcast hint — size-based planning broadcasts it while
+    * small and shuffles it at true corpus scale, same stream plan either
+    * way; dedup state is per-key and watermark-evicted; everything else
+    * is map-side. Nothing in the stream accumulates with corpus size.
+    */
+  val q310StreamingCorpusIngest = GraftQuery(
+    "q310_streaming_corpus_ingest",
+    (s, dir) => {
+      val base = graft.WorkDir.resolve(s, "singestq", dir)
+      val (src, dest, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+      clearDirs(s, src, dest, ckpt)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"),
+          trim(regexp_replace(col("text"), "\\s+", " ")).as("t"))
+        // synthetic deterministic event time: one doc per second
+        .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
+      val arrivals = docs.filter(col("doc_id") % 3 =!= 0)
+      // planted cross-corpus duplicates: static text under a new identity —
+      // every one MUST be rejected by the stream-static anti join
+      val planted = docs
+        .filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000000L)
+      val b = arrivals.agg(min("doc_id"), max("doc_id")).first()
+      val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+      writeStagedFile(s, base, src, "a_early", 1000000000000L,
+        arrivals.filter(col("doc_id") <= mid).unionByName(planted))
+      writeStagedFile(s, base, src, "b_late", 1000003600000L,
+        arrivals.filter(col("doc_id") > mid))
+      // at-least-once re-delivery: exact copies of every 7th arrival,
+      // landing a batch AFTER both originals (cross-batch dedup state)
+      writeStagedFile(s, base, src, "c_redelivery", 1000007200000L,
+        arrivals.filter(col("doc_id") % 7 === 1))
+      val ss = streamSession(s, statePartitions = 8)
+      val staticFp = Tables.documents(ss, dir)
+        .filter(col("doc_id") % 3 === 0)
+        .select(md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+        .distinct()
+      val schema = ss.read.parquet(src).schema
+      // NO broadcast hint on the static side: its rows grow with corpus
+      // size, and a hint forces broadcast at ANY scale — size-based
+      // planning broadcasts it while small and shuffles it at 100 TB,
+      // with the stream plan unchanged either way
+      val admitted = graft.streaming.StreamingDedup.dedup(
+        ss.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+          .withColumn("fp", md5(col("t")))
+          .join(staticFp, Seq("fp"), "left_anti"),
+        Seq("doc_id"), "ts", "365 days")
+      admitted
+        .select(col("doc_id"), col("source"), col("lang"), col("fp"),
+          size(split(col("t"), " ")).cast("long").as("n_tok"))
+        .writeStream
+        .format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      val sink = s.read.parquet(dest)
+      // mixture budgets from the STATIC corpus (deterministic, stream-free)
+      val counts = Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
+        .groupBy("lang").agg(count(lit(1)).as("ln"))
+      val tot = counts.agg(
+        sum(pow(col("ln").cast("double"), lit(0.3))).as("wtot"),
+        sum("ln").as("ntot"))
+      val budgets = counts.crossJoin(broadcast(tot))
+        .withColumn("budget",
+          least(round(round(pow(col("ln").cast("double"), lit(0.3)) /
+            col("wtot") * expr("ntot * 2 div 5"), 6)).cast("long"), col("ln")))
+        .select("lang", "ln", "budget")
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("long")
+      sink.join(broadcast(budgets), "lang")
+        .withColumn("keep",
+          (bucket * col("ln") < col("budget") * 65536L).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_admitted"),
+          countDistinct("fp").as("n_distinct_fp"),
+          sum("n_tok").as("tokens_total"),
+          sum("keep").as("n_sampled"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, source, lang,
+           |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+           |  FROM documents),
+           |st AS (SELECT DISTINCT md5(t) AS fp FROM d WHERE doc_id % 3 = 0),
+           |adm AS (
+           |  SELECT doc_id, source, lang, md5(t) AS fp,
+           |    CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tok
+           |  FROM d WHERE doc_id % 3 <> 0
+           |    AND md5(t) NOT IN (SELECT fp FROM st)),
+           |lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS ln
+           |  FROM d WHERE doc_id % 3 = 0 GROUP BY 1),
+           |tt AS (SELECT sum(pow(ln, 0.3)) AS wtot,
+           |    CAST(sum(ln) AS BIGINT) AS ntot FROM lc),
+           |bg AS (SELECT lang, ln,
+           |    least(CAST(round(round(pow(ln, 0.3) / wtot
+           |      * (ntot * 2 // 5), 6)) AS BIGINT), ln) AS budget
+           |  FROM lc CROSS JOIN tt)
+           |SELECT adm.source,
+           |  CAST(count(*) AS BIGINT) AS n_admitted,
+           |  CAST(count(DISTINCT adm.fp) AS BIGINT) AS n_distinct_fp,
+           |  CAST(sum(adm.n_tok) AS BIGINT) AS tokens_total,
+           |  CAST(sum(CASE WHEN
+           |      CAST(concat('0x', substr(md5(adm.doc_id::VARCHAR), 1, 4))
+           |        AS BIGINT) * bg.ln < bg.budget * 65536
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+           |FROM adm JOIN bg USING (lang)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q33SlidingWindows, q34SessionWindows,
     q63StreamingRebalance, q143StreamingMv, q145StreamingDedup,
     q146TransformWithState, q154StreamStreamJoin, q158WatermarkEviction,
     q164StreamingSessions, q179StreamingKmv, q236StreamingAlerts,
     q256StreamingErasure, q291StreamOuterJoin, q304StreamFullOuterJoin,
-    q309StreamRightOuterJoin)
+    q309StreamRightOuterJoin, q310StreamingCorpusIngest)
 }
