@@ -307,6 +307,154 @@ object Extras8 {
            |  round(CAST(nn AS DOUBLE) / dd, 6) AS acf
            |FROM num, den ORDER BY lag""".stripMargin))
 
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the privacy screen
+    * k-anonymity (q202) cannot express: a class can be large (k-anonymous)
+    * yet reveal everyone's sensitive value if the class is homogeneous.
+    * Quasi-identifiers = (source, 200-char length bucket); sensitive
+    * attribute = lang. Per class: size, l = distinct sensitive values, and
+    * the dominant-value count; reported as a per-l histogram with the
+    * pooled top-value share (ONE division of two exact BIGINT sums, so the
+    * only double is produced identically on both engines) and a flag on
+    * classes where a single distinct value pins the attribute (l < 2).
+    *
+    * Scale shape: two stacked partial-agg groupBys on narrowing keys —
+    * (qi, lang) then qi then l — nothing else; no joins, no windows.
+    */
+  val q316LDiversity = GraftQuery(
+    "q316_l_diversity",
+    (s, dir) => {
+      val cls = Tables.documents(s, dir)
+        .groupBy(col("source"),
+          (col("n_chars") - pmod(col("n_chars"), lit(200))).as("bucket"),
+          col("lang"))
+        .agg(count(lit(1)).as("c"))
+      val agg = cls.groupBy("source", "bucket")
+        .agg(sum("c").as("class_size"), count(lit(1)).as("l"),
+          max("c").as("cmax"))
+      agg.groupBy("l")
+        .agg(count(lit(1)).as("n_classes"),
+          sum("class_size").as("n_docs"),
+          min("class_size").as("min_class"),
+          round(sum("cmax").cast("double") / sum("class_size"), 6)
+            .as("pooled_top_share"))
+        .withColumn("violates_2div", (col("l") < 2).cast("int"))
+        .orderBy("l")
+    },
+    Some("""WITH cls AS (
+           |  SELECT source, n_chars - (n_chars % 200) AS bucket, lang,
+           |    count(*) AS c
+           |  FROM documents GROUP BY 1, 2, 3),
+           |agg AS (
+           |  SELECT source, bucket, CAST(sum(c) AS BIGINT) AS class_size,
+           |    CAST(count(*) AS BIGINT) AS l, CAST(max(c) AS BIGINT) AS cmax
+           |  FROM cls GROUP BY 1, 2)
+           |SELECT l, CAST(count(*) AS BIGINT) AS n_classes,
+           |  CAST(sum(class_size) AS BIGINT) AS n_docs,
+           |  CAST(min(class_size) AS BIGINT) AS min_class,
+           |  round(CAST(sum(cmax) AS DOUBLE) / sum(class_size), 6)
+           |    AS pooled_top_share,
+           |  CAST(l < 2 AS INT) AS violates_2div
+           |FROM agg GROUP BY l ORDER BY l""".stripMargin))
+
+  /** Sequence-packing efficiency audit — the cost model behind q128's
+    * sharded greedy packer: because the packer splits documents across
+    * block boundaries, a (lang, shard) sub-stream of T tokens emits
+    * EXACTLY ⌈T/2048⌉ blocks and its only waste is the final block's
+    * slack, so padding = blocks·2048 − T in closed form. Reported per
+    * language against the 1-shard lower bound ⌈T_lang/2048⌉ — the audit
+    * quantifies what shard-parallelism costs in pad tokens (at fixture
+    * scale short sub-streams pay up to ~78% padding; the ratio vanishes
+    * as T grows, which is why NSHARDS should track executor count, not
+    * exceed it). All columns exact integers except the final efficiency
+    * ratio (one division of two exact BIGINTs).
+    */
+  val q317PackingEfficiency = GraftQuery(
+    "q317_packing_efficiency",
+    (s, dir) => {
+      val cap = 2048L
+      val sub = Tables.documents(s, dir)
+        .select(col("lang"), (col("doc_id") % 8).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        .groupBy("lang", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("tok"),
+          expr(s"(sum(tok) + ${cap - 1}) div $cap").as("blocks"))
+      sub.groupBy("lang")
+        .agg(sum("n_docs").as("n_docs"), sum("tok").as("tok_total"),
+          sum("blocks").as("blocks_8shard"),
+          (sum("blocks") * cap - sum("tok")).as("pad_8shard"),
+          expr(s"(sum(tok) + ${cap - 1}) div $cap").as("blocks_1shard"),
+          round(sum("tok").cast("double") / (sum("blocks") * cap), 6)
+            .as("efficiency"))
+        .orderBy("lang")
+    },
+    Some("""WITH t AS (
+           |  SELECT lang, doc_id % 8 AS shard,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+           |  FROM documents),
+           |sub AS (
+           |  SELECT lang, shard, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(tok) AS BIGINT) AS tok,
+           |    CAST((sum(tok) + 2047) // 2048 AS BIGINT) AS blocks
+           |  FROM t GROUP BY 1, 2)
+           |SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           |  CAST(sum(tok) AS BIGINT) AS tok_total,
+           |  CAST(sum(blocks) AS BIGINT) AS blocks_8shard,
+           |  CAST(sum(blocks) * 2048 - sum(tok) AS BIGINT) AS pad_8shard,
+           |  CAST((sum(tok) + 2047) // 2048 AS BIGINT) AS blocks_1shard,
+           |  round(CAST(sum(tok) AS DOUBLE) / (sum(blocks) * 2048), 6)
+           |    AS efficiency
+           |FROM sub GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Crawl politeness schedule (the q276 frontier's missing capacity plan):
+    * one fetch per host every 5 s (RFC 9309-adjacent courtesy delay), so a
+    * host with n URLs drains in n slots = ⌈n/12⌉ minutes. Hosts derive
+    * from the q185 synthesis with a head/tail split on `doc_id div 20`
+    * (the fixture assigns source = doc_id % 20, so the residue ITSELF
+    * would be constant per source — the div-20 sequence number is the
+    * decorrelated coin): ~70% of a source's docs hit its apex host, the
+    * rest spread over 3 tail hosts. Output: the per-minute concurrency
+    * decay curve — active hosts and completed fetches — i.e. how crawl
+    * throughput collapses from (hosts × 12)/min to (1 × 12)/min as the
+    * tail drains and the apex dominates the makespan.
+    *
+    * Scale shape: per-host counts (one partial-agg groupBy), then each
+    * host explodes ONLY its own ⌈n/12⌉ active minutes (Σ rows ≈ N/12,
+    * corpus-linear) and a final minute-keyed aggregate. No windows, no
+    * per-URL ranking — the schedule is closed-form from counts.
+    */
+  val q318PolitenessSchedule = GraftQuery(
+    "q318_politeness_schedule",
+    (s, dir) => {
+      val hosts = Tables.documents(s, dir)
+        .select(concat(col("source"),
+          when(expr("(doc_id div 20) % 10") < 7, lit(""))
+            .otherwise(concat(lit("-t"),
+              expr("(doc_id div 20) % 5").cast("string")))).as("host"))
+        .groupBy("host").agg(count(lit(1)).as("n"))
+      hosts
+        .select(col("host"), col("n"),
+          explode(sequence(lit(0L), expr("(n + 11) div 12 - 1"))).as("minute"))
+        .groupBy("minute")
+        .agg(count(lit(1)).as("active_hosts"),
+          sum(least(col("n"), (col("minute") + 1L) * 12L) -
+            least(col("n"), col("minute") * 12L)).as("fetches"))
+        .orderBy("minute")
+    },
+    Some("""WITH urls AS (
+           |  SELECT source || CASE WHEN (doc_id // 20) % 10 < 7 THEN ''
+           |    ELSE '-t' || CAST((doc_id // 20) % 5 AS VARCHAR) END AS host
+           |  FROM documents),
+           |h AS (SELECT host, CAST(count(*) AS BIGINT) AS n
+           |  FROM urls GROUP BY 1),
+           |m AS (SELECT host, n, unnest(range((n + 11) // 12)) AS minute
+           |  FROM h)
+           |SELECT CAST(minute AS BIGINT) AS minute,
+           |  CAST(count(*) AS BIGINT) AS active_hosts,
+           |  CAST(sum(least(n, 12 * (minute + 1)) - least(n, 12 * minute))
+           |    AS BIGINT) AS fetches
+           |FROM m GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(q311TpchQ17, q312TpchQ18, q313TpchQ20, q314Hits, q315Acf)
+    Seq(q311TpchQ17, q312TpchQ18, q313TpchQ20, q314Hits, q315Acf,
+      q316LDiversity, q317PackingEfficiency, q318PolitenessSchedule)
 }

@@ -123,4 +123,51 @@ class Extras8Spec extends AnyFunSuite with SparkSpec {
     assert(out.map(_.getAs[Int]("lag")).toSeq === Seq(1, 2, 3, 6, 12, 24))
     assert(out.forall(r => math.abs(r.getAs[Double]("acf")) <= 1.0))
   }
+
+  test("q316: the per-l histogram partitions the corpus and l is bounded " +
+    "by the sensitive-attribute cardinality") {
+    val out = SparkEntry.queries("q316_l_diversity")(spark, sf).collect()
+    val totalDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === totalDocs)
+    val nLangs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang").distinct().count()
+    assert(out.forall(r => r.getAs[Long]("l") >= 1 &&
+      r.getAs[Long]("l") <= nLangs))
+    // pooled top share can never fall below 1/l (uniform) or exceed 1
+    out.foreach { r =>
+      val share = r.getAs[Double]("pooled_top_share")
+      assert(share <= 1.0 && share >= 1.0 / r.getAs[Long]("l"))
+    }
+  }
+
+  test("q317: blocks are exactly ceil(T/2048) per sub-stream, padding is " +
+    "non-negative, and the 1-shard bound never exceeds the 8-shard count") {
+    val out = SparkEntry.queries("q317_packing_efficiency")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val tok = r.getAs[Long]("tok_total")
+      val b8 = r.getAs[Long]("blocks_8shard")
+      val b1 = r.getAs[Long]("blocks_1shard")
+      assert(b1 === (tok + 2047) / 2048)
+      assert(b1 <= b8, "sharding can only add blocks")
+      assert(b8 <= b1 + 7, "each of 8 sub-streams wastes at most one block")
+      assert(r.getAs[Long]("pad_8shard") === b8 * 2048 - tok)
+      val eff = r.getAs[Double]("efficiency")
+      assert(eff > 0.0 && eff <= 1.0)
+    }
+  }
+
+  test("q318: the drain curve conserves fetches (sum = URL count), " +
+    "active hosts decay monotonically, and per-minute rate <= 12/host") {
+    val out = SparkEntry.queries("q318_politeness_schedule")(spark, sf)
+      .orderBy("minute").collect()
+    val nUrls = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.map(_.getAs[Long]("fetches")).sum === nUrls)
+    val active = out.map(_.getAs[Long]("active_hosts")).toSeq
+    assert(active === active.sorted.reverse, "active hosts must decay")
+    out.foreach { r =>
+      assert(r.getAs[Long]("fetches") <= 12 * r.getAs[Long]("active_hosts"))
+      assert(r.getAs[Long]("fetches") > 0)
+    }
+  }
 }
