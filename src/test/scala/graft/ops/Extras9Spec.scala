@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkSpec, Tables}
+
+/** Value-level pins for the ninth extras batch — each test enforces a
+  * property the query's scaladoc claims, on the sf0.001 fixture.
+  */
+class Extras9Spec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q319: z only significant with a matching trend label, and a " +
+    "gap-filled series carries a positive tie term") {
+    val rows = SparkEntry.queries("q319_mann_kendall")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Long]("s_stat")
+      val z = r.getAs[Double]("z")
+      val trend = r.getAs[String]("trend")
+      assert(math.signum(z.toInt).toLong * s >= 0 || z == 0.0)
+      if (trend == "increasing") assert(z > 1.96 && s > 0, r.toString)
+      if (trend == "decreasing") assert(z < -1.96 && s < 0, r.toString)
+      if (trend == "no trend") assert(math.abs(z) <= 1.96, r.toString)
+      // the gap-filled hourly series has many repeated small counts, so
+      // the tie correction must actually engage
+      assert(r.getAs[Long]("tie_term") > 0, r.toString)
+    }
+  }
+
+  test("q320: full-agreement pattern links, zero-agreement does not, and " +
+    "blocking keeps nearly every planted true pair") {
+    val rows = SparkEntry.queries("q320_fellegi_sunter")(spark, sf).collect()
+    val byPat = rows.map(r => (r.getAs[Int]("f_seg"), r.getAs[Int]("f_tight"),
+      r.getAs[Int]("f_bal")) -> r).toMap
+    assert(byPat((1, 1, 1)).getAs[String]("decision") == "link")
+    byPat.get((0, 0, 0)).foreach { r =>
+      assert(r.getAs[String]("decision") != "link", r.toString)
+    }
+    // every true pair has |bal diff| <= 3 by construction, so no match
+    // can land in an f_bal = 0 pattern
+    rows.filter(_.getAs[Int]("f_bal") == 0)
+      .foreach(r => assert(r.getAs[Long]("n_match") == 0L, r.toString))
+    val matches = rows.map(_.getAs[Long]("n_match")).sum
+    val customers = Tables.customer(spark, sf).count()
+    assert(matches >= (customers * 99) / 100,
+      s"blocking lost too many true pairs: $matches of $customers")
+  }
+
+  test("q321: exact code-length identities hold bucket-wide") {
+    val rows = SparkEntry.queries("q321_elias_postings")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_postings")
+      val gamma = r.getAs[Long]("gamma_bits")
+      val vb = r.getAs[Long]("varbyte_bits")
+      val fixed = r.getAs[Long]("fixed_bits")
+      assert(gamma >= n, "gamma is at least one bit per gap")
+      assert(vb >= 8 * n && vb % 8 == 0, "varbyte is whole bytes, >= 1/gap")
+      assert(fixed == 64 * n)
+      assert(r.getAs[Double]("gamma_ratio") < 1.0,
+        "gamma must beat 64-bit fixed width on real gap distributions")
+    }
+  }
+
+  test("q322: the fitted calibration curve is monotone and preserves the " +
+    "weighted mean (the two defining PAV properties)") {
+    val rows = SparkEntry.queries("q322_isotonic_calibration")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("bucket"))
+    assert(rows.nonEmpty)
+    val fits = rows.map(_.getAs[Double]("fit_rate"))
+    fits.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b + 1e-9, s"fit not monotone: $a > $b")
+      case _ =>
+    }
+    val n = rows.map(_.getAs[Long]("n_docs").toDouble)
+    val raw = rows.map(_.getAs[Double]("raw_rate"))
+    val lhs = n.zip(fits).map { case (a, b) => a * b }.sum
+    val rhs = n.zip(raw).map { case (a, b) => a * b }.sum
+    assert(math.abs(lhs - rhs) <= 1e-3 * math.max(1.0, rhs),
+      s"PAV must preserve the weighted mean: $lhs vs $rhs")
+  }
+
+  test("q323: flag accounting is consistent and the denominator covers " +
+    "every document, including gram-free ones") {
+    val rows = SparkEntry.queries("q323_repetition_filter")(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val any = r.getAs[Long]("flagged_any")
+      val each = Seq("flagged_2", "flagged_3", "flagged_4")
+        .map(r.getAs[Long](_))
+      assert(each.forall(_ <= any), r.toString)
+      assert(any <= each.sum, r.toString)
+      assert(any <= r.getAs[Long]("n_docs"), r.toString)
+    }
+  }
+}
