@@ -545,7 +545,272 @@ object Extras9 {
            |FROM base LEFT JOIN flags USING (doc_id)
            |GROUP BY source ORDER BY source""".stripMargin))
 
+  /** PageRank damping and fixed-point scale shared by q324's iterations:
+    * score units are 10¹², teleport (1−d)·SCALE = 0.15·10¹² exactly.
+    */
+  private val TrScale = 1000000000000L
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the word co-occurrence graph (window ±2 inside each document,
+    * undirected, weighted by corpus-wide co-occurrence count), 5
+    * iterations, top-10 keywords.
+    *
+    * Integer-exact iteration (the q314 HITS discipline extended to a
+    * damped walk): scores are BIGINTs in 10⁻¹² units; each step computes
+    * the per-unit share s_u = r_u div wdeg_u ONCE per node (floor), then
+    * r'_v = 0.15·SCALE + (85·Σ_u w_uv·s_u) div 100 — every div is a
+    * positive floor with identical semantics in Spark (`div`) and DuckDB
+    * (`//`), so all 5 iterations are bit-identical across engines and the
+    * top-10 cut cannot flip on float noise. Overflow bound: Σ_v contrib_v
+    * ≈ Σ_u r_u ≈ |V|·SCALE, so 85·contrib stays under 2⁶³ for vocabularies
+    * to ~10⁵ words (and the per-unit-share form keeps any single product
+    * ≤ w_uv·s_u ≤ r_u).
+    *
+    * Scale shape: co-occurrence pairs come from TWO lead() columns in one
+    * per-document window pass (no positional self-join of the corpus);
+    * everything after the edge groupBy lives on the vocabulary — edges,
+    * degrees, and 5 joins over Heaps-sublinear frames. Ranking is
+    * orderBy+limit (TakeOrderedAndProject), never a global sort.
+    */
+  val q324TextRank = GraftQuery(
+    "q324_textrank",
+    (s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "p", "w")
+      val byDoc = Window.partitionBy("doc_id").orderBy("p")
+      val prs = words.select(col("w").as("a"),
+          lead("w", 1).over(byDoc).as("b"))
+        .unionAll(words.select(col("w"), lead("w", 2).over(byDoc)))
+        .where(col("b").isNotNull && col("a") =!= col("b"))
+      val edges = prs.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(prs.select(col("b"), col("a")))
+        .groupBy("u", "v").agg(count(lit(1)).as("w"))
+        .persist()
+      val deg = edges.groupBy("u").agg(sum("w").as("d"))
+      val nodes = words.select(col("w").as("word")).distinct().persist()
+      var r = nodes.select(col("word"), lit(TrScale).as("r"))
+      for (_ <- 1 to 5) {
+        val contrib = edges
+          .join(r.select(col("word").as("u"), col("r").as("ru")), "u")
+          .join(deg, "u")
+          .groupBy(col("v").as("word"))
+          .agg(sum(col("w") * expr("ru div d")).as("c"))
+        r = nodes.join(contrib, Seq("word"), "left")
+          .select(col("word"),
+            (lit(150000000000L) +
+              expr("(85 * coalesce(c, 0)) div 100")).as("r"))
+      }
+      val tot = r.agg(sum("r").as("tot"))
+      val out = r.crossJoin(broadcast(tot))
+        .select(col("word"), col("r").as("score"),
+          round(col("r").cast("double") / col("tot").cast("double"), 6)
+            .as("share"))
+        .orderBy(desc("score"), col("word")).limit(10)
+        .localCheckpoint()
+      edges.unpersist(); nodes.unpersist()
+      out
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |words AS (
+           |  SELECT doc_id, unnest(generate_series(1, len(ws))) AS p,
+           |    unnest(ws) AS w
+           |  FROM base),
+           |prs AS (
+           |  SELECT a, b FROM (
+           |    SELECT w AS a,
+           |      lead(w, 1) OVER (PARTITION BY doc_id ORDER BY p) AS b
+           |    FROM words
+           |    UNION ALL
+           |    SELECT w, lead(w, 2) OVER (PARTITION BY doc_id ORDER BY p)
+           |    FROM words)
+           |  WHERE b IS NOT NULL AND a <> b),
+           |edges AS MATERIALIZED (
+           |  SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM (
+           |    SELECT a AS u, b AS v FROM prs
+           |    UNION ALL SELECT b, a FROM prs)
+           |  GROUP BY 1, 2),
+           |deg AS (SELECT u, CAST(sum(w) AS BIGINT) AS d FROM edges GROUP BY 1),
+           |nodes AS (SELECT DISTINCT w AS word FROM words),
+           |r0 AS (SELECT word, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+           |it1 AS MATERIALIZED (
+           |  SELECT n.word, 150000000000 + (85 * coalesce(c.s, 0)) // 100 AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.v AS word, CAST(sum(e.w * (x.r // d.d)) AS BIGINT) AS s
+           |    FROM edges e JOIN r0 x ON x.word = e.u JOIN deg d ON d.u = e.u
+           |    GROUP BY 1) c ON c.word = n.word),
+           |it2 AS MATERIALIZED (
+           |  SELECT n.word, 150000000000 + (85 * coalesce(c.s, 0)) // 100 AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.v AS word, CAST(sum(e.w * (x.r // d.d)) AS BIGINT) AS s
+           |    FROM edges e JOIN it1 x ON x.word = e.u JOIN deg d ON d.u = e.u
+           |    GROUP BY 1) c ON c.word = n.word),
+           |it3 AS MATERIALIZED (
+           |  SELECT n.word, 150000000000 + (85 * coalesce(c.s, 0)) // 100 AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.v AS word, CAST(sum(e.w * (x.r // d.d)) AS BIGINT) AS s
+           |    FROM edges e JOIN it2 x ON x.word = e.u JOIN deg d ON d.u = e.u
+           |    GROUP BY 1) c ON c.word = n.word),
+           |it4 AS MATERIALIZED (
+           |  SELECT n.word, 150000000000 + (85 * coalesce(c.s, 0)) // 100 AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.v AS word, CAST(sum(e.w * (x.r // d.d)) AS BIGINT) AS s
+           |    FROM edges e JOIN it3 x ON x.word = e.u JOIN deg d ON d.u = e.u
+           |    GROUP BY 1) c ON c.word = n.word),
+           |it5 AS MATERIALIZED (
+           |  SELECT n.word, 150000000000 + (85 * coalesce(c.s, 0)) // 100 AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.v AS word, CAST(sum(e.w * (x.r // d.d)) AS BIGINT) AS s
+           |    FROM edges e JOIN it4 x ON x.word = e.u JOIN deg d ON d.u = e.u
+           |    GROUP BY 1) c ON c.word = n.word),
+           |tot AS (SELECT CAST(sum(r) AS BIGINT) AS tot FROM it5)
+           |SELECT word, r AS score,
+           |  round(CAST(r AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+           |FROM it5, tot ORDER BY score DESC, word LIMIT 10""".stripMargin))
+
+  /** Kaplan-Meier survival estimator (Kaplan & Meier 1958) over user
+    * lifetimes in the event stream: a user's lifetime is the whole days
+    * between their first and last event; a user "dies" (churn proxy) when
+    * an error event shares their final timestamp — a pure max-comparison
+    * definition (max error-ts = max ts), so no argmax tie-break can
+    * diverge across engines — and is right-censored otherwise. Output is
+    * the daily risk set, deaths, censorings, and the product-limit
+    * survival curve.
+    *
+    * Determinism: risk sets and death counts are exact integers (the risk
+    * set is total − exclusive-prefix(d+c), a window cumsum over the day
+    * table); the KM product is computed in log space over that SAME
+    * deterministic day order, so the only cross-engine noise is libm ln
+    * ulps (≤ ~30 of them at the fixture horizon), absorbed by round(6).
+    *
+    * Scale shape: ONE corpus-wide groupBy to per-user (first, last,
+    * last-error) timestamps, ONE groupBy to per-day (deaths, censored)
+    * counts; the ordered windows run on the DAY table, bounded by the
+    * calendar horizon (≤31 rows in the fixture, ~365/year), never by
+    * users — whitelisted in SinglePartitionSweepSpec with that bound.
+    */
+  val q325KaplanMeier = GraftQuery(
+    "q325_kaplan_meier",
+    (s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("f"),
+          max(unix_micros(col("ts"))).as("l"),
+          max(when(col("event_type") === "error", unix_micros(col("ts"))))
+            .as("le"))
+        .select(expr("(l - f) div 86400000000").as("day"),
+          when(col("le") === col("l"), 1L).otherwise(0L).as("death"))
+      val perDay = perUser.groupBy("day")
+        .agg(sum("death").as("n_death"),
+          sum(lit(1L) - col("death")).as("n_censored"))
+      val totalUsers = perUser.agg(count(lit(1)).as("tu"))
+      val byDay = Window.orderBy("day")
+      val prior = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val risk = perDay.crossJoin(broadcast(totalUsers))
+        .withColumn("n_risk", col("tu") -
+          coalesce(sum(col("n_death") + col("n_censored")).over(prior),
+            lit(0L)))
+      val out = risk.select(col("day"), col("n_risk"), col("n_death"),
+          col("n_censored"),
+          round(exp(sum(log(
+            (col("n_risk") - col("n_death")).cast("double") /
+              col("n_risk").cast("double"))).over(byDay)), 6).as("km"))
+        .orderBy("day")
+      out
+    },
+    Some("""WITH per_user AS (
+           |  SELECT (max(epoch_us(CAST(ts AS TIMESTAMP))) -
+           |          min(epoch_us(CAST(ts AS TIMESTAMP)))) // 86400000000
+           |      AS day,
+           |    CASE WHEN max(CASE WHEN event_type = 'error'
+           |            THEN epoch_us(CAST(ts AS TIMESTAMP)) END)
+           |          = max(epoch_us(CAST(ts AS TIMESTAMP)))
+           |         THEN 1 ELSE 0 END AS death
+           |  FROM events GROUP BY user_id),
+           |per_day AS (
+           |  SELECT day, CAST(sum(death) AS BIGINT) AS n_death,
+           |    CAST(sum(1 - death) AS BIGINT) AS n_censored
+           |  FROM per_user GROUP BY 1),
+           |tu AS (SELECT CAST(count(*) AS BIGINT) AS tu FROM per_user),
+           |risk AS (
+           |  SELECT day, n_death, n_censored,
+           |    CAST(tu - coalesce(sum(n_death + n_censored) OVER (
+           |      ORDER BY day
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS n_risk
+           |  FROM per_day, tu)
+           |SELECT day, n_risk, n_death, n_censored,
+           |  round(exp(sum(ln(CAST(n_risk - n_death AS DOUBLE) /
+           |    CAST(n_risk AS DOUBLE))) OVER (ORDER BY day)), 6) AS km
+           |FROM risk ORDER BY day""".stripMargin))
+
+  /** Simple Good-Turing frequency smoothing (Good 1953; Gale & Sampson
+    * 1995) over the corpus word-frequency distribution: for each observed
+    * frequency r, the count-of-counts N_r, the smoothed frequency
+    * r* = (r+1)·N_{r+1}/N_r, and the total probability mass GT assigns to
+    * all words of frequency r, gt_share = (r+1)·N_{r+1}/T. The r = 0 row
+    * is the estimator's whole point: its gt_share = N₁/T is the
+    * probability mass reserved for UNSEEN words — the OOV-rate estimate a
+    * tokenizer/LM pipeline needs before it meets new data (the q299/q139
+    * vocabularies consume exactly this number as a held-out budget).
+    *
+    * Exactness: every N_r and T is an exact BIGINT; N_{r+1} arrives by a
+    * self-join on r+1 (no window, no ordering ambiguity); the two display
+    * columns are single divisions of exact integers. Scale shape: ONE
+    * corpus groupBy to the Heaps-sublinear vocabulary, ONE groupBy to the
+    * count-of-counts table (≤ distinct frequencies, ≲ √(2·vocab) rows by
+    * the pigeonhole bound on Σr·N_r), a self-join and a broadcast total
+    * on that tiny frame.
+    */
+  val q326GoodTuring = GraftQuery(
+    "q326_good_turing",
+    (s, dir) => {
+      val freq = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("r"))
+      val cc = freq.groupBy("r").agg(count(lit(1)).as("n_r")).persist()
+      val tot = freq.agg(sum("r").as("t"))
+      val withZero = cc.unionAll(
+        cc.sparkSession.range(1).select(lit(0L).as("r"), lit(0L).as("n_r")))
+      val nxt = cc.select((col("r") - 1).as("r"), col("n_r").as("n_next"))
+      val out = withZero.join(nxt, Seq("r"), "left")
+        .na.fill(0L, Seq("n_next"))
+        .crossJoin(broadcast(tot))
+        .select(col("r"), col("n_r"), col("n_next"),
+          when(col("n_r") > 0, round((col("r") + 1).cast("double") *
+            col("n_next").cast("double") / col("n_r").cast("double"), 6))
+            .otherwise(lit(0.0)).as("r_star"),
+          round((col("r") + 1).cast("double") * col("n_next").cast("double")
+            / col("t").cast("double"), 6).as("gt_share"))
+        .orderBy("r")
+        .localCheckpoint()
+      cc.unpersist()
+      out
+    },
+    Some("""WITH freq AS (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS r FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           |  GROUP BY 1),
+           |cc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r
+           |  FROM freq GROUP BY 1),
+           |tot AS (SELECT CAST(sum(r) AS BIGINT) AS t FROM freq),
+           |wz AS (SELECT r, n_r FROM cc
+           |  UNION ALL SELECT 0, 0),
+           |j AS (
+           |  SELECT wz.r, wz.n_r, coalesce(nx.n_r, 0) AS n_next
+           |  FROM wz LEFT JOIN cc nx ON nx.r = wz.r + 1)
+           |SELECT r, n_r, n_next,
+           |  CASE WHEN n_r > 0 THEN
+           |    round((r + 1) * CAST(n_next AS DOUBLE) / CAST(n_r AS DOUBLE), 6)
+           |  ELSE 0.0 END AS r_star,
+           |  round((r + 1) * CAST(n_next AS DOUBLE) / CAST(t AS DOUBLE), 6)
+           |    AS gt_share
+           |FROM j, tot ORDER BY r""".stripMargin))
+
   def all: Seq[GraftQuery] = Seq(
     q319MannKendall, q320FellegiSunter, q321EliasPostings,
-    q322IsotonicCalibration, q323RepetitionFilter)
+    q322IsotonicCalibration, q323RepetitionFilter, q324TextRank,
+    q325KaplanMeier, q326GoodTuring)
 }

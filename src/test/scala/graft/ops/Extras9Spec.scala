@@ -96,4 +96,61 @@ class Extras9Spec extends AnyFunSuite with SparkSpec {
       assert(any <= r.getAs[Long]("n_docs"), r.toString)
     }
   }
+
+  test("q324: exactly 10 keywords, scores floored by the teleport mass " +
+    "and ordered (score desc, word asc)") {
+    val rows = SparkEntry.queries("q324_textrank")(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach(r => assert(r.getAs[Long]("score") >= 150000000000L))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val (sa, sb) = (a.getAs[Long]("score"), b.getAs[Long]("score"))
+        assert(sa > sb || (sa == sb &&
+          a.getAs[String]("word") < b.getAs[String]("word")))
+      case _ =>
+    }
+  }
+
+  test("q325: the survival curve starts from the full risk set and is " +
+    "non-increasing, as are the risk sets") {
+    val rows = SparkEntry.queries("q325_kaplan_meier")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("day"))
+    assert(rows.nonEmpty)
+    val totalUsers = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.head.getAs[Long]("n_risk") == totalUsers)
+    rows.foreach { r =>
+      val km = r.getAs[Double]("km")
+      assert(km > 0.0 && km <= 1.0, r.toString)
+      assert(r.getAs[Long]("n_death") + r.getAs[Long]("n_censored") <=
+        r.getAs[Long]("n_risk"), r.toString)
+    }
+    rows.map(_.getAs[Double]("km")).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b - 1e-9, s"km increased: $a -> $b")
+      case _ =>
+    }
+    rows.map(_.getAs[Long]("n_risk")).sliding(2).foreach {
+      case Array(a, b) => assert(a > b, "risk set must strictly shrink")
+      case _ =>
+    }
+  }
+
+  test("q326: the unseen-mass row exists and Good-Turing mass is a " +
+    "sub-probability bounded by 1") {
+    val rows = SparkEntry.queries("q326_good_turing")(spark, sf).collect()
+    val zero = rows.find(_.getAs[Long]("r") == 0L)
+    assert(zero.isDefined, "the r = 0 (unseen mass) row is the point")
+    // cross-check the unseen mass against independently computed N_1/T
+    // (the saturated fixture vocabulary legitimately has N_1 = 0)
+    import org.apache.spark.sql.functions._
+    val freq = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count()
+    val n1 = freq.where(col("count") === 1).count().toDouble
+    val t = freq.agg(sum("count")).collect()(0).getLong(0).toDouble
+    assert(math.abs(zero.get.getAs[Double]("gt_share") - n1 / t) < 1e-6)
+    assert(zero.get.getAs[Double]("r_star") == 0.0)
+    val mass = rows.map(_.getAs[Double]("gt_share")).sum
+    assert(mass > 0.0 && mass <= 1.0 + 1e-6, s"GT mass out of range: $mass")
+  }
 }
