@@ -450,7 +450,248 @@ object Retrieval {
          |ORDER BY m.qid""".stripMargin
     })
 
+  /** Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty 2001)
+    * — the language-modeling alternative to q167's BM25, and the third
+    * smoothing family in the engine next to Jelinek-Mercer and Kneser-Ney:
+    * score(q,d) = Σ_{t∈q} ln p_μ(t|d) with p_μ(t|d) =
+    * (tf + μ·cf/T)/(|d| + μ), μ = 2000. Computed in the standard sparse
+    * decomposition Σ_{t∈q∩d} ln(1 + tf·T/(μ·cf)) + |q|·ln(μ/(|d| + μ)),
+    * so only MATCHING postings are touched and the length normalizer is
+    * one closed-form term — candidates are docs sharing ≥1 query term
+    * (the q167 convention; a no-overlap doc scores only the length prior
+    * and production systems never materialize it).
+    *
+    * Every ln argument is a ratio of exact BIGINTs (tf, collection
+    * frequency cf, total tokens T, |d|, μ), so per-row ln inputs are
+    * bit-identical across engines; the per-(query, doc) sum of ln terms
+    * is an order-dependent float agg → round 3 before ranking (the
+    * q167/q149 round-before-rank discipline) with cid tiebreak.
+    *
+    * Scale: postings tf groupBy once, cf/T as one term-keyed aggregate +
+    * one scalar, the query batch broadcast — a map-side hash join against
+    * postings, one partial-agg sum, a per-query top-5 window. Linear in
+    * corpus tokens, like q167.
+    */
+  val q327DirichletQl = GraftQuery(
+    "q327_dirichlet_ql",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf")).persist()
+      val len = tf.groupBy("doc_id").agg(sum("tf").as("len"))
+      val cf = tf.groupBy("t").agg(sum("tf").as("cf"))
+      val bigT = tf.agg(sum("tf").as("bigt"))
+      val qTerms = tf.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("t")).distinct().persist()
+      val qLen = qTerms.groupBy("qid").agg(count(lit(1)).as("qlen"))
+      val matched = tf.join(broadcast(qTerms), Seq("t"))
+        .filter(col("doc_id") =!= col("qid"))
+        .join(cf, "t").crossJoin(broadcast(bigT))
+        .select(col("qid"), col("doc_id").as("cid"),
+          log(lit(1.0) + (col("tf") * col("bigt")).cast("double") /
+            (lit(2000.0) * col("cf").cast("double"))).as("c"))
+        .groupBy("qid", "cid").agg(sum("c").as("match_part"))
+      val wr = Window.partitionBy("qid").orderBy(desc("score"), col("cid"))
+      val out = matched
+        .join(len.select(col("doc_id").as("cid"), col("len")), "cid")
+        .join(broadcast(qLen), "qid")
+        .select(col("qid"), col("cid"),
+          round(col("match_part") + col("qlen").cast("double") *
+            log(lit(2000.0) / (col("len").cast("double") + 2000.0)), 3)
+            .as("score"))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("cid"), col("score"))
+        .orderBy("qid", "rank")
+        .localCheckpoint()
+      tf.unpersist(); qTerms.unpersist()
+      out
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents),
+           |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) tf
+           |  FROM toks GROUP BY 1, 2),
+           |len AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) len
+           |  FROM tf GROUP BY 1),
+           |cf AS (SELECT t, CAST(sum(tf) AS BIGINT) cf FROM tf GROUP BY 1),
+           |bigt AS (SELECT CAST(sum(tf) AS BIGINT) bigt FROM tf),
+           |q AS (SELECT DISTINCT doc_id qid, t FROM tf WHERE doc_id < 5),
+           |qlen AS (SELECT qid, CAST(count(*) AS BIGINT) qlen
+           |  FROM q GROUP BY 1),
+           |mp AS (
+           |  SELECT q.qid, tf.doc_id cid,
+           |    sum(ln(1.0 + CAST(tf.tf * bigt AS DOUBLE) /
+           |      (2000.0 * CAST(cf.cf AS DOUBLE)))) match_part
+           |  FROM tf JOIN q USING (t) JOIN cf USING (t), bigt
+           |  WHERE tf.doc_id <> q.qid GROUP BY 1, 2),
+           |scored AS (
+           |  SELECT qid, cid,
+           |    round(match_part + qlen *
+           |      ln(2000.0 / (CAST(len AS DOUBLE) + 2000.0)), 3) score
+           |  FROM mp JOIN len ON len.doc_id = cid JOIN qlen USING (qid)),
+           |ranked AS (SELECT *,
+           |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid)
+           |      rank
+           |  FROM scored)
+           |SELECT qid, CAST(rank AS INT) AS rank, cid, score
+           |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
+
+  /** Maximal Marginal Relevance diversification (Carbonell & Goldstein
+    * 1998) — the post-retrieval re-ranker every RAG stack runs between
+    * "top-k by similarity" and the context window: from each query's
+    * top-8 tf-idf-cosine candidates, greedily emit 5 results maximizing
+    * 0.7·rel(q,d) − 0.3·max_{s∈S} sim(d,s), so near-duplicate hits
+    * (which the corpus is full of, by q25's own evidence) cannot crowd
+    * out coverage.
+    *
+    * Determinism: rel and sim are round-5 cosines (round-before-rank),
+    * the MMR expression is one IEEE multiply-subtract on those identical
+    * doubles, and every argmax breaks ties by cid — so the greedy
+    * trajectory is reproducible bit-for-bit on both engines. The oracle
+    * unrolls the 4 greedy steps as materialized CTE levels (the
+    * q297/q299 replay discipline).
+    *
+    * Scale: relevance is the broadcast-query postings join (q167 shape);
+    * candidate sets are top-8 PER QUERY, so the pairwise sim matrix is
+    * ≤ |Q|·8² rows, and the greedy loop itself runs driver-side on that
+    * bounded collected state — reranking is a per-query client-side step
+    * at any corpus size, and all corpus-scale passes happen before it.
+    */
+  val q328MmrDiversify = GraftQuery(
+    "q328_mmr_diversify",
+    (s, dir) => {
+      val (_, _, w0) = tfidfWeights(Tables.documents(s, dir), persistTf = true)
+      val w = w0.persist()
+      val nrm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      val qw = w.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("t"), col("w").as("wq"))
+      val rel = w.join(broadcast(qw), Seq("t"))
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy(col("qid"), col("doc_id").as("cid"))
+        .agg(sum(col("w") * col("wq")).as("dot"))
+        .join(nrm.select(col("doc_id").as("cid"), col("nrm").as("nc")), "cid")
+        .join(nrm.select(col("doc_id").as("qid"), col("nrm").as("nq")), "qid")
+        .select(col("qid"), col("cid"),
+          round(col("dot") / (col("nc") * col("nq")), 5).as("rel"))
+      val wr = Window.partitionBy("qid").orderBy(desc("rel"), col("cid"))
+      val cand = rel.withColumn("rk", row_number().over(wr))
+        .filter(col("rk") <= 8).drop("rk").persist()
+      // pairwise sims among each query's candidates (≤ 8² per query)
+      val cw = cand.select(col("qid"), col("cid"))
+        .join(w.select(col("doc_id").as("cid"), col("t"), col("w").as("wc")),
+          Seq("cid"))
+      val sims = cw.select(col("qid"), col("cid").as("i"), col("t"), col("wc"))
+        .join(cw.select(col("qid").as("q2"), col("cid").as("j"), col("t"),
+          col("wc").as("wd")), Seq("t"))
+        .filter(col("qid") === col("q2") && col("i") =!= col("j"))
+        .groupBy("qid", "i", "j").agg(sum(col("wc") * col("wd")).as("dot"))
+        .join(nrm.select(col("doc_id").as("i"), col("nrm").as("ni")), "i")
+        .join(nrm.select(col("doc_id").as("j"), col("nrm").as("nj")), "j")
+        .select(col("qid"), col("i"), col("j"),
+          round(col("dot") / (col("ni") * col("nj")), 5).as("sim"))
+        .persist()
+      // the greedy trajectory runs DRIVER-SIDE on the per-query-bounded
+      // candidate state (|Q|·8 rel rows + |Q|·8² sim rows — a documented
+      // bounded collect, the k-row centroid discipline): four sequential
+      // argmax steps as distributed jobs would spend 4 scheduler
+      // round-trips to touch ≤ 40 rows. Reranking is a per-query
+      // client-side step at any corpus size; every corpus-scale pass
+      // (postings, rel, the sim matrix) already ran above.
+      val candRows = cand.collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"),
+          r.getAs[Double]("rel")))
+      val simMap = sims.collect()
+        .map(r => ((r.getAs[Long]("qid"), r.getAs[Long]("i"),
+          r.getAs[Long]("j")), r.getAs[Double]("sim")))
+        .toMap
+      w.unpersist(); cand.unpersist(); sims.unpersist()
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val resultRows = candRows.map(_._1).distinct.sorted.toSeq.flatMap { q =>
+        val cs = candRows.filter(_._1 == q)
+        val picked = scala.collection.mutable.ArrayBuffer[Long]()
+        (1 to math.min(5, cs.length)).map { step =>
+          val scoredK = cs.filterNot(c => picked.contains(c._2)).map {
+            case (_, cid, rel) =>
+              val ms = picked
+                .map(p => simMap.getOrElse((q, cid, p), 0.0))
+                .foldLeft(0.0)(math.max)
+              (cid, 0.7 * rel - 0.3 * ms)
+          }
+          val (cid, m) = scoredK.minBy { case (c, s2) => (-s2, c) }
+          picked += cid
+          (q, cid, step, r6(m))
+        }
+      }
+      import s.implicits._
+      resultRows.toDF("qid", "cid", "step", "mmr").orderBy("qid", "step")
+    },
+    Some {
+      def lvl(k: Int, prev: String): String =
+        s"""ms$k AS (
+           |  SELECT s.qid, s.i AS cid, max(s.sim) AS ms
+           |  FROM sims s JOIN $prev p ON p.qid = s.qid AND p.cid = s.j
+           |  GROUP BY 1, 2),
+           |sel$k AS MATERIALIZED (
+           |  SELECT * FROM $prev
+           |  UNION ALL
+           |  SELECT qid, cid, $k AS step, round(m, 6) AS mmr FROM (
+           |    SELECT qid, cid, m,
+           |      row_number() OVER (PARTITION BY qid ORDER BY m DESC, cid) rk
+           |    FROM (
+           |      SELECT c.qid, c.cid,
+           |        0.7 * c.rel - 0.3 * coalesce(ms$k.ms, 0.0) m
+           |      FROM cand c
+           |      LEFT JOIN $prev p ON p.qid = c.qid AND p.cid = c.cid
+           |      LEFT JOIN ms$k ON ms$k.qid = c.qid AND ms$k.cid = c.cid
+           |      WHERE p.cid IS NULL))
+           |  WHERE rk = 1)""".stripMargin
+      s"""WITH tf AS (
+         |  SELECT doc_id, t, count(*) tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) t
+         |    FROM documents) GROUP BY 1, 2),
+         |nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) n FROM tf),
+         |w AS (SELECT doc_id, t, tf * ln(n / df) AS w
+         |  FROM tf JOIN (SELECT t, count(*) df FROM tf GROUP BY 1)
+         |    USING (t), nn
+         |  WHERE df < n),
+         |nrm AS (SELECT doc_id, sqrt(sum(w * w)) nrm FROM w GROUP BY 1),
+         |rel AS (
+         |  SELECT q.doc_id qid, d.doc_id cid,
+         |    round(sum(d.w * q.w) / (nc.nrm * nq.nrm), 5) rel
+         |  FROM w d JOIN w q ON q.t = d.t AND q.doc_id < 5
+         |    AND d.doc_id <> q.doc_id
+         |  JOIN nrm nc ON nc.doc_id = d.doc_id
+         |  JOIN nrm nq ON nq.doc_id = q.doc_id
+         |  GROUP BY 1, 2, nc.nrm, nq.nrm),
+         |cand AS MATERIALIZED (
+         |  SELECT qid, cid, rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY rel DESC, cid) rk FROM rel)
+         |  WHERE rk <= 8),
+         |sims AS MATERIALIZED (
+         |  SELECT a.qid, a.cid i, b.cid j,
+         |    round(sum(wa.w * wb.w) / (ni.nrm * nj.nrm), 5) sim
+         |  FROM cand a JOIN cand b ON b.qid = a.qid AND b.cid <> a.cid
+         |  JOIN w wa ON wa.doc_id = a.cid
+         |  JOIN w wb ON wb.doc_id = b.cid AND wb.t = wa.t
+         |  JOIN nrm ni ON ni.doc_id = a.cid
+         |  JOIN nrm nj ON nj.doc_id = b.cid
+         |  GROUP BY 1, 2, 3, ni.nrm, nj.nrm),
+         |sel1 AS MATERIALIZED (
+         |  SELECT qid, cid, 1 AS step, round(0.7 * rel, 6) AS mmr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY rel DESC, cid) rk FROM cand)
+         |  WHERE rk = 1),
+         |${lvl(2, "sel1")},
+         |${lvl(3, "sel2")},
+         |${lvl(4, "sel3")},
+         |${lvl(5, "sel4")}
+         |SELECT qid, CAST(step AS INT) AS step, cid, mmr
+         |FROM sel5 ORDER BY qid, step""".stripMargin
+    })
+
   val all: Seq[GraftQuery] =
     Seq(q112HybridRrf, q152TfidfCosinePairs, q167Bm25TopK, q176FeatureHashing,
-      q200RocchioPrf, q222RetrievalEval)
+      q200RocchioPrf, q222RetrievalEval, q327DirichletQl, q328MmrDiversify)
 }
