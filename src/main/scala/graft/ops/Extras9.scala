@@ -809,8 +809,112 @@ object Extras9 {
            |    AS gt_share
            |FROM j, tot ORDER BY r""".stripMargin))
 
+  /** Poisson-bootstrap confidence intervals (Chamandy et al. 2012 — the
+    * bootstrap that actually runs at MapReduce scale) for the per-source
+    * mean document length, fully DERANDOMIZED: replicate b's weight for a
+    * document is Poisson(1)-distributed via the inverse CDF applied to an
+    * md5-derived uniform in [0, 10⁶), so both engines draw the identical
+    * "random" weights and the interval is a reproducible artifact, not a
+    * seed-dependent one. B = 40 replicates put the 2.5%/97.5% percentile
+    * bounds exactly at ranks 1 and 40 (each tail is 1/40 of the
+    * replicate mass).
+    *
+    * Exactness: replicate sums Σw and Σw·len are exact BIGINTs; replicate
+    * means are ordered by the q322 scaled-floor trick (⌊Σwx·10¹⁸/Σw⌋ in
+    * DECIMAL(38,0)/HUGEINT — distinct means differ by ≫ the floor error
+    * at any reachable scale), with the replicate id as tiebreak; doubles
+    * appear only in the three display columns.
+    *
+    * Scale shape: the ×B row fan-out is MAP-SIDE (each unit row emits its
+    * B weights and partial aggregation collapses them to (source, b)
+    * groups before the shuffle), so the shuffle carries B rows per
+    * source regardless of corpus size — the property that makes Poisson
+    * bootstrap the at-scale resampling method. The ranking window runs
+    * on B = 40 rows per source.
+    */
+  val q330PoissonBootstrap = GraftQuery(
+    "q330_poisson_bootstrap",
+    (s, dir) => {
+      // Poisson(1) CDF cut points scaled to 1e6 (k = 0..6, else 7)
+      val cuts = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L,
+        999917L)
+      def pois(u: Column): Column =
+        cuts.zipWithIndex.foldRight(lit(7L): Column) { case ((c, k), e) =>
+          when(u < c, k.toLong).otherwise(e)
+        }
+      val rep = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          explode(expr("sequence(1, 40)")).as("b"))
+        .select(col("source"), col("n_chars"), col("b"),
+          pois(expr("CAST(conv(substr(md5(concat_ws('_'," +
+            " CAST(doc_id AS STRING), CAST(b AS STRING))), 1, 12), 16, 10)" +
+            " AS BIGINT) % 1000000")).as("w"))
+        .groupBy("source", "b")
+        .agg(sum("w").as("sw"), sum(col("w") * col("n_chars")).as("swx"))
+      val scaled = rep.select(col("source"), col("b"),
+        expr("CAST((CAST(swx AS DECIMAL(38,0)) *" +
+          " CAST(1000000000000000000 AS DECIMAL(38,0)) -" +
+          " pmod(CAST(swx AS DECIMAL(38,0)) *" +
+          " CAST(1000000000000000000 AS DECIMAL(38,0)), greatest(sw, 1)))" +
+          " / greatest(sw, 1) AS DECIMAL(38,0))").as("m"))
+      val bySrc = Window.partitionBy("source").orderBy("m", "b")
+      val ranked = scaled.withColumn("rk", row_number().over(bySrc))
+      val base = Tables.documents(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sx"))
+      base
+        .join(ranked.filter(col("rk") === 1)
+          .select(col("source"), col("m").as("lo")), "source")
+        .join(ranked.filter(col("rk") === 40)
+          .select(col("source"), col("m").as("hi")), "source")
+        .select(col("source"), col("n_docs"),
+          round(col("sx").cast("double") / col("n_docs").cast("double"), 6)
+            .as("mean_chars"),
+          round(col("lo").cast("double") / 1e18, 6).as("boot_lo"),
+          round(col("hi").cast("double") / 1e18, 6).as("boot_hi"))
+        .orderBy("source")
+    },
+    Some("""WITH reps AS (SELECT unnest(generate_series(1, 40)) AS b),
+           |u AS (
+           |  SELECT source, n_chars, b,
+           |    CAST(concat('0x', substr(md5(concat(doc_id, '_', b)), 1, 12))
+           |      AS BIGINT) % 1000000 AS u
+           |  FROM documents, reps),
+           |w AS (
+           |  SELECT source, n_chars, b,
+           |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+           |         WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+           |         WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+           |         WHEN u < 999917 THEN 6 ELSE 7 END AS w
+           |  FROM u),
+           |rep AS (
+           |  SELECT source, b, CAST(sum(w) AS BIGINT) AS sw,
+           |    CAST(sum(w * n_chars) AS BIGINT) AS swx
+           |  FROM w GROUP BY 1, 2),
+           |scaled AS (
+           |  SELECT source, b,
+           |    (CAST(swx AS HUGEINT) * 1000000000000000000)
+           |      // greatest(sw, 1) AS m
+           |  FROM rep),
+           |ranked AS (
+           |  SELECT source, m,
+           |    row_number() OVER (PARTITION BY source ORDER BY m, b) AS rk
+           |  FROM scaled),
+           |base AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(n_chars) AS BIGINT) AS sx
+           |  FROM documents GROUP BY 1)
+           |SELECT base.source, n_docs,
+           |  round(CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+           |    AS mean_chars,
+           |  round(CAST(lo.m AS DOUBLE) / 1e18, 6) AS boot_lo,
+           |  round(CAST(hi.m AS DOUBLE) / 1e18, 6) AS boot_hi
+           |FROM base
+           |JOIN ranked lo ON lo.source = base.source AND lo.rk = 1
+           |JOIN ranked hi ON hi.source = base.source AND hi.rk = 40
+           |ORDER BY base.source""".stripMargin))
+
   def all: Seq[GraftQuery] = Seq(
     q319MannKendall, q320FellegiSunter, q321EliasPostings,
     q322IsotonicCalibration, q323RepetitionFilter, q324TextRank,
-    q325KaplanMeier, q326GoodTuring)
+    q325KaplanMeier, q326GoodTuring, q330PoissonBootstrap)
 }

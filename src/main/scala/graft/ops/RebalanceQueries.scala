@@ -205,7 +205,110 @@ object RebalanceQueries {
            |    / count(*)::DOUBLE, 6) AS ring_rate
            |FROM k JOIN own8 USING (o_orderkey) JOIN own10 USING (o_orderkey)""".stripMargin))
 
+  /** Rendezvous (highest-random-weight) hashing placement audit (Thaler &
+    * Ravishankar 1998) vs naive mod-N, under a shard-count change 8 → 9 —
+    * the reference tool's whole reason to exist is that its cluster uses
+    * mod-N placement, which moves ~N/(N+1) of ALL rows on every resize
+    * (`sharding_recreation.py` rebuilds entire tables); HRW moves exactly
+    * the keys whose argmax flips to the NEW shard, ≈ 1/(N+1), with no ring
+    * state at all (each owner is argmax over per-shard hashes). This query
+    * measures both strategies' movement and the post-resize load spread on
+    * the same key population, quantifying what the reference's full-table
+    * rebuild wastes.
+    *
+    * Determinism: shard weights are 60-bit md5-derived BIGINTs (the q176
+    * `conv`/`0x` pairing), the argmax is a first-match CASE over
+    * greatest(...) so any (astronomically unlikely) tie resolves to the
+    * smallest shard id identically on both engines, and counts are exact —
+    * the only doubles are the two final display divisions.
+    *
+    * Scale shape: pure map-side expression work per key (N+1 hashes), two
+    * partial-agg groupBys (movement flags, per-shard loads), a 2-row
+    * output. No join, no window, no shuffle wider than the shard-id key.
+    */
+  val q329RendezvousPlacement = {
+    // per-shard weight columns are materialized ONCE (h0..h8), so the
+    // argmax CASE never re-derives an md5 — no reliance on subexpression
+    // elimination for the ~N² hash references a naive inline form has
+    def argmax(n: Int): String = {
+      val g = (0 until n).map(s => s"h$s").mkString("greatest(", ", ", ")")
+      (0 until n).map(s => s"WHEN h$s = $g THEN $s")
+        .mkString("CASE ", " ", " END")
+    }
+    GraftQuery(
+      "q329_rendezvous_placement",
+      (s, dir) => {
+        val hashed = Tables.customer(s, dir)
+          .select(col("c_custkey").as("k")).distinct()
+          .select(col("k") +: (0 until 9).map(sh =>
+            expr(s"CAST(conv(substr(md5(concat_ws('_', CAST(k AS STRING)," +
+              s" '$sh')), 1, 15), 16, 10) AS BIGINT)").as(s"h$sh")): _*)
+        val keys = hashed.select(col("k"),
+            pmod(col("k"), lit(8)).as("mod_old"),
+            pmod(col("k"), lit(9)).as("mod_new"),
+            expr(argmax(8)).as("hrw_old"),
+            expr(argmax(9)).as("hrw_new"))
+          .persist()
+        def audit(name: String, oldC: String, newC: String) = {
+          val loads = keys.groupBy(col(newC).as("shard"))
+            .agg(count(lit(1)).as("cnt"))
+            .agg(min("cnt").as("min_load"), max("cnt").as("max_load"))
+          keys.agg(count(lit(1)).as("n_keys"),
+              sum(when(col(oldC) =!= col(newC), 1L).otherwise(0L))
+                .as("n_moved"))
+            .crossJoin(broadcast(loads))
+            .select(lit(name).as("strategy"), col("n_keys"), col("n_moved"),
+              round(col("n_moved").cast("double") /
+                col("n_keys").cast("double"), 6).as("moved_frac"),
+              col("min_load"), col("max_load"))
+        }
+        val out = audit("hrw", "hrw_old", "hrw_new")
+          .unionAll(audit("mod", "mod_old", "mod_new"))
+          .orderBy("strategy")
+          .localCheckpoint()
+        keys.unpersist()
+        out
+      },
+      Some(s"""WITH k AS (
+              |  SELECT DISTINCT c_custkey AS k FROM customer),
+              |hashed AS (
+              |  SELECT k, ${(0 until 9).map(sh =>
+                  s"CAST(concat('0x', substr(md5(concat(k, '_', '$sh')), 1, 15)) AS BIGINT) AS h$sh")
+                  .mkString(",\n              |    ")}
+              |  FROM k),
+              |placed AS (
+              |  SELECT k, k % 8 AS mod_old, k % 9 AS mod_new,
+              |    ${argmax(8)} AS hrw_old,
+              |    ${argmax(9)} AS hrw_new
+              |  FROM hashed),
+              |audit AS (
+              |  SELECT 'hrw' AS strategy,
+              |    CAST(count(*) AS BIGINT) AS n_keys,
+              |    CAST(sum(CASE WHEN hrw_old <> hrw_new THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_moved
+              |  FROM placed
+              |  UNION ALL
+              |  SELECT 'mod', CAST(count(*) AS BIGINT),
+              |    CAST(sum(CASE WHEN mod_old <> mod_new THEN 1 ELSE 0 END)
+              |      AS BIGINT)
+              |  FROM placed),
+              |loads AS (
+              |  SELECT 'hrw' AS strategy, CAST(min(cnt) AS BIGINT) min_load,
+              |    CAST(max(cnt) AS BIGINT) max_load
+              |  FROM (SELECT hrw_new, count(*) cnt FROM placed GROUP BY 1)
+              |  UNION ALL
+              |  SELECT 'mod', CAST(min(cnt) AS BIGINT),
+              |    CAST(max(cnt) AS BIGINT)
+              |  FROM (SELECT mod_new, count(*) cnt FROM placed GROUP BY 1))
+              |SELECT a.strategy, n_keys, n_moved,
+              |  round(CAST(n_moved AS DOUBLE) / CAST(n_keys AS DOUBLE), 6)
+              |    AS moved_frac,
+              |  min_load, max_load
+              |FROM audit a JOIN loads l ON l.strategy = a.strategy
+              |ORDER BY a.strategy""".stripMargin))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q17RebalanceHash, q18RebalanceRange, q51RebalanceRoundRobin,
-      q194SkewReport, q258ConsistentHashMigration)
+      q194SkewReport, q258ConsistentHashMigration, q329RendezvousPlacement)
 }

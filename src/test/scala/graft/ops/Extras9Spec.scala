@@ -153,4 +153,32 @@ class Extras9Spec extends AnyFunSuite with SparkSpec {
     val mass = rows.map(_.getAs[Double]("gt_share")).sum
     assert(mass > 0.0 && mass <= 1.0 + 1e-6, s"GT mass out of range: $mass")
   }
+
+  test("q329: rendezvous hashing moves ~1/(N+1) of keys on resize while " +
+    "mod-N moves nearly everything") {
+    val rows = SparkEntry.queries("q329_rendezvous_placement")(spark, sf)
+      .collect().map(r => r.getAs[String]("strategy") -> r).toMap
+    val hrw = rows("hrw").getAs[Double]("moved_frac")
+    val mod = rows("mod").getAs[Double]("moved_frac")
+    assert(hrw > 0.03 && hrw < 0.25, s"hrw moved_frac $hrw not near 1/9")
+    assert(mod > 0.75, s"mod-N must move ~8/9 of keys, got $mod")
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("min_load") > 0, "an empty shard after resize")
+      assert(r.getAs[Long]("n_moved") <= r.getAs[Long]("n_keys"))
+    }
+  }
+
+  test("q330: every source's bootstrap interval brackets its point " +
+    "estimate") {
+    val rows = SparkEntry.queries("q330_poisson_bootstrap")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m, lo, hi) = (r.getAs[Double]("mean_chars"),
+        r.getAs[Double]("boot_lo"), r.getAs[Double]("boot_hi"))
+      assert(lo < hi, r.toString)
+      assert(lo <= m && m <= hi,
+        s"interval [$lo, $hi] misses the point estimate $m: $r")
+    }
+  }
 }
