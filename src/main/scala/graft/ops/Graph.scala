@@ -679,7 +679,90 @@ object Graph {
            |FROM agg JOIN feat ON feat.n = agg.u
            |WHERE agg.u <= 60 ORDER BY supp""".stripMargin))
 
+  /** Newman-Girvan modularity (Newman & Girvan 2004; Newman 2006) of the
+    * supplier co-purchase graph under the NATION partition — the
+    * community-QUALITY score the graph family was missing: q186 produces
+    * communities and q215 measures degree assortativity, but nothing
+    * said how good a given partition is. Here the partition is the
+    * supplier's nation (a metadata community), so the score answers "do
+    * same-nation suppliers co-supply more than a degree-preserving random
+    * graph would predict?" — the exact question a data-locality-aware
+    * shard planner asks before co-locating by a dimension key.
+    *
+    * Integer-exact to the last division: with m edges, intra-community
+    * edge counts m_c and community degree sums d_c,
+    * Q = Σ_c (m_c/m − (d_c/2m)²) = Σ_c (4·m·m_c − d_c²) / (4m²) — the
+    * numerator terms and 4m² are exact BIGINTs (d_c ≤ 2m, so d_c² needs
+    * ~2log₂(2m) bits — fine to ~10⁹ edges), both engines divide the SAME
+    * two integers once per community row and once pooled. A positive
+    * pooled Q at 100 TB would justify nation-keyed bucketing; the
+    * per-community rows show which nations drive it.
+    *
+    * Scale shape: the per-order co-purchase self-join (the q148 edge
+    * builder), one broadcast dimension join for nations, two partial-agg
+    * groupBys (per-community degree, per-community intra edges), and a
+    * 25-row output. The 1-row total joins back via broadcast.
+    */
+  val q331Modularity = GraftQuery(
+    "q331_modularity",
+    (s, dir) => {
+      val und = coPurchaseEdges(Tables.lineitem(s, dir),
+        "l_orderkey", "l_suppkey").persist()
+      val nat = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("n"), col("s_nationkey").as("c"))
+      val deg = und.select(col("u").as("n"))
+        .unionAll(und.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val dc = deg.join(nat, "n")
+        .groupBy("c").agg(sum("deg").as("d_c"))
+      val intra = und
+        .join(nat.select(col("n").as("u"), col("c").as("cu")), "u")
+        .join(nat.select(col("n").as("v"), col("c").as("cv")), "v")
+        .filter(col("cu") === col("cv"))
+        .groupBy(col("cu").as("c")).agg(count(lit(1)).as("m_c"))
+      val m = und.agg(count(lit(1)).as("m"))
+      val perC = dc.join(intra, Seq("c"), "left")
+        .na.fill(0L, Seq("m_c"))
+        .crossJoin(broadcast(m))
+        .select(col("c").as("community"), col("m_c"), col("d_c"),
+          (lit(4L) * col("m") * col("m_c") - col("d_c") * col("d_c"))
+            .as("q_num"),
+          (lit(4L) * col("m") * col("m")).as("q_den"))
+      val out = perC.select(col("community"), col("m_c"), col("d_c"),
+          round(col("q_num").cast("double") / col("q_den").cast("double"), 6)
+            .as("q_part"))
+        .orderBy("community")
+        .localCheckpoint()
+      und.unpersist()
+      out
+    },
+    Some("""WITH ps AS (
+           |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS k FROM lineitem),
+           |und AS (
+           |  SELECT DISTINCT a.k AS u, b.k AS v
+           |  FROM ps a JOIN ps b ON b.o = a.o AND a.k < b.k),
+           |nat AS (SELECT s_suppkey AS n, s_nationkey AS c FROM supplier),
+           |deg AS (
+           |  SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+           |    SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+           |  GROUP BY 1),
+           |dc AS (
+           |  SELECT c, CAST(sum(deg) AS BIGINT) AS d_c
+           |  FROM deg JOIN nat USING (n) GROUP BY 1),
+           |intra AS (
+           |  SELECT cu.c AS c, CAST(count(*) AS BIGINT) AS m_c
+           |  FROM und JOIN nat cu ON cu.n = und.u
+           |    JOIN nat cv ON cv.n = und.v
+           |  WHERE cu.c = cv.c GROUP BY 1),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und)
+           |SELECT dc.c AS community,
+           |  CAST(coalesce(m_c, 0) AS BIGINT) AS m_c, d_c,
+           |  round(CAST(4 * m.m * coalesce(m_c, 0) - d_c * d_c AS DOUBLE) /
+           |    CAST(4 * m.m * m.m AS DOUBLE), 6) AS q_part
+           |FROM dc LEFT JOIN intra ON intra.c = dc.c, m
+           |ORDER BY community""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q98PageRank, q148TriangleCount, q171KcoreSemantic,
     q184Sssp, q186LabelProp, q215Assortativity, q237PersonalizedPagerank,
-    q264FeaturePropagation)
+    q264FeaturePropagation, q331Modularity)
 }
