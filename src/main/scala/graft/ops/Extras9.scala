@@ -913,8 +913,104 @@ object Extras9 {
            |JOIN ranked hi ON hi.source = base.source AND hi.rk = 40
            |ORDER BY base.source""".stripMargin))
 
+  /** Peak concurrent sessions per day — the sweep-line interval-overlap
+    * maximum (how many user sessions were simultaneously open at the
+    * busiest instant), computed WITHOUT a global sort: the classic
+    * formulation sorts all ±1 boundaries and takes the running-sum max,
+    * a single-partition funnel at any real scale. Here the prefix sum is
+    * split two-level (the q174 discipline): minute-bucket partial sums
+    * roll up per (day, minute) — calendar-bounded windows — and the
+    * intra-minute cumsum runs in per-(day, minute) partitions, so
+    * concurrency at any boundary = exclusive minute-prefix + inclusive
+    * intra-minute prefix, and no partition ever holds more than one
+    * minute of one day's boundaries.
+    *
+    * Overlap semantics: sessions are CLOSED intervals [first event, last
+    * event] of a user within a calendar day; at a shared instant t the
+    * count includes sessions starting at t (starts inclusive) and
+    * excludes sessions that ended strictly before t (ends exclusive via
+    * the shifted cumsum) — so two sessions touching at one microsecond
+    * DO overlap, the standard sweep convention. All counts are exact
+    * BIGINTs; the peak instant reports the EARLIEST boundary achieving
+    * the maximum (a min over equal integers — no tie ambiguity).
+    */
+  val q333PeakConcurrency = GraftQuery(
+    "q333_peak_concurrency",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("t"))
+        .select(col("user_id"), col("t"),
+          expr("t div 86400000000").as("day"))
+      val sess = ev.groupBy("user_id", "day")
+        .agg(min("t").as("st"), max("t").as("en")).persist()
+      val bounds = sess.select(col("day"), col("st").as("t"),
+          lit(1L).as("sc"), lit(0L).as("ec"))
+        .unionAll(sess.select(col("day"), col("en"), lit(0L), lit(1L)))
+        .groupBy(col("day"), expr("t div 60000000").as("m"), col("t"))
+        .agg(sum("sc").as("sc"), sum("ec").as("ec"))
+      val minute = bounds.groupBy("day", "m")
+        .agg(sum("sc").as("msc"), sum("ec").as("mec"))
+      val byDay = Window.partitionBy("day").orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val minutePrefix = minute.select(col("day"), col("m"),
+        coalesce(sum("msc").over(byDay), lit(0L)).as("pmsc"),
+        coalesce(sum("mec").over(byDay), lit(0L)).as("pmec"))
+      val intra = Window.partitionBy("day", "m").orderBy("t")
+      val conc = bounds.join(minutePrefix, Seq("day", "m"))
+        .select(col("day"), col("t"),
+          (col("pmsc") + sum("sc").over(
+            intra.rowsBetween(Window.unboundedPreceding, 0)) -
+            col("pmec") - coalesce(sum("ec").over(
+              intra.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            .as("conc"))
+        .persist()
+      val peak = conc.groupBy("day").agg(max("conc").as("peak"))
+      val at = conc.join(peak, "day")
+        .filter(col("conc") === col("peak"))
+        .groupBy("day", "peak").agg(min("t").as("peak_at"))
+      val nSess = sess.groupBy("day").agg(count(lit(1)).as("n_sessions"))
+      val out = at.join(nSess, "day")
+        .select(col("day"), col("n_sessions"), col("peak"), col("peak_at"))
+        .orderBy("day")
+        .localCheckpoint()
+      sess.unpersist(); conc.unpersist()
+      out
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+           |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+           |  FROM events),
+           |sess AS (
+           |  SELECT user_id, day, min(t) AS st, max(t) AS en
+           |  FROM ev GROUP BY 1, 2),
+           |bounds AS (
+           |  SELECT day, t, CAST(sum(sc) AS BIGINT) AS sc,
+           |    CAST(sum(ec) AS BIGINT) AS ec
+           |  FROM (
+           |    SELECT day, st AS t, 1 AS sc, 0 AS ec FROM sess
+           |    UNION ALL SELECT day, en, 0, 1 FROM sess)
+           |  GROUP BY 1, 2),
+           |conc AS (
+           |  SELECT day, t,
+           |    CAST(sum(sc) OVER (PARTITION BY day ORDER BY t
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      - coalesce(sum(ec) OVER (PARTITION BY day ORDER BY t
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS conc
+           |  FROM bounds),
+           |peak AS (SELECT day, max(conc) AS peak FROM conc GROUP BY 1),
+           |at AS (
+           |  SELECT conc.day, peak, min(t) AS peak_at
+           |  FROM conc JOIN peak ON peak.day = conc.day AND conc = peak
+           |  GROUP BY 1, 2),
+           |ns AS (SELECT day, CAST(count(*) AS BIGINT) AS n_sessions
+           |  FROM sess GROUP BY 1)
+           |SELECT at.day, n_sessions, peak, peak_at
+           |FROM at JOIN ns ON ns.day = at.day ORDER BY at.day""".stripMargin))
+
   def all: Seq[GraftQuery] = Seq(
     q319MannKendall, q320FellegiSunter, q321EliasPostings,
     q322IsotonicCalibration, q323RepetitionFilter, q324TextRank,
-    q325KaplanMeier, q326GoodTuring, q330PoissonBootstrap)
+    q325KaplanMeier, q326GoodTuring, q330PoissonBootstrap,
+    q333PeakConcurrency)
 }

@@ -275,6 +275,72 @@ object Sketches {
            |GROUP BY term, n.n HAVING count(*) * 200 > n.n
            |ORDER BY cnt DESC, term""".stripMargin))
 
+  /** Bitmap-word distinct counting (the ClickHouse `groupBitmap` /
+    * roaring-bitmap rollup shape): user ids pack into fixed-width words —
+    * word = id div 63, bit = id mod 63 — aggregated per (event_type,
+    * word) with bit_or, then popcounted. Unlike the KMV/HLL estimators
+    * (q172 and friends) this is EXACT, and unlike count(DISTINCT) its
+    * shuffle rows are (type, word) pairs whose cardinality is
+    * id-range/63, not event count — the rollup that lets a 100 TB fact
+    * table answer per-dimension distinct-user questions with bounded
+    * intermediate state, and the bitmap words themselves are reusable
+    * (union across dimensions = bit_or again, no rescan). 63-bit words,
+    * not 64: both engines' checked BIGINT arithmetic rejects 1 << 63, and
+    * a one-bit-narrower word costs 1.6% space for overflow-free parity.
+    *
+    * Everything is integer-exact: the audit column pins bitmap_dv ==
+    * exact_dv on every row (popcount identity, also spec-pinned); density
+    * is the one display division.
+    *
+    * Scale shape: one partial-agg groupBy to (type, word) bitmap words
+    * (bit_or combines map-side), one groupBy to per-type popcount sums,
+    * one broadcast-joined exact count(DISTINCT) for the audit. No joins
+    * on the fact table, no windows.
+    */
+  val q332BitmapDistinct = GraftQuery(
+    "q332_bitmap_distinct",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"))
+      val words = ev
+        .select(col("event_type"),
+          expr("user_id div 63").as("word"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 63) AS INT))")
+            .as("bit"))
+        .groupBy("event_type", "word")
+        .agg(expr("bit_or(bit)").as("bm"))
+      val bitmap = words.groupBy("event_type")
+        .agg(sum(bit_count(col("bm")).cast("long")).as("bitmap_dv"),
+          count(lit(1)).as("n_words"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_dv"))
+      bitmap.join(exact, "event_type")
+        .select(col("event_type"), col("exact_dv"), col("bitmap_dv"),
+          col("n_words"),
+          round(col("bitmap_dv").cast("double") /
+            (lit(63L) * col("n_words")).cast("double"), 6).as("density"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_type, user_id FROM events),
+           |words AS (
+           |  SELECT event_type, user_id // 63 AS word,
+           |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS bm
+           |  FROM ev GROUP BY 1, 2),
+           |bitmap AS (
+           |  SELECT event_type,
+           |    CAST(sum(bit_count(bm)) AS BIGINT) AS bitmap_dv,
+           |    CAST(count(*) AS BIGINT) AS n_words
+           |  FROM words GROUP BY 1),
+           |exact AS (
+           |  SELECT event_type,
+           |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_dv
+           |  FROM ev GROUP BY 1)
+           |SELECT event_type, exact_dv, bitmap_dv, n_words,
+           |  round(CAST(bitmap_dv AS DOUBLE) /
+           |    CAST(63 * n_words AS DOUBLE), 6) AS density
+           |FROM bitmap JOIN exact USING (event_type)
+           |ORDER BY event_type""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(q94CmsFreq, q95BloomMembership, q172KmvSketch,
-    q189HeavyHitters)
+    q189HeavyHitters, q332BitmapDistinct)
 }

@@ -181,4 +181,30 @@ class Extras9Spec extends AnyFunSuite with SparkSpec {
         s"interval [$lo, $hi] misses the point estimate $m: $r")
     }
   }
+
+  test("q332: the bitmap popcount reproduces the exact distinct count on " +
+    "every row — the whole identity the rollup trades on") {
+    val rows = SparkEntry.queries("q332_bitmap_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bitmap_dv") == r.getAs[Long]("exact_dv"),
+        r.toString)
+      assert(r.getAs[Long]("exact_dv") <= 63 * r.getAs[Long]("n_words"),
+        r.toString)
+    }
+  }
+
+  test("q333: the daily peak is bounded by the session count and its " +
+    "instant falls inside the day") {
+    val rows = SparkEntry.queries("q333_peak_concurrency")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (day, peak, n) = (r.getAs[Long]("day"), r.getAs[Long]("peak"),
+        r.getAs[Long]("n_sessions"))
+      assert(peak >= 1 && peak <= n, r.toString)
+      val at = r.getAs[Long]("peak_at")
+      assert(at >= day * 86400000000L && at < (day + 1) * 86400000000L,
+        r.toString)
+    }
+  }
 }
