@@ -1,0 +1,225 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+
+/** Tenth extras batch (round 11): the four remaining classic TPC-H
+  * decorrelation shapes the inventory had not yet demonstrated — Q13's
+  * outer-join count DISTRIBUTION (the filter-in-ON trap), Q15's
+  * scalar-max view with tie preservation, Q16's NOT-IN anti join over a
+  * distinct-count rollup, and Q22's cross-multiplied scalar-average gate
+  * plus NOT-EXISTS anti join. Fixture adaptations are explicit per query
+  * (the schema has no comment/phone/partsupp columns); every predicate
+  * that decides a row is exact integer arithmetic — revenue and balances
+  * are cents reconstructions, the Q22 average gate is cross-multiplied,
+  * and the only doubles are final display divisions.
+  */
+object Extras10 {
+
+  /** Exact money helpers: cents and the 10⁻⁴-dollar revenue unit
+    * extprice·(1−discount) = extcents·(100 − discpct).
+    */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+  private def revE4: Column =
+    cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+
+  /** TPC-H Q13 analogue (customer order-count distribution): how many
+    * customers placed 0, 1, 2, … qualifying orders. The famous trap this
+    * query exists to pin: the order FILTER must live in the JOIN
+    * CONDITION, not a WHERE — a post-join WHERE silently deletes the
+    * zero-order customers that are the distribution's whole left tail.
+    * Adaptation: the reference's `o_comment NOT LIKE '%special
+    * %requests%'` exclusion becomes "exclude 5-LOW priority orders" (the
+    * fixture has no comment column); the shape — left outer join with an
+    * ON-clause residual, count of the null-able side, count-of-counts
+    * rollup — is exactly Q13's.
+    *
+    * Scale shape: one shuffle each side of the outer join on custkey,
+    * then two partial-agg groupBys on narrowing keys (custkey →
+    * c_count). Counts are exact; there are no doubles at all.
+    */
+  val q334TpchQ13 = GraftQuery(
+    "q334_tpch_q13",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "5-LOW")
+        .select(col("o_custkey"), col("o_orderkey"))
+      val perCust = Tables.customer(s, dir)
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    },
+    Some("""WITH per_cust AS (
+           |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+           |  FROM customer LEFT JOIN orders
+           |    ON o_custkey = c_custkey AND o_orderpriority <> '5-LOW'
+           |  GROUP BY 1)
+           |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+           |FROM per_cust GROUP BY 1
+           |ORDER BY custdist DESC, c_count DESC""".stripMargin))
+
+  /** TPC-H Q15 analogue (top supplier by quarterly revenue, TIES KEPT):
+    * the revenue "view" is one partial-agg groupBy over a shipdate
+    * quarter, and the scalar `max(total_revenue)` joins back as a
+    * broadcast single-row aggregate — the decorrelation of Q15's
+    * `WHERE total_revenue = (SELECT max(...) FROM revenue)`. Revenue is
+    * the exact 10⁻⁴-dollar integer reconstruction, so the max-equality
+    * match cannot drop or add a tied supplier through float accumulation
+    * — the property Q15's semantics (report ALL maximal suppliers)
+    * depends on. The one double is the display division.
+    *
+    * Scale shape: scan → filtered partial-agg groupBy on suppkey →
+    * 1-row max broadcast → equality filter → broadcast-able supplier
+    * dimension join. Never a sort; never a second scan of lineitem.
+    */
+  val q335TpchQ15 = GraftQuery(
+    "q335_tpch_q15",
+    (s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(expr("l_shipdate >= TIMESTAMP '1996-01-01'" +
+          " AND l_shipdate < TIMESTAMP '1996-04-01'"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(revE4).as("rev_e4"))
+      val mx = rev.agg(max("rev_e4").as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("rev_e4") === col("mx"))
+        .join(Tables.supplier(s, dir),
+          col("supplier_no") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          round(col("rev_e4").cast("double") / 1e4, 2).as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+    Some("""WITH rev AS (
+           |  SELECT l_suppkey AS supplier_no,
+           |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+           |      (100 - CAST(round(l_discount * 100) AS BIGINT)))
+           |      AS BIGINT) AS rev_e4
+           |  FROM lineitem
+           |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           |    AND l_shipdate < TIMESTAMP '1996-04-01'
+           |  GROUP BY 1),
+           |mx AS (SELECT max(rev_e4) AS mx FROM rev)
+           |SELECT s_suppkey, s_name, s_nationkey,
+           |  round(CAST(rev_e4 AS DOUBLE) / 1e4, 2) AS total_revenue
+           |FROM rev, mx
+           |JOIN supplier ON supplier_no = s_suppkey
+           |WHERE rev_e4 = mx
+           |ORDER BY s_suppkey""".stripMargin))
+
+  /** TPC-H Q16 analogue (supplier diversity per part class, with a
+    * NOT-IN exclusion): for each (brand, type, size) class surviving the
+    * Q16-style predicate stack (one brand excluded, one type family
+    * excluded, an 8-value size whitelist), count DISTINCT suppliers that
+    * ship the part — excluding a blacklisted supplier set via anti join
+    * (the decorrelation of Q16's `ps_suppkey NOT IN (SELECT ...)`).
+    * Adaptations: the part↔supplier relation is the distinct
+    * (l_partkey, l_suppkey) pairs of lineitem (the fixture has no
+    * partsupp), and "suppliers with complaints" becomes the
+    * deterministic stand-in s_suppkey ≡ 0 (mod 5) (no comment column).
+    *
+    * Scale shape: distinct pair projection (one shuffle on the pair),
+    * broadcast-able anti join against the small exclusion set, broadcast
+    * dimension join to part, one partial-agg distinct-count groupBy.
+    * All counts exact; no doubles anywhere.
+    */
+  val q336TpchQ16 = GraftQuery(
+    "q336_tpch_q16",
+    (s, dir) => {
+      val rel = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val excluded = Tables.supplier(s, dir)
+        .filter(pmod(col("s_suppkey"), lit(5)) === 0)
+        .select(col("s_suppkey"))
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#5" &&
+          col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size"))
+      rel.join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+    Some("""WITH rel AS (
+           |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+           |surv AS (
+           |  SELECT rel.* FROM rel
+           |  WHERE l_suppkey NOT IN
+           |    (SELECT s_suppkey FROM supplier WHERE s_suppkey % 5 = 0))
+           |SELECT p_brand, p_type, p_size,
+           |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+           |FROM surv JOIN part ON l_partkey = p_partkey
+           |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+           |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+           |GROUP BY 1, 2, 3
+           |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin))
+
+  /** TPC-H Q22 analogue (global sales opportunity): customers in chosen
+    * cohorts with an above-average positive balance and NO orders at all
+    * — the double decorrelation of Q22's scalar-average subquery (a
+    * broadcast 1-row (Σ, n) aggregate, compared CROSS-MULTIPLIED:
+    * bal·n > Σ, so the "above average" gate never touches a float) and
+    * its NOT EXISTS over the customer's RECENT orders (a left anti join
+    * on custkey against the date-filtered key projection — Q22's
+    * seven-year recency window, here "since 2000-01-01"; the unscoped
+    * form is vacuous on this fixture, where every customer has SOME
+    * order). Adaptation: the phone country codes become cohort =
+    * custkey mod 7 ∈ {1, 3, 5} (no phone column); the
+    * aggregate-over-the-same-filtered-set structure is Q22's exactly.
+    *
+    * Scale shape: one pass builds the cohort projection; the average is
+    * ONE broadcast row; the anti join shuffles on custkey against the
+    * orders key projection; final rollup is a ≤3-row groupBy. Doubles
+    * only in the display column.
+    */
+  val q337TpchQ22 = GraftQuery(
+    "q337_tpch_q22",
+    (s, dir) => {
+      val cohort = Tables.customer(s, dir)
+        .select(col("c_custkey"), pmod(col("c_custkey"), lit(7)).as("code"),
+          cents(col("c_acctbal")).as("bal"))
+        .filter(col("code").isin(1, 3, 5))
+      val avgRow = cohort.filter(col("bal") > 0)
+        .agg(sum("bal").as("s_bal"), count(lit(1)).as("n_bal"))
+      val eligible = cohort.crossJoin(broadcast(avgRow))
+        .filter(col("bal") * col("n_bal") > col("s_bal"))
+      val out = eligible.join(
+          Tables.orders(s, dir)
+            .filter(expr("o_orderdate >= TIMESTAMP '2000-01-01'"))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("code")
+        .agg(count(lit(1)).as("numcust"), sum("bal").as("tot_cents"))
+        .select(col("code"), col("numcust"),
+          round(col("tot_cents").cast("double") / 100.0, 2).as("totacctbal"))
+        .orderBy("code")
+      out
+    },
+    Some("""WITH cohort AS (
+           |  SELECT c_custkey, c_custkey % 7 AS code,
+           |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+           |  FROM customer WHERE c_custkey % 7 IN (1, 3, 5)),
+           |avg_row AS (
+           |  SELECT CAST(sum(bal) AS BIGINT) AS s_bal,
+           |    CAST(count(*) AS BIGINT) AS n_bal
+           |  FROM cohort WHERE bal > 0),
+           |eligible AS (
+           |  SELECT c_custkey, code, bal FROM cohort, avg_row
+           |  WHERE bal * n_bal > s_bal)
+           |SELECT code, CAST(count(*) AS BIGINT) AS numcust,
+           |  round(CAST(sum(bal) AS DOUBLE) / 100.0, 2) AS totacctbal
+           |FROM eligible
+           |WHERE NOT EXISTS (SELECT 1 FROM orders
+           |                  WHERE o_custkey = eligible.c_custkey
+           |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  def all: Seq[GraftQuery] = Seq(
+    q334TpchQ13, q335TpchQ15, q336TpchQ16, q337TpchQ22)
+}
