@@ -220,6 +220,225 @@ object Extras10 {
            |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** b-bit MinHash accuracy audit (Li & König 2010): how much Jaccard
+    * accuracy survives when each of the 24 minhash components keeps only
+    * its LOWEST BIT — the 32→1 bit compression that makes billion-doc
+    * signature stores feasible. Over the q25-verified near-dup pairs
+    * (identical shingle/hash/signature arithmetic to q25's oracle, so the
+    * audit measures the REAL pipeline), each pair reports the exact
+    * Jaccard, the full-width estimate (equal components / 24), and the
+    * 1-bit estimate with the large-universe bias correction Ĵ = 2·m̂ − 1
+    * clamped at 0 (the r ≪ 1 simplification of Li & König eq. 3.5 —
+    * honest for md5-spread shingle sets, documented here). Bucketed by
+    * Jaccard decile: pair counts are exact; the two mean-absolute-error
+    * columns are order-dependent float averages → round 3 (the q149
+    * discipline).
+    *
+    * Scale shape: one signature pass (per-doc HOF arithmetic, map-side),
+    * the q25 LSH candidate/verify chain for pairs, two signature joins
+    * keyed by doc id, one ≤10-row groupBy. Nothing touches more than the
+    * candidate pairs after banding.
+    */
+  val q338BbitMinhash = GraftQuery(
+    "q338_bbit_minhash",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      // ONE corpus pass builds shingle sets AND signatures (the fused
+      // q25 kernels); banding, verification, and both estimators all read
+      // the persisted slim frame — the audit never tokenizes twice
+      val sh = Dedup.shingleHashed(Tables.documents(s, dir), 8)
+        .withColumn("ti", Dedup.sortedInts(col("tints")))
+        .withColumn("sig",
+          graft.functions.GraftFunctions.minhash(col("tints"),
+            Dedup.NUM_HASHES))
+        .select(col("doc_id"), col("ti"), col("sig"))
+        .persist()
+      val bands = Dedup.bandKeys(sh)
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .distinct()
+      val pairs = Dedup.verifyJaccard(cand,
+        sh.select(col("doc_id"), col("ti")), 0.5)
+      val est = pairs
+        .join(sh.select(col("doc_id").as("i"), col("sig").as("si")), "i")
+        .join(sh.select(col("doc_id").as("j"), col("sig").as("sj")), "j")
+        .select(col("jac"),
+          expr("aggregate(zip_with(si, sj, (a, b) ->" +
+            " CASE WHEN a = b THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x)")
+            .as("k_eq"),
+          expr("aggregate(zip_with(si, sj, (a, b) ->" +
+            " CASE WHEN a % 2 = b % 2 THEN 1 ELSE 0 END), 0," +
+            " (acc, x) -> acc + x)").as("k_bit"))
+        .select(col("jac"),
+          (col("k_eq").cast("double") / 24.0).as("full_est"),
+          greatest(lit(0.0),
+            lit(2.0) * col("k_bit").cast("double") / 24.0 - 1.0)
+            .as("bbit_est"))
+      val out = est
+        .groupBy(round(col("jac"), 1).as("jac_bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(abs(col("full_est") - col("jac"))), 3).as("mae_full"),
+          round(avg(abs(col("bbit_est") - col("jac"))), 3).as("mae_bbit"))
+        .orderBy("jac_bucket")
+        .localCheckpoint()
+      sh.unpersist()
+      out
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+           |    i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) g
+           |  FROM documents),
+           |ti AS (SELECT doc_id, g,
+           |  list_transform(g, t -> CAST(concat('0x', substr(md5(t),1,8)) AS BIGINT)) tints FROM toks),
+           |sig AS (SELECT doc_id, g, tints, list_transform(range(0,24), h ->
+           |  list_min(list_transform(tints, t -> (t*(2*h+1) + h*1000000007 + 12345) % 2147483647))) s
+           |  FROM ti),
+           |bands AS (SELECT doc_id, b.b AS band,
+           |  s[3*b.b+1]::VARCHAR||','||s[3*b.b+2]::VARCHAR||','||s[3*b.b+3]::VARCHAR AS key
+           |  FROM sig, range(0,8) b(b)),
+           |cand AS (SELECT DISTINCT a.doc_id i, c.doc_id j
+           |  FROM bands a JOIN bands c ON a.band=c.band AND a.key=c.key AND a.doc_id < c.doc_id),
+           |tset AS (SELECT doc_id, list_distinct(tints) ti FROM ti),
+           |ver AS (SELECT i, j,
+           |  len(list_filter(x.ti, e -> list_contains(y.ti, e)))::DOUBLE /
+           |  (len(x.ti)+len(y.ti)-len(list_filter(x.ti, e -> list_contains(y.ti, e)))) jac
+           |  FROM cand JOIN tset x ON x.doc_id=i JOIN tset y ON y.doc_id=j),
+           |pairs AS (SELECT i, j, jac FROM ver WHERE jac >= 0.5),
+           |est AS (
+           |  SELECT p.jac,
+           |    list_sum(list_transform(range(1, 25), h ->
+           |      CASE WHEN a.s[h] = b.s[h] THEN 1 ELSE 0 END))::DOUBLE / 24.0
+           |      AS full_est,
+           |    greatest(0.0,
+           |      2.0 * list_sum(list_transform(range(1, 25), h ->
+           |        CASE WHEN a.s[h] % 2 = b.s[h] % 2 THEN 1 ELSE 0 END
+           |      ))::DOUBLE / 24.0 - 1.0) AS bbit_est
+           |  FROM pairs p JOIN sig a ON a.doc_id = p.i
+           |    JOIN sig b ON b.doc_id = p.j)
+           |SELECT round(jac, 1) AS jac_bucket,
+           |  CAST(count(*) AS BIGINT) AS n_pairs,
+           |  round(avg(abs(full_est - jac)), 3) AS mae_full,
+           |  round(avg(abs(bbit_est - jac)), 3) AS mae_bbit
+           |FROM est GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Greedy maximum-coverage source selection (the (1 − 1/e)-approximate
+    * greedy of Nemhauser, Wolsey & Fisher 1978) — the data-curation
+    * question "which 5 sources buy the most n-gram coverage?", the
+    * submodular shape behind corpus source selection and dedup-aware
+    * acquisition. Coverage units are distinct word TRIGRAMS (the unigram
+    * vocabulary saturates after one pick on any corpus — trigram space is
+    * where sources genuinely differ); each step picks the source adding
+    * the most uncovered trigrams (ties to the smaller source id), and
+    * saturated steps legitimately pick a zero-gain source (the left join
+    * keeps them rankable instead of vanishing in the anti join).
+    *
+    * Determinism: marginal gains are exact distinct counts; the argmax
+    * collects exactly ONE (source, count) row per step (a bounded
+    * driver-side pick, like q328's rerank); the covered set is always
+    * re-derived as "trigrams of the picked sources" from the persisted
+    * (source, gram) frame, so no step's lineage compounds. The oracle
+    * unrolls the 5 steps as materialized CTE levels.
+    *
+    * Scale shape: ONE corpus pass to the distinct (source, gram) frame
+    * (n-gram-dictionary-bounded per source); each step is an anti join
+    * on the gram key + a per-source count — 5 bounded jobs, never a
+    * growing frame.
+    */
+  val q339MaxCoverage = GraftQuery(
+    "q339_max_coverage",
+    (s, dir) => {
+      val sw = Tables.documents(s, dir)
+        .select(col("source"), split(col("text"), " ").as("ws"))
+        .select(col("source"), explode(expr(
+          """transform(sequence(0, size(ws) - 3),
+            |  i -> concat_ws(' ', slice(ws, i + 1, 3)))""".stripMargin))
+          .as("w"))
+        .distinct().persist()
+      val vocab = sw.select("w").distinct().count()
+      var picked = Vector.empty[String]
+      val steps = scala.collection.mutable.ArrayBuffer[
+        (Int, String, Long, Long)]()
+      var cumulative = 0L
+      for (step <- 1 to 5) {
+        val covered = sw.filter(col("source").isin(picked: _*)).select("w")
+          .distinct()
+        val anti = sw.filter(!col("source").isin(picked: _*))
+          .join(covered, Seq("w"), "left_anti")
+          .groupBy("source").agg(count(lit(1)).as("gain"))
+        val gains = sw.filter(!col("source").isin(picked: _*))
+          .select("source").distinct()
+          .join(anti, Seq("source"), "left")
+          .na.fill(0L, Seq("gain"))
+          .orderBy(desc("gain"), col("source"))
+          .limit(1).collect()
+        val (src, gain) =
+          (gains(0).getAs[String]("source"), gains(0).getAs[Long]("gain"))
+        picked :+= src
+        cumulative += gain
+        steps += ((step, src, gain, cumulative))
+      }
+      sw.unpersist()
+      import s.implicits._
+      steps.toSeq.toDF("step", "source", "newly_covered", "cum_covered")
+        .select(col("step"), col("source"), col("newly_covered"),
+          col("cum_covered"),
+          round(col("cum_covered").cast("double") / vocab.toDouble, 6)
+            .as("coverage_share"))
+        .orderBy("step")
+    },
+    Some {
+      def lvl(k: Int): String = {
+        val prevSel = (1 until k).map(i => s"SELECT source FROM sel$i")
+          .mkString(" UNION ALL ")
+        val prevCov = (1 until k).map(i =>
+          s"SELECT w FROM sw WHERE source IN (SELECT source FROM sel$i)")
+          .mkString(" UNION ALL ")
+        val notPicked =
+          if (k == 1) "" else s"WHERE source NOT IN ($prevSel)"
+        val notCovered =
+          if (k == 1) "" else s"AND w NOT IN ($prevCov)"
+        s"""sel$k AS MATERIALIZED (
+           |  SELECT $k AS step, s.source,
+           |    CAST(coalesce(g.gain, 0) AS BIGINT) AS gain
+           |  FROM (SELECT DISTINCT source FROM sw $notPicked) s
+           |  LEFT JOIN (
+           |    SELECT source, count(*) AS gain FROM sw
+           |    ${if (k == 1) "" else s"WHERE source NOT IN ($prevSel) $notCovered"}
+           |    GROUP BY source) g ON g.source = s.source
+           |  ORDER BY gain DESC, s.source LIMIT 1)"""
+          .stripMargin
+      }
+      s"""WITH sw AS MATERIALIZED (
+         |  SELECT DISTINCT source,
+         |    unnest([array_to_string(ws[i : i + 2], ' ')
+         |            FOR i IN generate_series(1, len(ws) - 2)]) AS w
+         |  FROM (SELECT source, string_split(text, ' ') AS ws
+         |        FROM documents)),
+         |vocab AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM sw),
+         |${lvl(1)},
+         |${lvl(2)},
+         |${lvl(3)},
+         |${lvl(4)},
+         |${lvl(5)},
+         |allsel AS (
+         |  SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+         |  UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+         |  UNION ALL SELECT * FROM sel5),
+         |cum AS (
+         |  SELECT step, source, gain AS newly_covered,
+         |    CAST(sum(gain) OVER (ORDER BY step) AS BIGINT) AS cum_covered
+         |  FROM allsel)
+         |SELECT CAST(step AS INT) AS step, source, newly_covered,
+         |  cum_covered,
+         |  round(CAST(cum_covered AS DOUBLE) / CAST(v AS DOUBLE), 6)
+         |    AS coverage_share
+         |FROM cum, vocab ORDER BY step""".stripMargin
+    })
+
   def all: Seq[GraftQuery] = Seq(
-    q334TpchQ13, q335TpchQ15, q336TpchQ16, q337TpchQ22)
+    q334TpchQ13, q335TpchQ15, q336TpchQ16, q337TpchQ22, q338BbitMinhash,
+    q339MaxCoverage)
 }

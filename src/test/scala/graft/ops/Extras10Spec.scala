@@ -47,6 +47,38 @@ class Extras10Spec extends AnyFunSuite with SparkSpec {
     assert(df.count() == expected)
   }
 
+  test("q338: every Jaccard bucket is populated with sane error means, " +
+    "and the one-bit estimator never beats full width on the pooled MAE") {
+    val rows = SparkEntry.queries("q338_bbit_minhash")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") > 0)
+      Seq("mae_full", "mae_bbit").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c out of range: $r")
+      }
+    }
+    def pooled(c: String) = rows.map(r =>
+      r.getAs[Double](c) * r.getAs[Long]("n_pairs")).sum
+    assert(pooled("mae_bbit") >= pooled("mae_full") - 1e-9,
+      "1 bit of 32 cannot be MORE accurate than all 32 in aggregate")
+  }
+
+  test("q339: greedy marginal gains are non-increasing (submodularity) " +
+    "and coverage accounting closes") {
+    val rows = SparkEntry.queries("q339_max_coverage")(spark, sf)
+      .collect().sortBy(_.getAs[Int]("step"))
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[String]("source")).distinct.length == 5)
+    rows.map(_.getAs[Long]("newly_covered")).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, "greedy gain increased")
+      case _ =>
+    }
+    val cums = rows.map(_.getAs[Long]("cum_covered"))
+    assert(cums.last == rows.map(_.getAs[Long]("newly_covered")).sum)
+    assert(rows.last.getAs[Double]("coverage_share") <= 1.0 + 1e-9)
+  }
+
   test("q337: the result is non-empty (the recency-scoped anti join is " +
     "load-bearing) and only the chosen cohorts appear") {
     val rows = SparkEntry.queries("q337_tpch_q22")(spark, sf).collect()
