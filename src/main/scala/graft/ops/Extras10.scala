@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
@@ -438,7 +439,90 @@ object Extras10 {
          |FROM cum, vocab ORDER BY step""".stripMargin
     })
 
+  /** Neyman-optimal sample allocation (Neyman 1934) of a 1000-item
+    * labeling budget across source strata, with largest-remainder
+    * (Hamilton) apportionment — the survey-sampling answer to "where do
+    * my annotation dollars buy the most variance reduction": n_h ∝
+    * N_h·σ_h, so big AND internally-diverse sources get labeled more.
+    *
+    * Exactness chain: N_h·σ_h = √(N_h·Σx² − (Σx)²) — the radicand K_h is
+    * an exact DECIMAL(38,0) integer (the squares overflow BIGINT at
+    * corpus scale); the ONLY float step is one correctly-rounded IEEE
+    * sqrt + multiply + floor per stratum, quantizing the weight to an
+    * integer w_h = ⌊√K_h·10⁶⌋ identical on both engines. Everything
+    * after is integer: quotas B·w_h div W, remainders B·w_h mod W ranked
+    * descending (ties to the smaller source) for the leftover seats —
+    * Hamilton's method verbatim, so Σ alloc = B EXACTLY (spec-pinned),
+    * never the ±1 drift of independently rounded shares.
+    *
+    * Scale shape: ONE corpus partial-agg groupBy to (N, Σx, Σx²) per
+    * stratum; apportionment runs on the ≤|sources| aggregate (the rank
+    * window there is post-aggregate and bounded, whitelisted with that
+    * bound). Display columns (sd, share) are the only doubles emitted.
+    */
+  val q340NeymanAllocation = GraftQuery(
+    "q340_neyman_allocation",
+    (s, dir) => {
+      val budget = 1000L
+      val agg = Tables.documents(s, dir)
+        .select(col("source"), col("n_chars").cast("decimal(38,0)").as("x"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum("x").as("sx"), sum(expr("x * x")).as("sxx"))
+        .select(col("source"), col("n"),
+          expr("n * sxx - sx * sx").as("k"))
+      val w = agg.select(col("source"), col("n"),
+        floor(sqrt(col("k").cast("double")) * 1e6).cast("long").as("w"),
+        round(sqrt(col("k").cast("double")) / col("n").cast("double"), 4)
+          .as("sd"))
+      val tot = w.agg(sum("w").as("bigw"))
+      val quotas = w.crossJoin(broadcast(tot))
+        .select(col("source"), col("n").cast("long").as("n_docs"), col("sd"),
+          expr(s"CAST(($budget * CAST(w AS DECIMAL(38,0))) div" +
+            " CAST(bigw AS DECIMAL(38,0)) AS BIGINT)").as("fl"),
+          expr(s"CAST(pmod($budget * CAST(w AS DECIMAL(38,0))," +
+            " CAST(bigw AS DECIMAL(38,0))) AS DECIMAL(38,0))").as("rem"),
+          round(col("w").cast("double") / col("bigw").cast("double"), 6)
+            .as("share"))
+      val byRem = Window.orderBy(desc("rem"), col("source"))
+      val leftover = quotas.agg((lit(budget) - sum("fl")).as("r"))
+      quotas.crossJoin(broadcast(leftover))
+        .withColumn("rk", row_number().over(byRem))
+        .select(col("source"), col("n_docs"), col("sd"), col("share"),
+          (col("fl") + when(col("rk") <= col("r"), 1L).otherwise(0L))
+            .as("alloc"))
+        .orderBy("source")
+    },
+    Some("""WITH agg AS (
+           |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+           |    CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sx,
+           |    CAST(sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+           |      AS HUGEINT) AS sxx
+           |  FROM documents GROUP BY 1),
+           |w AS (
+           |  SELECT source, n,
+           |    CAST(floor(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * 1e6)
+           |      AS BIGINT) AS w,
+           |    round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+           |      / CAST(n AS DOUBLE), 4) AS sd
+           |  FROM agg),
+           |tot AS (SELECT CAST(sum(w) AS HUGEINT) AS bigw FROM w),
+           |quotas AS (
+           |  SELECT source, CAST(n AS BIGINT) AS n_docs, sd,
+           |    CAST((1000 * CAST(w AS HUGEINT)) // bigw AS BIGINT) AS fl,
+           |    (1000 * CAST(w AS HUGEINT)) % bigw AS rem,
+           |    round(CAST(w AS DOUBLE) / CAST(bigw AS DOUBLE), 6) AS share
+           |  FROM w, tot),
+           |lo AS (SELECT 1000 - CAST(sum(fl) AS BIGINT) AS r FROM quotas),
+           |rk AS (
+           |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+           |  FROM quotas)
+           |SELECT source, n_docs, sd, share,
+           |  CAST(fl + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT)
+           |    AS alloc
+           |FROM rk, lo ORDER BY source""".stripMargin))
+
   def all: Seq[GraftQuery] = Seq(
     q334TpchQ13, q335TpchQ15, q336TpchQ16, q337TpchQ22, q338BbitMinhash,
-    q339MaxCoverage)
+    q339MaxCoverage, q340NeymanAllocation)
 }

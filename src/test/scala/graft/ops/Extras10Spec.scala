@@ -79,6 +79,22 @@ class Extras10Spec extends AnyFunSuite with SparkSpec {
     assert(rows.last.getAs[Double]("coverage_share") <= 1.0 + 1e-9)
   }
 
+  test("q340: Hamilton apportionment hands out the budget exactly, and " +
+    "allocation follows the Neyman weight ordering") {
+    val rows = SparkEntry.queries("q340_neyman_allocation")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("alloc")).sum == 1000L,
+      "largest-remainder must sum to the budget with zero drift")
+    rows.foreach(r => assert(r.getAs[Long]("alloc") >= 0L))
+    // monotone in the reported share up to the ±1 remainder seat
+    val byShare = rows.sortBy(-_.getAs[Double]("share"))
+    byShare.map(_.getAs[Long]("alloc")).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b - 1,
+        "allocation order diverged from Neyman weights by more than a seat")
+      case _ =>
+    }
+  }
+
   test("q337: the result is non-empty (the recency-scoped anti join is " +
     "load-bearing) and only the chosen cohorts appear") {
     val rows = SparkEntry.queries("q337_tpch_q22")(spark, sf).collect()
