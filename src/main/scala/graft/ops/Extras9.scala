@@ -579,10 +579,15 @@ object Extras9 {
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
         .toDF("doc_id", "p", "w")
       val byDoc = Window.partitionBy("doc_id").orderBy("p")
+      // both lead() offsets come out of ONE window pass, and the
+      // symmetrization references prs twice — persist it or the corpus
+      // tokenize + window run four times (measured: ~2× the query)
       val prs = words.select(col("w").as("a"),
-          lead("w", 1).over(byDoc).as("b"))
-        .unionAll(words.select(col("w"), lead("w", 2).over(byDoc)))
+          lead("w", 1).over(byDoc).as("b1"),
+          lead("w", 2).over(byDoc).as("b2"))
+        .select(col("a"), explode(array(col("b1"), col("b2"))).as("b"))
         .where(col("b").isNotNull && col("a") =!= col("b"))
+        .persist()
       val edges = prs.select(col("a").as("u"), col("b").as("v"))
         .unionAll(prs.select(col("b"), col("a")))
         .groupBy("u", "v").agg(count(lit(1)).as("w"))
@@ -596,10 +601,15 @@ object Extras9 {
           .join(deg, "u")
           .groupBy(col("v").as("word"))
           .agg(sum(col("w") * expr("ru div d")).as("c"))
+        // flatten each round's lineage: the per-round frame is
+        // vocabulary-sized (tiny), but an unchecked 5-deep join chain
+        // makes round k's analysis/codegen replan rounds 1..k−1 — the
+        // measured cost of this loop was plan depth, not data
         r = nodes.join(contrib, Seq("word"), "left")
           .select(col("word"),
             (lit(150000000000L) +
               expr("(85 * coalesce(c, 0)) div 100")).as("r"))
+          .localCheckpoint()
       }
       val tot = r.agg(sum("r").as("tot"))
       val out = r.crossJoin(broadcast(tot))
@@ -608,7 +618,7 @@ object Extras9 {
             .as("share"))
         .orderBy(desc("score"), col("word")).limit(10)
         .localCheckpoint()
-      edges.unpersist(); nodes.unpersist()
+      prs.unpersist(); edges.unpersist(); nodes.unpersist()
       out
     },
     Some("""WITH base AS (
