@@ -338,10 +338,18 @@ object Extras10 {
     *
     * Determinism: marginal gains are exact distinct counts; the argmax
     * collects exactly ONE (source, count) row per step (a bounded
-    * driver-side pick, like q328's rerank); the covered set is always
-    * re-derived as "trigrams of the picked sources" from the persisted
-    * (source, gram) frame, so no step's lineage compounds. The oracle
+    * driver-side pick, like q328's rerank); the covered set is an
+    * ACCUMULATED gram frame — step k appends only the picked source's
+    * newly-covered grams and `localCheckpoint`s, so each step anti-joins
+    * the increment instead of re-deriving coverage from the full
+    * persisted frame, and no step's lineage compounds. The oracle
     * unrolls the 5 steps as materialized CTE levels.
+    *
+    * Short documents are guarded: a text with < 3 words contributes no
+    * trigrams (`CASE WHEN size(ws) >= 3`), matching the oracle's empty
+    * `generate_series(1, len - 2)` — without the guard Spark's
+    * `sequence(0, size - 3)` would DESCEND for start > stop and
+    * `slice(ws, 0, 3)` would throw (SQL arrays are 1-based).
     *
     * Scale shape: ONE corpus pass to the distinct (source, gram) frame
     * (n-gram-dictionary-bounded per source); each step is an anti join
@@ -354,18 +362,19 @@ object Extras10 {
       val sw = Tables.documents(s, dir)
         .select(col("source"), split(col("text"), " ").as("ws"))
         .select(col("source"), explode(expr(
-          """transform(sequence(0, size(ws) - 3),
-            |  i -> concat_ws(' ', slice(ws, i + 1, 3)))""".stripMargin))
+          """CASE WHEN size(ws) >= 3 THEN
+            |  transform(sequence(0, size(ws) - 3),
+            |    i -> concat_ws(' ', slice(ws, i + 1, 3)))
+            |ELSE array() END""".stripMargin))
           .as("w"))
         .distinct().persist()
       val vocab = sw.select("w").distinct().count()
       var picked = Vector.empty[String]
+      var covered = sw.select("w").limit(0).localCheckpoint()
       val steps = scala.collection.mutable.ArrayBuffer[
         (Int, String, Long, Long)]()
       var cumulative = 0L
       for (step <- 1 to 5) {
-        val covered = sw.filter(col("source").isin(picked: _*)).select("w")
-          .distinct()
         val anti = sw.filter(!col("source").isin(picked: _*))
           .join(covered, Seq("w"), "left_anti")
           .groupBy("source").agg(count(lit(1)).as("gain"))
@@ -380,6 +389,15 @@ object Extras10 {
         picked :+= src
         cumulative += gain
         steps += ((step, src, gain, cumulative))
+        // accumulate only the increment: the picked source's grams not
+        // already covered, checkpointed so step k+1 starts from a flat
+        // covered frame instead of a k-deep union lineage (skipped after
+        // the final pick — localCheckpoint is eager)
+        if (step < 5)
+          covered = covered.unionAll(
+              sw.filter(col("source") === src).select("w")
+                .join(covered, Seq("w"), "left_anti"))
+            .localCheckpoint()
       }
       sw.unpersist()
       import s.implicits._

@@ -34,6 +34,13 @@ object Extras9 {
     * identical doubles. Var = 0 forces S = 0 (a constant series has no
     * discordant pair), so the z branches never divide by zero.
     *
+    * Domain assumption (cf. q320's signed-domain expansion): the hour
+    * bucketing pairs Spark's pmod-subtract floor with DuckDB's bare `//`,
+    * which only coincide for NON-NEGATIVE epochs — `//` truncates toward
+    * zero. Event timestamps are post-1970 by schema, so the assumption
+    * holds by construction; pre-epoch data would need the
+    * (x − ((x % k + k) % k)) // k expansion on the oracle side.
+    *
     * Scale shape: the corpus-wide pass is ONE partial-agg groupBy to
     * (type, hour) counts; the O(H²) pair stage runs on the hourly
     * AGGREGATE, whose length is bounded by wall-clock span (719 h in the
@@ -548,7 +555,7 @@ object Extras9 {
   /** PageRank damping and fixed-point scale shared by q324's iterations:
     * score units are 10¹², teleport (1−d)·SCALE = 0.15·10¹² exactly.
     */
-  private val TrScale = 1000000000000L
+  private val TrScale = 1000000000L
 
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
     * the word co-occurrence graph (window ±2 inside each document,
@@ -556,15 +563,19 @@ object Extras9 {
     * iterations, top-10 keywords.
     *
     * Integer-exact iteration (the q314 HITS discipline extended to a
-    * damped walk): scores are BIGINTs in 10⁻¹² units; each step computes
+    * damped walk): scores are BIGINTs in 10⁻⁹ units; each step computes
     * the per-unit share s_u = r_u div wdeg_u ONCE per node (floor), then
     * r'_v = 0.15·SCALE + (85·Σ_u w_uv·s_u) div 100 — every div is a
     * positive floor with identical semantics in Spark (`div`) and DuckDB
     * (`//`), so all 5 iterations are bit-identical across engines and the
     * top-10 cut cannot flip on float noise. Overflow bound: Σ_v contrib_v
     * ≈ Σ_u r_u ≈ |V|·SCALE, so 85·contrib stays under 2⁶³ for vocabularies
-    * to ~10⁵ words (and the per-unit-share form keeps any single product
-    * ≤ w_uv·s_u ≤ r_u).
+    * to ~10⁸ words — comfortably past any real token vocabulary (the
+    * earlier 10⁻¹² scale capped out near 10⁵, where Spark's non-ANSI
+    * BIGINT multiply would wrap silently while DuckDB's checked
+    * arithmetic errors; three orders of magnitude of headroom was worth
+    * three digits of display resolution). The per-unit-share form keeps
+    * any single product ≤ w_uv·s_u ≤ r_u.
     *
     * Scale shape: co-occurrence pairs come from TWO lead() columns in one
     * per-document window pass (no positional self-join of the corpus);
@@ -607,7 +618,7 @@ object Extras9 {
         // measured cost of this loop was plan depth, not data
         r = nodes.join(contrib, Seq("word"), "left")
           .select(col("word"),
-            (lit(150000000000L) +
+            (lit(150000000L) +
               expr("(85 * coalesce(c, 0)) div 100")).as("r"))
           .localCheckpoint()
       }
@@ -643,33 +654,33 @@ object Extras9 {
            |  GROUP BY 1, 2),
            |deg AS (SELECT u, CAST(sum(w) AS BIGINT) AS d FROM edges GROUP BY 1),
            |nodes AS (SELECT DISTINCT w AS word FROM words),
-           |r0 AS (SELECT word, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+           |r0 AS (SELECT word, CAST(1000000000 AS BIGINT) AS r FROM nodes),
            |it1 AS MATERIALIZED (
-           |  SELECT n.word, 150000000000 + (85 * coalesce(c.s, 0)) // 100 AS r
+           |  SELECT n.word, 150000000 + (85 * coalesce(c.s, 0)) // 100 AS r
            |  FROM nodes n LEFT JOIN (
            |    SELECT e.v AS word, CAST(sum(e.w * (x.r // d.d)) AS BIGINT) AS s
            |    FROM edges e JOIN r0 x ON x.word = e.u JOIN deg d ON d.u = e.u
            |    GROUP BY 1) c ON c.word = n.word),
            |it2 AS MATERIALIZED (
-           |  SELECT n.word, 150000000000 + (85 * coalesce(c.s, 0)) // 100 AS r
+           |  SELECT n.word, 150000000 + (85 * coalesce(c.s, 0)) // 100 AS r
            |  FROM nodes n LEFT JOIN (
            |    SELECT e.v AS word, CAST(sum(e.w * (x.r // d.d)) AS BIGINT) AS s
            |    FROM edges e JOIN it1 x ON x.word = e.u JOIN deg d ON d.u = e.u
            |    GROUP BY 1) c ON c.word = n.word),
            |it3 AS MATERIALIZED (
-           |  SELECT n.word, 150000000000 + (85 * coalesce(c.s, 0)) // 100 AS r
+           |  SELECT n.word, 150000000 + (85 * coalesce(c.s, 0)) // 100 AS r
            |  FROM nodes n LEFT JOIN (
            |    SELECT e.v AS word, CAST(sum(e.w * (x.r // d.d)) AS BIGINT) AS s
            |    FROM edges e JOIN it2 x ON x.word = e.u JOIN deg d ON d.u = e.u
            |    GROUP BY 1) c ON c.word = n.word),
            |it4 AS MATERIALIZED (
-           |  SELECT n.word, 150000000000 + (85 * coalesce(c.s, 0)) // 100 AS r
+           |  SELECT n.word, 150000000 + (85 * coalesce(c.s, 0)) // 100 AS r
            |  FROM nodes n LEFT JOIN (
            |    SELECT e.v AS word, CAST(sum(e.w * (x.r // d.d)) AS BIGINT) AS s
            |    FROM edges e JOIN it3 x ON x.word = e.u JOIN deg d ON d.u = e.u
            |    GROUP BY 1) c ON c.word = n.word),
            |it5 AS MATERIALIZED (
-           |  SELECT n.word, 150000000000 + (85 * coalesce(c.s, 0)) // 100 AS r
+           |  SELECT n.word, 150000000 + (85 * coalesce(c.s, 0)) // 100 AS r
            |  FROM nodes n LEFT JOIN (
            |    SELECT e.v AS word, CAST(sum(e.w * (x.r // d.d)) AS BIGINT) AS s
            |    FROM edges e JOIN it4 x ON x.word = e.u JOIN deg d ON d.u = e.u
@@ -693,6 +704,11 @@ object Extras9 {
     * table); the KM product is computed in log space over that SAME
     * deterministic day order, so the only cross-engine noise is libm ln
     * ulps (≤ ~30 of them at the fixture horizon), absorbed by round(6).
+    * The degenerate all-remaining-die day (n_death = n_risk, factor 0 —
+    * possible on the curve's last day) is guarded explicitly: a
+    * cumulative zero flag pins km to 0 from that day on in BOTH engine
+    * texts, because an unguarded log(0) is NULL-skipped by Spark's sum
+    * (silently wrong) but a hard error in DuckDB (loudly divergent).
     *
     * Scale shape: ONE corpus-wide groupBy to per-user (first, last,
     * last-error) timestamps, ONE groupBy to per-day (deaths, censored)
@@ -722,11 +738,22 @@ object Extras9 {
         .withColumn("n_risk", col("tu") -
           coalesce(sum(col("n_death") + col("n_censored")).over(prior),
             lit(0L)))
-      val out = risk.select(col("day"), col("n_risk"), col("n_death"),
+      // once any day's deaths equal its risk set the factor is 0 and the
+      // log-space product must pin km to 0 from that day on; an unguarded
+      // log(0) is NULL in Spark (sum silently skips → spuriously positive
+      // km) but THROWS in DuckDB — carry an explicit cumulative zero flag
+      // and guard the log, identically in both engine texts
+      val out = risk
+        .withColumn("zero_seen",
+          max(when(col("n_death") === col("n_risk"), 1).otherwise(0))
+            .over(byDay))
+        .select(col("day"), col("n_risk"), col("n_death"),
           col("n_censored"),
-          round(exp(sum(log(
-            (col("n_risk") - col("n_death")).cast("double") /
-              col("n_risk").cast("double"))).over(byDay)), 6).as("km"))
+          round(when(col("zero_seen") === 1, lit(0.0))
+            .otherwise(exp(sum(when(col("n_risk") > col("n_death"), log(
+              (col("n_risk") - col("n_death")).cast("double") /
+                col("n_risk").cast("double")))).over(byDay))), 6)
+            .as("km"))
         .orderBy("day")
       out
     },
@@ -752,8 +779,12 @@ object Extras9 {
            |      AS BIGINT) AS n_risk
            |  FROM per_day, tu)
            |SELECT day, n_risk, n_death, n_censored,
-           |  round(exp(sum(ln(CAST(n_risk - n_death AS DOUBLE) /
-           |    CAST(n_risk AS DOUBLE))) OVER (ORDER BY day)), 6) AS km
+           |  round(CASE WHEN max(CASE WHEN n_death = n_risk
+           |        THEN 1 ELSE 0 END) OVER (ORDER BY day) = 1 THEN 0.0
+           |    ELSE exp(sum(CASE WHEN n_risk > n_death
+           |        THEN ln(CAST(n_risk - n_death AS DOUBLE) /
+           |          CAST(n_risk AS DOUBLE)) END) OVER (ORDER BY day))
+           |    END, 6) AS km
            |FROM risk ORDER BY day""".stripMargin))
 
   /** Simple Good-Turing frequency smoothing (Good 1953; Gale & Sampson
@@ -943,6 +974,13 @@ object Extras9 {
     * DO overlap, the standard sweep convention. All counts are exact
     * BIGINTs; the peak instant reports the EARLIEST boundary achieving
     * the maximum (a min over equal integers — no tie ambiguity).
+    *
+    * Domain assumption (cf. q320's signed-domain expansion): day/minute
+    * bucketing pairs Spark's pmod-subtract floor with DuckDB's truncating
+    * `//`, which only coincide for NON-NEGATIVE epochs; timestamps are
+    * post-1970 by schema, so the assumption holds by construction
+    * (pre-epoch data would need the positive-mod floor expansion in the
+    * oracle text).
     */
   val q333PeakConcurrency = GraftQuery(
     "q333_peak_concurrency",

@@ -288,6 +288,15 @@ object Sketches {
     * not 64: both engines' checked BIGINT arithmetic rejects 1 << 63, and
     * a one-bit-narrower word costs 1.6% space for overflow-free parity.
     *
+    * Domain assumption (cf. q320's signed-domain expansion): word/bit
+    * decomposition pairs Spark's div/pmod (floor) with DuckDB's
+    * truncating `//` and signed `%`, which only coincide for NON-NEGATIVE
+    * ids — a negative user_id would mismatch word boundaries on Spark and
+    * feed `<<` a negative shift (an error) in DuckDB. user_id is a
+    * non-negative surrogate key by schema, so the assumption holds by
+    * construction; a signed id domain would need the
+    * (x − ((x % k + k) % k)) // k expansion on the oracle side.
+    *
     * Everything is integer-exact: the audit column pins bitmap_dv ==
     * exact_dv on every row (popcount identity, also spec-pinned); density
     * is the one display division.

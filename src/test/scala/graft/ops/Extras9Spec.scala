@@ -101,7 +101,7 @@ class Extras9Spec extends AnyFunSuite with SparkSpec {
     "and ordered (score desc, word asc)") {
     val rows = SparkEntry.queries("q324_textrank")(spark, sf).collect()
     assert(rows.length == 10)
-    rows.foreach(r => assert(r.getAs[Long]("score") >= 150000000000L))
+    rows.foreach(r => assert(r.getAs[Long]("score") >= 150000000L))
     rows.sliding(2).foreach {
       case Array(a, b) =>
         val (sa, sb) = (a.getAs[Long]("score"), b.getAs[Long]("score"))
