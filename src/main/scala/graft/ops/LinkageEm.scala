@@ -1,0 +1,232 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+
+/** q342 — UNSUPERVISED Fellegi-Sunter record linkage: m/u estimated by EM
+  * (Winkler 1988's application of Dempster-Laird-Rubin to the Fellegi &
+  * Sunter 1969 model) with NO ground-truth label anywhere in the
+  * estimation — the production shape q320 deliberately shortcut (its
+  * scaladoc documents the supervised estimation as the textbook dodge; the
+  * round-11 verdict asked for the real thing).
+  *
+  * Same derived-replica + blocking as q320 (the anchor the convergence
+  * spec compares against): clean customers vs the deterministically
+  * perturbed replica, blocked on (nationkey, $1000 balance bucket) with
+  * the signed-domain positive-mod floor expansion in the oracle. The
+  * pair space reduces to ≤ 8 agreement-pattern counts in ONE partial-agg
+  * groupBy — and from there EM runs entirely on that 8-row aggregate:
+  *
+  *   E-step: per-pattern match posterior w_γ = pΠm / (pΠm + (1−p)Πu)
+  *   M-step: p = Σn_γw_γ/N, m_k = Σn_γw_γγ_k/Σn_γw_γ, u_k likewise on 1−w
+  *
+  * Integer-exact replay (the q283/q297 unrolled-iteration discipline):
+  * parameters are per-mille BIGINTs clamped to [1, 999] (the clamp is the
+  * standard zero-frequency smoothing AND keeps every product positive, so
+  * no division ever sees zero), posteriors are per-10⁶ BIGINTs, and every
+  * quantization is deterministic round-half-up ((2Sa + b) div 2b) — so all
+  * 20 EM iterations are bit-identical across engines and the only double
+  * is the display ratio. Initialization is Winkler's standard
+  * (p, m, u) = (0.1, 0.9, 0.1). Overflow bounds: the E-step's
+  * 2·10⁶·p·Πside ≤ 2·10⁶·999⁴ < 2·10¹⁸ and the M-step's 2000·Σn_γw_γ ≤
+  * 2·10⁹·N both stay under 2⁶³ for N to ~4.6·10⁹ blocked pairs — far past
+  * any sane block size (blocking exists precisely to bound N).
+  *
+  * Scale shape: corpus-scale work is the blocked equi-join and ONE
+  * groupBy to ≤ 8 rows; the EM loop runs driver-side on that bounded
+  * 8-row state (the q328/q339 bounded-collect discipline — 20 scheduler-
+  * free integer iterations beat 20 Spark jobs over 8-row frames). The
+  * oracle replays all 20 EM levels as materialized CTE pairs (w_k, p_k)
+  * plus a final E-step, the q297 chained-replay shape.
+  */
+object LinkageEm {
+
+  private val Iters = 20
+
+  private def clamp(x: Long): Long = math.min(math.max(x, 1L), 999L)
+  private def sideL(f: Int, p: Long): Long = if (f == 1) p else 1000L - p
+
+  private def emLvl(k: Int): String =
+    s"""w$k AS MATERIALIZED (
+       |  SELECT f_seg, f_tight, f_bal, n,
+       |    (2000000 * mnum + mnum + unum) // (2 * (mnum + unum)) AS wq
+       |  FROM (
+       |    SELECT pat.*,
+       |      p * (CASE WHEN f_seg = 1 THEN ms ELSE 1000 - ms END)
+       |        * (CASE WHEN f_tight = 1 THEN mg ELSE 1000 - mg END)
+       |        * (CASE WHEN f_bal = 1 THEN mb ELSE 1000 - mb END) AS mnum,
+       |      (1000 - p) * (CASE WHEN f_seg = 1 THEN us ELSE 1000 - us END)
+       |        * (CASE WHEN f_tight = 1 THEN ug ELSE 1000 - ug END)
+       |        * (CASE WHEN f_bal = 1 THEN ub ELSE 1000 - ub END) AS unum
+       |    FROM pat, p${k - 1})),
+       |p$k AS MATERIALIZED (
+       |  SELECT
+       |    least(greatest((2000 * b + 1000000 * nn)
+       |      // (2 * 1000000 * nn), 1), 999) AS p,
+       |    least(greatest((2000 * asg + greatest(b, 1))
+       |      // (2 * greatest(b, 1)), 1), 999) AS ms,
+       |    least(greatest((2000 * atg + greatest(b, 1))
+       |      // (2 * greatest(b, 1)), 1), 999) AS mg,
+       |    least(greatest((2000 * abl + greatest(b, 1))
+       |      // (2 * greatest(b, 1)), 1), 999) AS mb,
+       |    least(greatest((2000 * dsg + greatest(c, 1))
+       |      // (2 * greatest(c, 1)), 1), 999) AS us,
+       |    least(greatest((2000 * dtg + greatest(c, 1))
+       |      // (2 * greatest(c, 1)), 1), 999) AS ug,
+       |    least(greatest((2000 * dbl + greatest(c, 1))
+       |      // (2 * greatest(c, 1)), 1), 999) AS ub
+       |  FROM (
+       |    SELECT CAST(sum(n * wq) AS BIGINT) AS b,
+       |      CAST(sum(n * (1000000 - wq)) AS BIGINT) AS c,
+       |      CAST(sum(n * wq * f_seg) AS BIGINT) AS asg,
+       |      CAST(sum(n * wq * f_tight) AS BIGINT) AS atg,
+       |      CAST(sum(n * wq * f_bal) AS BIGINT) AS abl,
+       |      CAST(sum(n * (1000000 - wq) * f_seg) AS BIGINT) AS dsg,
+       |      CAST(sum(n * (1000000 - wq) * f_tight) AS BIGINT) AS dtg,
+       |      CAST(sum(n * (1000000 - wq) * f_bal) AS BIGINT) AS dbl
+       |    FROM w$k), tot)""".stripMargin
+
+  val q342FellegiSunterEm = GraftQuery(
+    "q342_fellegi_sunter_em",
+    (s, dir) => {
+      import s.implicits._
+      // identical derived replica + blocking as q320 — but the label ck=dk
+      // is NEVER computed: the estimation sees agreement patterns only
+      val bal = round(col("c_acctbal") * 100, 0).cast("long")
+      val clean = Tables.customer(s, dir).select(
+        col("c_custkey").as("ck"), col("c_nationkey").as("nk"),
+        col("c_mktsegment").as("seg"), bal.as("bal"))
+      val dirty = clean.select(
+        col("ck").as("dk"), col("nk").as("dnk"),
+        when(pmod(col("ck"), lit(4)) === 0, lit("UNKNOWN"))
+          .otherwise(col("seg")).as("dseg"),
+        (col("bal") + pmod(col("ck"), lit(7)) - 3).as("dbal"))
+      def bucket(c: String): Column =
+        expr(s"($c - pmod($c, 100000)) div 100000")
+      val pat = clean.withColumn("blk", bucket("bal"))
+        .join(dirty.withColumn("dblk", bucket("dbal")),
+          col("nk") === col("dnk") && col("blk") === col("dblk"))
+        .select(
+          when(col("seg") === col("dseg"), 1).otherwise(0).as("f_seg"),
+          when(col("bal") === col("dbal"), 1).otherwise(0).as("f_tight"),
+          when(abs(col("bal") - col("dbal")) <= 3, 1).otherwise(0).as("f_bal"))
+        .groupBy("f_seg", "f_tight", "f_bal").agg(count(lit(1)).as("n"))
+        .collect() // bounded: <= 8 agreement patterns, ever
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      val nTot = pat.map(_._4).sum
+
+      // 20 integer-exact EM iterations on the 8-row state
+      var P = 100L
+      var m = Array(900L, 900L, 900L)
+      var u = Array(100L, 100L, 100L)
+      for (_ <- 1 to Iters) {
+        var b = 0L; var c = 0L
+        val a = Array(0L, 0L, 0L); val d = Array(0L, 0L, 0L)
+        pat.foreach { case (fs, ft, fb, n) =>
+          val f = Array(fs, ft, fb)
+          val mnum = P * sideL(fs, m(0)) * sideL(ft, m(1)) * sideL(fb, m(2))
+          val unum = (1000L - P) *
+            sideL(fs, u(0)) * sideL(ft, u(1)) * sideL(fb, u(2))
+          val wq = (2000000L * mnum + mnum + unum) / (2L * (mnum + unum))
+          b += n * wq; c += n * (1000000L - wq)
+          var i = 0
+          while (i < 3) {
+            a(i) += n * wq * f(i); d(i) += n * (1000000L - wq) * f(i); i += 1
+          }
+        }
+        P = clamp((2000L * b + 1000000L * nTot) / (2L * 1000000L * nTot))
+        val bp = math.max(b, 1L); val cp = math.max(c, 1L)
+        for (i <- 0 until 3) {
+          m(i) = clamp((2000L * a(i) + bp) / (2L * bp))
+          u(i) = clamp((2000L * d(i) + cp) / (2L * cp))
+        }
+      }
+
+      // final E-step + q320-style decision arithmetic from the EM params
+      val rows = pat.toSeq.map { case (fs, ft, fb, n) =>
+        val mnum = P * sideL(fs, m(0)) * sideL(ft, m(1)) * sideL(fb, m(2))
+        val unum = (1000L - P) *
+          sideL(fs, u(0)) * sideL(ft, u(1)) * sideL(fb, u(2))
+        val wq = (2000000L * mnum + mnum + unum) / (2L * (mnum + unum))
+        val num = sideL(fs, m(0)) * sideL(ft, m(1)) * sideL(fb, m(2))
+        val den = sideL(fs, u(0)) * sideL(ft, u(1)) * sideL(fb, u(2))
+        val decision =
+          if (num > 1000L * den) "link"
+          else if (num * 1000L < den) "non-link"
+          else "possible"
+        (fs, ft, fb, n, wq, num, den,
+          decision, P, m(0), m(1), m(2), u(0), u(1), u(2))
+      }
+      rows.toDF("f_seg", "f_tight", "f_bal", "n_pairs", "w_ppm", "num",
+          "den", "decision", "p_match", "m_seg", "m_tight", "m_bal",
+          "u_seg", "u_tight", "u_bal")
+        .select(col("f_seg"), col("f_tight"), col("f_bal"), col("n_pairs"),
+          col("w_ppm"),
+          // rounded by the engine's round(), not driver-side BigDecimal,
+          // so the half-up semantics match q320's display column exactly
+          round(col("num").cast("double") / col("den").cast("double"), 6)
+            .as("ratio"),
+          col("decision"), col("p_match"), col("m_seg"), col("m_tight"),
+          col("m_bal"), col("u_seg"), col("u_tight"), col("u_bal"))
+        .orderBy("f_seg", "f_tight", "f_bal")
+    },
+    Some(s"""WITH clean AS (
+           |  SELECT c_custkey AS ck, c_nationkey AS nk, c_mktsegment AS seg,
+           |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+           |  FROM customer),
+           |dirty AS (
+           |  SELECT ck AS dk, nk AS dnk,
+           |    CASE WHEN ck % 4 = 0 THEN 'UNKNOWN' ELSE seg END AS dseg,
+           |    bal + (ck % 7) - 3 AS dbal
+           |  FROM clean),
+           |pat AS MATERIALIZED (
+           |  SELECT CASE WHEN seg = dseg THEN 1 ELSE 0 END AS f_seg,
+           |    CASE WHEN bal = dbal THEN 1 ELSE 0 END AS f_tight,
+           |    CASE WHEN abs(bal - dbal) <= 3 THEN 1 ELSE 0 END AS f_bal,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM clean JOIN dirty
+           |    ON nk = dnk
+           |    AND (bal - ((bal % 100000 + 100000) % 100000)) // 100000
+           |      = (dbal - ((dbal % 100000 + 100000) % 100000)) // 100000
+           |  GROUP BY 1, 2, 3),
+           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM pat),
+           |p0 AS (SELECT CAST(100 AS BIGINT) AS p,
+           |  CAST(900 AS BIGINT) AS ms, CAST(900 AS BIGINT) AS mg,
+           |  CAST(900 AS BIGINT) AS mb, CAST(100 AS BIGINT) AS us,
+           |  CAST(100 AS BIGINT) AS ug, CAST(100 AS BIGINT) AS ub),
+           |${(1 to Iters).map(emLvl).mkString(",\n")},
+           |wf AS (
+           |  SELECT f_seg, f_tight, f_bal, n,
+           |    (2000000 * mnum + mnum + unum) // (2 * (mnum + unum)) AS wq,
+           |    mside, uside, p
+           |  FROM (
+           |    SELECT pat.*, p,
+           |      (CASE WHEN f_seg = 1 THEN ms ELSE 1000 - ms END)
+           |        * (CASE WHEN f_tight = 1 THEN mg ELSE 1000 - mg END)
+           |        * (CASE WHEN f_bal = 1 THEN mb ELSE 1000 - mb END) AS mside,
+           |      (CASE WHEN f_seg = 1 THEN us ELSE 1000 - us END)
+           |        * (CASE WHEN f_tight = 1 THEN ug ELSE 1000 - ug END)
+           |        * (CASE WHEN f_bal = 1 THEN ub ELSE 1000 - ub END) AS uside,
+           |      p * (CASE WHEN f_seg = 1 THEN ms ELSE 1000 - ms END)
+           |        * (CASE WHEN f_tight = 1 THEN mg ELSE 1000 - mg END)
+           |        * (CASE WHEN f_bal = 1 THEN mb ELSE 1000 - mb END) AS mnum,
+           |      (1000 - p) * (CASE WHEN f_seg = 1 THEN us ELSE 1000 - us END)
+           |        * (CASE WHEN f_tight = 1 THEN ug ELSE 1000 - ug END)
+           |        * (CASE WHEN f_bal = 1 THEN ub ELSE 1000 - ub END) AS unum
+           |    FROM pat, p$Iters))
+           |SELECT wf.f_seg, wf.f_tight, wf.f_bal, wf.n AS n_pairs,
+           |  wf.wq AS w_ppm,
+           |  round(CAST(wf.mside AS DOUBLE) / CAST(wf.uside AS DOUBLE), 6)
+           |    AS ratio,
+           |  CASE WHEN wf.mside > 1000 * wf.uside THEN 'link'
+           |       WHEN wf.mside * 1000 < wf.uside THEN 'non-link'
+           |       ELSE 'possible' END AS decision,
+           |  wf.p AS p_match, pf.ms AS m_seg, pf.mg AS m_tight,
+           |  pf.mb AS m_bal, pf.us AS u_seg, pf.ug AS u_tight, pf.ub AS u_bal
+           |FROM wf, p$Iters pf
+           |ORDER BY wf.f_seg, wf.f_tight, wf.f_bal""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q342FellegiSunterEm)
+}
