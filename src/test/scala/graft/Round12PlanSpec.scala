@@ -57,4 +57,30 @@ class Round12PlanSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(r => r.getAs[Long]("n_landed") - r.getAs[Long]("n_pdup") -
       r.getAs[Long]("n_qc_pass")).sum > 0, "QC gate dropped nothing")
   }
+
+  test("q343 (TPC-H Q6): scan-only aggregation — no join, all three " +
+    "predicates pushed to the parquet scan") {
+    val q = SparkEntry.queries("q343_tpch_q6")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(2000))
+  }
+
+  test("q347 (TPC-H Q4): the EXISTS probe decorrelates to a LEFT SEMI " +
+    "join, never a per-row subquery") {
+    val q = SparkEntry.queries("q347_tpch_q4")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q351 (TPC-H Q2) and q350 (Q19): correlated-min join-back and the " +
+    "disjunctive bracket join stay non-cartesian") {
+    for (name <- Seq("q351_tpch_q2", "q350_tpch_q19")) {
+      val p = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name: ${p.take(3000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: ${p.take(3000)}")
+    }
+  }
 }
