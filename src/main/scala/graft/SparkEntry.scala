@@ -27,7 +27,8 @@ object SparkEntry {
       ops.SceneCutQueries.all ++ ops.Spectral.all ++ ops.Extras7.all ++
       ops.Unigram.all ++ ops.ExactSpans.all ++ ops.Capstone.all ++
       ops.Extras8.all ++ ops.Extras9.all ++ ops.Extras10.all ++
-      ops.MediaCapstone.all ++ ops.LinkageEm.all ++ ops.TpchRemainder.all
+      ops.MediaCapstone.all ++ ops.LinkageEm.all ++ ops.TpchRemainder.all ++
+      ops.Curation12.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
