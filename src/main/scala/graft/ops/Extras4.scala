@@ -226,24 +226,39 @@ object Extras4 {
     */
   val q107TryFunctions = GraftQuery(
     "q107_try_functions",
+    // ratio_sum accumulates as EXACT half-cents BIGINTs (the divisor is
+    // custkey % 3 ∈ {1, 2}, so 2·price-cents div d is exact), not as a
+    // float sum — at 3× sf0.1 the ~2·10¹⁰-magnitude double sum drifted
+    // past round(2) across accumulation orders (caught by the round-12
+    // derived-scale correctness pass), and even the exact integer divided
+    // by 200.0 landed on a .545 decimal boundary where Spark's
+    // shortest-representation rounding and DuckDB's binary-value rounding
+    // disagree — so the column is emitted AS the exact integer, no
+    // division at all; try_divide keeps the null-on-zero-divisor showcase
+    // for the ok-count
     (s, dir) =>
       Tables.orders(s, dir)
         .withColumn("seg_num", expr("try_cast(o_orderpriority AS DOUBLE)"))
         .withColumn("prio_rank", expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)"))
         .withColumn("ratio", expr("try_divide(o_totalprice, o_custkey % 3)"))
+        .withColumn("ratio2", expr(
+          "CASE WHEN o_custkey % 3 = 0 THEN CAST(NULL AS BIGINT) " +
+            "ELSE (2 * CAST(round(o_totalprice * 100) AS BIGINT))" +
+            " div (o_custkey % 3) END"))
         .groupBy("o_orderstatus")
         .agg(
           count(lit(1)).as("n"),
           count(col("seg_num")).as("n_seg_cast_ok"),
           count(col("prio_rank")).as("n_prio_cast_ok"),
           count(col("ratio")).as("n_ratio_ok"),
-          round(sum("ratio"), 2).as("ratio_sum"))
+          sum("ratio2").as("ratio_sum_halfcents"))
         .orderBy("o_orderstatus"),
     Some("""SELECT o_orderstatus, count(*) AS n,
            |  count(TRY_CAST(o_orderpriority AS DOUBLE)) AS n_seg_cast_ok,
            |  count(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT)) AS n_prio_cast_ok,
            |  count(o_totalprice / nullif(o_custkey % 3, 0)) AS n_ratio_ok,
-           |  round(sum(o_totalprice / nullif(o_custkey % 3, 0)), 2) AS ratio_sum
+           |  CAST(sum((2 * CAST(round(o_totalprice * 100) AS BIGINT))
+           |    // nullif(o_custkey % 3, 0)) AS BIGINT) AS ratio_sum_halfcents
            |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val all: Seq[GraftQuery] = Seq(q90FuzzyMatch, q91DatetimeFuncs, q92LateralTopk,
