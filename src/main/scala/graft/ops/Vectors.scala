@@ -428,17 +428,20 @@ object Vectors {
     * centroids plus a k-row collect (driver state O(k·dim), never corpus
     * rows). The CC + survivor tail is q134's, unchanged.
     *
-    * Asymptotic honesty (why SCALING_r11's fitted exponent is 1.04, the
-    * inventory's highest): with k ∝ n the exact Lloyd ASSIGNMENT term is
+    * Asymptotic honesty: with k ∝ n the exact Lloyd ASSIGNMENT term is
     * n·k·dim ∝ n², and the exact-SemDeDup trade (assignment n·k vs
     * within-cell pairs n²/k) bottoms out at k ∝ √n ⇒ Θ(n^1.5) — no exact
-    * variant is linear. At fixture→10× scale the dim constant dominates
-    * and the measured exponent stays ~1; at true 100 TB the production
-    * recipe swaps the assignment for an ANN probe (the q157 IVF machinery
-    * — coarse-quantize centroids, probe a fixed cell fraction), which this
-    * engine ships as its own audited path (q157/q161: 1.07×/1.38× at 10×).
-    * q141 keeps the EXACT assignment because its oracle replays Lloyd
-    * bit-for-bit — it is the ground-truth bracket, q157 the scale path.
+    * variant is linear. The round-12 THREE-point audit measured exactly
+    * this prediction surfacing (SCALING_r12_final.json): the factor-3→10
+    * exponent is 0.874 (dim constant still dominating) while the
+    * factor-10→30 exponent is 1.619 (the n·k assignment term now in
+    * charge, as this paragraph forecast a round earlier). At true 100 TB
+    * the production recipe swaps the assignment for an ANN probe (the
+    * q157 IVF machinery — coarse-quantize centroids, probe a fixed cell
+    * fraction), which this engine ships as its own audited path
+    * (q157/q161, factor-10→30 exponents ≈ flat). q141 keeps the EXACT
+    * assignment because its oracle replays Lloyd bit-for-bit — it is the
+    * ground-truth bracket, q157 the scale path.
     */
   val q141SemanticDedupKmeans = GraftQuery(
     "q141_semantic_dedup_kmeans",
