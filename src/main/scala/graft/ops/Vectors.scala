@@ -298,7 +298,7 @@ object Vectors {
     * Dedup's collapseClusters): component labels → sized clusters with
     * min-id survivor election, each member decorated with its cell.
     */
-  private def collapseVecClusters(lbl: DataFrame,
+  private[ops] def collapseVecClusters(lbl: DataFrame,
       assigned: DataFrame): DataFrame = {
     val sz = lbl.groupBy(col("lbl").as("c2")).agg(count(lit(1)).as("n_members"))
     lbl.join(sz, col("lbl") === col("c2"))
