@@ -348,6 +348,12 @@ object Curation12 {
     * Scale shape: the corpus-wide pass is ONE partial-agg groupBy to
     * (type, hour) counts; windows and the argmax run on the hourly
     * aggregate, calendar-bounded per type (the q319 grid discipline).
+    *
+    * Overflow discipline (round-12 ADVICE): the score numerator
+    * a²(n−p) + (tot−a)²p is accumulated in DECIMAL(38,0) / HUGEINT (the
+    * q363 pattern), good to prefix sums of ~10¹⁷ events per type — and
+    * past that BOTH engines raise instead of Spark wrapping silently
+    * while DuckDB errors (the divergence the BIGINT form risked).
     */
   val q356BinsegChangepoint = GraftQuery(
     "q356_binseg_changepoint",
@@ -370,8 +376,9 @@ object Curation12 {
         .withColumn("n", count(lit(1)).over(Window.partitionBy("et")))
         .filter(col("p") < col("n")) // boundary after position p
         .withColumn("score",
-          ((col("a") * col("a") * (col("n") - col("p")) +
-            (col("tot") - col("a")) * (col("tot") - col("a")) * col("p"))
+          ((col("a").cast("decimal(38,0)") * col("a") * (col("n") - col("p")) +
+            (col("tot") - col("a")).cast("decimal(38,0)") *
+              (col("tot") - col("a")) * col("p"))
             .cast("double")) /
             (col("p") * (col("n") - col("p"))).cast("double"))
       val best = Window.partitionBy("et").orderBy(desc("score"), col("h"))
@@ -408,7 +415,8 @@ object Curation12 {
            |    CAST(count(*) OVER (PARTITION BY et) AS BIGINT) AS n
            |  FROM x),
            |sc AS (
-           |  SELECT *, CAST(a * a * (n - p) + (tot - a) * (tot - a) * p
+           |  SELECT *, CAST(a::HUGEINT * a * (n - p)
+           |      + (tot - a)::HUGEINT * (tot - a) * p
            |      AS DOUBLE) / CAST(p * (n - p) AS DOUBLE) AS score
            |  FROM pre WHERE p < n),
            |best AS (

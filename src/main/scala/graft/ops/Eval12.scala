@@ -58,8 +58,15 @@ object Eval12 {
         .groupBy("qid")
         .agg(sum(when(col("rf") <= 10 && col("rt") <= 10, 1L).otherwise(0L))
             .as("n_common"),
+          // denominator = the achievable top-k: max(rf) over the kept rows
+          // is the candidate-pool size whenever the pool is short of 10
+          // (all rows kept) and >= 10 otherwise, so least(10, max(rf))
+          // keeps the recall definition honest on sub-11-vector corpora
+          // (round-12 ADVICE; identity on every real fixture)
           round(sum(when(col("rf") <= 10 && col("rt") <= 10, 1L)
-            .otherwise(0L)).cast("double") / 10.0, 2).as("recall_at_10"))
+            .otherwise(0L)).cast("double") /
+            least(lit(10L), max(col("rf"))).cast("double"), 2)
+            .as("recall_at_10"))
         .orderBy("qid")
     },
     Some("""WITH e AS MATERIALIZED (
@@ -93,7 +100,8 @@ object Eval12 {
            |  CAST(sum(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END)
            |    AS BIGINT) AS n_common,
            |  round(CAST(sum(CASE WHEN rf <= 10 AND rt <= 10 THEN 1
-           |    ELSE 0 END) AS DOUBLE) / 10.0, 2) AS recall_at_10
+           |    ELSE 0 END) AS DOUBLE)
+           |    / CAST(least(10, max(rf)) AS DOUBLE), 2) AS recall_at_10
            |FROM rk WHERE rf <= 10 OR rt <= 10
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 

@@ -418,11 +418,15 @@ object Vectors {
     * set — the actual SemDeDup recipe (Abbas et al. 2023 cluster with
     * k-means, not with labels). k grows with the corpus,
     * k = max(8, ceil(n / 64)), so expected cell cardinality stays bounded
-    * (~64) no matter the corpus size and the within-cell pairwise join is
-    * O(n · cell_target) — LINEAR in n, where q134's label cells made it
-    * O(n²/L) (each label cell grows with the corpus; the one `weak` scale
-    * grade of round 5). SemanticDedupSpec pins the bounded-cell property on
-    * a skewed planted fixture.
+    * (~64) and the within-cell pairwise join is O(n · cell_target) —
+    * but the exact Lloyd ASSIGNMENT term is n·k·dim ∝ n² (see the
+    * asymptotic-honesty paragraph below: the round-12 factor-30 audit
+    * measured its tail exponent at 1.619), which is why this query is the
+    * GROUND-TRUTH BRACKET of the family, not its scale path — q364's SRP
+    * banding and q365's fixed-k IVF cells are the registered 100 TB
+    * plans. q134's label cells were worse still, O(n²/L) in the pairwise
+    * itself (the one `weak` scale grade of round 5). SemanticDedupSpec
+    * pins the bounded-cell property on a skewed planted fixture.
     *
     * Per-iteration cost is one corpus scan against broadcast-literal
     * centroids plus a k-row collect (driver state O(k·dim), never corpus

