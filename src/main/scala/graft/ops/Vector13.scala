@@ -72,7 +72,7 @@ object Vector13 {
     base.select("vec_id", "v").unionAll(rep)
   }
 
-  private val corpusSql =
+  private[ops] val corpusSql =
     """base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
       |rep AS (SELECT vec_id + 1000000 AS rid,
       |    list_transform(range(1, 65), i ->
@@ -81,7 +81,7 @@ object Vector13 {
       |corpus AS (SELECT vec_id, v FROM base
       |  UNION ALL SELECT rid AS vec_id, rv AS v FROM rep)""".stripMargin
 
-  private val rlSql =
+  private[ops] val rlSql =
     """rl AS (
       |  SELECT k.k, list(CASE WHEN ('0x' || substr(md5('srp'||k.k||'_'||d.d), 1, 8))::BIGINT % 2 = 0
       |      THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS wv
@@ -114,14 +114,16 @@ object Vector13 {
     * corpus would hot-spot one bucket, which AQE skew-join splits like any
     * keyed join.
     */
-  val q364SrpBandedNearDup = GraftQuery(
-    "q364_srp_banded_neardup",
-    (s, dir) => {
-      GraftFunctions.register(s)
-      val base = Tables.embeddings(s, dir)
-        .withColumn("v", col("embedding").cast("array<double>"))
-        .select(col("vec_id"), col("v"))
-      val sigs = plantedCorpus(base)
+  /** The q364 pipeline up to the verified pair set (i, j, ham, cos) —
+    * shared with q369's end-to-end dedup composition.
+    */
+  private[ops] def srpVerifiedPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val base = Tables.embeddings(s, dir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("v"))
+    val sigs = plantedCorpus(base)
         .select(col("vec_id"), col("v"), GraftFunctions.normL2(col("v")).as("nrm"),
           bandKey(col("v"), 0).as("b0"), bandKey(col("v"), 1).as("b1"),
           bandKey(col("v"), 2).as("b2"), bandKey(col("v"), 3).as("b3"))
@@ -143,19 +145,24 @@ object Vector13 {
         .distinct()
       val ham = (0 until 4).map(b =>
         bit_count(col(s"x$b").bitwiseXOR(col(s"y$b")))).reduce(_ + _)
-      val vi = sigs.select(col("vec_id").as("i"), col("v").as("va"), col("nrm").as("na"))
-      val vj = sigs.select(col("vec_id").as("j"), col("v").as("vb"), col("nrm").as("nb"))
-      cand.withColumn("ham", ham.cast("long")).filter(col("ham") <= 3)
-        .select("i", "j", "ham")
-        .join(vi, "i").join(vj, "j")
-        .withColumn("cos",
-          GraftFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-        .filter(col("cos") >= 0.99)
+    val vi = sigs.select(col("vec_id").as("i"), col("v").as("va"), col("nrm").as("na"))
+    val vj = sigs.select(col("vec_id").as("j"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.withColumn("ham", ham.cast("long")).filter(col("ham") <= 3)
+      .select("i", "j", "ham")
+      .join(vi, "i").join(vj, "j")
+      .withColumn("cos",
+        GraftFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.99)
+  }
+
+  val q364SrpBandedNearDup = GraftQuery(
+    "q364_srp_banded_neardup",
+    (s, dir) =>
+      srpVerifiedPairs(s, dir)
         .select(col("i"), col("j"), col("ham"),
           round(col("cos"), 6).as("cos_sim"),
           (col("j") === col("i") + 1000000L).cast("int").as("planted"))
-        .orderBy("i", "j")
-    },
+        .orderBy("i", "j"),
     Some(s"""WITH $rlSql,
            |$corpusSql,
            |cn AS (SELECT vec_id, v,
