@@ -19,6 +19,7 @@ object GraftFunctions {
   val WORDGRAMS = "graft_word_grams"
   val GRAM_GEN = "graft_gram_gen"
   val WINNOW = "graft_winnow"
+  val NFC = "graft_nfc"
 
   private[functions] def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -52,6 +53,8 @@ object GraftFunctions {
       exprs => GramGenerator(exprs(0), intArg(exprs(1)))),
     (WINNOW, classOf[WinnowPositions],
       exprs => WinnowPositions(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
+    (NFC, classOf[NfcNormalize],
+      exprs => NfcNormalize(exprs(0))),
   )
 
   // synchronized: concurrent callers (Verify's parallel lanes) would race
@@ -77,6 +80,9 @@ object GraftFunctions {
 
   /** Fused dot product (requires [[register]] on the session). */
   def dot(a: Column, b: Column): Column = call_function(DOT, a, b)
+
+  /** Unicode NFC normalization (requires [[register]]). */
+  def nfc(s: Column): Column = call_function(NFC, s)
 
   /** L2 norm via the fused dot. */
   def normL2(v: Column): Column = sqrt(call_function(DOT, v, v))

@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -52,8 +51,9 @@ object Pipeline13 {
     },
     Some("""WITH keyed AS (
            |  SELECT doc_id, source, greatest(n_chars, 1) AS w,
-           |    -ln((CAST(concat('0x', substr(md5('ws_' || doc_id::VARCHAR), 1, 8)) AS BIGINT) + 1.0)
-           |        / 4294967296.0) / greatest(n_chars, 1) AS skey
+           |    -ln((CAST(concat('0x', substr(md5('ws_' || doc_id::VARCHAR), 1, 8)) AS BIGINT)
+           |          + CAST(1.0 AS DOUBLE))
+           |        / CAST(4294967296.0 AS DOUBLE)) / greatest(n_chars, 1) AS skey
            |  FROM documents),
            |top AS (SELECT * FROM keyed ORDER BY skey, doc_id LIMIT 25)
            |SELECT row_number() OVER (ORDER BY skey, doc_id) AS rank,

@@ -212,8 +212,18 @@ object Vector13 {
     * The trade is SemDeDup's own (Abbas et al. 2023 run k-means cells as
     * an approximation to begin with): hash sub-buckets can split a true
     * near-dup pair across cells where exact Lloyd would not.
-    * Round13PlanSpec measures exactly that delta — kept-set overlap vs
+    * Round13Spec measures exactly that delta — kept-set overlap vs
     * q141 on the same corpus — instead of assuming it away.
+    *
+    * Cost SAWTOOTH (measured, round 13): because b is an integer,
+    * expected cell size oscillates in (32, 64] — by construction
+    * 16·2^b ≥ ⌈n/64⌉ ⇒ n/(16·2^b) ≤ 64, and halves the moment b
+    * increments (Round13Spec pins the arithmetic across 10³..10¹²).
+    * Between two scale points on the RISING flank the local exponent
+    * reads > 1 (measured 1.13 on f10→f30, where cell size climbs 39→59)
+    * and < 0.5 on the falling flank (0.355 on f3→f10, 47→39); the
+    * asymptote is Θ(n·64·dim) — linear with an oscillating constant,
+    * never compounding.
     *
     * Cross-engine: the coarse stage replays q137's unrolled-lloyd oracle
     * discipline at k = 16/rounds = 1; SRP bits reuse q364's md5-parity

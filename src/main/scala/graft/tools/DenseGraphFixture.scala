@@ -106,6 +106,11 @@ object DenseGraphFixture {
     val widened = synth.select(li.schema.fields.map { fd =>
       fd.name match {
         case "l_orderkey" | "l_suppkey" => col(fd.name).cast(fd.dataType)
+        // one distinct part per synthetic order: the part co-purchase
+        // graph (q184/q215) densifies with the SAME overlay edges instead
+        // of collapsing onto a single hub part (a lit default here would
+        // wire every overlay line through one partkey — a fake supernode)
+        case "l_partkey" => col("l_orderkey").cast(fd.dataType)
         case _ => (fd.dataType match {
           case _: StringType => lit("PA")
           case _: DateType => lit("1996-01-01").cast("date")

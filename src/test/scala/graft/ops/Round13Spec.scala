@@ -94,6 +94,73 @@ class Round13Spec extends AnyFunSuite with SparkSpec {
         s"(|q141|=${k141.size} |q365|=${k365.size})")
   }
 
+  test("q369: every SRP-dedup cluster on the planted fixture is one base " +
+    "vector + its replica, and the base id survives") {
+    val rows = SparkEntry.queries("q369_srp_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") == 2L, r.toString)
+      val v = r.getAs[Long]("vec_id"); val c = r.getAs[Long]("cluster_id")
+      assert(c == v || c == v - 1000000L, r.toString)
+      assert((r.getAs[Int]("survivor") == 1) == (v == c), r.toString)
+    }
+    // one cluster per planted replica
+    assert(rows.count(_.getAs[Int]("survivor") == 1) == rows.length / 2)
+  }
+
+  test("q370: NFC composes the planted decomposed sequences (native " +
+    "expression vs JDK Normalizer), and the homoglyph repair is one " +
+    "translate") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val dirty = "caf" + "e" + "́" + " " + "о" + "k" // café (decomposed) + Cyrillic о
+    val out = Seq(dirty).toDF("t")
+      .select(graft.functions.GraftFunctions.nfc(col("t")).as("nt"))
+      .withColumn("repaired", translate(col("nt"), "оа", "oa"))
+      .collect().head
+    assert(out.getAs[String]("nt") ==
+      java.text.Normalizer.normalize(dirty, java.text.Normalizer.Form.NFC))
+    assert(out.getAs[String]("nt").contains("café"))
+    assert(out.getAs[String]("repaired") == "café ok")
+    // and the registered query finds the planted noise
+    val agg = SparkEntry.queries("q370_unicode_hygiene")(spark, sf).collect()
+    assert(agg.map(_.getAs[Long]("nfc_composed_chars")).sum > 0)
+    assert(agg.map(_.getAs[Long]("homoglyph_chars")).sum > 0)
+  }
+
+  test("q371: every planted excerpt is found contained in its own source " +
+    "at containment 1.0") {
+    val rows = SparkEntry.queries("q371_shingle_containment")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val found = rows.map(r => (r.getAs[Long]("excerpt_id"),
+      r.getAs[Long]("src_id"), r.getAs[Double]("containment")))
+    val own = found.filter { case (e, b, _) => e - 2000000L == b }
+    assert(own.nonEmpty, "no excerpt matched its own source")
+    own.foreach { case (_, _, c) => assert(c == 1.0, s"containment $c != 1.0") }
+    // every excerpt that produced shingles maps home
+    val excerptIds = found.map(_._1).toSet
+    assert(own.map(_._1).toSet == excerptIds,
+      "an excerpt matched something >= 0.8 but not its own source")
+  }
+
+  test("q365: the SRP sub-bucket arithmetic bounds expected cell size in " +
+    "(32, 64] at every corpus size — the sawtooth is an oscillating " +
+    "constant, not a compounding term") {
+    def ceilLog2(f: Long): Int =
+      if (f <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(f - 1L)
+    var n = 1024L
+    while (n <= 1000000000000L) {
+      val b = ceilLog2((math.ceil(n / 64.0).toLong + 15L) / 16L)
+      val cells = 16L * (1L << b)
+      val expCell = n.toDouble / cells
+      assert(expCell <= 64.0, s"n=$n b=$b expected cell $expCell > 64")
+      assert(expCell > 16.0 || n < 2048,
+        s"n=$n b=$b expected cell $expCell too small — wasted cells")
+      n = (n * 3) / 2
+    }
+  }
+
   test("q366: the string features change decisions — patterns equal on " +
     "(seg, tight, bal) but split by the levenshtein band get different " +
     "decisions; u_seg is the held Winkler frequency estimate") {
