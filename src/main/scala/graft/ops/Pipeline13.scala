@@ -257,6 +257,75 @@ object Pipeline13 {
            |FROM lbl l JOIN sz USING (cluster_id)
            |ORDER BY l.vec_id""".stripMargin))
 
+  /** Mergeable-MinHash incremental maintenance — the sketch analogue of
+    * q213's IVM contract: MinHash is an elementwise-min sketch, so
+    * sig(A ∪ Δ) = zip_with(min)(sig(A), sig(Δ)) — a corpus snapshot's
+    * per-source signature updates from the DELTA's signature alone, never
+    * re-reading the existing dump (the cross-dump incremental-dedup
+    * primitive: each monthly crawl merges into the standing sketch in
+    * O(sources · k)). The query computes per-source signatures of the
+    * base slice (doc_id % 10 ≠ 0) and delta slice separately, merges at
+    * the (source, hash-position) grain, and hash-proves the merge EQUAL
+    * to a from-scratch recompute over the union — per position, not per
+    * summary, so all 24·|sources| values are pinned.
+    *
+    * Scale: one corpus pass builds per-doc signatures (the fused q25/q338
+    * kernels); each side is a partial-agg min groupBy to |sources|·24
+    * rows; the merge is a keyed join of those bounded frames.
+    */
+  val q372MinhashMerge = GraftQuery(
+    "q372_minhash_merge",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val ex = Dedup.shingleHashed(docs, 8)
+        .join(docs.select(col("doc_id"), col("source"),
+          (pmod(col("doc_id"), lit(10)) === 0).as("isdelta")), "doc_id")
+        .withColumn("sig", graft.functions.GraftFunctions.minhash(
+          col("tints"), Dedup.NUM_HASHES))
+        .select(col("source"), col("isdelta"), posexplode(col("sig")))
+        .withColumnRenamed("col", "sigv")
+      val base = ex.filter(!col("isdelta"))
+        .groupBy("source", "pos").agg(min("sigv").as("hb"))
+      val delta = ex.filter(col("isdelta"))
+        .groupBy("source", "pos").agg(min("sigv").as("hd"))
+      val full = ex.groupBy("source", "pos").agg(min("sigv").as("h_full"))
+      full.join(base, Seq("source", "pos"), "left")
+        .join(delta, Seq("source", "pos"), "left")
+        .withColumn("h_merged",
+          least(coalesce(col("hb"), lit(2147483647L)),
+            coalesce(col("hd"), lit(2147483647L))))
+        .select(col("source"), col("pos"), col("h_full"), col("h_merged"),
+          (col("h_full") === col("h_merged")).cast("int").as("ivm_ok"))
+        .orderBy("source", "pos")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+           |    i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])) g
+           |  FROM documents),
+           |ti AS (SELECT doc_id,
+           |    list_transform(g, t -> CAST(concat('0x', substr(md5(t),1,8)) AS BIGINT)) tints
+           |  FROM toks WHERE len(g) > 0),
+           |ex AS (SELECT d.source, t.doc_id % 10 = 0 AS isdelta, h.h AS pos,
+           |    list_min(list_transform(t.tints,
+           |      x -> (x*(2*h.h+1) + h.h*1000000007 + 12345) % 2147483647)) AS sigv
+           |  FROM ti t JOIN documents d USING (doc_id), range(0, 24) h(h)),
+           |base AS (SELECT source, pos, min(sigv) AS hb
+           |  FROM ex WHERE NOT isdelta GROUP BY 1, 2),
+           |delta AS (SELECT source, pos, min(sigv) AS hd
+           |  FROM ex WHERE isdelta GROUP BY 1, 2),
+           |fullr AS (SELECT source, pos, min(sigv) AS h_full
+           |  FROM ex GROUP BY 1, 2)
+           |SELECT f.source, CAST(f.pos AS INT) AS pos, f.h_full,
+           |  least(coalesce(b.hb, 2147483647), coalesce(dl.hd, 2147483647))
+           |    AS h_merged,
+           |  CAST(f.h_full = least(coalesce(b.hb, 2147483647),
+           |    coalesce(dl.hd, 2147483647)) AS INT) AS ivm_ok
+           |FROM fullr f LEFT JOIN base b USING (source, pos)
+           |  LEFT JOIN delta dl USING (source, pos)
+           |ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(q367WeightedSample, q368UrlCanonicalize, q369SrpDedup)
+    Seq(q367WeightedSample, q368UrlCanonicalize, q369SrpDedup,
+      q372MinhashMerge)
 }
