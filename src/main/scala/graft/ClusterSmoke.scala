@@ -64,13 +64,18 @@ object ClusterSmoke {
       case None        => picks
     }
     val jar = sys.props.get("graft.jar")
+    // SPARK_GRAFT_CLUSTER overrides the topology, e.g. "4,8,6144" for four
+    // executor JVMs × 8 cores — more real block-fetch/broadcast edges than
+    // the default two-executor layout (executor memory scales to match)
+    val topo = sys.env.getOrElse("SPARK_GRAFT_CLUSTER", "2,16,8192")
+    val execMem = topo.split(",")(2).trim.toInt
     val builder = SparkSession.builder()
-      .master("local-cluster[2,16,8192]")
+      .master(s"local-cluster[$topo]")
       .appName("graft-cluster-smoke")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.executor.memory", "8g")
+      .config("spark.executor.memory", s"${math.max(execMem - 1024, 2048)}m")
     val spark = jar.fold(builder)(j => builder.config("spark.jars", j))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -104,7 +109,8 @@ object ClusterSmoke {
     val nFail = results.count(_._2 < 0)
     val total = math.round(results.filter(_._2 >= 0).map(_._3).sum * 1000) / 1000.0
     val qs = results.map { case (k, _, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    println(s"""{"metric":"cluster_smoke","executors":2,"cores_per_executor":16,""" +
+    val Array(nExec, nCores, _) = topo.split(",").map(_.trim)
+    println(s"""{"metric":"cluster_smoke","executors":$nExec,"cores_per_executor":$nCores,""" +
       s""""sf_dir":"$sfDir","failures":$nFail,"queries":$qs,""" +
       s""""value":$total,"unit":"sec"}""")
     spark.stop()
