@@ -29,24 +29,42 @@ object Relational {
   private def diskr(c: org.apache.spark.sql.Column) = c * (lit(1.0) - col("l_discount"))
 
   /** TPC-H Q1-style pricing summary: full-scan aggregate with partial aggs. */
+  /** Money sums are EXACT INTEGER UNITS (cents / ten-thousandths), not
+    * rounded float sums — the round-13 3× derived-scale pass caught
+    * sum_disc_price at ~8.09·10⁹ straddling a .875 display boundary
+    * (accumulation-order ulp + Spark shortest-representation vs DuckDB
+    * binary-value rounding: the exact q107 drift class from round 12).
+    * Per-row cents are exact (2-decimal prices, the q320 discipline);
+    * the sums accumulate in DECIMAL(38,0)/HUGEINT so there is no wrap
+    * cliff at any scale, and the display column is the integer itself —
+    * never a divided float.
+    */
   val q1PricingSummary = GraftQuery(
     "q1_pricing_summary",
-    (s, dir) =>
+    (s, dir) => {
+      val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+      val disc = round(col("l_discount") * 100, 0).cast("long")
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(diskr(col("l_extendedprice"))), 2).as("sum_disc_price"),
+          sum(cents.cast("decimal(38,0)")).cast("long")
+            .as("base_price_cents"),
+          sum((cents * (lit(100L) - disc)).cast("decimal(38,0)"))
+            .cast("long").as("disc_price_e4"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           round(avg("l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus"),
+        .orderBy("l_returnflag", "l_linestatus")
+    },
     Some("""SELECT l_returnflag, l_linestatus,
            |  round(sum(l_quantity), 2) AS sum_qty,
-           |  round(sum(l_extendedprice), 2) AS sum_base_price,
-           |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           |    AS base_price_cents,
+           |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+           |    AS disc_price_e4,
            |  round(avg(l_quantity), 4) AS avg_qty,
            |  round(avg(l_discount), 4) AS avg_disc,
            |  count(*) AS count_order
