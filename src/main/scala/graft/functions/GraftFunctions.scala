@@ -20,6 +20,7 @@ object GraftFunctions {
   val GRAM_GEN = "graft_gram_gen"
   val WINNOW = "graft_winnow"
   val NFC = "graft_nfc"
+  val JARO_WINKLER = "graft_jaro_winkler"
 
   private[functions] def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -55,6 +56,8 @@ object GraftFunctions {
       exprs => WinnowPositions(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
     (NFC, classOf[NfcNormalize],
       exprs => NfcNormalize(exprs(0))),
+    (JARO_WINKLER, classOf[JaroWinklerSim],
+      exprs => JaroWinklerSim(exprs(0), exprs(1))),
   )
 
   // synchronized: concurrent callers (Verify's parallel lanes) would race
@@ -83,6 +86,10 @@ object GraftFunctions {
 
   /** Unicode NFC normalization (requires [[register]]). */
   def nfc(s: Column): Column = call_function(NFC, s)
+
+  /** Jaro-Winkler similarity (requires [[register]]). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function(JARO_WINKLER, a, b)
 
   /** L2 norm via the fused dot. */
   def normL2(v: Column): Column = sqrt(call_function(DOT, v, v))

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.functions.GraftFunctions
+
+/** q374 — Jaro-Winkler candidate scoring over blocked linkage pairs: the
+  * canonical string comparator of the record-linkage literature (Jaro
+  * 1989, Winkler 1990 — the metric the Fellegi-Sunter weights of
+  * q320/q342/q366 classically consume), computed by the engine's native
+  * codegen expression (`functions/JaroWinkler.scala`) and hash-gated
+  * against DuckDB's independent C++ `jaro_winkler_similarity` — the gate
+  * checks the ALGORITHM itself across implementations, not a shared
+  * library.
+  */
+object Linkage13 {
+
+  /** Floor bucket for signed integer cents (the q366 blocking key): Spark
+    * side is pmod-subtract; the oracle replays the positive-mod expansion
+    * (verify-skill lesson l — DuckDB `//` truncates toward zero).
+    */
+  private def bucket(c: String): Column =
+    expr(s"($c - pmod($c, 100000)) div 100000")
+
+  /** Jaro-Winkler banded linkage screen. A dirty replica of the customer
+    * file perturbs names deterministically — every 9th key's last two
+    * chars become 'XX' (JW ~0.95 on 18-char names), every 3rd key's last
+    * char becomes 'X' (~0.98), every 5th key's last two chars SWAP (the
+    * transposition case Levenshtein over-penalizes and JW half-counts) —
+    * and candidate pairs come from the q366 blocking join on
+    * (nationkey, $1000 balance bucket), so the frame holds both planted
+    * same-key pairs and realistic cross-key confusables (neighboring
+    * customer numbers differ in one digit and score ≥0.97).
+    *
+    * The output is the per-band audit a linkage pipeline thresholds from:
+    * exact integer pair counts and true-pair (same key) counts per JW
+    * band, plus band min/max scores. Bands and extremes are
+    * order-independent (no float accumulation anywhere: counts are exact,
+    * min/max of bit-identical doubles are bit-identical), rounded at 6
+    * for display.
+    *
+    * Scale shape: ONE blocked equi-join (the q320/q366 discipline — the
+    * block key bounds the pair space), the comparator runs inside
+    * whole-stage codegen per candidate pair, and one partial agg folds to
+    * ≤6 band rows. No window, no collect, nothing corpus-sized beyond
+    * the join.
+    */
+  val q374JaroWinklerLinkage = GraftQuery(
+    "q374_jaro_winkler_linkage",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val bal = round(col("c_acctbal") * 100, 0).cast("long")
+      val clean = Tables.customer(s, dir).select(
+        col("c_custkey").as("ck"), col("c_nationkey").as("nk"),
+        col("c_name").as("nm"), bal.as("bal"))
+      val swapLast2 = expr(
+        """concat(substring(nm, 1, length(nm) - 2),
+          |  substring(nm, length(nm), 1),
+          |  substring(nm, length(nm) - 1, 1))""".stripMargin)
+      val dirty = clean.select(
+        col("ck").as("dk"), col("nk").as("dnk"),
+        when(pmod(col("ck"), lit(9)) === 0,
+          concat(expr("substring(nm, 1, length(nm) - 2)"), lit("XX")))
+          .when(pmod(col("ck"), lit(3)) === 0,
+            concat(expr("substring(nm, 1, length(nm) - 1)"), lit("X")))
+          .when(pmod(col("ck"), lit(5)) === 0, swapLast2)
+          .otherwise(col("nm")).as("dnm"),
+        (col("bal") + pmod(col("ck"), lit(7)) - 3).as("dbal"))
+      val pairs = clean.withColumn("blk", bucket("bal"))
+        .join(dirty.withColumn("dblk", bucket("dbal")),
+          col("nk") === col("dnk") && col("blk") === col("dblk"))
+        .withColumn("jw", GraftFunctions.jaroWinkler(col("nm"), col("dnm")))
+        .withColumn("band",
+          when(col("jw") === 1.0, "5_exact")
+            .when(col("jw") >= 0.95, "4_very_high")
+            .when(col("jw") >= 0.9, "3_high")
+            .when(col("jw") >= 0.8, "2_medium")
+            .when(col("jw") >= 0.7, "1_low")
+            .otherwise("0_far"))
+      pairs.groupBy("band")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("ck") === col("dk")).cast("long")).as("n_true"),
+          round(min("jw"), 6).as("min_jw"),
+          round(max("jw"), 6).as("max_jw"))
+        .orderBy("band")
+    },
+    Some("""WITH clean AS (
+           |  SELECT c_custkey AS ck, c_nationkey AS nk, c_name AS nm,
+           |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+           |  FROM customer),
+           |dirty AS (
+           |  SELECT ck AS dk, nk AS dnk,
+           |    CASE WHEN ck % 9 = 0
+           |        THEN substr(nm, 1, length(nm) - 2) || 'XX'
+           |      WHEN ck % 3 = 0
+           |        THEN substr(nm, 1, length(nm) - 1) || 'X'
+           |      WHEN ck % 5 = 0
+           |        THEN substr(nm, 1, length(nm) - 2)
+           |          || substr(nm, length(nm), 1)
+           |          || substr(nm, length(nm) - 1, 1)
+           |      ELSE nm END AS dnm,
+           |    bal + ck % 7 - 3 AS dbal
+           |  FROM clean),
+           |pairs AS (
+           |  SELECT c.ck, d.dk, c.nm, d.dnm,
+           |    jaro_winkler_similarity(c.nm, d.dnm) AS jw
+           |  FROM clean c JOIN dirty d
+           |    ON c.nk = d.dnk
+           |    AND (c.bal - ((c.bal % 100000 + 100000) % 100000)) // 100000
+           |      = (d.dbal - ((d.dbal % 100000 + 100000) % 100000)) // 100000),
+           |banded AS (
+           |  SELECT ck, dk, jw,
+           |    CASE WHEN jw = 1.0 THEN '5_exact'
+           |      WHEN jw >= 0.95 THEN '4_very_high'
+           |      WHEN jw >= 0.9 THEN '3_high'
+           |      WHEN jw >= 0.8 THEN '2_medium'
+           |      WHEN jw >= 0.7 THEN '1_low'
+           |      ELSE '0_far' END AS band
+           |  FROM pairs)
+           |SELECT band, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(CASE WHEN ck = dk THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_true,
+           |  round(min(jw), 6) AS min_jw,
+           |  round(max(jw), 6) AS max_jw
+           |FROM banded GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q374JaroWinklerLinkage)
+}
