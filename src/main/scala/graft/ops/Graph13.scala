@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.functions.GraftFunctions
+
+/** q375 — k-truss peeling (Cohen 2008): the EDGE-cohesion decomposition
+  * next to q171's node-cohesion k-core — an edge survives the k-truss
+  * iff it participates in ≥ k−2 triangles among surviving edges, so a
+  * truss is a set of overlapping triangles ("social-circle" cores), while
+  * a k-core can be triangle-free. Community detection and spam-graph
+  * cleanup both peel trusses where cores are too blunt.
+  */
+object Graph13 {
+
+  /** Undirected edge key packed into ONE BIGINT — explode streams stay
+    * bare longs (the q148 GC lesson: struct-wrapped triangle streams
+    * allocate one boxed object per triangle). Safe for any int32 node id:
+    * least·2³¹ + greatest < 2⁶². */
+  private[ops] def encodePair(a: Column, b: Column): Column =
+    least(a, b) * lit(2147483648L) + greatest(a, b)
+
+  /** Exact per-edge triangle support via the q148 edge-iterator: orient by
+    * (degree, id), decorate each oriented edge with both endpoints'
+    * out-adjacency arrays, and read the apex set off the codegen
+    * sorted-merge intersection. Each triangle {x,y,z} (found once, on its
+    * base leg) credits all THREE of its edges. Returns (ek, support);
+    * a zero-triangle edge whose higher-(degree, id) endpoint has no
+    * out-neighbors is ABSENT rather than present-with-0 (the adjacency
+    * decoration is an inner join) — callers treat absence as support 0,
+    * exactly like the oracle's sup-join (Round13bSpec pins this).
+    */
+  private[ops] def edgeSupport(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val oriented = edges
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbr"))
+    val dec = oriented
+      .join(adj.select(col("src"), col("nbr").as("nx")), "src")
+      .join(adj.select(col("src").as("dst"), col("nbr").as("ny")), "dst")
+      .select(col("src"), col("dst"),
+        GraftFunctions.intersectSorted(col("nx"), col("ny")).as("zs"))
+    val baseLeg = dec.select(encodePair(col("src"), col("dst")).as("ek"),
+      size(col("zs")).cast("long").as("c"))
+    val apexLeg = dec
+      .select(col("src"), col("dst"), explode(col("zs")).as("z"))
+      .select(explode(array(encodePair(col("src"), col("z")),
+        encodePair(col("dst"), col("z")))).as("ek"))
+      .groupBy("ek").agg(count(lit(1)).as("c"))
+    baseLeg.unionAll(apexLeg).groupBy("ek").agg(sum("c").as("support"))
+  }
+
+  /** 14-truss peel (support ≥ 12, the fixture graph's ~p60) over the part
+    * co-purchase graph, THREE unrolled peel levels — the q98/q237/q314
+    * fixed-iteration discipline: both engines replay exactly three
+    * levels, the per-level removal counts ARE the output, and a zero
+    * removal count is the converged flag. Each level recounts support
+    * among survivors and drops edges below threshold (removals cascade:
+    * a dropped edge erases its triangles, pushing neighbors below).
+    *
+    * Scale shape: per level, nothing bigger than the edge list shuffles —
+    * orientation bounds out-degrees at O(√m), per-triangle rows exist
+    * only inside a bare-long explode → partial agg, and each level's
+    * survivor frame is localCheckpoint()ed (the q324 plan-depth lesson);
+    * only scalar counts reach the driver. The oracle replays the same
+    * three levels as MATERIALIZED CTEs (the q297 unrolled-fixpoint
+    * discipline).
+    */
+  val q375Ktruss = GraftQuery(
+    "q375_ktruss",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val minSup = 12L
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
+      val e0 = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+        .localCheckpoint()
+      var e = e0
+      val stats = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+      for (lvl <- 1 to 3) {
+        val keep = edgeSupport(e).filter(col("support") >= minSup).select("ek")
+        val kept = e.withColumn("ek", encodePair(col("u"), col("v")))
+          .join(keep, Seq("ek"), "left_semi")
+          .select("u", "v")
+          .localCheckpoint()
+        val nBefore = e.count()
+        val nAfter = kept.count()
+        stats += ((lvl, nBefore, nAfter))
+        e = kept
+      }
+      import s.implicits._
+      stats.toSeq.toDF("level", "n_before", "n_after")
+        .select(col("level"), col("n_before"), col("n_after"),
+          (col("n_before") - col("n_after")).as("n_removed"))
+        .orderBy("level")
+    },
+    Some {
+      def level(n: Int): String =
+        s"""deg$n AS MATERIALIZED (
+           |  SELECT n, count(*) AS deg FROM (
+           |    SELECT u AS n FROM e$n UNION ALL SELECT v FROM e$n)
+           |  GROUP BY 1),
+           |o$n AS MATERIALIZED (
+           |  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+           |           THEN u ELSE v END AS src,
+           |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+           |           THEN v ELSE u END AS dst
+           |  FROM e$n JOIN deg$n du ON du.n = u JOIN deg$n dv ON dv.n = v),
+           |tris$n AS MATERIALIZED (
+           |  SELECT p.src AS x, p.dst AS y, q.dst AS z
+           |  FROM o$n p JOIN o$n q ON p.src = q.src
+           |  JOIN deg$n dy ON dy.n = p.dst JOIN deg$n dz ON dz.n = q.dst
+           |  JOIN o$n c ON c.src = p.dst AND c.dst = q.dst
+           |  WHERE dy.deg < dz.deg OR (dy.deg = dz.deg AND p.dst < q.dst)),
+           |sup$n AS MATERIALIZED (
+           |  SELECT least(a, b) AS u, greatest(a, b) AS v, count(*) AS s
+           |  FROM (
+           |    SELECT x AS a, y AS b FROM tris$n
+           |    UNION ALL SELECT x, z FROM tris$n
+           |    UNION ALL SELECT y, z FROM tris$n)
+           |  GROUP BY 1, 2),
+           |e${n + 1} AS MATERIALIZED (
+           |  SELECT e.u, e.v FROM e$n e
+           |  JOIN sup$n s ON s.u = e.u AND s.v = e.v AND s.s >= 12)""".stripMargin
+      s"""WITH e1 AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |${level(1)},
+         |${level(2)},
+         |${level(3)},
+         |cnt AS (
+         |  SELECT 1 AS level,
+         |    (SELECT count(*) FROM e1) AS n_before,
+         |    (SELECT count(*) FROM e2) AS n_after
+         |  UNION ALL SELECT 2, (SELECT count(*) FROM e2),
+         |    (SELECT count(*) FROM e3)
+         |  UNION ALL SELECT 3, (SELECT count(*) FROM e3),
+         |    (SELECT count(*) FROM e4))
+         |SELECT CAST(level AS INT) AS level,
+         |  CAST(n_before AS BIGINT) AS n_before,
+         |  CAST(n_after AS BIGINT) AS n_after,
+         |  CAST(n_before - n_after AS BIGINT) AS n_removed
+         |FROM cnt ORDER BY level""".stripMargin
+    })
+
+  val all: Seq[GraftQuery] = Seq(q375Ktruss)
+}
