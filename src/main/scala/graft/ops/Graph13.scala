@@ -160,5 +160,94 @@ object Graph13 {
          |FROM cnt ORDER BY level""".stripMargin
     })
 
-  val all: Seq[GraftQuery] = Seq(q375Ktruss)
+  /** q378 — resource-allocation link prediction (Zhou, Lü & Zhang 2009):
+    * score non-adjacent pairs by Σ_w 1/deg(w) over common neighbors w —
+    * the strongest of the classic local similarity indices (it
+    * down-weights promiscuous hubs harder than Adamic-Adar's 1/log).
+    * Scores are EXACT integers: each center contributes
+    * ⌊10⁶/deg(w)⌋ (the integer-scaled RA the q233/q314 exact-rational
+    * discipline calls for — float Σ1/deg would be accumulation-order-
+    * dependent), so ranking and ties are engine-independent.
+    *
+    * The analysis graph is a deterministic 1/16 md5 edge sparsification
+    * of the part co-purchase graph (the fixture graph is near-complete —
+    * every node ~p50 degree 90-120 — so UNSAMPLED it has almost no
+    * non-adjacent 2-hop pairs for a predictor to rank; the sparsified
+    * overlay has mean degree ~7 and a real prediction problem, and both
+    * engines sample by the same md5 coin). Candidate generation
+    * additionally fans out wedges ONLY from centers of degree ≤ 32 — the
+    * standard hub-exclusion cap of large-scale link prediction (a hub's
+    * common-neighbor signal is noise; its wedge fan-out is the quadratic
+    * cost). The cap is part of the operator's SEMANTICS (both engines
+    * apply it), documented like the q285 bucket prune.
+    *
+    * Scale shape: degree partial agg → capped wedge equi-join (per-center
+    * fan-out ≤ 32² rows) → partial-agg score sum → anti-join against the
+    * edge list → TakeOrderedAndProject top-20. Nothing unbounded, no
+    * window over the corpus.
+    */
+  val q378LinkPrediction = GraftQuery(
+    "q378_link_prediction",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
+      val und = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+        .filter(conv(substring(md5(concat(col("u").cast("string"),
+          lit("_"), col("v").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 16 === 0)
+        .localCheckpoint()
+      val deg = und.select(col("u").as("n"))
+        .unionAll(und.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      // symmetric adjacency restricted to low-degree centers
+      val half = und.select(col("u").as("w"), col("v").as("x"))
+        .unionAll(und.select(col("v").as("w"), col("u").as("x")))
+      val centers = half.join(deg.filter(col("deg") <= 32)
+        .select(col("n").as("w"), col("deg")), "w")
+        .withColumn("ra", expr("1000000L div deg"))
+      val wedges = centers.as("p")
+        .join(centers.as("q"),
+          col("p.w") === col("q.w") && col("p.x") < col("q.x"))
+        .select(col("p.x").as("cu"), col("q.x").as("cv"), col("p.ra"))
+      val scored = wedges.groupBy("cu", "cv")
+        .agg(sum("ra").as("ra_score"), count(lit(1)).as("n_common"))
+      scored
+        .join(und, scored("cu") === und("u") && scored("cv") === und("v"),
+          "left_anti")
+        .orderBy(col("ra_score").desc, col("cu"), col("cv"))
+        .limit(20)
+        .select(col("cu"), col("cv"), col("n_common"), col("ra_score"))
+    },
+    Some("""WITH und AS MATERIALIZED (
+           |  SELECT u, v FROM (
+           |    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           |    FROM lineitem a JOIN lineitem b
+           |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+           |  WHERE CAST(concat('0x', substr(md5(u::VARCHAR || '_'
+           |    || v::VARCHAR), 1, 8)) AS BIGINT) % 16 = 0),
+           |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+           |  SELECT u AS n FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+           |half AS (
+           |  SELECT u AS w, v AS x FROM und
+           |  UNION ALL SELECT v, u FROM und),
+           |centers AS MATERIALIZED (
+           |  SELECT h.w, h.x, d.deg FROM half h
+           |  JOIN deg d ON d.n = h.w AND d.deg <= 32),
+           |scored AS (
+           |  SELECT p.x AS cu, q.x AS cv,
+           |    CAST(sum(1000000 // p.deg) AS BIGINT) AS ra_score,
+           |    CAST(count(*) AS BIGINT) AS n_common
+           |  FROM centers p JOIN centers q
+           |    ON p.w = q.w AND p.x < q.x
+           |  GROUP BY 1, 2)
+           |SELECT cu, cv, n_common, ra_score
+           |FROM scored s
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM und e WHERE e.u = s.cu AND e.v = s.cv)
+           |ORDER BY ra_score DESC, cu, cv LIMIT 20""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q375Ktruss, q378LinkPrediction)
 }

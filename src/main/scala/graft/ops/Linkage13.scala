@@ -47,31 +47,39 @@ object Linkage13 {
     * ≤6 band rows. No window, no collect, nothing corpus-sized beyond
     * the join.
     */
+  /** The blocked, JW-scored candidate frame shared by q374 (band audit)
+    * and q383 (mutual-best-match resolution): columns
+    * (ck, dk, nm, dnm, jw). */
+  private[ops] def jwPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    GraftFunctions.register(s)
+    val bal = round(col("c_acctbal") * 100, 0).cast("long")
+    val clean = Tables.customer(s, dir).select(
+      col("c_custkey").as("ck"), col("c_nationkey").as("nk"),
+      col("c_name").as("nm"), bal.as("bal"))
+    val swapLast2 = expr(
+      """concat(substring(nm, 1, length(nm) - 2),
+        |  substring(nm, length(nm), 1),
+        |  substring(nm, length(nm) - 1, 1))""".stripMargin)
+    val dirty = clean.select(
+      col("ck").as("dk"), col("nk").as("dnk"),
+      when(pmod(col("ck"), lit(9)) === 0,
+        concat(expr("substring(nm, 1, length(nm) - 2)"), lit("XX")))
+        .when(pmod(col("ck"), lit(3)) === 0,
+          concat(expr("substring(nm, 1, length(nm) - 1)"), lit("X")))
+        .when(pmod(col("ck"), lit(5)) === 0, swapLast2)
+        .otherwise(col("nm")).as("dnm"),
+      (col("bal") + pmod(col("ck"), lit(7)) - 3).as("dbal"))
+    clean.withColumn("blk", bucket("bal"))
+      .join(dirty.withColumn("dblk", bucket("dbal")),
+        col("nk") === col("dnk") && col("blk") === col("dblk"))
+      .withColumn("jw", GraftFunctions.jaroWinkler(col("nm"), col("dnm")))
+  }
+
   val q374JaroWinklerLinkage = GraftQuery(
     "q374_jaro_winkler_linkage",
     (s, dir) => {
-      GraftFunctions.register(s)
-      val bal = round(col("c_acctbal") * 100, 0).cast("long")
-      val clean = Tables.customer(s, dir).select(
-        col("c_custkey").as("ck"), col("c_nationkey").as("nk"),
-        col("c_name").as("nm"), bal.as("bal"))
-      val swapLast2 = expr(
-        """concat(substring(nm, 1, length(nm) - 2),
-          |  substring(nm, length(nm), 1),
-          |  substring(nm, length(nm) - 1, 1))""".stripMargin)
-      val dirty = clean.select(
-        col("ck").as("dk"), col("nk").as("dnk"),
-        when(pmod(col("ck"), lit(9)) === 0,
-          concat(expr("substring(nm, 1, length(nm) - 2)"), lit("XX")))
-          .when(pmod(col("ck"), lit(3)) === 0,
-            concat(expr("substring(nm, 1, length(nm) - 1)"), lit("X")))
-          .when(pmod(col("ck"), lit(5)) === 0, swapLast2)
-          .otherwise(col("nm")).as("dnm"),
-        (col("bal") + pmod(col("ck"), lit(7)) - 3).as("dbal"))
-      val pairs = clean.withColumn("blk", bucket("bal"))
-        .join(dirty.withColumn("dblk", bucket("dbal")),
-          col("nk") === col("dnk") && col("blk") === col("dblk"))
-        .withColumn("jw", GraftFunctions.jaroWinkler(col("nm"), col("dnm")))
+      val pairs = jwPairs(s, dir)
         .withColumn("band",
           when(col("jw") === 1.0, "5_exact")
             .when(col("jw") >= 0.95, "4_very_high")
@@ -126,5 +134,95 @@ object Linkage13 {
            |  round(max(jw), 6) AS max_jw
            |FROM banded GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q374JaroWinklerLinkage)
+  /** q383 — mutual-best-match entity resolution: the parallel 1:1
+    * matching rule production ER systems run on a scored candidate frame
+    * (each side keeps its argmax; a pair survives only when BOTH sides
+    * chose each other — "reciprocal best hit", the same rule
+    * bioinformatics uses for orthologs). Unlike greedy global matching
+    * (inherently sequential), mutual-best is two keyed window ranks and
+    * one join — embarrassingly parallel and deterministic: ranks order
+    * by (jw DESC, partner key ASC), and jw doubles are bit-identical
+    * cross-engine (JaroWinklerSpec), so tie handling is exact.
+    *
+    * Output is the resolution audit: candidate/matched/correct counts
+    * with precision (correct/matched) and recall (correct/total clean
+    * keys). Recall < 1 is structural — a planted pair whose ±3-cent
+    * balance perturbation crosses its $1000 blocking bucket never enters
+    * the candidate frame (the q366 blocking-loss note), and this query
+    * MEASURES that loss instead of hiding it.
+    *
+    * Scale shape: q374's blocked join, two row_number windows keyed by
+    * ck / dk (per-key candidate lists are block-bounded), one equi-join
+    * of the two rank-1 frames, one partial agg.
+    */
+  val q383MutualBestMatch = GraftQuery(
+    "q383_mutual_best_match",
+    (s, dir) => {
+      val pairs = jwPairs(s, dir).select("ck", "dk", "jw")
+      val wC = org.apache.spark.sql.expressions.Window
+        .partitionBy("ck").orderBy(col("jw").desc, col("dk"))
+      val wD = org.apache.spark.sql.expressions.Window
+        .partitionBy("dk").orderBy(col("jw").desc, col("ck"))
+      val best = pairs
+        .withColumn("rc", row_number().over(wC))
+        .withColumn("rd", row_number().over(wD))
+        .filter(col("rc") === 1 && col("rd") === 1)
+      val nClean = Tables.customer(s, dir)
+        .agg(count(lit(1)).as("n_clean"))
+      best.agg(count(lit(1)).as("n_matched"),
+        sum((col("ck") === col("dk")).cast("long")).as("n_correct"))
+        .crossJoin(broadcast(nClean))
+        .select(col("n_clean"), col("n_matched"), col("n_correct"),
+          round(col("n_correct").cast("double") /
+            col("n_matched").cast("double"), 6).as("precision"),
+          round(col("n_correct").cast("double") /
+            col("n_clean").cast("double"), 6).as("recall"))
+    },
+    Some("""WITH clean AS (
+           |  SELECT c_custkey AS ck, c_nationkey AS nk, c_name AS nm,
+           |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+           |  FROM customer),
+           |dirty AS (
+           |  SELECT ck AS dk, nk AS dnk,
+           |    CASE WHEN ck % 9 = 0
+           |        THEN substr(nm, 1, length(nm) - 2) || 'XX'
+           |      WHEN ck % 3 = 0
+           |        THEN substr(nm, 1, length(nm) - 1) || 'X'
+           |      WHEN ck % 5 = 0
+           |        THEN substr(nm, 1, length(nm) - 2)
+           |          || substr(nm, length(nm), 1)
+           |          || substr(nm, length(nm) - 1, 1)
+           |      ELSE nm END AS dnm,
+           |    bal + ck % 7 - 3 AS dbal
+           |  FROM clean),
+           |pairs AS (
+           |  SELECT c.ck, d.dk,
+           |    jaro_winkler_similarity(c.nm, d.dnm) AS jw
+           |  FROM clean c JOIN dirty d
+           |    ON c.nk = d.dnk
+           |    AND (c.bal - ((c.bal % 100000 + 100000) % 100000)) // 100000
+           |      = (d.dbal - ((d.dbal % 100000 + 100000) % 100000)) // 100000),
+           |best AS (
+           |  SELECT ck, dk FROM (
+           |    SELECT ck, dk,
+           |      row_number() OVER (PARTITION BY ck
+           |        ORDER BY jw DESC, dk) AS rc,
+           |      row_number() OVER (PARTITION BY dk
+           |        ORDER BY jw DESC, ck) AS rd
+           |    FROM pairs)
+           |  WHERE rc = 1 AND rd = 1),
+           |st AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_matched,
+           |    CAST(sum(CASE WHEN ck = dk THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_correct
+           |  FROM best),
+           |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_clean FROM customer)
+           |SELECT nc.n_clean, st.n_matched, st.n_correct,
+           |  round(CAST(st.n_correct AS DOUBLE) /
+           |    CAST(st.n_matched AS DOUBLE), 6) AS precision,
+           |  round(CAST(st.n_correct AS DOUBLE) /
+           |    CAST(nc.n_clean AS DOUBLE), 6) AS recall
+           |FROM st, nc""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q374JaroWinklerLinkage, q383MutualBestMatch)
 }
