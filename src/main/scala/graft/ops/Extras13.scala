@@ -4,80 +4,91 @@ import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
 
-/** q377/q379/q382 — round-13 operations additions: size-tiered compaction
-  * grouping (the lakehouse small-files planner, thematically next to the
-  * reference's rebalance/O18 and this repo's q249 tiering + q263 GC),
-  * Krippendorff's alpha (multi-rater agreement WITH missing ratings —
-  * where q361's Cohen kappa stops), and an existential event-sequence
-  * match with per-step time constraints (ClickHouse `sequenceMatch`
-  * semantics — a different operator from q219's first-touch funnel).
+/** q377/q379/q382 — round-13 operations additions: time-weighted
+  * averaging (the interval-weighted mean irregular event streams need
+  * where the plain mean misleads), Krippendorff's alpha (multi-rater
+  * agreement WITH missing ratings — where q361's Cohen kappa stops), and
+  * an existential event-sequence match with per-step time constraints
+  * (ClickHouse `sequenceMatch` semantics — a different operator from
+  * q219's first-touch funnel).
   */
 object Extras13 {
 
-  /** Size-tiered compaction grouping — the small-files planner every
-    * LSM / lakehouse table service runs (Cassandra STCS, Delta OPTIMIZE,
-    * Iceberg rewriteDataFiles): within each source partition, order file
-    * shards largest-first and fill target-size compaction groups by an
-    * EXCLUSIVE prefix sum (a shard opens a new group when the bytes
-    * before it already crossed the target). Output is the group manifest:
-    * files per group, exact bytes, id range, and an over-target flag
-    * (a single shard larger than the target gets its own group — those
-    * are rewrite-in-place candidates, not merge candidates).
+  /** Time-weighted average (TWAP) of the purchase-value step function per
+    * event type — the interval-weighted mean every monitoring / pricing
+    * system reads where the PLAIN mean is wrong (a value that held for an
+    * hour must weigh 3600× one that held a second; irregular event
+    * spacing makes the two diverge). Semantics: within each (type, day),
+    * each event's value holds until the next same-type event of that day,
+    * the day's last value holds to midnight, and the observation window
+    * starts at the day's first event — the standard daily-TWAP clipping,
+    * so no cross-day hold chains exist and every window stays
+    * (type, day)-keyed. (An earlier draft of this slot duplicated q187's
+    * cumulative-fill compaction grouping and was replaced pre-release.)
     *
-    * The "files" are derived shard manifests — (source, doc_id div 8)
-    * groups with exact summed n_chars as the byte proxy — so both engines
-    * compute the same manifest from the same fixture rows; production
-    * swaps in a real file listing (the q263/q284 manifest machinery)
-    * without touching the grouping.
+    * Exactness: integer cents × integer seconds accumulate in
+    * DECIMAL(38,0)/HUGEINT (the q356 overflow discipline: per-row terms
+    * reach cents·86400 ≈ 10¹⁰, so BIGINT sums wrap near 10⁹ rows — both
+    * engines raise or stay exact instead of silently diverging); the
+    * second-granularity Δt uses floor-difference ≡ boundary-crossing
+    * counts (identical in both engines); ONE float division at the edge,
+    * rounded 6. The plain mean is reported beside it — the TWAP−mean gap
+    * is the irregular-spacing signal itself.
     *
-    * Exactness: all byte math is BIGINT; the group id is an integer
-    * division of an exact exclusive prefix sum.
-    *
-    * Scale shape: compaction plans over METADATA — the manifest is 3-4
-    * orders smaller than the data (one row per file) — and every window
-    * is keyed by source, so the plan is a partial-agg manifest build plus
-    * a per-partition prefix sum; nothing corpus-sized shuffles and no
-    * global ordering exists anywhere.
+    * Scale shape: one lead() window keyed by (type, day) — partition
+    * sizes are per-day event counts, never corpus-sized — then a partial
+    * agg to the calendar-bounded daily frame and a partial agg to ≤5
+    * type rows.
     */
-  val q377CompactionPlan = GraftQuery(
-    "q377_compaction_plan",
+  val q377TimeWeightedAvg = GraftQuery(
+    "q377_time_weighted_avg",
     (s, dir) => {
-      val target = 6000L
-      val manifest = Tables.documents(s, dir)
-        .groupBy(col("source"), expr("doc_id div 8").as("shard"))
-        .agg(sum("n_chars").as("bytes"), count(lit(1)).as("n_docs"))
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts"),
+          to_date(col("ts")).as("d"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source")
-        .orderBy(col("bytes").desc, col("shard"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      val planned = manifest
-        .withColumn("cum_before", coalesce(sum("bytes").over(w), lit(0L)))
-        .withColumn("grp", expr(s"cum_before div ${target}L"))
-      planned.groupBy("source", "grp")
-        .agg(count(lit(1)).as("n_files"), sum("bytes").as("grp_bytes"),
-          min("shard").as("first_shard"), max("shard").as("last_shard"),
-          max((col("bytes") > target).cast("int")).as("has_oversize"))
-        .orderBy("source", "grp")
+        .partitionBy("event_type", "d").orderBy("ts", "event_id")
+      val seg = ev
+        .withColumn("next_ts", lead("ts", 1).over(w))
+        .withColumn("dt",
+          when(col("next_ts").isNotNull,
+            unix_timestamp(col("next_ts")) - unix_timestamp(col("ts")))
+            .otherwise(
+              unix_timestamp(date_add(col("d"), 1).cast("timestamp")) -
+                unix_timestamp(col("ts"))))
+      seg.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum("dt").as("obs_seconds"),
+          sum((col("cents") * col("dt")).cast("decimal(38,0)")).as("num"),
+          sum("cents").as("cs"))
+        .select(col("event_type"), col("n_events"), col("obs_seconds"),
+          round(col("num").cast("double") /
+            col("obs_seconds").cast("double"), 6).as("twap_cents"),
+          round(col("cs").cast("double") /
+            col("n_events").cast("double"), 6).as("mean_cents"))
+        .orderBy("event_type")
     },
-    Some("""WITH manifest AS (
-           |  SELECT source, CAST(doc_id // 8 AS BIGINT) AS shard,
-           |    CAST(sum(n_chars) AS BIGINT) AS bytes,
-           |    CAST(count(*) AS BIGINT) AS n_docs
-           |  FROM documents GROUP BY 1, 2),
-           |planned AS (
-           |  SELECT source, shard, bytes,
-           |    CAST(coalesce(sum(bytes) OVER (PARTITION BY source
-           |      ORDER BY bytes DESC, shard
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           |      AS BIGINT) AS cum_before
-           |  FROM manifest)
-           |SELECT source, cum_before // 6000 AS grp,
-           |  CAST(count(*) AS BIGINT) AS n_files,
-           |  CAST(sum(bytes) AS BIGINT) AS grp_bytes,
-           |  min(shard) AS first_shard, max(shard) AS last_shard,
-           |  CAST(max(CASE WHEN bytes > 6000 THEN 1 ELSE 0 END) AS INT)
-           |    AS has_oversize
-           |FROM planned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+    Some("""WITH ev AS (
+           |  SELECT event_type, event_id, ts, CAST(ts AS DATE) AS d,
+           |    CAST(round(value * 100) AS BIGINT) AS cents
+           |  FROM events),
+           |seg AS (
+           |  SELECT event_type, cents,
+           |    CAST(coalesce(
+           |      date_diff('second', ts, lead(ts) OVER (
+           |        PARTITION BY event_type, d ORDER BY ts, event_id)),
+           |      date_diff('second', ts,
+           |        CAST(d + INTERVAL 1 DAY AS TIMESTAMP))) AS BIGINT)
+           |      AS dt
+           |  FROM ev)
+           |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(sum(dt) AS BIGINT) AS obs_seconds,
+           |  round(CAST(sum(CAST(cents AS HUGEINT) * dt) AS DOUBLE) /
+           |    CAST(sum(dt) AS DOUBLE), 6) AS twap_cents,
+           |  round(CAST(sum(cents) AS DOUBLE) /
+           |    CAST(count(*) AS DOUBLE), 6) AS mean_cents
+           |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Krippendorff's alpha (nominal) over a three-rater annotation pass
     * with missingness — the agreement coefficient that generalizes q361's
@@ -263,5 +274,5 @@ object Extras13 {
            |FROM m, tot ORDER BY 1""".stripMargin))
 
   val all: Seq[GraftQuery] =
-    Seq(q377CompactionPlan, q379KrippendorffAlpha, q382SequenceMatch)
+    Seq(q377TimeWeightedAvg, q379KrippendorffAlpha, q382SequenceMatch)
 }

@@ -61,7 +61,12 @@ object Pipeline13 {
            |FROM top ORDER BY rank""".stripMargin))
 
   /** URL canonicalization + host-level dup accounting — the normalization
-    * pass every web-corpus pipeline runs before URL-keyed dedup (RFC 3986
+    * pass every web-corpus pipeline runs before URL-keyed dedup. Sibling
+    * of q185 (`ops/Hygiene.scala`), which audits the per-domain COLLAPSE
+    * RATE over regex-normalized URLs; this query is the per-host top-3
+    * collapse histogram over a structured split_part parse with a wider
+    * noise surface (nonstandard ports, param sort) — the frontier-dedup
+    * readout vs q185's corpus-health readout (RFC 3986
     * §6 syntax-based normalization plus the standard crawl conventions):
     * lowercase scheme and host, strip default ports (http:80 / https:443,
     * keep others), strip a leading `www.`, drop fragments, drop trailing
