@@ -17,22 +17,30 @@ import graft.functions.GraftFunctions
   */
 object Linkage13 {
 
-  /** Floor bucket for signed integer cents (the q366 blocking key): Spark
-    * side is pmod-subtract; the oracle replays the positive-mod expansion
-    * (verify-skill lesson l — DuckDB `//` truncates toward zero).
+  /** Adaptive balance-bucket blocking key: +100000¢ shift makes the
+    * domain strictly positive (floor = truncation in BOTH engines — no
+    * signed-floor expansion), then divide by a data-derived width that
+    * pins EXPECTED block population at ~64 regardless of corpus size
+    * (width = max(100¢, ⌊span·64/n⌋) over the fixed TPC-H acctbal span).
+    * A fixed bucket domain (q320/q342/q366's $1000 bucket) makes the
+    * pair space grow ~n² — the first cut of q383 MEASURED a f3→f10
+    * exponent of 1.54 on exactly that, the q365 adaptive-cell discipline
+    * is the fix.
     */
-  private def bucket(c: String): Column =
-    expr(s"($c - pmod($c, 100000)) div 100000")
+  private def bucket(c: String, w: String): Column =
+    expr(s"($c + 100000L) div $w")
 
   /** Jaro-Winkler banded linkage screen. A dirty replica of the customer
     * file perturbs names deterministically — every 9th key's last two
     * chars become 'XX' (JW ~0.95 on 18-char names), every 3rd key's last
     * char becomes 'X' (~0.98), every 5th key's last two chars SWAP (the
     * transposition case Levenshtein over-penalizes and JW half-counts) —
-    * and candidate pairs come from the q366 blocking join on
-    * (nationkey, $1000 balance bucket), so the frame holds both planted
-    * same-key pairs and realistic cross-key confusables (neighboring
-    * customer numbers differ in one digit and score ≥0.97).
+    * and candidate pairs come from a blocking join on (nationkey,
+    * ADAPTIVE balance bucket — see [[jwPairs]]: width derived from the
+    * corpus size so expected block population stays ~64 at any scale),
+    * so the frame holds both planted same-key pairs and realistic
+    * cross-key confusables (neighboring customer numbers differ in one
+    * digit and score ≥0.97).
     *
     * The output is the per-band audit a linkage pipeline thresholds from:
     * exact integer pair counts and true-pair (same key) counts per JW
@@ -54,9 +62,13 @@ object Linkage13 {
       dir: String): org.apache.spark.sql.DataFrame = {
     GraftFunctions.register(s)
     val bal = round(col("c_acctbal") * 100, 0).cast("long")
+    val widthFrame = Tables.customer(s, dir)
+      .agg(greatest(lit(100L),
+        expr("(1100000L * 64L) div count(*)")).as("width"))
     val clean = Tables.customer(s, dir).select(
       col("c_custkey").as("ck"), col("c_nationkey").as("nk"),
       col("c_name").as("nm"), bal.as("bal"))
+      .crossJoin(broadcast(widthFrame))
     val swapLast2 = expr(
       """concat(substring(nm, 1, length(nm) - 2),
         |  substring(nm, length(nm), 1),
@@ -69,9 +81,10 @@ object Linkage13 {
           concat(expr("substring(nm, 1, length(nm) - 1)"), lit("X")))
         .when(pmod(col("ck"), lit(5)) === 0, swapLast2)
         .otherwise(col("nm")).as("dnm"),
-      (col("bal") + pmod(col("ck"), lit(7)) - 3).as("dbal"))
-    clean.withColumn("blk", bucket("bal"))
-      .join(dirty.withColumn("dblk", bucket("dbal")),
+      (col("bal") + pmod(col("ck"), lit(7)) - 3).as("dbal"),
+      col("width").as("dwidth"))
+    clean.withColumn("blk", bucket("bal", "width"))
+      .join(dirty.withColumn("dblk", bucket("dbal", "dwidth")),
         col("nk") === col("dnk") && col("blk") === col("dblk"))
       .withColumn("jw", GraftFunctions.jaroWinkler(col("nm"), col("dnm")))
   }
@@ -111,13 +124,16 @@ object Linkage13 {
            |      ELSE nm END AS dnm,
            |    bal + ck % 7 - 3 AS dbal
            |  FROM clean),
+           |w AS (
+           |  SELECT greatest(100, (1100000 * 64) // count(*)) AS width
+           |  FROM customer),
            |pairs AS (
            |  SELECT c.ck, d.dk, c.nm, d.dnm,
            |    jaro_winkler_similarity(c.nm, d.dnm) AS jw
            |  FROM clean c JOIN dirty d
            |    ON c.nk = d.dnk
-           |    AND (c.bal - ((c.bal % 100000 + 100000) % 100000)) // 100000
-           |      = (d.dbal - ((d.dbal % 100000 + 100000) % 100000)) // 100000),
+           |    AND (c.bal + 100000) // (SELECT width FROM w)
+           |      = (d.dbal + 100000) // (SELECT width FROM w)),
            |banded AS (
            |  SELECT ck, dk, jw,
            |    CASE WHEN jw = 1.0 THEN '5_exact'
@@ -195,13 +211,16 @@ object Linkage13 {
            |      ELSE nm END AS dnm,
            |    bal + ck % 7 - 3 AS dbal
            |  FROM clean),
+           |w AS (
+           |  SELECT greatest(100, (1100000 * 64) // count(*)) AS width
+           |  FROM customer),
            |pairs AS (
            |  SELECT c.ck, d.dk,
            |    jaro_winkler_similarity(c.nm, d.dnm) AS jw
            |  FROM clean c JOIN dirty d
            |    ON c.nk = d.dnk
-           |    AND (c.bal - ((c.bal % 100000 + 100000) % 100000)) // 100000
-           |      = (d.dbal - ((d.dbal % 100000 + 100000) % 100000)) // 100000),
+           |    AND (c.bal + 100000) // (SELECT width FROM w)
+           |      = (d.dbal + 100000) // (SELECT width FROM w)),
            |best AS (
            |  SELECT ck, dk FROM (
            |    SELECT ck, dk,
