@@ -138,16 +138,18 @@ object Extras9 {
     * the balance by (custkey mod 7 − 3) cents and blanks the market
     * segment to 'UNKNOWN' for every 4th key, so ground truth (key
     * equality) is known and the m/u weights are ESTIMATED from data, not
-    * assumed. Blocking on (nationkey, $1000 floor-division balance
-    * bucket) reduces the pair space from O(n²) to per-block equi-join
-    * work; true pairs whose ±3-cent shift crosses a bucket boundary are
-    * lost to blocking — the standard recall trade, identical on both
-    * engines because the replica is derived, not random. Balances go
-    * negative, and DuckDB's integer `//` TRUNCATES toward zero (unlike
-    * its epoch arithmetic reputation), so the oracle floors via the
-    * positive-mod expansion (x − ((x % k + k) % k)) // k to mirror
-    * Spark's pmod-subtract exactly — the q295 discipline extended to a
-    * signed domain.
+    * assumed. Blocking on (nationkey, ADAPTIVE balance bucket — width
+    * derived from one count(*) so expected block population stays ~256
+    * at any corpus size; the original fixed $1000 bucket had a constant
+    * block domain, i.e. a ~n² pair space, measured at 1.455 on q366 in
+    * SCALING_r13B.json) reduces the pair space to per-block equi-join
+    * work, linear in n; true pairs whose ±3-cent shift crosses a bucket
+    * boundary are lost to blocking — the standard recall trade,
+    * identical on both engines because the replica is derived, not
+    * random. Balances shift +100000¢ before the divide so the domain is
+    * strictly positive and floor = truncation in both engines (the
+    * signed-domain positive-mod `//` expansion the fixed bucket needed
+    * is retired with it — verify-skill lesson l documents that trap).
     *
     * Agreement pattern = 3 binary features (segment equal, balance
     * exactly equal, balance within 3 cents), so the score space is the 8
@@ -172,18 +174,26 @@ object Extras9 {
     "q320_fellegi_sunter",
     (s, dir) => {
       val bal = round(col("c_acctbal") * 100, 0).cast("long")
+      val widthFrame = Tables.customer(s, dir)
+        .agg(greatest(lit(100L),
+          expr("(1100000L * 256L) div count(*)")).as("width"))
       val clean = Tables.customer(s, dir).select(
         col("c_custkey").as("ck"), col("c_nationkey").as("nk"),
         col("c_mktsegment").as("seg"), bal.as("bal"))
+        .crossJoin(broadcast(widthFrame))
       val dirty = clean.select(
         col("ck").as("dk"), col("nk").as("dnk"),
         when(pmod(col("ck"), lit(4)) === 0, lit("UNKNOWN"))
           .otherwise(col("seg")).as("dseg"),
-        (col("bal") + pmod(col("ck"), lit(7)) - 3).as("dbal"))
-      def bucket(c: String): Column =
-        expr(s"($c - pmod($c, 100000)) div 100000")
-      val pairs = clean.withColumn("blk", bucket("bal"))
-        .join(dirty.withColumn("dblk", bucket("dbal")),
+        (col("bal") + pmod(col("ck"), lit(7)) - 3).as("dbal"),
+        col("width").as("dwidth"))
+      // adaptive width (see SCALING_r13B.json: the fixed $1000 bucket
+      // measured a ~n^2 pair space at f3->f10) — expected block
+      // population pinned at ~64 at any corpus size
+      def bucket(c: String, w: String): Column =
+        expr(s"($c + 100000L) div $w")
+      val pairs = clean.withColumn("blk", bucket("bal", "width"))
+        .join(dirty.withColumn("dblk", bucket("dbal", "dwidth")),
           col("nk") === col("dnk") && col("blk") === col("dblk"))
         .select(
           when(col("seg") === col("dseg"), 1).otherwise(0).as("f_seg"),
@@ -232,6 +242,9 @@ object Extras9 {
            |    CASE WHEN ck % 4 = 0 THEN 'UNKNOWN' ELSE seg END AS dseg,
            |    bal + (ck % 7) - 3 AS dbal
            |  FROM clean),
+           |bw AS (
+           |  SELECT greatest(100, (1100000 * 256) // count(*)) AS width
+           |  FROM customer),
            |pairs AS (
            |  SELECT CASE WHEN seg = dseg THEN 1 ELSE 0 END AS f_seg,
            |    CASE WHEN bal = dbal THEN 1 ELSE 0 END AS f_tight,
@@ -239,8 +252,8 @@ object Extras9 {
            |    CASE WHEN ck = dk THEN 1 ELSE 0 END AS m
            |  FROM clean JOIN dirty
            |    ON nk = dnk
-           |    AND (bal - ((bal % 100000 + 100000) % 100000)) // 100000
-           |      = (dbal - ((dbal % 100000 + 100000) % 100000)) // 100000),
+           |    AND (bal + 100000) // (SELECT width FROM bw)
+           |      = (dbal + 100000) // (SELECT width FROM bw)),
            |stats AS (
            |  SELECT CAST(sum(m) AS BIGINT) AS mt,
            |    CAST(sum(1 - m) AS BIGINT) AS ut,

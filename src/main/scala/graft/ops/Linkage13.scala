@@ -22,10 +22,12 @@ object Linkage13 {
     * signed-floor expansion), then divide by a data-derived width that
     * pins EXPECTED block population at ~64 regardless of corpus size
     * (width = max(100¢, ⌊span·64/n⌋) over the fixed TPC-H acctbal span).
-    * A fixed bucket domain (q320/q342/q366's $1000 bucket) makes the
-    * pair space grow ~n² — the first cut of q383 MEASURED a f3→f10
-    * exponent of 1.54 on exactly that, the q365 adaptive-cell discipline
-    * is the fix.
+    * A fixed bucket domain (the linkage family's original $1000 bucket)
+    * makes the pair space grow ~n² — the first cut of q383 MEASURED a
+    * f3→f10 exponent of 1.54 on exactly that, and the same audit then
+    * caught q366 at 1.455, so the whole family (q320/q342/q366, now
+    * target-256 for EM identification) adopted this adaptive key
+    * (SCALING_r13B.json) — the q365 adaptive-cell discipline.
     */
   private def bucket(c: String, w: String): Column =
     expr(s"($c + 100000L) div $w")

@@ -14,7 +14,7 @@ import graft.{GraftQuery, Tables}
   *
   * Same derived-replica + blocking as q320 (the anchor the convergence
   * spec compares against): clean customers vs the deterministically
-  * perturbed replica, blocked on (nationkey, $1000 balance bucket) with
+  * perturbed replica, blocked on (nationkey, adaptive balance bucket) with
   * the signed-domain positive-mod floor expansion in the oracle. The
   * pair space reduces to ≤ 8 agreement-pattern counts in ONE partial-agg
   * groupBy — and from there EM runs entirely on that 8-row aggregate:
@@ -95,18 +95,26 @@ object LinkageEm {
       // identical derived replica + blocking as q320 — but the label ck=dk
       // is NEVER computed: the estimation sees agreement patterns only
       val bal = round(col("c_acctbal") * 100, 0).cast("long")
+      val widthFrame = Tables.customer(s, dir)
+        .agg(greatest(lit(100L),
+          expr("(1100000L * 256L) div count(*)")).as("width"))
       val clean = Tables.customer(s, dir).select(
         col("c_custkey").as("ck"), col("c_nationkey").as("nk"),
         col("c_mktsegment").as("seg"), bal.as("bal"))
+        .crossJoin(broadcast(widthFrame))
       val dirty = clean.select(
         col("ck").as("dk"), col("nk").as("dnk"),
         when(pmod(col("ck"), lit(4)) === 0, lit("UNKNOWN"))
           .otherwise(col("seg")).as("dseg"),
-        (col("bal") + pmod(col("ck"), lit(7)) - 3).as("dbal"))
-      def bucket(c: String): Column =
-        expr(s"($c - pmod($c, 100000)) div 100000")
-      val pat = clean.withColumn("blk", bucket("bal"))
-        .join(dirty.withColumn("dblk", bucket("dbal")),
+        (col("bal") + pmod(col("ck"), lit(7)) - 3).as("dbal"),
+        col("width").as("dwidth"))
+      // adaptive width (see SCALING_r13B.json: the fixed $1000 bucket
+      // measured a ~n^2 pair space at f3->f10) — expected block
+      // population pinned at ~64 at any corpus size
+      def bucket(c: String, w: String): Column =
+        expr(s"($c + 100000L) div $w")
+      val pat = clean.withColumn("blk", bucket("bal", "width"))
+        .join(dirty.withColumn("dblk", bucket("dbal", "dwidth")),
           col("nk") === col("dnk") && col("blk") === col("dblk"))
         .select(
           when(col("seg") === col("dseg"), 1).otherwise(0).as("f_seg"),
@@ -181,6 +189,9 @@ object LinkageEm {
            |    CASE WHEN ck % 4 = 0 THEN 'UNKNOWN' ELSE seg END AS dseg,
            |    bal + (ck % 7) - 3 AS dbal
            |  FROM clean),
+           |bw AS (
+           |  SELECT greatest(100, (1100000 * 256) // count(*)) AS width
+           |  FROM customer),
            |pat AS MATERIALIZED (
            |  SELECT CASE WHEN seg = dseg THEN 1 ELSE 0 END AS f_seg,
            |    CASE WHEN bal = dbal THEN 1 ELSE 0 END AS f_tight,
@@ -188,8 +199,8 @@ object LinkageEm {
            |    CAST(count(*) AS BIGINT) AS n
            |  FROM clean JOIN dirty
            |    ON nk = dnk
-           |    AND (bal - ((bal % 100000 + 100000) % 100000)) // 100000
-           |      = (dbal - ((dbal % 100000 + 100000) % 100000)) // 100000
+           |    AND (bal + 100000) // (SELECT width FROM bw)
+           |      = (dbal + 100000) // (SELECT width FROM bw)
            |  GROUP BY 1, 2, 3),
            |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM pat),
            |p0 AS (SELECT CAST(100 AS BIGINT) AS p,
@@ -326,9 +337,13 @@ object LinkageEm {
     "q366_linkage_em_wide",
     (s, dir) => {
       val bal = round(col("c_acctbal") * 100, 0).cast("long")
+      val widthFrame = Tables.customer(s, dir)
+        .agg(greatest(lit(100L),
+          expr("(1100000L * 256L) div count(*)")).as("width"))
       val clean = Tables.customer(s, dir).select(
         col("c_custkey").as("ck"), col("c_nationkey").as("nk"),
         col("c_mktsegment").as("seg"), col("c_name").as("nm"), bal.as("bal"))
+        .crossJoin(broadcast(widthFrame))
       val dirty = clean.select(
         col("ck").as("dk"), col("nk").as("dnk"),
         when(pmod(col("ck"), lit(4)) === 0, lit("UNKNOWN"))
@@ -338,9 +353,13 @@ object LinkageEm {
           .when(pmod(col("ck"), lit(3)) === 0,
             concat(expr("substring(nm, 1, length(nm) - 1)"), lit("X")))
           .otherwise(col("nm")).as("dnm"),
-        (col("bal") + pmod(col("ck"), lit(7)) - 3).as("dbal"))
-      def bucket(c: String): Column =
-        expr(s"($c - pmod($c, 100000)) div 100000")
+        (col("bal") + pmod(col("ck"), lit(7)) - 3).as("dbal"),
+        col("width").as("dwidth"))
+      // adaptive width (see SCALING_r13B.json: the fixed $1000 bucket
+      // measured a ~n^2 pair space at f3->f10) — expected block
+      // population pinned at ~64 at any corpus size
+      def bucket(c: String, w: String): Column =
+        expr(s"($c + 100000L) div $w")
 
       // Winkler value-specific u for the segment feature: chance-agreement
       // probability from the two files' value-frequency tables (bounded:
@@ -354,8 +373,8 @@ object LinkageEm {
       val tPairs = cSeg.values.sum * dSeg.values.sum
       val usegFreq = clampB((BigInt(2000) * sAgree + tPairs) / (2 * tPairs))
 
-      val pat = clean.withColumn("blk", bucket("bal"))
-        .join(dirty.withColumn("dblk", bucket("dbal")),
+      val pat = clean.withColumn("blk", bucket("bal", "width"))
+        .join(dirty.withColumn("dblk", bucket("dbal", "dwidth")),
           col("nk") === col("dnk") && col("blk") === col("dblk"))
         .select(
           when(col("seg") === col("dseg"), 1).otherwise(0).as("f_seg"),
@@ -437,6 +456,9 @@ object LinkageEm {
            |         ELSE nm END AS dnm,
            |    bal + (ck % 7) - 3 AS dbal
            |  FROM clean),
+           |bw AS (
+           |  SELECT greatest(100, (1100000 * 256) // count(*)) AS width
+           |  FROM customer),
            |useg AS (
            |  SELECT CAST(least(greatest((2000::HUGEINT * sa + tp) // (2 * tp), 1), 999)
            |      AS BIGINT) AS us
@@ -456,8 +478,8 @@ object LinkageEm {
            |    CAST(count(*) AS BIGINT) AS n
            |  FROM clean JOIN dirty
            |    ON nk = dnk
-           |    AND (bal - ((bal % 100000 + 100000) % 100000)) // 100000
-           |      = (dbal - ((dbal % 100000 + 100000) % 100000)) // 100000
+           |    AND (bal + 100000) // (SELECT width FROM bw)
+           |      = (dbal + 100000) // (SELECT width FROM bw)
            |  GROUP BY 1, 2, 3, 4, 5),
            |tot AS (SELECT CAST(sum(n) AS HUGEINT) AS nn FROM pat),
            |p0 AS (SELECT CAST(100 AS BIGINT) AS p,

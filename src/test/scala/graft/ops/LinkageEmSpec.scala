@@ -39,9 +39,16 @@ class LinkageEmSpec extends AnyFunSuite with SparkSpec {
       when(pmod(col("ck"), lit(4)) === 0, lit("UNKNOWN"))
         .otherwise(col("seg")).as("dseg"),
       (col("bal") + pmod(col("ck"), lit(7)) - 3).as("dbal"))
-    val st = clean.withColumn("blk", expr("(bal - pmod(bal, 100000)) div 100000"))
-      .join(dirty.withColumn("dblk",
-        expr("(dbal - pmod(dbal, 100000)) div 100000")),
+    // the supervised reference must block EXACTLY like q342 — adaptive
+    // width (see SCALING_r13B.json), not the retired fixed $1000 bucket
+    val widthFrame = Tables.customer(spark, sf)
+      .agg(greatest(lit(100L),
+        expr("(1100000L * 256L) div count(*)")).as("width"))
+    val st = clean.crossJoin(broadcast(widthFrame))
+      .withColumn("blk", expr("(bal + 100000L) div width"))
+      .join(dirty.crossJoin(broadcast(
+        widthFrame.select(col("width").as("dwidth"))))
+        .withColumn("dblk", expr("(dbal + 100000L) div dwidth")),
         col("nk") === col("dnk") && col("blk") === col("dblk"))
       .select(
         when(col("seg") === col("dseg"), 1L).otherwise(0L).as("f_seg"),
