@@ -55,6 +55,21 @@ class Round13bSpec extends AnyFunSuite with SparkSpec {
       s"banded=${banded.size} brute=${brute.size} — pigeonhole violated")
   }
 
+  test("q385 BH makes non-vacuous discoveries at sf0.1 and they include " +
+    "a planted source") {
+    val rows = Extras13.q382SequenceMatch.fn(spark, sf0001) // warm session
+    rows.count()
+    val bh = Stats13b.q385RandomizationBh.fn(spark, "/root/testdata/sf0.1")
+      .select("source", "rejected").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val rejected = bh.filter(_._2 == 1).keySet
+    assert(rejected.nonEmpty, "BH rejected nothing at sf0.1 — vacuous gate")
+    val plantedSrcs = bh.keySet.filter(s =>
+      s.replaceAll("[^0-9]", "").toLong % 7 == 0)
+    assert(rejected.exists(plantedSrcs.contains),
+      s"no planted source among rejections: $rejected vs $plantedSrcs")
+  }
+
   test("q382 closed form equals explicit chain enumeration at sf0.001") {
     val ev = graft.Tables.events(spark, sf0001)
       .select(col("user_id"), col("event_type"),
