@@ -416,6 +416,89 @@ object Stats13c {
            |    AS decision_day
            |FROM agg ORDER BY arm""".stripMargin))
 
+  /** q386 — trimmed and winsorized means per event type: the robust
+    * location estimates between q199's median/MAD (fully rank-based) and
+    * the raw mean (fully outlier-exposed) — trim drops the tails beyond
+    * the exact 5th/95th percentiles, winsorize CLAMPS them there (Tukey;
+    * the standard treatment for heavy-tailed revenue/latency columns
+    * before averaging).
+    *
+    * Exactness: values are integer cents; the exact per-type percentiles
+    * come from [[ScaleFrames.groupedQuantileWideDomain]] (the q199
+    * machinery — never a per-group percentile merge on one reducer) and
+    * are then rounded to INTEGER cents, so the trim filter, the clamp,
+    * and every sum run in pure BIGINT — no float accumulates anywhere,
+    * and the three means are single final divisions rounded at 4.
+    *
+    * Scale shape: two grouped-quantile passes (each: per-(type, value)
+    * partial agg + two-level cumulation), a broadcast threshold join
+    * (|types| rows), one partial agg. No corpus-sized window, no collect.
+    */
+  val q386TrimmedWinsorized = GraftQuery(
+    "q386_trimmed_winsorized",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val t05 = ScaleFrames.groupedQuantileWideDomain(
+        ev, "event_type", "cents", 512.0, 0.05, "t05raw")
+        .select(col("event_type").as("k05"),
+          round(col("t05raw"), 0).cast("long").as("t05"))
+      val t95 = ScaleFrames.groupedQuantileWideDomain(
+        ev, "event_type", "cents", 512.0, 0.95, "t95raw")
+        .select(col("event_type").as("k95"),
+          round(col("t95raw"), 0).cast("long").as("t95"))
+      ev.join(broadcast(t05), col("event_type") === col("k05"))
+        .join(broadcast(t95), col("event_type") === col("k95"))
+        .withColumn("w", least(greatest(col("cents"), col("t05")), col("t95")))
+        .withColumn("kept",
+          (col("cents") >= col("t05") && col("cents") <= col("t95"))
+            .cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum((col("cents") < col("t05")).cast("long")).as("n_below"),
+          sum((col("cents") > col("t95")).cast("long")).as("n_above"),
+          max("t05").as("t05_cents"), max("t95").as("t95_cents"),
+          round(sum("cents").cast("double") / count(lit(1)).cast("double"),
+            4).as("mean_cents"),
+          round(sum(when(col("kept") === 1, col("cents")).otherwise(0L))
+            .cast("double") / sum("kept").cast("double"), 4)
+            .as("trimmed_mean_cents"),
+          round(sum("w").cast("double") / count(lit(1)).cast("double"), 4)
+            .as("winsorized_mean_cents"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_type,
+           |    CAST(round(value * 100) AS BIGINT) AS cents
+           |  FROM events),
+           |th AS (
+           |  SELECT event_type,
+           |    CAST(round(quantile_cont(cents, 0.05), 0) AS BIGINT) AS t05,
+           |    CAST(round(quantile_cont(cents, 0.95), 0) AS BIGINT) AS t95
+           |  FROM ev GROUP BY 1),
+           |j AS (
+           |  SELECT ev.event_type, ev.cents, th.t05, th.t95,
+           |    least(greatest(ev.cents, th.t05), th.t95) AS w,
+           |    CASE WHEN ev.cents >= th.t05 AND ev.cents <= th.t95
+           |      THEN 1 ELSE 0 END AS kept
+           |  FROM ev JOIN th USING (event_type))
+           |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CASE WHEN cents < t05 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_below,
+           |  CAST(sum(CASE WHEN cents > t95 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_above,
+           |  max(t05) AS t05_cents, max(t95) AS t95_cents,
+           |  round(CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+           |    AS mean_cents,
+           |  round(CAST(sum(CASE WHEN kept = 1 THEN cents ELSE 0 END)
+           |    AS DOUBLE) / CAST(sum(kept) AS DOUBLE), 4)
+           |    AS trimmed_mean_cents,
+           |  round(CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+           |    AS winsorized_mean_cents
+           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(q388Chi2CramersV, q392PostStratification, q394Sprt)
+    Seq(q386TrimmedWinsorized, q388Chi2CramersV, q392PostStratification,
+      q394Sprt)
 }

@@ -210,8 +210,7 @@ class SinglePartitionSweepSpec extends AnyFunSuite with SparkSpec {
     "q100_contamination" -> "benchmark probe grams = fixed doc_id < 20 slice",
     "q112_hybrid_rrf" -> "query batch = documents⋈embeddings slice doc_id < 5 (fixed 5 rows at any SF)",
     "q293_audio_fingerprint" -> "clip-fingerprint batch = documents slice doc_id < 300, doc_id % 7 = 3 (≤43 clips × ~24 hashes at any SF)",
-    "q359_truncation_recall" -> "query batch = embeddings slice vec_id < 5 (fixed 5 rows at any SF)",
-    "q386_rrf_fusion" -> "query batch = documents x embeddings slice doc_id < 4 (fixed 4 rows at any SF)")
+    "q359_truncation_recall" -> "query batch = embeddings slice vec_id < 5 (fixed 5 rows at any SF)")
 
   test("inventory sweep: no broadcast HINT covers an unreduced SF-scaled " +
     "table scan (explicit whitelist with the justifying bound)") {

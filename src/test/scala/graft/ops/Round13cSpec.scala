@@ -91,22 +91,29 @@ class Round13cSpec extends AnyFunSuite with SparkSpec {
         s"baseline ${majority.toDouble / total} by 10 points")
   }
 
-  test("q386 fused rrf_micro equals the integer recombination of its leg " +
-    "ranks, and fusion is non-degenerate") {
-    val rows = Retrieval13b.q386RrfFusion.fn(spark, sf0001)
-      .select("qid", "fused_rank", "rrf_micro", "r_lex", "r_dense")
-      .collect()
+  test("q386 trimmed/winsorized means match a driver-side recomputation " +
+    "and trim ~10% of each type") {
+    val rows = Stats13c.q386TrimmedWinsorized.fn(spark, sf001).collect()
     assert(rows.nonEmpty)
+    val ev = graft.Tables.events(spark, sf001)
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
     rows.foreach { r =>
-      val expect = 1000000L / (60L + r.getLong(3)) +
-        1000000L / (60L + r.getLong(4))
-      assert(r.getLong(2) == expect, s"rrf mismatch at $r")
+      val t = r.getAs[String]("event_type")
+      val (t05, t95) = (r.getAs[Long]("t05_cents"), r.getAs[Long]("t95_cents"))
+      assert(t05 <= t95)
+      val n = r.getAs[Long]("n")
+      val cut = r.getAs[Long]("n_below") + r.getAs[Long]("n_above")
+      assert(cut.toDouble / n > 0.05 && cut.toDouble / n < 0.15,
+        s"$t trims ${cut.toDouble / n} — expected ~10%")
+      // winsorized mean recomputed from the raw rows + the query's bounds
+      val vals = ev.filter(_._1 == t).map(_._2)
+      val wm = vals.map(v => math.min(math.max(v, t05), t95)).sum.toDouble /
+        vals.length
+      assert(math.abs(r.getAs[Double]("winsorized_mean_cents") -
+        math.round(wm * 10000) / 10000.0) < 1e-9, s"$t winsorized mismatch")
     }
-    // non-degenerate: fusion must not simply replay either single leg
-    val top = rows.filter(_.getLong(1) == 1L)
-    assert(top.exists(r => r.getLong(3) != 1L) ||
-      top.exists(r => r.getLong(4) != 1L),
-      "every fused top-1 is both legs' rank 1 — fusion is vacuous here")
   }
 
   test("q393 encoding advisor bit math and winning regimes") {
