@@ -109,6 +109,7 @@ class SinglePartitionSweepSpec extends AnyFunSuite with SparkSpec {
     "q249_tiering_plan" -> "share window over the 3-tier summary (post-aggregate)",
     "q257_sql_rolling_window" -> "INTERVAL RANGE frame over the per-day revenue table (calendar-bounded, post-aggregate)",
     "q325_kaplan_meier" -> "risk-set cumsum + log-space product windows over the per-day lifetime table (calendar-bounded: ≤ horizon days, post-aggregate)",
+    "q395_nelson_aalen" -> "the q325 frame: hazard/variance cumsum windows over the per-day lifetime table (calendar-bounded: ≤ horizon days, post-aggregate)",
     "q340_neyman_allocation" -> "largest-remainder rank over the ≤ |sources| strata table (post-aggregate)",
     "q385_randomization_bh" -> "BH step-up rank over the ≤ |sources| p-value table (post-aggregate: the corpus folds to 20 hypotheses × 40 permutation cells first)",
     "q353_epoch_allocation" -> "largest-remainder rank over the ≤ |sources| strata table (post-aggregate, the q340 Hamilton shape)")
