@@ -34,7 +34,8 @@ object SparkEntry {
       ops.Graph13.all ++ ops.Spatial13.all ++ ops.Stats13b.all ++
       ops.Quality13.all ++ ops.Stats13c.all ++ ops.Layout13b.all ++
       ops.Phonetic13.all ++ ops.TextModel13.all ++ ops.Survival13.all ++
-      ops.Stats13d.all ++ ops.Ewma13.all ++ ops.Dedup13.all
+      ops.Stats13d.all ++ ops.Ewma13.all ++ ops.Dedup13.all ++
+      ops.Ts13.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -71,6 +71,52 @@ class Round13dSpec extends AnyFunSuite with SparkSpec {
       "planted association should be decisively detected")
   }
 
+  test("q400 decomposition reassembles: x = trend + seasonal + residual") {
+    val rows = Ts13.q400SeasonalDecompose.fn(spark, sf001)
+      .select("x", "trend", "seasonal", "residual").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val x = r.getLong(0).toDouble
+      val sum = r.getDouble(1) + r.getDouble(2) + r.getDouble(3)
+      assert(math.abs(x - sum) < 5e-3,
+        s"x $x != trend+seasonal+residual $sum beyond rounding")
+    }
+  }
+
+  test("q401 Holt-Winters fold equals a driver-side recurrence replay") {
+    val daily = graft.Tables.events(spark, sf001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .orderBy("event_type", "day").collect()
+      .map(r => (r.getString(0), r.getDouble(2)))
+    val out = Ts13.q401HoltWinters.fn(spark, sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    daily.groupBy(_._1).foreach { case (et, rows) =>
+      val xs = rows.map(_._2)
+      if (xs.length >= 14) {
+        val m1 = xs.take(7).sum / 7.0
+        val m2 = xs.slice(7, 14).sum / 7.0
+        var l = m1
+        var b = (m2 - m1) / 7.0
+        var q = xs.take(7).map(_ - m1).toVector
+        xs.drop(7).foreach { x =>
+          val s7 = q.head
+          val l2 = 0.5 * (x - s7) + 0.5 * (l + b)
+          val b2 = 0.25 * (l2 - l) + 0.75 * b
+          val sn = 0.25 * (x - l2) + 0.75 * s7
+          l = l2; b = b2; q = q.tail :+ sn
+        }
+        val row = out(et)
+        assert(math.abs(row.getAs[Double]("level") - l) < 1e-3,
+          s"$et level")
+        assert(math.abs(row.getAs[Double]("trend") - b) < 1e-3,
+          s"$et trend")
+        val f3 = l + 3.0 * b + q(2)
+        assert(math.abs(row.getAs[Double]("f3") - f3) < 1e-3, s"$et f3")
+      }
+    }
+  }
+
   test("q399 recommendation is the exact cost argmin and the S-curve " +
     "trade-off is non-vacuous") {
     val rows = Dedup13.q399LshPlanner.fn(spark, sf001)
