@@ -30,23 +30,31 @@ import graft.{GraftQuery, Tables}
   */
 object Phonetic13 {
 
-  /** The shared per-digit collapse chain (step 2): one regexp_replace per
-    * code class, identical source text in both engines.
+  /** The per-digit collapse chain (step 2): one regexp_replace per code
+    * class. The algorithm text is identical in both engines but the
+    * GLOBAL-REPLACE convention is not: Spark's regexp_replace replaces
+    * every match, DuckDB's replaces only the FIRST unless passed the 'g'
+    * option — a second same-code run in one name ("kamnesgar" →
+    * 205502206 has runs of 5s AND 2s) stays uncollapsed without it.
+    * The 3× derived-scale gate caught exactly this (±3 cross-key pairs
+    * of 21k at factor 3 — invisible at the base fixtures, where no
+    * colliding pair happened to straddle the broken collapse).
     */
-  private def collapseSql(in: String): String =
+  private def collapseSql(in: String, duck: Boolean): String =
     (1 to 6).foldLeft(in) { (acc, d) =>
-      s"regexp_replace($acc, '$d+', '$d')"
+      if (duck) s"regexp_replace($acc, '$d+', '$d', 'g')"
+      else s"regexp_replace($acc, '$d+', '$d')"
     }
 
-  /** Full Soundex pipeline as a SQL expression string (valid in Spark
-    * and DuckDB alike — both ship translate/upper/regexp_replace/replace/
-    * rpad with these semantics).
+  /** Full Soundex pipeline as a SQL expression string — same four steps
+    * in both engines; `duck = true` adds DuckDB's 'g' replace option
+    * (see [[collapseSql]]).
     */
-  private[ops] def soundexSql(nm: String): String = {
+  private[ops] def soundexSql(nm: String, duck: Boolean = false): String = {
     val mapped =
       s"translate(upper($nm), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', " +
         "'01230120022455012623010202')"
-    val collapsed = collapseSql(mapped)
+    val collapsed = collapseSql(mapped, duck)
     val dropped = s"replace($collapsed, '0', '')"
     s"concat(upper(substring($nm, 1, 1)), " +
       s"rpad(substring($dropped, 2, 3), 3, '0'))"
@@ -159,8 +167,8 @@ object Phonetic13 {
         .orderBy("perturbation")
     },
     Some {
-      val sdxC = soundexSql("nm")
-      val sdxD = soundexSql("dnm")
+      val sdxC = soundexSql("nm", duck = true)
+      val sdxD = soundexSql("dnm", duck = true)
       s"""WITH w AS (
          |  SELECT greatest(100, (1100000 * 64) // count(*)) AS width
          |  FROM customer),

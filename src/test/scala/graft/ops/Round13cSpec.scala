@@ -31,13 +31,17 @@ class Round13cSpec extends AnyFunSuite with SparkSpec {
       "bben", // B500 — leading double letter collapses into the first code
       "jolkamtor", // J425 — a generated-shape 3-syllable name
       "balbal", // B414 — vowel-separated repeats keep BOTH codes
-      "tanattan")) // T535 — vowels separate, so no cross-vowel collapse
+      "tanattan", // T535 — vowels separate, so no cross-vowel collapse
+      "kamnesgar")) // K526 — TWO separate runs (55 and 22) both collapse;
+    // the case DuckDB's first-match-only regexp_replace got wrong until
+    // the oracle passed 'g' (caught by the 3× derived-scale gate)
     assert(got("robert") == "R163")
     assert(got("rupert") == "R163")
     assert(got("bben") == "B500")
     assert(got("jolkamtor") == "J425")
     assert(got("balbal") == "B414")
     assert(got("tanattan") == "T535")
+    assert(got("kamnesgar") == "K526")
   }
 
   test("q387 perturbation classes behave as documented") {
