@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val only = args.lift(1)
+    // comma-separated names audit several queries in one JVM
+    val only = args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-explain")
@@ -19,7 +20,7 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.allQueries
-      .filter(q => only.forall(_ == q.name))
+      .filter(q => only.forall(_.contains(q.name)))
       .foreach { q =>
         println(s"\n===== ${q.name} =====")
         try println(q.fn(spark, sfDir).queryExecution.explainString(

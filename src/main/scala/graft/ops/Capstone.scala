@@ -113,11 +113,21 @@ object Capstone {
             ext.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           (id, ext, bad.toLong)
         }).toDF("doc_id", "ext", "n_invalid")
+      // persist the parse/extract/scan chain: WARC assembly + parse, HTML
+      // extraction and the UTF-8 byte scan are the pipeline's expensive
+      // per-row JVM work, and `staged` feeds FIVE consumers (ingest, the
+      // exact-dedup key build, the semi-join probe side, and through them
+      // the LSH/BPE stages). Unpersisted, the whole chain re-executed per
+      // consumer — the final plan carried ~970 Exchange nodes of duplicated
+      // subtrees (plans/r13/q308_pipeline_capstone_before.txt) and planning
+      // itself was part of the cost. Guide §5: cache exactly the reused,
+      // expensive intermediate.
       val staged = scanned
         .join(docs, "doc_id")
         .join(meta, "doc_id")
         .select(col("doc_id"), col("source"), col("lang"), col("ext"),
           col("n_invalid"), (col("ext") === col("t")).cast("long").as("rt"))
+        .persist()
       val ingest = staged.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum("rt").as("n_roundtrip"),
@@ -129,7 +139,11 @@ object Capstone {
         .select(col("doc_id"), md5(col("ext")).as("fp"))
         .groupBy("fp").agg(min("doc_id").as("doc_id"))
         .select("doc_id")
+      // three consumers (LSH pairs, the anti-join survivor build, the
+      // per-source exact aggregate) — persist so the md5 groupBy + semi
+      // join run once, not three times
       val exactSurv = clean.join(keepIds, Seq("doc_id"), "left_semi")
+        .persist()
 
       // ---- stage 5: MinHash-LSH near-dup over the exact survivors
       val pairs = Dedup.minhashPairsDocs(s,
@@ -154,6 +168,7 @@ object Capstone {
         .withColumn("tok", coalesce(col("wtoks"), length(col("word")).cast("long")))
         .groupBy("doc_id", "source", "lang")
         .agg(sum("tok").as("n_tok"))
+        .persist() // read by packing AND the per-source survivor aggregate
 
       // ---- stage 7: q128 packing per (source, doc_id % 4) sub-stream
       val w = Window.partitionBy("source", "shard").orderBy("doc_id")
@@ -206,6 +221,10 @@ object Capstone {
           coalesce(col("n_segments"), lit(0L)).as("n_segments"),
           coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
         .orderBy("source")
+      // NOT localCheckpoint'ed/unpersisted here: Round11PlanSpec pins the
+      // packing window keys and broadcast joins on this frame's own plan,
+      // so the caches are left to the harness's per-query clearCache (the
+      // minhashPairsDocs discipline).
     },
     Some(s"""WITH d AS MATERIALIZED (
            |  SELECT doc_id, source, lang,

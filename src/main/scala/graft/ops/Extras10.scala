@@ -369,23 +369,30 @@ object Extras10 {
           .as("w"))
         .distinct().persist()
       val vocab = sw.select("w").distinct().count()
+      // the source universe is tiny (|sources| rows) and STATIC across the
+      // 5 greedy steps — collect it once instead of re-scanning the whole
+      // persisted gram frame for a distinct + left join EVERY step (was 5
+      // extra corpus-cache scans; the zero-gain fill now happens on the
+      // driver over the same bounded list, preserving the exact
+      // (gain desc, source asc) pick order)
+      val allSources = sw.select("source").distinct()
+        .collect().map(_.getString(0)).sorted
       var picked = Vector.empty[String]
       var covered = sw.select("w").limit(0).localCheckpoint()
       val steps = scala.collection.mutable.ArrayBuffer[
         (Int, String, Long, Long)]()
       var cumulative = 0L
       for (step <- 1 to 5) {
-        val anti = sw.filter(!col("source").isin(picked: _*))
+        val gainMap = sw.filter(!col("source").isin(picked: _*))
           .join(covered, Seq("w"), "left_anti")
           .groupBy("source").agg(count(lit(1)).as("gain"))
-        val gains = sw.filter(!col("source").isin(picked: _*))
-          .select("source").distinct()
-          .join(anti, Seq("source"), "left")
-          .na.fill(0L, Seq("gain"))
-          .orderBy(desc("gain"), col("source"))
-          .limit(1).collect()
-        val (src, gain) =
-          (gains(0).getAs[String]("source"), gains(0).getAs[Long]("gain"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // maxBy keeps the FIRST maximum and the candidate list is sorted
+        // ascending, so ties break to the smallest source — the same
+        // (gain desc, source asc) order the frame-side pick used
+        val (src, gain) = allSources.filterNot(picked.contains)
+          .map(sc => (sc, gainMap.getOrElse(sc, 0L)))
+          .maxBy(_._2)
         picked :+= src
         cumulative += gain
         steps += ((step, src, gain, cumulative))

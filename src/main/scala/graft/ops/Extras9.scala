@@ -617,12 +617,15 @@ object Extras9 {
         .groupBy("u", "v").agg(count(lit(1)).as("w"))
         .persist()
       val deg = edges.groupBy("u").agg(sum("w").as("d"))
+      // decorate each edge with its source's weighted degree ONCE before
+      // the loop: every iteration then pays a single vocabulary join
+      // (edgesD ⋈ r) instead of two (edges ⋈ r ⋈ deg) — 5 joins saved
+      val edgesD = edges.join(deg, "u").persist()
       val nodes = words.select(col("w").as("word")).distinct().persist()
       var r = nodes.select(col("word"), lit(TrScale).as("r"))
       for (_ <- 1 to 5) {
-        val contrib = edges
+        val contrib = edgesD
           .join(r.select(col("word").as("u"), col("r").as("ru")), "u")
-          .join(deg, "u")
           .groupBy(col("v").as("word"))
           .agg(sum(col("w") * expr("ru div d")).as("c"))
         // flatten each round's lineage: the per-round frame is
@@ -642,7 +645,7 @@ object Extras9 {
             .as("share"))
         .orderBy(desc("score"), col("word")).limit(10)
         .localCheckpoint()
-      prs.unpersist(); edges.unpersist(); nodes.unpersist()
+      prs.unpersist(); edges.unpersist(); edgesD.unpersist(); nodes.unpersist()
       out
     },
     Some("""WITH base AS (

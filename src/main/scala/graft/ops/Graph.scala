@@ -127,13 +127,24 @@ object Graph {
     * then pairs come from a join keyed on the order (fan-out = basket²,
     * bounded). Shared by q148 (suppliers), q215 (parts), q264 (suppliers).
     */
-  private def coPurchaseEdges(li: DataFrame, orderCol: String,
+  private[ops] def coPurchaseEdges(li: DataFrame, orderCol: String,
       keyCol: String): DataFrame = {
-    val ps = li.select(orderCol, keyCol).distinct()
-    ps.as("a")
-      .join(ps.as("b"), col(s"a.$orderCol") === col(s"b.$orderCol") &&
-        col(s"a.$keyCol") < col(s"b.$keyCol"))
-      .select(col(s"a.$keyCol").as("u"), col(s"b.$keyCol").as("v"))
+    // one partial-agg groupBy gathers each order's distinct basket
+    // (collect_set dedups the (order, key) pairs map-side), and the u < v
+    // pairs come from a codegen HOF over the sorted in-row array — the
+    // earlier distinct → self-join-on-order → distinct shape paid FOUR
+    // exchanges (distinct by (o,k), re-shuffle both join sides by o,
+    // distinct by (u,v)); this pays TWO (groupBy o, distinct (u,v)) for the
+    // identical edge set (guide §2.4). Baskets are order-bounded (≤ 7
+    // lineitems in TPC-H at any SF), so the in-row pair fan-out is a
+    // constant, never a skew risk.
+    li.groupBy(col(orderCol).as("o"))
+      .agg(sort_array(collect_set(col(keyCol))).as("ks"))
+      .select(explode(expr(
+        """flatten(transform(ks, (x, i) ->
+          |  transform(slice(ks, i + 2, size(ks) - i - 1),
+          |    y -> named_struct('u', x, 'v', y))))""".stripMargin)).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
       .distinct()
   }
 
@@ -472,6 +483,15 @@ object Graph {
   val q184Sssp = GraftQuery(
     "q184_sssp",
     (s, dir) => {
+      // NOTE (r13 optimization round): the collect_set + in-row-pair-HOF
+      // build that won on the order-keyed graphs (coPurchaseEdges) was
+      // tried here and measured EQUAL within noise (10.4–10.9 s vs 10.4 s
+      // in matched isolated runs at sf0.1; isolated runs of this query pay
+      // ~4 s more JIT/codegen warmup than its slot inside a full bench
+      // pass): per-part supplier sets are ~30 wide (vs ~4 per order), so
+      // the in-row fan-out is ~870× and the HOF build loses its edge over
+      // the shuffle-parallel self-join. Kept on the baseline-proven join
+      // shape deliberately.
       val ps = Tables.lineitem(s, dir)
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
       val e = ps.alias("a").join(ps.alias("b"), Seq("pk"))

@@ -511,8 +511,11 @@ object Quality {
       val med = ScaleFrames
         .groupedQuantileWideDomain(ev, "event_type", "value", 32.0, 0.5, "med")
         .withColumnRenamed("event_type", "mt")
+      // dev feeds the MAD quantile AND the final outlier scan — persist so
+      // the events scan + median join run once, not twice
       val dev = ev.join(broadcast(med), col("event_type") === col("mt"))
         .withColumn("adev", abs(col("value") - col("med")))
+        .persist()
       val mad = ScaleFrames
         .groupedQuantileWideDomain(dev, "event_type", "adev", 32.0, 0.5, "mad")
       dev.join(broadcast(mad.select(col("event_type").as("kt"),

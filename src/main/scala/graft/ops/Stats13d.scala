@@ -60,7 +60,12 @@ object Stats13d {
   val q396RansacLine = GraftQuery(
     "q396_ransac_line",
     (s, dir) => {
-      val pts = pointsFrame(s, dir)
+      // pointsFrame computes 3 md5s per event row and is scanned THREE
+      // times (sample pick, hypothesis scoring, winner refit) — persist so
+      // the hash synthesis runs once and the two scoring passes read the
+      // cached (id, x, y, hsel) rows (guide §5: cache the reused expensive
+      // intermediate; ~32 bytes/row, corpus-linear)
+      val pts = pointsFrame(s, dir).persist()
       val samp = pts.orderBy(col("hsel"), col("id")).limit(64)
         .select("x", "y").collect().map(r => (r.getLong(0), r.getLong(1)))
       val hyps = samp.grouped(2).zipWithIndex.collect {
