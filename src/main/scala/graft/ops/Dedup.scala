@@ -332,11 +332,14 @@ object Dedup {
     "q26_dedup_ngram",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
+      // both sides of the all-pairs join read this frame — persist so the
+      // per-doc char-gram hashing (the expensive per-row kernel) runs once
       val de = Tables.documents(s, dir)
         .filter(col("lang") === "de")
         .withColumn("cg",
           sortedInts(graft.functions.GraftFunctions.charGrams(col("text"), 4, 8)))
         .select(col("doc_id"), col("cg"))
+        .persist()
       val inter = graft.functions.GraftFunctions
         .intersectCount(col("ci"), col("cj")).cast("int")
       // exact pruning: J = I/(a+b-I) ≥ 0.5 and I ≤ min(a,b) force

@@ -551,9 +551,17 @@ object Extras6 {
         .distinct().persist()
       val nOrders = b.select("o").distinct().count().toDouble
       val itemSupp = b.groupBy("p").agg(count(lit(1)).as("supp_i"))
-      val pairs = b.select(col("o"), col("p").as("pa"))
-        .join(b.select(col("o"), col("p").as("pb")), Seq("o"))
-        .filter(col("pa") < col("pb"))
+      // basket pairs from one groupBy + in-row pair HOF instead of the
+      // self-join on the order key (the coPurchaseEdges rationale: two
+      // exchanges fewer for the identical pair multiset; baskets are
+      // order-bounded, ~4 parts each)
+      val pairs = b.groupBy("o")
+        .agg(sort_array(collect_set(col("p"))).as("ks"))
+        .select(explode(expr(
+          """flatten(transform(ks, (x, i) ->
+            |  transform(slice(ks, i + 2, size(ks) - i - 1),
+            |    y -> named_struct('pa', x, 'pb', y))))""".stripMargin)).as("q"))
+        .select(col("q.pa").as("pa"), col("q.pb").as("pb"))
         .groupBy("pa", "pb").agg(count(lit(1)).as("supp"))
         .filter(col("supp") >= 3)
       val out = pairs

@@ -34,23 +34,25 @@ object Graph {
     "q98_pagerank",
     (s, dir) => {
       val e = edges(s, dir).persist()
-      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
       val withDeg = e.join(deg, "src").persist()
-      // each round references the previous rank frame TWICE (contrib build
-      // + the left join back), so an unpersisted chain re-executes round
-      // i−1 in both branches — 2^rounds leaf executions by round 3. The
-      // per-round frame is node-cardinality (tiny); persist each and
-      // release them after the output materializes
+      // each round's new rank is 0.15 + 0.85·inflow — it does NOT read the
+      // previous rank except through the contributions, so the "attach
+      // zero-inflow nodes" left join of the original shape is one shuffle
+      // and one stage barrier per round that a zero-contribution UNION
+      // into the SAME partial-agg groupBy replaces for free (guide §2.4;
+      // x + 0.0 is exact in IEEE arithmetic, so the inflow values are
+      // unchanged). The per-round frame is node-cardinality (tiny);
+      // persist each and release after the output materializes
       var ranks = deg.select(col("src").as("node"), lit(1.0).as("rank"))
       val rounds = scala.collection.mutable.Buffer[DataFrame]()
       for (_ <- 1 to 3) {
-        val contrib = withDeg.join(ranks, withDeg("src") === ranks("node"))
-          .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
-          .groupBy("dst").agg(sum("c").as("inflow"))
-        ranks = ranks.select(col("node"), col("rank")).alias("r")
-          .join(contrib, col("node") === col("dst"), "left")
+        ranks = withDeg.join(ranks, withDeg("src") === ranks("node"))
+          .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
+          .unionByName(deg.select(col("src").as("node"), lit(0.0).as("c")))
+          .groupBy("node").agg(sum("c").as("inflow"))
           .select(col("node"),
-            (lit(0.15) + lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+            (lit(0.15) + lit(0.85) * col("inflow")).as("rank"))
           .persist()
         rounds += ranks
       }
@@ -67,6 +69,7 @@ object Graph {
         // the caller finally executes it (the q184/q215 discipline)
         .localCheckpoint()
       e.unpersist()
+      deg.unpersist()
       withDeg.unpersist()
       rounds.foreach(_.unpersist())
       out
@@ -606,22 +609,25 @@ object Graph {
     "q237_personalized_pagerank",
     (s, dir) => {
       val e = edges(s, dir).persist()
-      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
       val withDeg = e.join(deg, "src").persist()
       val k = deg.filter(col("src") > 0 && col("src") <= 20).count().toDouble
       def teleport(node: org.apache.spark.sql.Column) =
         when(node > 0 && node <= 20, lit(1.0 / k)).otherwise(lit(0.0))
       var ranks = deg.select(col("src").as("node"),
         teleport(col("src")).as("rank"))
+      // zero-contribution union into the round's groupBy in place of the
+      // per-round left join back to the node set (the q98 rationale:
+      // x + 0.0 is IEEE-exact, one shuffle + one stage barrier saved per
+      // round)
       for (_ <- 1 to 3) {
-        val contrib = withDeg.join(ranks, withDeg("src") === ranks("node"))
-          .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
-          .groupBy("dst").agg(sum("c").as("inflow"))
-        ranks = deg.select(col("src").as("node"))
-          .join(contrib, col("node") === col("dst"), "left")
+        ranks = withDeg.join(ranks, withDeg("src") === ranks("node"))
+          .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
+          .unionByName(deg.select(col("src").as("node"), lit(0.0).as("c")))
+          .groupBy("node").agg(sum("c").as("inflow"))
           .select(col("node"),
             (lit(0.15) * teleport(col("node")) +
-              lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+              lit(0.85) * col("inflow")).as("rank"))
       }
       val out = ranks.filter(col("node") < 0 && col("node") >= -60)
         .select((-col("node")).as("supp"), round(col("rank"), 6).as("ppr"))
@@ -636,7 +642,7 @@ object Graph {
       // ordered-by-id contract without a SinglePartition exchange
       val rows = out.collect()
         .sortBy(_.getAs[Number]("supp").longValue)
-      e.unpersist(); withDeg.unpersist()
+      e.unpersist(); deg.unpersist(); withDeg.unpersist()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     },
     Some {
