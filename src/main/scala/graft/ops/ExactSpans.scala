@@ -55,21 +55,20 @@ object ExactSpans {
           explode(sequence(lit(0), col("len") - L)).as("i"), col("text"))
         .select(col("doc_id"), col("i"),
           unhex(substring(gram, 1, 16)).as("k"))
-      // single-pass duplicate detection: gather each key's (doc_id, i)
-      // positions in the SAME aggregate that counts them, then re-explode
-      // only the duplicated keys' lists. The earlier groupBy+join-back
-      // shape re-executed the whole explode+md5 subtree on the probe side
-      // (two Generate nodes in the plan) and paid a second join shuffle;
-      // this computes the per-position md5 exactly once and shuffles the
-      // same (k, doc_id, i) bytes exactly once (guide §2.4 — remove
-      // shuffles outright; the dup lists are tiny, bounded by each gram's
-      // corpus frequency, and non-dup keys collapse to one dropped row).
+      // single md5 pass: the original groupBy+join-back shape re-executed
+      // the whole explode+md5 subtree on the probe side (two Generate
+      // nodes in the before plan) — persisting the (doc_id, i, k) position
+      // frame makes the dup-count aggregate and the join-back read the
+      // SAME materialized rows (guide §5; ~24 bytes/position). A
+      // collect_list-in-the-aggregate variant that also removed the join
+      // was measured SLOWER than this (5.6 vs 3.9 s isolated at sf0.1):
+      // the ObjectHashAggregate list buffers cost more than the second
+      // cached-scan + codegen count aggregate they save.
       val byDoc = Window.partitionBy("doc_id").orderBy("i")
-      val m = pos.groupBy("k")
-        .agg(collect_list(struct(col("doc_id"), col("i"))).as("ps"))
-        .filter(size(col("ps")) > 1)
-        .select(explode(col("ps")).as("p"))
-        .select(col("p.doc_id").as("doc_id"), col("p.i").as("i"))
+      val posP = pos.persist()
+      val dup = posP.groupBy("k").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select("k")
+      val m = posP.join(dup, "k").select("doc_id", "i")
         .withColumn("prev_end", max(col("i") + L)
           .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
         .withColumn("new_span",

@@ -551,17 +551,16 @@ object Extras6 {
         .distinct().persist()
       val nOrders = b.select("o").distinct().count().toDouble
       val itemSupp = b.groupBy("p").agg(count(lit(1)).as("supp_i"))
-      // basket pairs from one groupBy + in-row pair HOF instead of the
-      // self-join on the order key (the coPurchaseEdges rationale: two
-      // exchanges fewer for the identical pair multiset; baskets are
-      // order-bounded, ~4 parts each)
-      val pairs = b.groupBy("o")
-        .agg(sort_array(collect_set(col("p"))).as("ks"))
-        .select(explode(expr(
-          """flatten(transform(ks, (x, i) ->
-            |  transform(slice(ks, i + 2, size(ks) - i - 1),
-            |    y -> named_struct('pa', x, 'pb', y))))""".stripMargin)).as("q"))
-        .select(col("q.pa").as("pa"), col("q.pb").as("pb"))
+      // NOTE (r13 optimization round): the collect_set + in-row-pair-HOF
+      // build that won on coPurchaseEdges was tried here and measured
+      // SLOWER both isolated (+12 %) and inside a full bench pass
+      // (+0.35 s) — unlike the graph queries there is no heavy downstream
+      // to amortize it, and the support groupBy reads the exploded pair
+      // stream from the few AQE-coalesced post-aggregate partitions.
+      // Kept on the baseline-proven self-join shape deliberately.
+      val pairs = b.select(col("o"), col("p").as("pa"))
+        .join(b.select(col("o"), col("p").as("pb")), Seq("o"))
+        .filter(col("pa") < col("pb"))
         .groupBy("pa", "pb").agg(count(lit(1)).as("supp"))
         .filter(col("supp") >= 3)
       val out = pairs

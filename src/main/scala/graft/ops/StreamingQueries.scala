@@ -211,10 +211,13 @@ object StreamingQueries {
       val base = graft.WorkDir.resolve(s, "sdedupq", dir)
       val (src, dest, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
       clearDirs(s, src, dest, ckpt)
-      val ev = Tables.events(s, dir).select("event_id", "event_type", "ts", "value")
+      // persist across the two staged writes (q158 rationale)
+      val ev = Tables.events(s, dir)
+        .select("event_id", "event_type", "ts", "value").persist()
       ev.coalesce(2).write.parquet(src)
       ev.filter(col("event_id") % 10 === 0) // exact re-deliveries
         .coalesce(1).write.mode("append").parquet(src)
+      ev.unpersist()
       val ss = streamSession(s, statePartitions = 8)
       val schema = ss.read.parquet(src).schema
       val deduped = graft.streaming.StreamingDedup.dedup(
@@ -405,9 +408,12 @@ object StreamingQueries {
       clearDirs(s, src, ckpt)
       val target = sfTable("graft_mv_q158", dir)
       freshManagedTable(s, target)
+      // the bounds agg + three staged writes each scanned events — persist
+      // across the four consumers, released before the stream starts
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("event_type"), col("ts"), col("value"))
         .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+        .persist()
       val b = ev.agg(min("day"), max("day")).first()
       val (mnd, mxd) = (b.getLong(0), b.getLong(1))
       writeStagedFile(s, base, src, "a_fixture", 1000000000000L, ev.drop("day"))
@@ -415,6 +421,7 @@ object StreamingQueries {
         ev.filter(col("day") === mxd).drop("day"))
       writeStagedFile(s, base, src, "c_late", 1000007200000L,
         ev.filter(col("day") === mnd).drop("day"))
+      ev.unpersist()
       val ss = streamSession(s, statePartitions = 8)
       val schema = ss.read.parquet(src).schema
       val stream = ss.readStream.schema(schema)
@@ -476,15 +483,18 @@ object StreamingQueries {
       val base = graft.WorkDir.resolve(s, "ssessq", dir)
       val (src, dest, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
       clearDirs(s, src, dest, ckpt)
+      // persist across the bounds agg + two staged writes (q158 rationale)
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("ts"), col("value"))
         .withColumn("us", expr("unix_micros(ts)"))
+        .persist()
       val b = ev.agg(min("us"), max("us")).first()
       val mid = (b.getLong(0) + b.getLong(1)) / 2
       writeStagedFile(s, base, src, "a_first_half", 1000000000000L,
         ev.filter(col("us") <= mid).drop("us"))
       writeStagedFile(s, base, src, "b_second_half", 1000003600000L,
         ev.filter(col("us") > mid).drop("us"))
+      ev.unpersist()
       val ss = streamSession(s, statePartitions = 8)
       val schema = ss.read.parquet(src).schema
       ss.readStream.schema(schema)
@@ -738,9 +748,11 @@ object StreamingQueries {
       val base = graft.WorkDir.resolve(s, "ssojq", dir)
       val (src, dest, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
       clearDirs(s, src, dest, ckpt)
+      // persist across the bounds agg + two staged writes (q158 rationale)
       val ev = Tables.events(s, dir)
         .select("event_id", "ts", "user_id", "event_type")
         .filter(col("event_type").isin("error", "click"))
+        .persist()
       val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).first()
       val (mn, mx) = (b.getLong(0), b.getLong(1))
       val mid = mn + (mx - mn) / 2
@@ -748,6 +760,7 @@ object StreamingQueries {
         ev.filter(unix_micros(col("ts")) <= mid))
       writeStagedFile(s, base, src, "b_late", 1000003600000L,
         ev.filter(unix_micros(col("ts")) > mid))
+      ev.unpersist()
       val sentinelUs = mx + 400L * 86400000000L
       val sentinels = Seq((-1L, sentinelUs, -1L, "error"),
         (-2L, sentinelUs, -2L, "click"))
@@ -810,9 +823,11 @@ object StreamingQueries {
       val base = graft.WorkDir.resolve(s, "ssfoj", dir)
       val (src, dest, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
       clearDirs(s, src, dest, ckpt)
+      // persist across the bounds agg + two staged writes (q158 rationale)
       val ev = Tables.events(s, dir)
         .select("event_id", "ts", "user_id", "event_type")
         .filter(col("event_type").isin("error", "click"))
+        .persist()
       val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).first()
       val (mn, mx) = (b.getLong(0), b.getLong(1))
       val mid = mn + (mx - mn) / 2
@@ -820,6 +835,7 @@ object StreamingQueries {
         ev.filter(unix_micros(col("ts")) <= mid))
       writeStagedFile(s, base, src, "b_late", 1000003600000L,
         ev.filter(unix_micros(col("ts")) > mid))
+      ev.unpersist()
       val sentinelUs = mx + 400L * 86400000000L
       val sentinels = Seq((-1L, sentinelUs, -1L, "error"),
         (-2L, sentinelUs, -2L, "click"))
@@ -886,9 +902,11 @@ object StreamingQueries {
       val base = graft.WorkDir.resolve(s, "ssroj", dir)
       val (src, dest, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
       clearDirs(s, src, dest, ckpt)
+      // persist across the bounds agg + two staged writes (q158 rationale)
       val ev = Tables.events(s, dir)
         .select("event_id", "ts", "user_id", "event_type")
         .filter(col("event_type").isin("error", "click"))
+        .persist()
       val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).first()
       val (mn, mx) = (b.getLong(0), b.getLong(1))
       val mid = mn + (mx - mn) / 2
@@ -896,6 +914,7 @@ object StreamingQueries {
         ev.filter(unix_micros(col("ts")) <= mid))
       writeStagedFile(s, base, src, "b_late", 1000003600000L,
         ev.filter(unix_micros(col("ts")) > mid))
+      ev.unpersist()
       val sentinelUs = mx + 400L * 86400000000L
       val sentinels = Seq((-1L, sentinelUs, -1L, "error"),
         (-2L, sentinelUs, -2L, "click"))
@@ -988,7 +1007,9 @@ object StreamingQueries {
           trim(regexp_replace(col("text"), "\\s+", " ")).as("t"))
         // synthetic deterministic event time: one doc per second
         .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
-      val arrivals = docs.filter(col("doc_id") % 3 =!= 0)
+      // persist across the bounds agg + three staged writes (q158
+      // rationale; the regexp normalization is the per-row cost here)
+      val arrivals = docs.filter(col("doc_id") % 3 =!= 0).persist()
       // planted cross-corpus duplicates: static text under a new identity —
       // every one MUST be rejected by the stream-static anti join
       val planted = docs
@@ -1004,6 +1025,7 @@ object StreamingQueries {
       // landing a batch AFTER both originals (cross-batch dedup state)
       writeStagedFile(s, base, src, "c_redelivery", 1000007200000L,
         arrivals.filter(col("doc_id") % 7 === 1))
+      arrivals.unpersist()
       val ss = streamSession(s, statePartitions = 8)
       val staticFp = Tables.documents(ss, dir)
         .filter(col("doc_id") % 3 === 0)
