@@ -186,8 +186,12 @@ object Graph {
       // {x→y, x→z, y→z} is found exactly once (on its (x, y) leg: z is
       // an out-neighbor of both ends), and every corner is credited in
       // the same pass — x and y get size(zs), each z gets one.
+      // persisted: the endpoint-credit and apex-credit branches each
+      // re-derive the decorated stream, so an unpersisted adj would run
+      // its groupBy + collect twice (r13 optimization round)
       val adj = oriented.groupBy(col("src"))
         .agg(sort_array(collect_list(col("dst"))).as("nbr"))
+        .persist()
       // both intersect kernels are fused sorted-merges over primitive
       // longs (array_intersect builds a boxed OpenHashSet per row, which
       // dominates at edge-cardinality × O(√m)-element arrays)
@@ -225,7 +229,7 @@ object Graph {
         // cached frames instead of leaving them pinned until the
         // harness's periodic clearCache
         .localCheckpoint()
-      und.unpersist(); oriented.unpersist()
+      und.unpersist(); oriented.unpersist(); adj.unpersist()
       out
     },
     Some("""WITH und AS (
@@ -436,18 +440,21 @@ object Graph {
   val q186LabelProp = GraftQuery(
     "q186_label_prop",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val e = semanticEdges(s, dir)
       var lab = e.select(col("u")).distinct()
         .select(col("u").as("node"), col("u").as("lbl"))
       for (_ <- 1 to 4) {
         val votes = e.join(lab, e("v") === lab("node"))
           .groupBy(e("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        // argmax via max(struct): partial (map-side) aggregation collapses
+        // the vote rows before the shuffle and skips the per-node sort a
+        // row_number window paid each round (the q28 discipline); the
+        // (cnt, −lbl) struct order IS (cnt desc, lbl asc) — identical
+        // winner and tie-break, integer-exact
         lab = votes
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("u").orderBy(desc("cnt"), col("lbl"))))
-          .filter(col("rn") === 1)
-          .select(col("u").as("node"), col("lbl"))
+          .groupBy(col("u"))
+          .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("b"))
+          .select(col("u").as("node"), (-col("b.neg")).as("lbl"))
       }
       val out = lab.select(col("node").as("doc_id"), col("lbl").as("community"))
         .orderBy("doc_id")

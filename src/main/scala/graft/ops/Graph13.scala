@@ -46,17 +46,27 @@ object Graph13 {
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("dst"))
-    val adj = oriented.groupBy(col("src"))
+    // oriented feeds the adjacency aggregate AND both credit legs, and the
+    // two legs each re-derive the decorated stream — persist the edge list
+    // so orientation (2 degree joins) runs once per level, and give the
+    // base leg the COUNT kernel (no per-edge apex-array allocation; the
+    // r13-optimization measurement on the same shape in q148) while only
+    // the apex leg materializes the intersection arrays it must explode.
+    // Caches are node/edge-cardinality and released by the harness's
+    // per-query clearCache (the minhashPairsDocs discipline; the caller's
+    // survivor frames are localCheckpoint'ed independently).
+    val orientedP = oriented.persist()
+    val adj = orientedP.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbr"))
-    val dec = oriented
+      .persist()
+    val dec = orientedP
       .join(adj.select(col("src"), col("nbr").as("nx")), "src")
       .join(adj.select(col("src").as("dst"), col("nbr").as("ny")), "dst")
-      .select(col("src"), col("dst"),
-        GraftFunctions.intersectSorted(col("nx"), col("ny")).as("zs"))
     val baseLeg = dec.select(encodePair(col("src"), col("dst")).as("ek"),
-      size(col("zs")).cast("long").as("c"))
+      GraftFunctions.intersectCount(col("nx"), col("ny")).cast("long").as("c"))
     val apexLeg = dec
-      .select(col("src"), col("dst"), explode(col("zs")).as("z"))
+      .select(col("src"), col("dst"),
+        explode(GraftFunctions.intersectSorted(col("nx"), col("ny"))).as("z"))
       .select(explode(array(encodePair(col("src"), col("z")),
         encodePair(col("dst"), col("z")))).as("ek"))
       .groupBy("ek").agg(count(lit(1)).as("c"))
