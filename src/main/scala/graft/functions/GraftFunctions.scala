@@ -21,6 +21,8 @@ object GraftFunctions {
   val WINNOW = "graft_winnow"
   val NFC = "graft_nfc"
   val JARO_WINKLER = "graft_jaro_winkler"
+  val TRIANGLE_CREDITS = "graft_triangle_credits"
+  val TRUSS_CREDITS = "graft_truss_credits"
 
   private[functions] def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -58,6 +60,12 @@ object GraftFunctions {
       exprs => NfcNormalize(exprs(0))),
     (JARO_WINKLER, classOf[JaroWinklerSim],
       exprs => JaroWinklerSim(exprs(0), exprs(1))),
+    (TRIANGLE_CREDITS, classOf[TriangleCredits],
+      exprs => TriangleCredits(exprs(0), exprs(1), exprs(2), exprs(3),
+        emitPairs = false)),
+    (TRUSS_CREDITS, classOf[TriangleCredits],
+      exprs => TriangleCredits(exprs(0), exprs(1), exprs(2), exprs(3),
+        emitPairs = true)),
   )
 
   // synchronized: concurrent callers (Verify's parallel lanes) would race
@@ -101,6 +109,16 @@ object GraftFunctions {
   /** Common elements of two sorted distinct long arrays (ascending). */
   def intersectSorted(a: Column, b: Column): Column =
     call_function(INTERSECT_SORTED, a, b)
+
+  /** Per-triangle NODE credits (src, dst, z per common neighbor z) for the
+    * edge-iterator closure — one merge pass, see [[TriangleCredits]]. */
+  def triangleCredits(src: Column, dst: Column, nx: Column, ny: Column): Column =
+    call_function(TRIANGLE_CREDITS, src, dst, nx, ny)
+
+  /** Per-triangle EDGE-KEY credits (ek(src,dst), ek(src,z), ek(dst,z) per
+    * common neighbor z) for k-truss support counting. */
+  def trussCredits(src: Column, dst: Column, nx: Column, ny: Column): Column =
+    call_function(TRUSS_CREDITS, src, dst, nx, ny)
 
   /** Winnow-selected 1-based k-gram positions (requires [[register]]). */
   def winnowPositions(text: Column, k: Int, win: Int): Column =

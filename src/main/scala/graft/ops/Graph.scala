@@ -19,8 +19,9 @@ import graft.{GraftQuery, Tables}
   */
 object Graph {
 
-  /** Node ids: customers as +custkey, suppliers as -suppkey (disjoint). */
-  private def edges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  /** Node ids: customers as +custkey, suppliers as -suppkey (disjoint).
+    * private[ops]: RoundBodies rebuilds one loop round for plan audit. */
+  private[ops] def edges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
     val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
@@ -185,38 +186,27 @@ object Graph {
       // collapses map-side to ≤|V| groups per partition. Each triangle
       // {x→y, x→z, y→z} is found exactly once (on its (x, y) leg: z is
       // an out-neighbor of both ends), and every corner is credited in
-      // the same pass — x and y get size(zs), each z gets one.
-      // persisted: the endpoint-credit and apex-credit branches each
-      // re-derive the decorated stream, so an unpersisted adj would run
-      // its groupBy + collect twice (r13 optimization round)
+      // the same pass. persisted: adj is joined onto both endpoints of
+      // every oriented edge (r13 optimization round)
       val adj = oriented.groupBy(col("src"))
         .agg(sort_array(collect_list(col("dst"))).as("nbr"))
         .persist()
-      // both intersect kernels are fused sorted-merges over primitive
-      // longs (array_intersect builds a boxed OpenHashSet per row, which
-      // dominates at edge-cardinality × O(√m)-element arrays)
       val dec = oriented
         .join(adj.select(col("src"), col("nbr").as("nx")), "src")
         .join(adj.select(col("src").as("dst"), col("nbr").as("ny")), "dst")
-      // endpoint credits: one |zs| count per edge — edge-cardinality rows
-      val xy = dec.select(col("src").as("x"), col("dst").as("y"),
-          graft.functions.GraftFunctions
-            .intersectCount(col("nx"), col("ny")).as("c"))
-        .select(explode(array(col("x"), col("y"))).as("n"), col("c"))
-        .groupBy("n").agg(sum("c").as("t_end"))
-      // apex credits: the per-triangle stream explodes as BARE BIGINTS
-      // straight into a partial agg (an earlier struct-wrapped variant
-      // allocated one boxed struct per triangle — ~1e8 objects on the
-      // dense fixture graph — and aged-heap GC tripled the query when it
-      // ran late in a full bench pass)
-      val zc = dec.select(explode(graft.functions.GraftFunctions
-          .intersectSorted(col("nx"), col("ny"))).as("n"))
-        .groupBy("n").agg(count(lit(1)).as("t_apex"))
-      val perNode = xy.join(zc, Seq("n"), "outer")
-        .select(col("n"),
-          (coalesce(col("t_end"), lit(0L)) +
-            coalesce(col("t_apex"), lit(0L))).as("n_tri"))
-        .filter(col("n_tri") > 0)
+      // FUSED credit pass (r14): one codegen sorted-merge per decorated
+      // edge emits all three corners of each triangle as BARE BIGINTS
+      // straight into a partial agg (struct-wrapped streams allocated one
+      // boxed object per triangle and aged-heap GC tripled the query; the
+      // earlier TWO-leg shape — intersect-COUNT endpoint credits unioned
+      // with an intersect-ARRAY apex explode — ran the merge twice,
+      // re-derived the decoration joins under each leg, and paid an outer
+      // join to combine the legs). A node with no triangles is absent =
+      // zero, exactly what the old `n_tri > 0` filter produced.
+      val perNode = dec
+        .select(explode(graft.functions.GraftFunctions.triangleCredits(
+          col("src"), col("dst"), col("nx"), col("ny"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("n_tri"))
       val out = deg.join(perNode, Seq("n"), "left")
         .select(col("n").as("suppkey"), col("deg"),
           coalesce(col("n_tri"), lit(0L)).as("n_tri"),

@@ -24,15 +24,22 @@ object Graph13 {
 
   /** Exact per-edge triangle support via the q148 edge-iterator: orient by
     * (degree, id), decorate each oriented edge with both endpoints'
-    * out-adjacency arrays, and read the apex set off the codegen
-    * sorted-merge intersection. Each triangle {x,y,z} (found once, on its
-    * base leg) credits all THREE of its edges. Returns (ek, support);
-    * a zero-triangle edge whose higher-(degree, id) endpoint has no
-    * out-neighbors is ABSENT rather than present-with-0 (the adjacency
-    * decoration is an inner join) — callers treat absence as support 0,
-    * exactly like the oracle's sup-join (Round13bSpec pins this).
+    * out-adjacency arrays, and emit all three credits of each triangle
+    * {x,y,z} (found once, on its base leg) from ONE fused sorted-merge
+    * pass ([[graft.functions.TriangleCredits]]). Returns (ek, support);
+    * a zero-triangle edge is ABSENT rather than present-with-0 — callers
+    * treat absence as support 0, exactly like the oracle's sup-join
+    * (Round13bSpec pins this).
     */
-  private[ops] def edgeSupport(edges: DataFrame): DataFrame = {
+  private[ops] def edgeSupport(edges: DataFrame): DataFrame =
+    edgeSupportWithCaches(edges)._1
+
+  /** edgeSupport plus the two per-level cache handles (oriented edge list,
+    * adjacency arrays) so the peel loop can release them after each level's
+    * survivor frame materializes instead of pinning up to six
+    * edge/node-cardinality caches until the harness-wide clearCache. */
+  private[ops] def edgeSupportWithCaches(
+      edges: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -46,15 +53,18 @@ object Graph13 {
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("dst"))
-    // oriented feeds the adjacency aggregate AND both credit legs, and the
-    // two legs each re-derive the decorated stream — persist the edge list
-    // so orientation (2 degree joins) runs once per level, and give the
-    // base leg the COUNT kernel (no per-edge apex-array allocation; the
-    // r13-optimization measurement on the same shape in q148) while only
-    // the apex leg materializes the intersection arrays it must explode.
-    // Caches are node/edge-cardinality and released by the harness's
-    // per-query clearCache (the minhashPairsDocs discipline; the caller's
-    // survivor frames are localCheckpoint'ed independently).
+    // oriented feeds the adjacency aggregate AND the decorated stream —
+    // persist the edge list so orientation (2 degree joins) runs once per
+    // level; adj is joined onto both endpoints, so persist it too.
+    // The credit pass is the FUSED kernel (r14): one sorted-merge
+    // intersection per decorated edge emits the base credit and both apex
+    // credits together, where the two-leg shape (intersect-COUNT base leg
+    // unioned with an intersect-ARRAY apex explode) ran the merge twice,
+    // re-derived the decoration join pair under each leg, and paid an
+    // extra exchange to combine the legs (2 Generate + 2 HashAggregate
+    // trees + union → 1 Generate + 1 partial-agg groupBy). Edges with no
+    // triangle are now ABSENT rather than present-with-support-0 — callers
+    // already treat absence as 0 (Round13bSpec pins this contract).
     val orientedP = oriented.persist()
     val adj = orientedP.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbr"))
@@ -62,15 +72,11 @@ object Graph13 {
     val dec = orientedP
       .join(adj.select(col("src"), col("nbr").as("nx")), "src")
       .join(adj.select(col("src").as("dst"), col("nbr").as("ny")), "dst")
-    val baseLeg = dec.select(encodePair(col("src"), col("dst")).as("ek"),
-      GraftFunctions.intersectCount(col("nx"), col("ny")).cast("long").as("c"))
-    val apexLeg = dec
-      .select(col("src"), col("dst"),
-        explode(GraftFunctions.intersectSorted(col("nx"), col("ny"))).as("z"))
-      .select(explode(array(encodePair(col("src"), col("z")),
-        encodePair(col("dst"), col("z")))).as("ek"))
-      .groupBy("ek").agg(count(lit(1)).as("c"))
-    baseLeg.unionAll(apexLeg).groupBy("ek").agg(sum("c").as("support"))
+    val sup = dec
+      .select(explode(GraftFunctions.trussCredits(
+        col("src"), col("dst"), col("nx"), col("ny"))).as("ek"))
+      .groupBy("ek").agg(count(lit(1)).as("support"))
+    (sup, Seq(orientedP, adj))
   }
 
   /** 14-truss peel (support ≥ 12, the fixture graph's ~p60) over the part
@@ -106,11 +112,24 @@ object Graph13 {
       var nPrev = e0.count()
       val stats = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
       for (lvl <- 1 to 3) {
-        val keep = edgeSupport(e).filter(col("support") >= minSup).select("ek")
-        val kept = e.withColumn("ek", encodePair(col("u"), col("v")))
-          .join(keep, Seq("ek"), "left_semi")
-          .select("u", "v")
+        val (sup, caches) = edgeSupportWithCaches(e)
+        // survivors decode STRAIGHT off the support key — ek is least·2³¹ +
+        // greatest of an edge of e, and e keeps u < v by construction
+        // (coPurchaseEdges), so (ek div 2³¹, ek mod 2³¹) IS the edge and
+        // the former semi-join back to e (one more scan + join per level)
+        // is pure re-derivation of what the key already carries. Every
+        // support key is a real e edge (base keys from the decoration,
+        // apex keys from adjacency membership), and a kept edge has
+        // support ≥ 12 ≥ 1 so it cannot be absent from sup.
+        val kept = sup.filter(col("support") >= minSup)
+          .select(expr("ek div 2147483648").as("u"),
+            expr("ek % 2147483648").as("v"))
           .localCheckpoint()
+        // the eager localCheckpoint above materialized everything that
+        // reads the level's caches — release them now instead of pinning
+        // up to six edge/node-cardinality caches until the harness-wide
+        // clearCache (q148's unpersist discipline)
+        caches.foreach(_.unpersist())
         val nAfter = kept.count()
         stats += ((lvl, nPrev, nAfter))
         nPrev = nAfter

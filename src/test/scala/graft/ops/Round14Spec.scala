@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Round-14 optimization pins: the fused [[graft.functions.TriangleCredits]]
+  * kernel (one sorted-merge pass emitting all three credits per triangle)
+  * against a brute-force reference on a hand graph and on the sf0.001
+  * co-purchase graph, in both modes (node credits for q148, edge-key
+  * credits for q375).
+  */
+class Round14Spec extends AnyFunSuite with SparkSpec {
+
+  private def ek(a: Long, b: Long): Long =
+    math.min(a, b) * 2147483648L + math.max(a, b)
+
+  /** Brute-force triangles of an undirected edge set {u < v}. */
+  private def triangles(edges: Set[(Long, Long)]): Seq[(Long, Long, Long)] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    def adj(a: Long, b: Long) =
+      edges.contains((math.min(a, b), math.max(a, b)))
+    for {
+      x <- nodes; y <- nodes if x < y && adj(x, y)
+      z <- nodes if y < z && adj(x, z) && adj(y, z)
+    } yield (x, y, z)
+  }
+
+  private def creditFrames(edgeSeq: Seq[(Long, Long)]) = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val edges = edgeSeq.toDF("u", "v")
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val oriented = edges
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbr"))
+    oriented
+      .join(adj.select(col("src"), col("nbr").as("nx")), "src")
+      .join(adj.select(col("src").as("dst"), col("nbr").as("ny")), "dst")
+  }
+
+  test("fused TriangleCredits node mode matches brute-force per-node counts") {
+    val edgeSeq: Seq[(Long, Long)] = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (5L, 6L), (1L, 4L))
+    val dec = creditFrames(edgeSeq)
+    val got = dec.select(explode(graft.functions.GraftFunctions
+        .triangleCredits(col("src"), col("dst"), col("nx"), col("ny"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = triangles(edgeSeq.toSet)
+      .flatMap { case (x, y, z) => Seq(x, y, z) }
+      .groupBy(identity).map { case (n, l) => n -> l.size.toLong }
+    assert(got == want)
+    assert(!got.contains(5L) && !got.contains(6L)) // absent = zero triangles
+  }
+
+  test("fused TriangleCredits pair mode matches brute-force edge support") {
+    val edgeSeq: Seq[(Long, Long)] = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (5L, 6L), (1L, 4L))
+    val dec = creditFrames(edgeSeq)
+    val got = dec.select(explode(graft.functions.GraftFunctions
+        .trussCredits(col("src"), col("dst"), col("nx"), col("ny"))).as("ek"))
+      .groupBy("ek").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = triangles(edgeSeq.toSet)
+      .flatMap { case (x, y, z) => Seq(ek(x, y), ek(x, z), ek(y, z)) }
+      .groupBy(identity).map { case (k, l) => k -> l.size.toLong }
+    assert(got == want)
+  }
+
+  test("q148 fused per-node counts match the two-leg reference at sf0.001") {
+    graft.functions.GraftFunctions.register(spark)
+    val und = Graph.coPurchaseEdges(
+      graft.Tables.lineitem(spark, "/root/testdata/sf0.001"),
+      "l_orderkey", "l_suppkey")
+    val edgeSeq = und.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dec = creditFrames(edgeSeq)
+    val got = dec.select(explode(graft.functions.GraftFunctions
+        .triangleCredits(col("src"), col("dst"), col("nx"), col("ny"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // two-leg reference: intersect-count endpoint credits + apex explode
+    val xy = dec.select(col("src").as("x"), col("dst").as("y"),
+        graft.functions.GraftFunctions
+          .intersectCount(col("nx"), col("ny")).as("c"))
+      .select(explode(array(col("x"), col("y"))).as("n"), col("c"))
+      .groupBy("n").agg(sum("c").as("t"))
+    val zc = dec.select(explode(graft.functions.GraftFunctions
+        .intersectSorted(col("nx"), col("ny"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("t"))
+    val want = xy.unionAll(zc).groupBy("n").agg(sum("t").as("t"))
+      .filter(col("t") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "fixture graph must contain triangles")
+  }
+}
