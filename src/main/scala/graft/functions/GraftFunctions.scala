@@ -23,6 +23,7 @@ object GraftFunctions {
   val JARO_WINKLER = "graft_jaro_winkler"
   val TRIANGLE_CREDITS = "graft_triangle_credits"
   val TRUSS_CREDITS = "graft_truss_credits"
+  val ROLLING_GRAMS = "graft_rolling_gram_keys"
 
   private[functions] def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -66,6 +67,8 @@ object GraftFunctions {
     (TRUSS_CREDITS, classOf[TriangleCredits],
       exprs => TriangleCredits(exprs(0), exprs(1), exprs(2), exprs(3),
         emitPairs = true)),
+    (ROLLING_GRAMS, classOf[RollingGramKeys],
+      exprs => RollingGramKeys(exprs(0), intArg(exprs(1)))),
   )
 
   // synchronized: concurrent callers (Verify's parallel lanes) would race
@@ -109,6 +112,11 @@ object GraftFunctions {
   /** Common elements of two sorted distinct long arrays (ascending). */
   def intersectSorted(a: Column, b: Column): Column =
     call_function(INTERSECT_SORTED, a, b)
+
+  /** Rolling Rabin-Karp keys of every L-codepoint window (one array per
+    * text; see [[RollingGramKeys]]). */
+  def rollingGramKeys(text: Column, l: Int): Column =
+    call_function(ROLLING_GRAMS, text, org.apache.spark.sql.functions.lit(l))
 
   /** Per-triangle NODE credits (src, dst, z per common neighbor z) for the
     * edge-iterator closure — one merge pass, see [[TriangleCredits]]. */

@@ -99,24 +99,39 @@ object AudioFpCodec {
   /** The tone bin carried by each payload byte: 2 + (b mod 60) ∈ [2, 61]. */
   def toneBin(b: Byte): Int = 2 + ((b & 0xff) % 60)
 
+  /** Synthesized segment bytes per tone bin, built once per JVM: a segment
+    * depends only on its byte's [[toneBin]] ∈ [2, 61], so the per-sample
+    * sin path recomputed at most 60 distinct 1024-byte segments once per
+    * SEGMENT of every track (512 `math.sin` + `round` calls each — the
+    * dominant synthesis cost at corpus scale). Each entry is computed by
+    * the EXACT per-sample formula below, so the PCM is bitwise identical
+    * (guide §4.5: hoist loop-invariant heavyweight state; the table is
+    * immutable and 61 KiB).
+    */
+  private lazy val toneSegments: Array[Array[Byte]] = Array.tabulate(60) { i =>
+    val k = i + 2
+    val seg = new Array[Byte](SegLen * 2)
+    var n = 0
+    while (n < SegLen) {
+      val v = math.round(Amp * math.sin(2.0 * math.Pi * k * n / SegLen)).toInt
+      seg(n * 2) = (v & 0xff).toByte
+      seg(n * 2 + 1) = ((v >> 8) & 0xff).toByte
+      n += 1
+    }
+    seg
+  }
+
   /** Synthesize the track PCM for a payload: one SegLen-sample segment of a
     * pure sine at the byte's [[toneBin]] frequency (k cycles per frame —
     * exactly periodic, so the unwindowed STFT of an aligned frame is a
-    * single spectral line at k).
+    * single spectral line at k). Segments come from [[toneSegments]].
     */
   def synthesizePcm(payload: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](payload.length * SegLen * 2)
     var s = 0
     while (s < payload.length) {
-      val k = toneBin(payload(s))
-      var n = 0
-      while (n < SegLen) {
-        val v = math.round(Amp * math.sin(2.0 * math.Pi * k * n / SegLen)).toInt
-        val off = (s * SegLen + n) * 2
-        out(off) = (v & 0xff).toByte
-        out(off + 1) = ((v >> 8) & 0xff).toByte
-        n += 1
-      }
+      System.arraycopy(toneSegments(toneBin(payload(s)) - 2), 0,
+        out, s * SegLen * 2, SegLen * 2)
       s += 1
     }
     out
@@ -133,8 +148,44 @@ object AudioFpCodec {
     val peaks = new Array[Int](nFrames)
     val re = new Array[Double](SegLen)
     val im = new Array[Double](SegLen)
+    // Real-input packing (r14, guide step-2 per-task work): frames are
+    // REAL signals, so two frames ride ONE complex FFT — frame f in the
+    // real slots, frame f+1 in the imaginary slots, spectra untangled by
+    // conjugate symmetry: 2·X1(k) = (Zr(k)+Zr(N−k), Zi(k)−Zi(N−k)),
+    // 2·X2(k) = (Zi(k)+Zi(N−k), Zr(N−k)−Zr(k)). Halves the butterfly
+    // work per track. The argmax is invariant: the constant factor 4
+    // scales all bins alike, and the synthesized integer-bin tones put
+    // the peak ~10 orders of magnitude above the int16 quantization
+    // noise floor, so untangling round-off (1e-16 relative) cannot flip
+    // a peak — AudioFpSpec pins peaks == toneBin end to end.
     var f = 0
-    while (f < nFrames) {
+    while (f + 1 < nFrames) {
+      var n = 0
+      while (n < SegLen) {
+        re(n) = samples(f * SegLen + n).toDouble
+        im(n) = samples((f + 1) * SegLen + n).toDouble
+        n += 1
+      }
+      fft(re, im)
+      var best1 = 1; var bm1 = 0.0
+      var best2 = 1; var bm2 = 0.0
+      var k = 1
+      while (k < SegLen / 2) {
+        val rk = re(k); val ik = im(k)
+        val rn = re(SegLen - k); val iN = im(SegLen - k)
+        val ar = rk + rn; val ai = ik - iN
+        val br = ik + iN; val bi = rn - rk
+        val m1 = ar * ar + ai * ai
+        val m2 = br * br + bi * bi
+        if (m1 > bm1) { bm1 = m1; best1 = k }
+        if (m2 > bm2) { bm2 = m2; best2 = k }
+        k += 1
+      }
+      peaks(f) = best1
+      peaks(f + 1) = best2
+      f += 2
+    }
+    if (f < nFrames) { // odd tail frame: the plain single-frame path
       var n = 0
       while (n < SegLen) {
         re(n) = samples(f * SegLen + n).toDouble
@@ -151,7 +202,6 @@ object AudioFpCodec {
         k += 1
       }
       peaks(f) = best
-      f += 1
     }
     peaks
   }
@@ -196,18 +246,26 @@ object AudioFpCodec {
     val out = new Array[Byte](payload.length * SegLen * 2)
     var s = 0
     while (s < payload.length) {
-      val a = ((payload(s) & 0xff) % 8) * 512
-      var n = 0
-      while (n < SegLen) {
-        val v = math.round(a * math.sin(2.0 * math.Pi * 20 * n / SegLen)).toInt
-        val off = (s * SegLen + n) * 2
-        out(off) = (v & 0xff).toByte
-        out(off + 1) = ((v >> 8) & 0xff).toByte
-        n += 1
-      }
+      System.arraycopy(amSegments((payload(s) & 0xff) % 8), 0,
+        out, s * SegLen * 2, SegLen * 2)
       s += 1
     }
     out
+  }
+
+  /** The 8 distinct AM segments ((b mod 8)·512 amplitudes), built once per
+    * JVM by the exact per-sample formula — the [[toneSegments]] rationale. */
+  private lazy val amSegments: Array[Array[Byte]] = Array.tabulate(8) { m =>
+    val a = m * 512
+    val seg = new Array[Byte](SegLen * 2)
+    var n = 0
+    while (n < SegLen) {
+      val v = math.round(a * math.sin(2.0 * math.Pi * 20 * n / SegLen)).toInt
+      seg(n * 2) = (v & 0xff).toByte
+      seg(n * 2 + 1) = ((v >> 8) & 0xff).toByte
+      n += 1
+    }
+    seg
   }
 
   /** Mean-square energy per full frame of the decoded PCM. */

@@ -60,6 +60,16 @@ import graft.{GraftQuery, Tables}
   * Reference scope note: `/root/reference` (pesto93/Clickhouse_data-rebalance)
   * has no pipeline surface; this is the north-star capstone the round-10
   * verdict requested.
+  *
+  * CACHE CONTRACT (r13 advisor note): the returned frame deliberately
+  * keeps `staged`/`exactSurv`/`docToks` (and the BPE vocabulary) persisted
+  * with NO unpersist — Round11PlanSpec pins the packing-window keys and
+  * broadcast joins on the returned frame's OWN plan, which an eager
+  * localCheckpoint would hide behind an RDD scan. Every harness caller
+  * (Bench.timeOne, Verify's periodic sweep, Explain.dump) runs
+  * `spark.catalog.clearCache()` after materializing a query; any NEW
+  * caller of a GraftQuery fn must do the same or corpus-scale caches
+  * accumulate across queries.
   */
 object Capstone {
 

@@ -389,7 +389,12 @@ object Extras10 {
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         // maxBy keeps the FIRST maximum and the candidate list is sorted
         // ascending, so ties break to the smallest source — the same
-        // (gain desc, source asc) order the frame-side pick used
+        // (gain desc, source asc) order the frame-side pick used. NOTE:
+        // JVM String ordering (UTF-16 code units) and Spark's frame-side
+        // UTF-8 binary ordering diverge only for strings containing
+        // supplementary-plane characters; source names are fixture-ASCII
+        // ("web-crawl" etc. — TESTDATA.md), where the two orders coincide.
+        // If sources ever go non-ASCII, sort by UTF-8 byte comparator here.
         val (src, gain) = allSources.filterNot(picked.contains)
           .map(sc => (sc, gainMap.getOrElse(sc, 0L)))
           .maxBy(_._2)

@@ -23,10 +23,10 @@ class Round10PlanSpec extends AnyFunSuite with SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
-  test("q300: the duplicate-key aggregate shuffles ONLY the digest key — " +
-    "one fixed 8-byte binary, no text/gram column ever crosses the wire") {
+  test("q300: the duplicate-key aggregate shuffles ONLY the rolling key — " +
+    "one fixed 8-byte long, no text/gram column ever crosses the wire") {
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
-    import org.apache.spark.sql.types.BinaryType
+    import org.apache.spark.sql.types.LongType
     val opt = SparkEntry.queries("q300_exact_span_dedup")(spark, sf)
       .queryExecution.optimizedPlan
     val dupAgg = opt.collect {
@@ -37,14 +37,14 @@ class Round10PlanSpec extends AnyFunSuite with SparkSpec {
     }
     assert(dupAgg.nonEmpty, "duplicate-key aggregate not found")
     dupAgg.foreach { a =>
-      // narrow-key pin: the shuffled key must stay the unhex'd 8-byte
-      // BINARY — a regression back to the 16-char hex STRING doubles the
-      // per-position shuffle bytes on the engine's hottest groupBy, and a
-      // conv-to-BIGINT packing measured ~40% SLOWER (arbitrary-base parse
-      // cost; see ExactSpans scaladoc)
+      // narrow-key pin: the shuffled key must stay the ONE packed BIGINT
+      // the rolling pass emits (r14) — a regression to a hex STRING key
+      // doubles the per-position shuffle bytes on the engine's hottest
+      // groupBy, and the primitive-long key is also the cheapest possible
+      // HashAggregate probe
       a.groupingExpressions.foreach { g =>
-        assert(g.dataType == BinaryType,
-          s"dup-key grouping expression is ${g.dataType}, expected BinaryType")
+        assert(g.dataType == LongType,
+          s"dup-key grouping expression is ${g.dataType}, expected LongType")
       }
       val childCols = a.child.output.map(_.name).toSet
       assert(!childCols.contains("text"),

@@ -80,6 +80,53 @@ class Round14Spec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("RollingGramKeys: rolling keys equal per-position Horner recompute " +
+    "and separate every distinct 30-gram of a crafted corpus") {
+    import graft.functions.RollingGramKeys._
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val L = ExactSpans.L
+    def direct(s: String, i: Int): Long = {
+      // independent per-position recompute: Σ cp_j · B^(L−1−j) mod M
+      val cps = s.codePoints().toArray.slice(i, i + L)
+      def h(b: Long, m: Long) =
+        cps.foldLeft(0L)((acc, c) => (acc * b + c) % m)
+      h(B1, M1) * 2147483648L + h(B2, M2)
+    }
+    val block = "0123456789" * 4
+    val texts = Seq(
+      s"aaaa${block}bbbb",
+      s"cccccccc${block}dddddddd",
+      "The boilerplate legal disclaimer text, repeated: " +
+        "The boilerplate legal disclaimer text.",
+      "ünïcøde çháracters beyond ascii — ünïcøde çháracters beyond ascii!")
+    val rows = texts.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), posexplode(
+        graft.functions.GraftFunctions.rollingGramKeys(col("text"), L)))
+      .toDF("doc_id", "i", "k")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    for ((id, i, k) <- rows)
+      assert(k == direct(texts(id.toInt), i), s"doc $id pos $i")
+    // the key's equality relation must match exact gram equality here
+    // (collisions are possible in principle, impossible on this fixture)
+    val byKey = rows.groupBy(_._3).values
+    for (grp <- byKey) {
+      val grams = grp.map { case (id, i, _) =>
+        val cps = texts(id.toInt).codePoints().toArray
+        new String(cps.slice(i, i + L), 0, L)
+      }.toSet
+      assert(grams.size == 1, s"collision across distinct grams: $grams")
+    }
+    val nGrams = rows.map { case (id, i, _) =>
+      val cps = texts(id.toInt).codePoints().toArray
+      new String(cps.slice(i, i + L), 0, L)
+    }.toSet.size
+    assert(byKey.toSeq.size == rows.map(_._3).toSet.size)
+    assert(rows.map(_._3).toSet.size == nGrams, "distinct grams != distinct keys")
+  }
+
   test("q148 fused per-node counts match the two-leg reference at sf0.001") {
     graft.functions.GraftFunctions.register(spark)
     val und = Graph.coPurchaseEdges(
