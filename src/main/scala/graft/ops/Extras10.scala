@@ -336,14 +336,13 @@ object Extras10 {
     * saturated steps legitimately pick a zero-gain source (the left join
     * keeps them rankable instead of vanishing in the anti join).
     *
-    * Determinism: marginal gains are exact distinct counts; the argmax
-    * collects exactly ONE (source, count) row per step (a bounded
-    * driver-side pick, like q328's rerank); the covered set is an
-    * ACCUMULATED gram frame — step k appends only the picked source's
-    * newly-covered grams and `localCheckpoint`s, so each step anti-joins
-    * the increment instead of re-deriving coverage from the full
-    * persisted frame, and no step's lineage compounds. The oracle
-    * unrolls the 5 steps as materialized CTE levels.
+    * Determinism: marginal gains are exact distinct counts. One
+    * distributed pass folds each gram's containing sources into a BIGINT
+    * bitmask (bit_or) and counts grams per mask; the 5-step greedy then
+    * replays on the driver over that bounded (mask, cnt) table with
+    * integer math — identical picks and counts to the stepwise
+    * frame-side anti-join it replaced. The oracle unrolls the 5 steps as
+    * materialized CTE levels.
     *
     * Short documents are guarded: a text with < 3 words contributes no
     * trigrams (`CASE WHEN size(ws) >= 3`), matching the oracle's empty
@@ -351,67 +350,80 @@ object Extras10 {
     * `sequence(0, size - 3)` would DESCEND for start > stop and
     * `slice(ws, 0, 3)` would throw (SQL arrays are 1-based).
     *
-    * Scale shape: ONE corpus pass to the distinct (source, gram) frame
-    * (n-gram-dictionary-bounded per source); each step is an anti join
-    * on the gram key + a per-source count — 5 bounded jobs, never a
+    * Scale shape: ONE corpus pass (explode → per-gram bit_or → per-mask
+    * count), one bounded collect of min(2^|sources|, |vocab|) rows; the
+    * greedy itself is driver arithmetic — no per-step jobs, never a
     * growing frame.
     */
   val q339MaxCoverage = GraftQuery(
     "q339_max_coverage",
     (s, dir) => {
-      val sw = Tables.documents(s, dir)
+      // r14 optimization (guide §2.4 + §5): the stepwise frame-side greedy
+      // (distinct+persist, a vocab count, a source collect, then 5×
+      // anti-join+agg+collect and 4× covered-increment localCheckpoints —
+      // ~14 driver-sequenced jobs) collapses to ONE distributed pass: per
+      // gram, bit_or the sources containing it into a bitmask, then count
+      // grams per mask and collect that bounded frame. Every step-k gain
+      // is Σ cnt over masks containing the source and no picked source —
+      // an exact distinct-gram count — so the driver replays the identical
+      // greedy with integer math: same picks, same counts, bit-identical
+      // output (the oracle CTEs are unchanged). Driver state is
+      // min(2^|sources|, |vocab|) rows — source-combination-bounded, NOT
+      // corpus-bounded (sources are a curated handful by construction; the
+      // previous shape already collected per-source rows every step).
+      // Sources with >= 1 trigram == sources with >= 1 doc of >= 3 words
+      // (cheap pass over documents, no explode), sorted ascending. NOTE:
+      // JVM String ordering (UTF-16 code units) and Spark's frame-side
+      // UTF-8 binary ordering diverge only for strings containing
+      // supplementary-plane characters; source names are fixture-ASCII
+      // ("web-crawl" etc. — TESTDATA.md), where the two orders coincide.
+      // If sources ever go non-ASCII, sort by UTF-8 byte comparator here.
+      val docs = Tables.documents(s, dir)
         .select(col("source"), split(col("text"), " ").as("ws"))
-        .select(col("source"), explode(expr(
-          """CASE WHEN size(ws) >= 3 THEN
-            |  transform(sequence(0, size(ws) - 3),
-            |    i -> concat_ws(' ', slice(ws, i + 1, 3)))
-            |ELSE array() END""".stripMargin))
-          .as("w"))
-        .distinct().persist()
-      val vocab = sw.select("w").distinct().count()
-      // the source universe is tiny (|sources| rows) and STATIC across the
-      // 5 greedy steps — collect it once instead of re-scanning the whole
-      // persisted gram frame for a distinct + left join EVERY step (was 5
-      // extra corpus-cache scans; the zero-gain fill now happens on the
-      // driver over the same bounded list, preserving the exact
-      // (gain desc, source asc) pick order)
-      val allSources = sw.select("source").distinct()
+      val allSources = docs.filter(size(col("ws")) >= 3)
+        .select("source").distinct()
         .collect().map(_.getString(0)).sorted
+      require(allSources.length <= 62,
+        "q339 bitmask greedy packs sources into one BIGINT (<= 62 sources)")
+      val srcIdx: Map[String, Int] = allSources.zipWithIndex.toMap
+      val srcBit: Map[String, Long] =
+        srcIdx.map { case (sc, i) => sc -> (1L << i) }
+      val byMask = docs
+        .select(
+          element_at(typedLit(srcBit), col("source")).as("bit"),
+          explode(expr(
+            """CASE WHEN size(ws) >= 3 THEN
+              |  transform(sequence(0, size(ws) - 3),
+              |    i -> concat_ws(' ', slice(ws, i + 1, 3)))
+              |ELSE array() END""".stripMargin))
+            .as("w"))
+        .groupBy("w").agg(bit_or(col("bit")).as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val vocab = byMask.map(_._2).sum
+      var pickedBits = 0L
       var picked = Vector.empty[String]
-      var covered = sw.select("w").limit(0).localCheckpoint()
       val steps = scala.collection.mutable.ArrayBuffer[
         (Int, String, Long, Long)]()
       var cumulative = 0L
       for (step <- 1 to 5) {
-        val gainMap = sw.filter(!col("source").isin(picked: _*))
-          .join(covered, Seq("w"), "left_anti")
-          .groupBy("source").agg(count(lit(1)).as("gain"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        // maxBy keeps the FIRST maximum and the candidate list is sorted
-        // ascending, so ties break to the smallest source — the same
-        // (gain desc, source asc) order the frame-side pick used. NOTE:
-        // JVM String ordering (UTF-16 code units) and Spark's frame-side
-        // UTF-8 binary ordering diverge only for strings containing
-        // supplementary-plane characters; source names are fixture-ASCII
-        // ("web-crawl" etc. — TESTDATA.md), where the two orders coincide.
-        // If sources ever go non-ASCII, sort by UTF-8 byte comparator here.
+        // gain(src) = exact count of distinct grams containing src and no
+        // already-picked source; maxBy keeps the FIRST maximum over the
+        // ascending-sorted candidates = (gain desc, source asc), the same
+        // pick order as the replaced frame-side argmax and the oracle
         val (src, gain) = allSources.filterNot(picked.contains)
-          .map(sc => (sc, gainMap.getOrElse(sc, 0L)))
+          .map { sc =>
+            val bit = 1L << srcIdx(sc)
+            sc -> byMask.iterator.collect {
+              case (m, c) if (m & bit) != 0 && (m & pickedBits) == 0 => c
+            }.sum
+          }
           .maxBy(_._2)
         picked :+= src
+        pickedBits |= 1L << srcIdx(src)
         cumulative += gain
         steps += ((step, src, gain, cumulative))
-        // accumulate only the increment: the picked source's grams not
-        // already covered, checkpointed so step k+1 starts from a flat
-        // covered frame instead of a k-deep union lineage (skipped after
-        // the final pick — localCheckpoint is eager)
-        if (step < 5)
-          covered = covered.unionAll(
-              sw.filter(col("source") === src).select("w")
-                .join(covered, Seq("w"), "left_anti"))
-            .localCheckpoint()
       }
-      sw.unpersist()
       import s.implicits._
       steps.toSeq.toDF("step", "source", "newly_covered", "cum_covered")
         .select(col("step"), col("source"), col("newly_covered"),

@@ -127,6 +127,40 @@ class Round14Spec extends AnyFunSuite with SparkSpec {
     assert(rows.map(_._3).toSet.size == nGrams, "distinct grams != distinct keys")
   }
 
+  test("q339 bitmask greedy equals a set-based greedy replay at sf0.001") {
+    // reference: independent set-based greedy over the exact per-source
+    // trigram sets (the shape the bitmask pass replaced), including the
+    // vocab denominator and the (gain desc, source asc) tie-break
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val sw = graft.Tables.documents(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("ws"))
+      .select(col("source"), explode(expr(
+        """CASE WHEN size(ws) >= 3 THEN
+          |  transform(sequence(0, size(ws) - 3),
+          |    i -> concat_ws(' ', slice(ws, i + 1, 3)))
+          |ELSE array() END""".stripMargin)).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val bySrc: Map[String, Set[String]] =
+      sw.groupBy(_._1).map { case (s0, l) => s0 -> l.map(_._2).toSet }
+    val vocab = bySrc.values.flatten.toSet.size.toLong
+    var covered = Set.empty[String]
+    var picked = Vector.empty[String]
+    val want = (1 to 5).map { step =>
+      val (src, gain) = bySrc.keys.toSeq.sorted.filterNot(picked.contains)
+        .map(s0 => s0 -> (bySrc(s0) -- covered).size.toLong)
+        .maxBy(_._2)
+      covered ++= bySrc(src); picked :+= src
+      (step, src, gain,
+        BigDecimal(covered.size.toDouble / vocab)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Extras10.q339MaxCoverage.fn(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(4)))
+    assert(got.toSeq == want)
+  }
+
   test("q148 fused per-node counts match the two-leg reference at sf0.001") {
     graft.functions.GraftFunctions.register(spark)
     val und = Graph.coPurchaseEdges(
