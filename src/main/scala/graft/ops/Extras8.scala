@@ -188,6 +188,15 @@ object Extras8 {
   val q314Hits = GraftQuery(
     "q314_hits",
     (s, dir) => {
+      // NOTE (r14 optimization round): examined for the q98/q237
+      // union-into-groupBy rewrite — it does NOT apply here. That trick
+      // removes a LEFT JOIN that only zero-fills missing nodes; HITS has
+      // no zero-fill join (nodes absent from a half-round legitimately
+      // drop out of that side's vector), and each half-round is already
+      // the minimal one equi-join + one partial agg on the persisted edge
+      // list. Isolated sf0.1: 2.52/3.30 s (min/med of 3) — the cost is
+      // the e distinct build + 4 alternating-key shuffles of e, all
+      // fundamental to the dataflow.
       val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
       val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
       val e = li.join(o, col("l_orderkey") === col("o_orderkey"))

@@ -624,18 +624,22 @@ object Extras9 {
       val nodes = words.select(col("w").as("word")).distinct().persist()
       var r = nodes.select(col("word"), lit(TrScale).as("r"))
       for (_ <- 1 to 5) {
-        val contrib = edgesD
+        // r14: zero-contribution words enter the SAME per-round groupBy as
+        // union rows (the q98/q237 union-into-groupBy shape) instead of a
+        // nodes LEFT JOIN afterwards — one shuffle + one stage barrier
+        // fewer per round; integer c + 0 is exact, and every edge endpoint
+        // is in nodes, so the output word set is unchanged.
+        // localCheckpoint flattens each round's lineage: the per-round
+        // frame is vocabulary-sized (tiny), but an unchecked 5-deep join
+        // chain makes round k's analysis/codegen replan rounds 1..k−1 —
+        // the measured cost of this loop was plan depth, not data
+        r = edgesD
           .join(r.select(col("word").as("u"), col("r").as("ru")), "u")
-          .groupBy(col("v").as("word"))
-          .agg(sum(col("w") * expr("ru div d")).as("c"))
-        // flatten each round's lineage: the per-round frame is
-        // vocabulary-sized (tiny), but an unchecked 5-deep join chain
-        // makes round k's analysis/codegen replan rounds 1..k−1 — the
-        // measured cost of this loop was plan depth, not data
-        r = nodes.join(contrib, Seq("word"), "left")
+          .select(col("v").as("word"), (col("w") * expr("ru div d")).as("c"))
+          .unionByName(nodes.select(col("word"), lit(0L).as("c")))
+          .groupBy("word").agg(sum("c").as("c"))
           .select(col("word"),
-            (lit(150000000L) +
-              expr("(85 * coalesce(c, 0)) div 100")).as("r"))
+            (lit(150000000L) + expr("(85 * c) div 100")).as("r"))
           .localCheckpoint()
       }
       val tot = r.agg(sum("r").as("tot"))

@@ -229,7 +229,14 @@ object Graph13 {
       val deg = und.select(col("u").as("n"))
         .unionAll(und.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
-      // symmetric adjacency restricted to low-degree centers
+      // symmetric adjacency restricted to low-degree centers.
+      // NOTE (r14 optimization round): the coPurchaseEdges HOF pair build
+      // (groupBy center + sorted collect_list + in-row cu < cv explode)
+      // was tried here and measured SLOWER in matched isolated runs
+      // (min/med 2.12/2.34 s join shape vs 2.80/3.06 s HOF shape at
+      // sf0.1): kept centers fan out ≤ 496 in-row pairs in ONE task row
+      // vs the shuffle-parallel self-join, the same ~30-wide-set loss as
+      // q184's edge build. Kept on the measured-faster join shape.
       val half = und.select(col("u").as("w"), col("v").as("x"))
         .unionAll(und.select(col("v").as("w"), col("u").as("x")))
       val centers = half.join(deg.filter(col("deg") <= 32)

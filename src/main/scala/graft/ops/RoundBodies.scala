@@ -102,13 +102,13 @@ object RoundBodies {
     val edgesD = edges.join(deg, "u").persist()
     val nodes = words.select(col("w").as("word")).distinct().persist()
     val r = nodes.select(col("word"), lit(1000000000L).as("r"))
-    val contrib = edgesD
+    edgesD
       .join(r.select(col("word").as("u"), col("r").as("ru")), "u")
-      .groupBy(col("v").as("word"))
-      .agg(sum(col("w") * expr("ru div d")).as("c"))
-    nodes.join(contrib, Seq("word"), "left")
+      .select(col("v").as("word"), (col("w") * expr("ru div d")).as("c"))
+      .unionByName(nodes.select(col("word"), lit(0L).as("c")))
+      .groupBy("word").agg(sum("c").as("c"))
       .select(col("word"),
-        (lit(150000000L) + expr("(85 * coalesce(c, 0)) div 100")).as("r"))
+        (lit(150000000L) + expr("(85 * c) div 100")).as("r"))
   }
 
   /** q375 level body: level-1 support count + threshold semi-join — the
